@@ -1,0 +1,160 @@
+"""Synthetic alignment generators with ground truth, for tests and benches."""
+
+from __future__ import annotations
+
+import random
+
+from tests import pyref
+
+
+def random_cigar(rng: random.Random, n_ops: int, max_len: int = 50):
+    """Random valid CIGAR op list (no leading/trailing zero-length ops)."""
+    ops = []
+    prev = None
+    for _ in range(n_ops):
+        op = rng.choice("=XIDM=")
+        # Avoid pathological all-indel CIGARs: bias toward consuming ops.
+        length = rng.randint(1, max_len)
+        ops.append((length, op))
+        prev = op
+    # Ensure at least one target-consuming and one query-consuming op.
+    ops.append((rng.randint(1, max_len), "="))
+    return ops
+
+
+def cigar_spans(ops):
+    t = sum(l for l, o in ops if o != "I")
+    q = sum(l for l, o in ops if o != "D")
+    return t, q
+
+
+def ops_to_str(ops) -> str:
+    return "".join(f"{l}{o}" for l, o in ops)
+
+
+def make_paf_line(
+    qname, qlen, qstart, qend, strand, tname, tlen, tstart, tend, ops
+) -> str:
+    m = sum(l for l, o in ops if o in "=M")
+    bl = sum(l for l, o in ops)
+    return (
+        f"{qname}\t{qlen}\t{qstart}\t{qend}\t{strand}\t"
+        f"{tname}\t{tlen}\t{tstart}\t{tend}\t{m}\t{bl}\t60\tcg:Z:{ops_to_str(ops)}"
+    )
+
+
+def random_alignment(rng: random.Random, seqs: dict[str, int], n_ops=20):
+    """Random alignment between two sequences from `seqs` (name -> length)."""
+    ops = random_cigar(rng, n_ops)
+    t_span, q_span = cigar_spans(ops)
+    names = list(seqs)
+    qname = rng.choice(names)
+    tname = rng.choice(names)
+    # Grow sequences if needed.
+    seqs[qname] = max(seqs[qname], q_span + 10)
+    seqs[tname] = max(seqs[tname], t_span + 10)
+    qstart = rng.randint(0, max(0, seqs[qname] - q_span))
+    tstart = rng.randint(0, max(0, seqs[tname] - t_span))
+    strand = rng.choice("+-")
+    return dict(
+        qname=qname,
+        qstart=qstart,
+        qend=qstart + q_span,
+        strand=strand,
+        tname=tname,
+        tstart=tstart,
+        tend=tstart + t_span,
+        ops=ops,
+    )
+
+
+def random_paf(rng: random.Random, n_seqs=4, n_alns=30, n_ops=20):
+    """Random PAF text + the generating records; sequences sized to fit."""
+    seqs = {f"seq{i}": 200 for i in range(n_seqs)}
+    alns = [random_alignment(rng, seqs, n_ops=n_ops) for _ in range(n_alns)]
+    lines = [
+        make_paf_line(
+            a["qname"],
+            seqs[a["qname"]],
+            a["qstart"],
+            a["qend"],
+            a["strand"],
+            a["tname"],
+            seqs[a["tname"]],
+            a["tstart"],
+            a["tend"],
+            a["ops"],
+        )
+        for a in alns
+    ]
+    return "\n".join(lines) + "\n", seqs, alns
+
+
+def mutate_chain_paf(rng: random.Random, n_seqs=6, seq_len=5000, seed_name="ref"):
+    """A chain pangenome: ref <- s1 <- s2 ... with exact per-pair CIGARs.
+
+    Each derived sequence aligns to its parent over the full length with
+    random scattered SNPs and small indels, giving a transitive topology.
+    Returns (paf_text, seqs dict, alignments list).
+    """
+    seqs = {seed_name: seq_len}
+    alns = []
+    parent = seed_name
+    parent_len = seq_len
+    for i in range(n_seqs - 1):
+        name = f"s{i}"
+        ops = []
+        t_pos = 0
+        q_len = 0
+        while t_pos < parent_len:
+            kind = rng.random()
+            if kind < 0.80:
+                length = min(rng.randint(20, 200), parent_len - t_pos)
+                ops.append((length, "="))
+                t_pos += length
+                q_len += length
+            elif kind < 0.90:
+                length = min(rng.randint(1, 5), parent_len - t_pos)
+                ops.append((length, "X"))
+                t_pos += length
+                q_len += length
+            elif kind < 0.95:
+                length = rng.randint(1, 20)
+                ops.append((length, "I"))
+                q_len += length
+            else:
+                length = min(rng.randint(1, 20), parent_len - t_pos)
+                ops.append((length, "D"))
+                t_pos += length
+        strand = rng.choice("++-")
+        seqs[name] = q_len
+        alns.append(
+            dict(
+                qname=name,
+                qstart=0,
+                qend=q_len,
+                strand=strand,
+                tname=parent,
+                tstart=0,
+                tend=parent_len,
+                ops=ops,
+            )
+        )
+        parent = name
+        parent_len = q_len
+    lines = [
+        make_paf_line(
+            a["qname"],
+            seqs[a["qname"]],
+            a["qstart"],
+            a["qend"],
+            a["strand"],
+            a["tname"],
+            seqs[a["tname"]],
+            a["tstart"],
+            a["tend"],
+            a["ops"],
+        )
+        for a in alns
+    ]
+    return "\n".join(lines) + "\n", seqs, alns
