@@ -1,0 +1,304 @@
+"""Command-line interface mirroring the reference CLI surface.
+
+Subcommands (reference: main.rs Args enum, main.rs:4707):
+  index      build the .impgt index from alignment files
+  query      lift a target range (or BED of ranges) through the alignments
+  stats      index statistics / sequence listing
+  partition  tile all genomes into homologous loci
+
+Example:
+  impg-tpu query -a aln.paf.gz -r 'S288C#1#chrI:50000-100000' -d 1000 -x -o bed
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from impg_tpu.io import bed as bed_mod
+
+
+def _add_common_query_opts(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "-a",
+        "--alignment",
+        required=True,
+        action="append",
+        help="Alignment file(s) (PAF, optionally bgzip/gzip-compressed); "
+        "repeat or comma-separate for multiple",
+    )
+    p.add_argument("--index", help="Index artifact path (default: <aln>.impgt)")
+    p.add_argument(
+        "-I",
+        "--force-reindex",
+        action="store_true",
+        help="Rebuild the index even if a fresh artifact exists",
+    )
+    p.add_argument(
+        "--no-bidirectional",
+        action="store_true",
+        help="Only index alignments in their stated direction",
+    )
+
+
+def _alignment_files(args) -> list[str]:
+    files: list[str] = []
+    for entry in args.alignment:
+        files.extend(x for x in entry.split(",") if x)
+    return files
+
+
+def _load_index(args):
+    from impg_tpu.index import impg_index
+
+    files = _alignment_files(args)
+    if args.no_bidirectional:
+        # Bypass cache for non-default build flavor.
+        return impg_index.ImpgIndex.from_paf_files(files, bidirectional=False)
+    return impg_index.load_or_build(files, args.index, force=args.force_reindex)
+
+
+def cmd_index(args) -> int:
+    from impg_tpu.index import impg_index
+
+    files = _alignment_files(args)
+    idx = impg_index.ImpgIndex.from_paf_files(
+        files, bidirectional=not args.no_bidirectional
+    )
+    path = args.index or impg_index.index_path_for(files)
+    idx.save(path)
+    print(
+        f"Indexed {len(idx.records)} directed records over "
+        f"{len(idx.seq_index)} sequences -> {path}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_query(args) -> int:
+    from impg_tpu.query import engine, outputs
+    from impg_tpu.query.subset import SubsetFilter
+
+    if args.target_range is None and args.target_bed is None:
+        print(
+            "error: either --target-range or --target-bed must be provided",
+            file=sys.stderr,
+        )
+        return 2
+    if args.merge_distance is None and not args.no_merge:
+        print(
+            "error: -d/--merge-distance is required (it merges query-gathered "
+            "ranges separated by at most D bp). Use --no-merge to disable.",
+            file=sys.stderr,
+        )
+        return 2
+    merge_distance = -1 if args.no_merge else bed_mod.parse_size(args.merge_distance)
+
+    index = _load_index(args)
+
+    if args.target_bed:
+        targets = bed_mod.parse_bed_file(args.target_bed)
+    else:
+        targets = [bed_mod.parse_target_range(args.target_range)]
+
+    subset = (
+        SubsetFilter.load(args.subset_sequence_list)
+        if args.subset_sequence_list
+        else None
+    )
+    subset_match = subset.matches if subset else None
+
+    out = open(args.output, "w") if args.output else sys.stdout
+    fmt = args.output_format
+    store_cigar = fmt in ("paf", "bedpe")
+    merge_strands = not args.consider_strandness  # BED default merges strands
+
+    try:
+        for target_name, (start, end), name in targets:
+            target_id = index.seq_index.get_id(target_name)
+            if target_id is None:
+                print(
+                    f"error: target sequence '{target_name}' not found in index",
+                    file=sys.stderr,
+                )
+                return 1
+            target_len = index.seq_index.get_len_from_id(target_id)
+            if end > target_len:
+                print(
+                    f"error: target range end ({end}) exceeds the target "
+                    f"sequence length ({target_len})",
+                    file=sys.stderr,
+                )
+                return 1
+
+            if args.transitive:
+                walker = (
+                    engine.query_transitive_dfs
+                    if args.transitive_dfs
+                    else engine.query_transitive_bfs
+                )
+                results = walker(
+                    index,
+                    target_id,
+                    start,
+                    end,
+                    max_depth=args.max_depth,
+                    min_transitive_len=args.min_transitive_len,
+                    min_distance_between_ranges=args.min_distance_between_ranges,
+                    min_output_length=args.min_output_length,
+                    store_cigar=store_cigar,
+                    min_identity=args.min_result_identity,
+                    subset_match=subset_match,
+                )
+            else:
+                results = engine.query(
+                    index,
+                    target_id,
+                    start,
+                    end,
+                    store_cigar=store_cigar,
+                    min_identity=args.min_result_identity,
+                )
+                if args.min_output_length is not None:
+                    results = [
+                        r
+                        for r in results
+                        if abs(r.q_last - r.q_first) >= args.min_output_length
+                    ]
+                if subset_match is not None:
+                    results = [
+                        r
+                        for r in results
+                        if r.q_id == target_id
+                        or (
+                            index.seq_index.get_name(r.q_id) is not None
+                            and subset_match(index.seq_index.get_name(r.q_id))
+                        )
+                    ]
+
+            if fmt == "bed":
+                outputs.write_bed(
+                    index.seq_index,
+                    results,
+                    out,
+                    name,
+                    merge_distance,
+                    merge_strands,
+                    args.original_sequence_coordinates,
+                )
+            elif fmt == "bedpe":
+                results.pop(0)
+                outputs.write_bedpe(
+                    index.seq_index,
+                    results,
+                    out,
+                    name,
+                    merge_distance,
+                    args.original_sequence_coordinates,
+                )
+            elif fmt == "paf":
+                results.pop(0)
+                outputs.write_paf(
+                    index.seq_index,
+                    results,
+                    out,
+                    name,
+                    merge_distance,
+                    args.original_sequence_coordinates,
+                )
+            else:
+                print(f"error: unsupported output format '{fmt}'", file=sys.stderr)
+                return 2
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
+def cmd_stats(args) -> int:
+    index = _load_index(args)
+    if args.list_sequences:
+        print("Sequence\tLength")
+        for i in range(len(index.seq_index)):
+            print(
+                f"{index.seq_index.get_name(i)}\t{index.seq_index.get_len_from_id(i)}"
+            )
+        return 0
+    counts = []
+    for sid in range(len(index.seq_index)):
+        n = index.tree_size(sid)
+        if n:
+            counts.append((index.seq_index.get_name(sid), n))
+    total = sum(c for _, c in counts)
+    print(f"Sequences: {len(index.seq_index)}")
+    print(f"Sequences with alignments: {len(counts)}")
+    print(f"Directed intervals: {total}")
+    if counts:
+        import statistics
+
+        vals = [c for _, c in counts]
+        print(f"Mean intervals per sequence: {total / len(counts):.2f}")
+        print(f"Median intervals per sequence: {statistics.median(vals)}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="impg-tpu", description="TPU-native implicit pangenome query engine"
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p_index = sub.add_parser("index", help="Build the alignment index")
+    _add_common_query_opts(p_index)
+    p_index.set_defaults(func=cmd_index)
+
+    p_query = sub.add_parser("query", help="Query target ranges")
+    _add_common_query_opts(p_query)
+    p_query.add_argument("-r", "--target-range", help="seq_name:start-end")
+    p_query.add_argument("-b", "--target-bed", help="BED file of target regions")
+    p_query.add_argument(
+        "-d",
+        "--merge-distance",
+        help="Merge ranges separated by at most D bp (k/m/g suffixes ok)",
+    )
+    p_query.add_argument("--no-merge", action="store_true")
+    p_query.add_argument(
+        "-o",
+        "--output-format",
+        default="bed",
+        choices=["bed", "bedpe", "paf"],
+    )
+    p_query.add_argument("--output", help="Output file (default stdout)")
+    p_query.add_argument("-x", "--transitive", action="store_true")
+    p_query.add_argument("--transitive-dfs", action="store_true")
+    p_query.add_argument("-m", "--max-depth", type=int, default=2)
+    p_query.add_argument("--min-transitive-len", type=int, default=101)
+    p_query.add_argument("--min-distance-between-ranges", type=int, default=10)
+    p_query.add_argument("-l", "--min-output-length", type=int)
+    p_query.add_argument("--min-result-identity", type=float)
+    p_query.add_argument("--subset-sequence-list")
+    p_query.add_argument("--original-sequence-coordinates", action="store_true")
+    p_query.add_argument("--consider-strandness", action="store_true")
+    p_query.set_defaults(func=cmd_query)
+
+    p_stats = sub.add_parser("stats", help="Index statistics")
+    _add_common_query_opts(p_stats)
+    p_stats.add_argument("--list-sequences", action="store_true")
+    p_stats.set_defaults(func=cmd_stats)
+
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.func(args)
+    except (FileNotFoundError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    except BrokenPipeError:
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,193 @@
+"""The IMPG index: per-target sorted directed-interval arrays + run arena.
+
+Functional equivalent of the reference index (impg.rs:394 `Impg` over
+per-target coitrees).  Instead of cache-oblivious interval trees we keep the
+directed records sorted by (target_id, t_start) in flat SoA arrays: stabbing
+is a binary search on starts plus a vectorized end filter — a layout that
+batches across queries and maps directly onto device memory.
+
+Serialized artifact: a single `.impgt` file (numpy .npz container) holding
+the sequence index, directed record columns, and arena prefix arrays.  Like
+the reference's IMPGIDX2 (impg.rs:1655) it is a pure cache: rebuilt from the
+PAF when absent or stale.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from impg_tpu.core import arena as arena_mod
+from impg_tpu.core.arena import CigarArena, DirectedRecords
+from impg_tpu.core.seqidx import SequenceIndex
+from impg_tpu.io import paf as paf_mod
+
+INDEX_VERSION = 2
+INDEX_SUFFIX = ".impgt"
+
+
+@dataclass
+class ImpgIndex:
+    seq_index: SequenceIndex
+    records: DirectedRecords  # sorted by (target_id, t_start)
+    arena: CigarArena
+    tgt_offsets: np.ndarray  # int64 [n_seqs + 1] — record slice per target id
+    alignment_files: list[str]
+
+    # ── construction ─────────────────────────────────────────────────
+    @classmethod
+    def from_paf_files(
+        cls, paths: list[str], bidirectional: bool = True
+    ) -> "ImpgIndex":
+        seq_index = SequenceIndex()
+        parts = [paf_mod.parse_paf_file(p, seq_index) for p in paths]
+        if parts:
+            run_off_parts = []
+            base = 0
+            for pr in parts:
+                run_off_parts.append(pr.run_offsets[:-1] + base)
+                base += pr.run_offsets[-1]
+            run_offsets = np.concatenate(
+                run_off_parts + [np.array([base], np.int64)]
+            )
+            cat = lambda name: np.concatenate([getattr(p, name) for p in parts])
+            records, arena = arena_mod.build_directed(
+                query_id=cat("query_id"),
+                q_start=cat("q_start"),
+                q_end=cat("q_end"),
+                target_id=cat("target_id"),
+                t_start=cat("t_start"),
+                t_end=cat("t_end"),
+                strand=cat("strand"),
+                runs=cat("runs"),
+                run_offsets=run_offsets,
+                bidirectional=bidirectional,
+            )
+        else:
+            records, arena = arena_mod.build_directed(
+                query_id=np.zeros(0, np.int32),
+                q_start=np.zeros(0, np.int32),
+                q_end=np.zeros(0, np.int32),
+                target_id=np.zeros(0, np.int32),
+                t_start=np.zeros(0, np.int32),
+                t_end=np.zeros(0, np.int32),
+                strand=np.zeros(0, np.int8),
+                runs=np.zeros(0, np.uint32),
+                run_offsets=np.zeros(1, np.int64),
+                bidirectional=bidirectional,
+            )
+        return cls._finalize(seq_index, records, arena, list(paths))
+
+    @classmethod
+    def _finalize(
+        cls,
+        seq_index: SequenceIndex,
+        records: DirectedRecords,
+        arena: CigarArena,
+        files: list[str],
+    ) -> "ImpgIndex":
+        order = np.lexsort((records.t_start, records.target_id))
+        records = records.take(order)
+        n_seqs = len(seq_index)
+        tgt_offsets = np.searchsorted(
+            records.target_id, np.arange(n_seqs + 1), side="left"
+        ).astype(np.int64)
+        return cls(
+            seq_index=seq_index,
+            records=records,
+            arena=arena,
+            tgt_offsets=tgt_offsets,
+            alignment_files=files,
+        )
+
+    # ── stabbing ─────────────────────────────────────────────────────
+    def stab(self, target_id: int, start: int, end: int) -> np.ndarray:
+        """Directed record indices overlapping [start, end] (closed-interval
+        semantics, matching coitrees: touching records are returned and later
+        rejected by projection)."""
+        lo = int(self.tgt_offsets[target_id])
+        hi = int(self.tgt_offsets[target_id + 1])
+        if lo == hi:
+            return np.zeros(0, np.int64)
+        cut = lo + int(
+            np.searchsorted(self.records.t_start[lo:hi], end, side="right")
+        )
+        sel = np.nonzero(self.records.t_end[lo:cut] >= start)[0]
+        return (lo + sel).astype(np.int64)
+
+    def tree_size(self, target_id: int) -> int:
+        return int(self.tgt_offsets[target_id + 1] - self.tgt_offsets[target_id])
+
+    # ── serialization ────────────────────────────────────────────────
+    def save(self, path: str) -> None:
+        names, lengths = self.seq_index.to_arrays()
+        np.savez(
+            path if path.endswith(".npz") else path + ".npz",
+            version=np.int64(INDEX_VERSION),
+            names=names.astype(str),
+            lengths=lengths,
+            files=np.array(self.alignment_files, dtype=str),
+            tgt_offsets=self.tgt_offsets,
+            **{f"rec_{k}": getattr(self.records, k) for k in self.records.__dataclass_fields__},
+            **{f"arena_{k}": getattr(self.arena, k) for k in self.arena.__dataclass_fields__},
+        )
+        # numpy appends .npz; normalize to the requested path.
+        if not path.endswith(".npz") and os.path.exists(path + ".npz"):
+            os.replace(path + ".npz", path)
+
+    @classmethod
+    def load(cls, path: str) -> "ImpgIndex":
+        with np.load(path, allow_pickle=False) as z:
+            version = int(z["version"])
+            if version != INDEX_VERSION:
+                raise ValueError(
+                    f"Index {path} has version {version}, expected {INDEX_VERSION}"
+                )
+            seq_index = SequenceIndex.from_lists(z["names"], z["lengths"])
+            records = DirectedRecords(
+                **{k: z[f"rec_{k}"] for k in DirectedRecords.__dataclass_fields__}
+            )
+            arena = CigarArena(
+                **{k: z[f"arena_{k}"] for k in CigarArena.__dataclass_fields__}
+            )
+            return cls(
+                seq_index=seq_index,
+                records=records,
+                arena=arena,
+                tgt_offsets=z["tgt_offsets"],
+                alignment_files=[str(f) for f in z["files"]],
+            )
+
+
+def index_path_for(paf_paths: list[str]) -> str:
+    """Default index artifact path for a set of alignment files."""
+    return paf_paths[0] + INDEX_SUFFIX
+
+
+def load_or_build(
+    paf_paths: list[str], index_path: str | None = None, force: bool = False
+) -> ImpgIndex:
+    """Load a cached index if fresh, else build from the PAFs and save.
+
+    Staleness: the index is rebuilt if any alignment file is newer than the
+    artifact (the reference warns instead, main.rs:11355; rebuilding is
+    strictly safer since our artifact embeds the CIGAR tensors).
+    """
+    path = index_path or index_path_for(paf_paths)
+    if not force and os.path.exists(path):
+        idx_mtime = os.path.getmtime(path)
+        if all(
+            os.path.getmtime(p) <= idx_mtime for p in paf_paths if os.path.exists(p)
+        ):
+            try:
+                return ImpgIndex.load(path)
+            except Exception:
+                pass  # fall through to rebuild
+    idx = ImpgIndex.from_paf_files(paf_paths)
+    try:
+        idx.save(path)
+    except OSError:
+        pass  # read-only location: serve the in-memory index
+    return idx

@@ -1,0 +1,357 @@
+"""Query engine: plain stab+project queries and transitive closure walks.
+
+Semantics mirror the reference engine:
+  - plain query: impg.rs:1852-1928 (self row first, then projected overlaps)
+  - transitive BFS: impg.rs:2311-2597 (per-depth batched projection, visited
+    SortedRanges bookkeeping, frontier sort+merge)
+  - transitive DFS: impg.rs:2057-2309 (LIFO stack, per-pop sort+merge)
+
+The projection of every candidate in a depth is one batched closed-form call
+(ops/projection.py); only the visited-range bookkeeping is sequential, as it
+is order-dependent in the reference too.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import numpy as np
+
+from impg_tpu.core import cigar
+from impg_tpu.core.intervals import SortedRanges
+from impg_tpu.index.impg_index import ImpgIndex
+from impg_tpu.ops import projection
+
+
+@dataclass
+class Row:
+    """One adjusted interval: query side, optional CIGAR runs, target side.
+
+    `q_first > q_last` encodes a reverse-strand hit, as in the reference.
+    """
+
+    q_id: int
+    q_first: int
+    q_last: int
+    cigar: Optional[np.ndarray]  # packed uint32 runs, or None
+    t_id: int
+    t_first: int
+    t_last: int
+
+
+def _self_row(target_id: int, start: int, end: int, store_cigar: bool) -> Row:
+    runs = (
+        cigar.pack(
+            np.array([end - start], np.int64), np.array([cigar.OP_EQ], np.uint32)
+        )
+        if store_cigar
+        else None
+    )
+    return Row(target_id, start, end, runs, target_id, start, end)
+
+
+def _project(
+    index: ImpgIndex,
+    cand: np.ndarray,
+    rng_s: np.ndarray,
+    rng_e: np.ndarray,
+    min_identity: Optional[float],
+):
+    res = projection.project_batch(
+        np,
+        **index.arena.projection_kwargs(),
+        op_off=index.records.op_off[cand],
+        op_cnt=index.records.op_cnt[cand],
+        t_start=index.records.t_start[cand],
+        t_end=index.records.t_end[cand],
+        strand=index.records.strand[cand],
+        range_start=rng_s.astype(np.int32),
+        range_end=rng_e.astype(np.int32),
+    )
+    ok = np.asarray(res.valid)
+    if min_identity is not None:
+        gci = projection.gap_compressed_identity(res)
+        ok = ok & (gci >= min_identity)
+    return res, ok
+
+
+def _materialize_cigar(index: ImpgIndex, rec_idx: int, res, i: int) -> np.ndarray:
+    row = dict(
+        first_run=res.first_run[i],
+        last_run=res.last_run[i],
+        first_clip=res.first_clip[i],
+        last_rem=res.last_rem[i],
+    )
+    return projection.clipped_runs(
+        index.arena.runs, int(index.records.op_off[rec_idx]), row
+    )
+
+
+def query(
+    index: ImpgIndex,
+    target_id: int,
+    range_start: int,
+    range_end: int,
+    store_cigar: bool = False,
+    min_identity: Optional[float] = None,
+) -> list[Row]:
+    """Single-hop query: the input range plus every projected overlap."""
+    results = [_self_row(target_id, range_start, range_end, store_cigar)]
+    cand = index.stab(target_id, range_start, range_end)
+    if cand.size == 0:
+        return results
+    rng_s = np.full(cand.size, range_start, np.int64)
+    rng_e = np.full(cand.size, range_end, np.int64)
+    res, ok = _project(index, cand, rng_s, rng_e, min_identity)
+    for i in np.nonzero(ok)[0]:
+        k = int(cand[i])
+        results.append(
+            Row(
+                q_id=int(index.records.query_id[k]),
+                q_first=int(res.pq_start[i]),
+                q_last=int(res.pq_end[i]),
+                cigar=_materialize_cigar(index, k, res, i) if store_cigar else None,
+                t_id=target_id,
+                t_first=int(res.pt_start[i]),
+                t_last=int(res.pt_end[i]),
+            )
+        )
+    return results
+
+
+def _visited_entry(
+    visited: dict[int, SortedRanges],
+    index: ImpgIndex,
+    sid: int,
+    masked_none: bool,
+) -> SortedRanges:
+    entry = visited.get(sid)
+    if entry is None:
+        length = index.seq_index.get_len_from_id(sid) if masked_none else 0
+        entry = SortedRanges(length or 0, 0)
+        visited[sid] = entry
+    return entry
+
+
+def _too_close(ranges: SortedRanges, lo: int, hi: int, min_distance: int) -> bool:
+    """Proximity pre-check before visited insertion (impg.rs:2505-2545)."""
+    if min_distance <= 0:
+        return False
+    from bisect import bisect_left
+
+    idx = bisect_left(ranges.ranges, lo, key=lambda r: r[0])
+    if idx > 0 and abs(lo - ranges.ranges[idx - 1][1]) < min_distance:
+        return True
+    if idx < len(ranges.ranges) and abs(ranges.ranges[idx][0] - hi) < min_distance:
+        return True
+    return False
+
+
+def _merge_frontier(ranges: list[tuple[int, int, int]]) -> list[tuple[int, int, int]]:
+    """Sort by (id, start) and merge overlapping/contiguous same-id ranges."""
+    if not ranges:
+        return ranges
+    ranges.sort(key=lambda r: (r[0], r[1]))
+    out = [ranges[0]]
+    for r in ranges[1:]:
+        last = out[-1]
+        if last[0] == r[0] and last[2] >= r[1]:
+            out[-1] = (last[0], last[1], max(last[2], r[2]))
+        else:
+            out.append(r)
+    return out
+
+
+def query_transitive_bfs(
+    index: ImpgIndex,
+    target_id: int,
+    range_start: int,
+    range_end: int,
+    masked_regions: Optional[dict[int, SortedRanges]] = None,
+    max_depth: int = 2,
+    min_transitive_len: int = 101,
+    min_distance_between_ranges: int = 10,
+    min_output_length: Optional[int] = None,
+    store_cigar: bool = False,
+    min_identity: Optional[float] = None,
+    subset_match: Optional[Callable[[str], bool]] = None,
+) -> list[Row]:
+    masked_none = masked_regions is None
+    visited: dict[int, SortedRanges] = (
+        {k: v.clone() for k, v in masked_regions.items()} if masked_regions else {}
+    )
+
+    seed_ranges = _visited_entry(visited, index, target_id, masked_none).insert(
+        (range_start, range_end)
+    )
+
+    results: list[Row] = []
+    for s, e in seed_ranges:
+        runs = (
+            cigar.pack(np.array([e - s], np.int64), np.array([cigar.OP_EQ], np.uint32))
+            if store_cigar
+            else None
+        )
+        results.append(Row(target_id, s, e, runs, target_id, s, e))
+
+    current: list[tuple[int, int, int]] = [
+        (target_id, s, e) for s, e in seed_ranges if abs(s - e) >= min_transitive_len
+    ]
+
+    depth = 0
+    while current and (max_depth == 0 or depth < max_depth):
+        # ── batched stab + projection over the whole depth ──
+        cand_parts, ov_s_parts, ov_e_parts, src_tid_parts = [], [], [], []
+        for cur_tid, cs, ce in current:
+            cand = index.stab(cur_tid, cs, ce)
+            if cand.size == 0:
+                continue
+            ov_s = np.maximum(cs, index.records.t_start[cand].astype(np.int64))
+            ov_e = np.minimum(ce, index.records.t_end[cand].astype(np.int64))
+            keep = ov_s < ov_e
+            cand_parts.append(cand[keep])
+            ov_s_parts.append(ov_s[keep])
+            ov_e_parts.append(ov_e[keep])
+            src_tid_parts.append(np.full(int(keep.sum()), cur_tid, np.int64))
+        if not cand_parts:
+            break
+        cand = np.concatenate(cand_parts)
+        ov_s = np.concatenate(ov_s_parts)
+        ov_e = np.concatenate(ov_e_parts)
+        src_tid = np.concatenate(src_tid_parts)
+        res, ok = _project(index, cand, ov_s, ov_e, min_identity)
+
+        # ── sequential bookkeeping, in frontier order ──
+        next_ranges: list[tuple[int, int, int]] = []
+        for i in np.nonzero(ok)[0]:
+            k = int(cand[i])
+            q_id = int(index.records.query_id[k])
+            if subset_match is not None and q_id != target_id:
+                name = index.seq_index.get_name(q_id)
+                if name is None or not subset_match(name):
+                    continue
+            aq_s = int(res.pq_start[i])
+            aq_e = int(res.pq_end[i])
+            cur_tid = int(src_tid[i])
+            length = abs(aq_e - aq_s)
+            if min_output_length is None or length >= min_output_length:
+                results.append(
+                    Row(
+                        q_id=q_id,
+                        q_first=aq_s,
+                        q_last=aq_e,
+                        cigar=_materialize_cigar(index, k, res, i)
+                        if store_cigar
+                        else None,
+                        t_id=cur_tid,
+                        t_first=int(res.pt_start[i]),
+                        t_last=int(res.pt_end[i]),
+                    )
+                )
+            if q_id != cur_tid:
+                ranges = _visited_entry(visited, index, q_id, masked_none)
+                lo, hi = (aq_s, aq_e) if aq_s <= aq_e else (aq_e, aq_s)
+                if _too_close(ranges, lo, hi, min_distance_between_ranges):
+                    continue
+                for ns, ne in ranges.insert((aq_s, aq_e)):
+                    if abs(ne - ns) >= min_transitive_len:
+                        next_ranges.append((q_id, ns, ne))
+
+        depth += 1
+        current = _merge_frontier(next_ranges)
+
+    return results
+
+
+def query_transitive_dfs(
+    index: ImpgIndex,
+    target_id: int,
+    range_start: int,
+    range_end: int,
+    masked_regions: Optional[dict[int, SortedRanges]] = None,
+    max_depth: int = 2,
+    min_transitive_len: int = 101,
+    min_distance_between_ranges: int = 10,
+    min_output_length: Optional[int] = None,
+    store_cigar: bool = False,
+    min_identity: Optional[float] = None,
+    subset_match: Optional[Callable[[str], bool]] = None,
+) -> list[Row]:
+    masked_none = masked_regions is None
+    visited: dict[int, SortedRanges] = (
+        {k: v.clone() for k, v in masked_regions.items()} if masked_regions else {}
+    )
+    seed_ranges = _visited_entry(visited, index, target_id, masked_none).insert(
+        (range_start, range_end)
+    )
+
+    results: list[Row] = []
+    stack: list[tuple[int, int, int, int]] = []
+    for s, e in seed_ranges:
+        runs = (
+            cigar.pack(np.array([e - s], np.int64), np.array([cigar.OP_EQ], np.uint32))
+            if store_cigar
+            else None
+        )
+        results.append(Row(target_id, s, e, runs, target_id, s, e))
+        if abs(s - e) >= min_transitive_len:
+            stack.append((target_id, s, e, 0))
+
+    while stack:
+        cur_tid, cs, ce, depth = stack.pop()
+        if max_depth > 0 and depth >= max_depth:
+            continue
+        cand = index.stab(cur_tid, cs, ce)
+        if cand.size:
+            ov_s = np.maximum(cs, index.records.t_start[cand].astype(np.int64))
+            ov_e = np.minimum(ce, index.records.t_end[cand].astype(np.int64))
+            keep = ov_s < ov_e
+            cand, ov_s, ov_e = cand[keep], ov_s[keep], ov_e[keep]
+        if cand.size:
+            res, ok = _project(index, cand, ov_s, ov_e, min_identity)
+            for i in np.nonzero(ok)[0]:
+                k = int(cand[i])
+                q_id = int(index.records.query_id[k])
+                if subset_match is not None and q_id != target_id:
+                    name = index.seq_index.get_name(q_id)
+                    if name is None or not subset_match(name):
+                        continue
+                aq_s = int(res.pq_start[i])
+                aq_e = int(res.pq_end[i])
+                length = abs(aq_e - aq_s)
+                if min_output_length is None or length >= min_output_length:
+                    results.append(
+                        Row(
+                            q_id=q_id,
+                            q_first=aq_s,
+                            q_last=aq_e,
+                            cigar=_materialize_cigar(index, k, res, i)
+                            if store_cigar
+                            else None,
+                            t_id=cur_tid,
+                            t_first=int(res.pt_start[i]),
+                            t_last=int(res.pt_end[i]),
+                        )
+                    )
+                if q_id != cur_tid:
+                    ranges = _visited_entry(visited, index, q_id, masked_none)
+                    lo, hi = (aq_s, aq_e) if aq_s <= aq_e else (aq_e, aq_s)
+                    if _too_close(ranges, lo, hi, min_distance_between_ranges):
+                        continue
+                    for ns, ne in ranges.insert((aq_s, aq_e)):
+                        if abs(ne - ns) >= min_transitive_len:
+                            stack.append((q_id, ns, ne, depth + 1))
+
+        # Sort + merge the pending stack (reference: impg.rs:2289-2305).
+        stack.sort(key=lambda r: (r[0], r[1]))
+        merged: list[tuple[int, int, int, int]] = []
+        for item in stack:
+            if merged and merged[-1][0] == item[0] and merged[-1][2] >= item[1]:
+                prev = merged[-1]
+                merged[-1] = (prev[0], prev[1], max(prev[2], item[2]), prev[3])
+            else:
+                merged.append(item)
+        stack = merged
+
+    return results

@@ -1,0 +1,157 @@
+"""End-to-end CLI tests driving `python -m impg_tpu.cli` as a subprocess,
+mirroring the reference's integration-test style (SURVEY.md §4)."""
+
+import os
+import random
+import subprocess
+import sys
+
+import pytest
+
+from tests import datagen
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args, cwd=None):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-m", "impg_tpu.cli", *args],
+        capture_output=True,
+        text=True,
+        cwd=cwd,
+        env=env,
+    )
+
+
+@pytest.fixture(scope="module")
+def chain_paf(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    rng = random.Random(99)
+    text, seqs, alns = datagen.mutate_chain_paf(rng, n_seqs=4, seq_len=3000)
+    path = str(tmp / "chain.paf")
+    with open(path, "w") as fh:
+        fh.write(text)
+    return path, seqs, alns
+
+
+def test_cli_query_bed(chain_paf):
+    path, seqs, alns = chain_paf
+    r = run_cli("query", "-a", path, "-r", "ref:500-1500", "-d", "100", "-o", "bed")
+    assert r.returncode == 0, r.stderr
+    lines = [l for l in r.stdout.splitlines() if l]
+    assert lines, r.stdout
+    fields = [l.split("\t") for l in lines]
+    assert all(len(f) == 6 for f in fields)
+    names = {f[0] for f in fields}
+    assert "ref" in names and "s0" in names
+    assert all(f[3] == "ref:500-1500" for f in fields)
+    # deterministic: run twice -> identical
+    r2 = run_cli("query", "-a", path, "-r", "ref:500-1500", "-d", "100", "-o", "bed")
+    assert r2.stdout == r.stdout
+
+
+def test_cli_query_transitive(chain_paf):
+    path, seqs, alns = chain_paf
+    r = run_cli(
+        "query", "-a", path, "-r", "ref:500-1500", "-d", "100", "-x", "-m", "3",
+        "-o", "bed",
+    )
+    assert r.returncode == 0, r.stderr
+    names = {l.split("\t")[0] for l in r.stdout.splitlines() if l}
+    assert {"ref", "s0", "s1", "s2"} <= names
+
+
+def test_cli_query_paf_roundtrip(chain_paf):
+    path, seqs, alns = chain_paf
+    r = run_cli(
+        "query", "-a", path, "-r", "ref:0-3000", "-d", "0", "-o", "paf"
+    )
+    assert r.returncode == 0, r.stderr
+    lines = [l for l in r.stdout.splitlines() if l]
+    assert lines
+    for l in lines:
+        f = l.split("\t")
+        assert len(f) >= 16
+        assert f[4] in "+-"
+        assert f[14].startswith("cg:Z:")
+        # CIGAR spans consistent with coordinates
+        import re
+
+        runs = re.findall(r"(\d+)([=XIDM])", f[14][5:])
+        q_span = sum(int(n) for n, op in runs if op != "D")
+        t_span = sum(int(n) for n, op in runs if op != "I")
+        assert q_span == int(f[3]) - int(f[2])
+        assert t_span == int(f[8]) - int(f[7])
+
+
+def test_cli_query_bedpe(chain_paf):
+    path, seqs, alns = chain_paf
+    r = run_cli("query", "-a", path, "-r", "ref:100-900", "-d", "50", "-o", "bedpe")
+    assert r.returncode == 0, r.stderr
+    for l in r.stdout.splitlines():
+        f = l.split("\t")
+        assert len(f) == 12
+        assert f[10].startswith("gi:f:")
+        assert f[11].startswith("bi:f:")
+        gi = float(f[10][5:])
+        assert 0.0 <= gi <= 1.0
+
+
+def test_cli_bed_batch(chain_paf, tmp_path):
+    path, seqs, alns = chain_paf
+    bed = tmp_path / "targets.bed"
+    bed.write_text("ref\t100\t600\tlocusA\nref\t1500\t2000\n")
+    r = run_cli(
+        "query", "-a", path, "-b", str(bed), "-d", "100", "-o", "bed"
+    )
+    assert r.returncode == 0, r.stderr
+    names = {l.split("\t")[3] for l in r.stdout.splitlines() if l}
+    assert names == {"locusA", "ref:1500-2000"}
+
+
+def test_cli_errors(chain_paf):
+    path, _, _ = chain_paf
+    r = run_cli("query", "-a", path, "-r", "ref:500-1500", "-o", "bed")
+    assert r.returncode == 2
+    assert "merge-distance" in r.stderr
+    r = run_cli("query", "-a", path, "-r", "nope:1-10", "-d", "0")
+    assert r.returncode == 1
+    assert "not found" in r.stderr
+    r = run_cli("query", "-a", path, "-r", "ref:1-999999999", "-d", "0")
+    assert r.returncode == 1
+    assert "exceeds" in r.stderr
+    r = run_cli("query", "-a", path, "-d", "0")
+    assert r.returncode == 2
+
+
+def test_cli_index_and_stats(chain_paf, tmp_path):
+    path, seqs, alns = chain_paf
+    idx = str(tmp_path / "x.impgt")
+    r = run_cli("index", "-a", path, "--index", idx)
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(idx)
+    r = run_cli("stats", "-a", path, "--index", idx)
+    assert r.returncode == 0, r.stderr
+    assert "Directed intervals" in r.stdout
+    r = run_cli("stats", "-a", path, "--index", idx, "--list-sequences")
+    assert "ref" in r.stdout
+
+
+def test_cli_no_merge_and_subset(chain_paf, tmp_path):
+    path, seqs, alns = chain_paf
+    r_all = run_cli(
+        "query", "-a", path, "-r", "ref:500-1500", "--no-merge", "-x", "-o", "bed"
+    )
+    assert r_all.returncode == 0, r_all.stderr
+    subset = tmp_path / "subset.txt"
+    subset.write_text("s0\n")
+    r_sub = run_cli(
+        "query", "-a", path, "-r", "ref:500-1500", "--no-merge", "-x", "-o", "bed",
+        "--subset-sequence-list", str(subset),
+    )
+    names = {l.split("\t")[0] for l in r_sub.stdout.splitlines() if l}
+    assert names <= {"ref", "s0"}
+    all_names = {l.split("\t")[0] for l in r_all.stdout.splitlines() if l}
+    assert "s1" in all_names
