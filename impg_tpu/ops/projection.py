@@ -64,6 +64,34 @@ class ProjectionResult(NamedTuple):
     d_bp: Any
 
 
+def _bisect(xp, n, pred_fn, iters: int):
+    """Vectorized lower-bound: smallest i in [0, n) with pred_fn(i) True.
+
+    Unrolled under numpy; a `lax.fori_loop` under JAX to keep traced code
+    small (compile time matters more than the negligible loop overhead).
+    """
+    zero = xp.zeros_like(n)
+
+    def step(_, state):
+        lo, hi = state
+        mid = (lo + hi) // 2
+        pred = pred_fn(mid)
+        cont = lo < hi
+        hi = xp.where(cont & pred, mid, hi)
+        lo = xp.where(cont & ~pred, mid + 1, lo)
+        return lo, hi
+
+    if xp is np:
+        state = (zero, n)
+        for i in range(iters):
+            state = step(i, state)
+        return state[0]
+    from jax import lax
+
+    lo, _ = lax.fori_loop(0, iters, step, (zero, n))
+    return lo
+
+
 def project_batch(
     xp,
     *,
@@ -85,21 +113,24 @@ def project_batch(
     strand,
     range_start,
     range_end,
+    search_iters: int = _SEARCH_ITERS,
 ) -> ProjectionResult:
     """Project `range_[start,end)` through a batch of directed records.
 
     Arena arrays are flat; `op_off`/`op_cnt`/`t_start`/`t_end`/`strand` and the
     ranges are batch-shaped.  Returns `ProjectionResult` with a `valid` mask.
+    `search_iters` must satisfy 2**search_iters > max op_cnt.
     """
     arena_size = runs.shape[0]
     if arena_size == 0:
-        z = xp.zeros(xp.shape(op_off), dtype=np.int32)
+        z = xp.zeros(np.shape(op_off), dtype=np.int32)
         return ProjectionResult(
-            xp.zeros(xp.shape(op_off), dtype=bool), z, z, z, z, z, z, z, z, z, z, z, z, z, z
+            xp.zeros(np.shape(op_off), dtype=bool), z, z, z, z, z, z, z, z, z, z, z, z, z, z
         )
 
     i32 = np.int32
-    off = op_off.astype(np.int64)
+    idx_dtype = np.int64 if xp is np else np.int32
+    off = op_off.astype(idx_dtype)
     n = op_cnt.astype(i32)
     rs = range_start.astype(i32)
     re_ = range_end.astype(i32)
@@ -116,51 +147,45 @@ def project_batch(
     def run_te(i):
         """Target end coordinate of run i (segment-relative index)."""
         has_next = (i + 1) < n
-        nxt = gather(cum_t, off + xp.where(has_next, i + 1, i).astype(np.int64))
+        nxt = gather(cum_t, off + xp.where(has_next, i + 1, i).astype(idx_dtype))
         return xp.where(has_next, nxt, te_rec).astype(i32)
 
     zero = xp.zeros_like(n)
 
     # i0: first run with target_end > range_start.
-    lo, hi = zero, n
-    for _ in range(_SEARCH_ITERS):
-        mid = (lo + hi) // 2
-        pred = run_te(mid) > rs
-        cont = lo < hi
-        hi = xp.where(cont & pred, mid, hi)
-        lo = xp.where(cont & ~pred, mid + 1, lo)
-    i0 = lo
+    i0 = _bisect(xp, n, lambda mid: run_te(mid) > rs, search_iters)
 
     # j1: last run with target_start < range_end.
-    lo, hi = zero, n
-    for _ in range(_SEARCH_ITERS):
-        mid = (lo + hi) // 2
-        pred = gather(cum_t, off + mid.astype(np.int64)) >= re_
-        cont = lo < hi
-        hi = xp.where(cont & pred, mid, hi)
-        lo = xp.where(cont & ~pred, mid + 1, lo)
-    j1 = lo - 1
+    j1 = (
+        _bisect(
+            xp,
+            n,
+            lambda mid: gather(cum_t, off + mid.astype(idx_dtype)) >= re_,
+            search_iters,
+        )
+        - 1
+    )
 
     has_overlap = (rs < te_rec) & (re_ > t_start.astype(i32)) & (n > 0) & (rs < re_)
     i0c = xp.clip(i0, 0, xp.maximum(n - 1, 0))
     j1c = xp.clip(j1, 0, xp.maximum(n - 1, 0))
 
     # Boundary insertion-run extension.
-    ts_i0 = gather(cum_t, off + i0c.astype(np.int64))
+    ts_i0 = gather(cum_t, off + i0c.astype(idx_dtype))
     f = xp.where(
         ts_i0 >= rs,
-        i0c - gather(irun_before, off + i0c.astype(np.int64)),
+        i0c - gather(irun_before, off + i0c.astype(idx_dtype)),
         i0c,
     )
     te_j1 = run_te(j1c)
     l = xp.where(
         te_j1 <= last_t,
-        j1c + gather(irun_after, off + j1c.astype(np.int64)),
+        j1c + gather(irun_after, off + j1c.astype(idx_dtype)),
         j1c,
     )
 
-    fg = off + f.astype(np.int64)
-    lg = off + l.astype(np.int64)
+    fg = off + f.astype(idx_dtype)
+    lg = off + l.astype(idx_dtype)
     kind_f = ops_at(fg)
     kind_l = ops_at(lg)
     len_f = lens_at(fg)

@@ -1,0 +1,234 @@
+"""Multi-chip execution: the index sharded across a device mesh.
+
+The reference is a single-node shared-memory program (SURVEY.md §2); the
+multi-chip story here is new design, per the north star (BASELINE.json):
+
+  - The directed-record table (and each record's arena slice) is split into
+    contiguous blocks along the (target_id, t_start)-sorted order, so a shard
+    holds whole target-sequence ranges — stabbing locality is preserved and a
+    query touches few shards, but every shard can evaluate every query.
+  - A query batch is REPLICATED across the mesh; each device stabs + projects
+    against its local block with the same windowed dense-grid kernel as
+    single-chip (query/device.py), using shard-local target offsets and
+    prefix-max pruning, and the per-shard [B*K] results are combined with
+    `all_gather` over the ICI mesh axis.
+  - The host concatenates the per-shard hit lists; ordering metadata
+    (pair_q, global record ids) makes the merged result identical to
+    single-chip.
+
+Built on `shard_map` so the per-device code is the plain local kernel and the
+only collective is the final all_gather (hits are tiny next to the index).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from impg_tpu.index.impg_index import ImpgIndex
+from impg_tpu.query import device as device_mod
+
+
+@dataclass
+class ShardedIndex:
+    """Index tensors stacked along a leading shard axis [n_shards, ...]."""
+
+    rec: dict  # each [n_shards, R] (+ tgt_offsets [n_shards, n_seqs+1])
+    arena: dict  # each [n_shards, A]
+    n_shards: int
+    search_iters: int
+    window_iters: int
+    rec_base: np.ndarray  # int64 [n_shards] — global record offset per shard
+    r_pad: int
+
+    @classmethod
+    def build(cls, index: ImpgIndex, n_shards: int) -> "ShardedIndex":
+        n = len(index.records)
+        n_seqs = len(index.seq_index)
+        max_ops = int(index.records.op_cnt.max()) if n else 1
+
+        bounds = np.linspace(0, n, n_shards + 1).astype(np.int64)
+        r_max = max(1, int((bounds[1:] - bounds[:-1]).max()))
+        r_pad = r_max
+
+        rec_cols = {
+            "target_id": (index.records.target_id, -1),
+            "t_start": (index.records.t_start, 2**31 - 1),
+            "t_end": (index.records.t_end, -(2**31)),
+            "strand": (index.records.strand, 0),
+            "query_id": (index.records.query_id, -1),
+            "op_cnt": (index.records.op_cnt, 0),
+        }
+        arena_arrays = index.arena.projection_kwargs()
+        shard_rec = {k: [] for k in rec_cols}
+        shard_rec.update(op_off=[], cummax_te=[], tgt_offsets=[])
+        shard_arena = {k: [] for k in arena_arrays}
+        arena_parts = []
+        max_tree = 1
+
+        for s in range(n_shards):
+            lo, hi = int(bounds[s]), int(bounds[s + 1])
+            cnt = hi - lo
+            op_off = index.records.op_off[lo:hi]
+            op_cnt = index.records.op_cnt[lo:hi].astype(np.int64)
+            local_off = np.concatenate([np.zeros(1, np.int64), np.cumsum(op_cnt)])
+            gather = np.concatenate(
+                [np.arange(o, o + c, dtype=np.int64) for o, c in zip(op_off, op_cnt)]
+                or [np.zeros(0, np.int64)]
+            )
+            arena_parts.append(gather)
+            for k, (arr, fill) in rec_cols.items():
+                col = np.full(r_pad, fill, np.int32)
+                col[:cnt] = arr[lo:hi].astype(np.int32)
+                shard_rec[k].append(col)
+            off_col = np.zeros(r_pad, np.int32)
+            off_col[:cnt] = local_off[:-1].astype(np.int32)
+            shard_rec["op_off"].append(off_col)
+
+            # Shard-local target offsets + prefix-max pruning column.
+            local_tids = index.records.target_id[lo:hi]
+            local_tgt_off = np.searchsorted(
+                local_tids, np.arange(n_seqs + 1), side="left"
+            ).astype(np.int32)
+            shard_rec["tgt_offsets"].append(local_tgt_off)
+            tree_sizes = np.diff(local_tgt_off)
+            if tree_sizes.size:
+                max_tree = max(max_tree, int(tree_sizes.max()))
+            cummax = np.zeros(r_pad, np.int32)
+            cummax[:cnt] = device_mod.compute_cummax_te(
+                index.records.t_end[lo:hi], local_tgt_off.astype(np.int64)
+            )
+            shard_rec["cummax_te"].append(cummax)
+
+        a_pad = max(1, max(g.size for g in arena_parts))
+        for s, gather in enumerate(arena_parts):
+            for k, arr in arena_arrays.items():
+                part = arr[gather]
+                padded = np.zeros(a_pad, part.dtype)
+                padded[: part.size] = part
+                shard_arena[k].append(padded)
+
+        return cls(
+            rec={k: np.stack(v) for k, v in shard_rec.items()},
+            arena={k: np.stack(v) for k, v in shard_arena.items()},
+            n_shards=n_shards,
+            search_iters=device_mod._iters_for(max_ops),
+            window_iters=device_mod._iters_for(max_tree),
+            rec_base=bounds[:-1],
+            r_pad=r_pad,
+        )
+
+
+def make_sharded_query_step(mesh: Mesh, axis: str = "shard"):
+    """Build a jitted sharded query step over `mesh`.
+
+    fn(rec, arena, q_tid, q_s, q_e, k_max=..., ...) with rec/arena stacked
+    ShardedIndex dicts (sharded on axis 0) and queries replicated.  Output
+    arrays carry a leading shard axis (all-gathered, replicated).
+    """
+
+    def step(rec, arena, q_tid, q_s, q_e, *, k_max, clip_overlap,
+             search_iters, window_iters, r_pad):
+        def local(rec_l, arena_l, q_tid_l, q_s_l, q_e_l):
+            rec_l = {k: v[0] for k, v in rec_l.items()}
+            arena_l = {k: v[0] for k, v in arena_l.items()}
+            tgt_offsets = rec_l.pop("tgt_offsets")
+            out = device_mod._query_core(
+                rec=dict(rec_l, tgt_offsets=tgt_offsets),
+                arena=arena_l,
+                q_tid=q_tid_l,
+                q_s=q_s_l,
+                q_e=q_e_l,
+                k_max=k_max,
+                clip_overlap=clip_overlap,
+                search_iters=search_iters,
+                window_iters=window_iters,
+                n_records=r_pad,
+            )
+            scalars, mat = device_mod.pack_result(out)
+            return (
+                jax.lax.all_gather(scalars, axis),
+                jax.lax.all_gather(mat, axis),
+            )
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )(rec, arena, q_tid, q_s, q_e)
+
+    return jax.jit(
+        step,
+        static_argnames=(
+            "k_max", "clip_overlap", "search_iters", "window_iters", "r_pad"
+        ),
+    )
+
+
+class ShardedEngine:
+    """Host-facing wrapper running a query batch over a device mesh."""
+
+    def __init__(
+        self,
+        index: ImpgIndex,
+        mesh: Mesh | None = None,
+        initial_capacity: int = 32,
+    ):
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), ("shard",))
+        self.mesh = mesh
+        self.index = index
+        n_shards = int(np.prod(mesh.devices.shape))
+        self.sharded = ShardedIndex.build(index, n_shards)
+        self.k_max = initial_capacity
+        self._step = make_sharded_query_step(mesh)
+        axis = mesh.axis_names[0]
+        shard0 = NamedSharding(mesh, P(axis))
+        self.rec = {
+            k: jax.device_put(v, shard0) for k, v in self.sharded.rec.items()
+        }
+        self.arena = {
+            k: jax.device_put(v, shard0) for k, v in self.sharded.arena.items()
+        }
+
+    def query_batch(self, q_tid, q_s, q_e, clip_overlap: bool = False) -> dict:
+        q_tid = jnp.asarray(q_tid, jnp.int32)
+        q_s = jnp.asarray(q_s, jnp.int32)
+        q_e = jnp.asarray(q_e, jnp.int32)
+        while True:
+            scalars, mat = self._step(
+                self.rec, self.arena, q_tid, q_s, q_e,
+                k_max=self.k_max,
+                clip_overlap=clip_overlap,
+                search_iters=self.sharded.search_iters,
+                window_iters=self.sharded.window_iters,
+                r_pad=self.sharded.r_pad,
+            )
+            s_host = np.asarray(scalars)  # [n_shards, 2]
+            k_needed = int(s_host[:, 0].max())
+            if k_needed <= self.k_max:
+                break
+            while self.k_max < k_needed:
+                self.k_max *= 2
+        mat_host = np.asarray(mat)  # [n_shards, n_fields, B*K]
+        n_sh = self.sharded.n_shards
+        out_flat: dict = {}
+        shards = [
+            device_mod.unpack_result(s_host[s], mat_host[s]) for s in range(n_sh)
+        ]
+        for k in device_mod.RESULT_FIELDS:
+            parts = []
+            for s, shard in enumerate(shards):
+                col = shard[k][shard["valid"]]
+                if k == "pair_rec":
+                    col = col + self.sharded.rec_base[s]
+                parts.append(col)
+            out_flat[k] = np.concatenate(parts)
+        return out_flat

@@ -1,0 +1,133 @@
+"""Device (jitted) batched query path vs the host numpy engine."""
+
+import random
+
+import numpy as np
+
+from impg_tpu.query import engine
+from impg_tpu.query.device import DeviceEngine
+from tests import datagen
+from tests.test_query import index_from_text
+
+
+def make_engine(seed=31, n_seqs=5, n_alns=40, n_ops=12):
+    rng = random.Random(seed)
+    text, seqs, alns = datagen.random_paf(rng, n_seqs=n_seqs, n_alns=n_alns, n_ops=n_ops)
+    index = index_from_text(text)
+    return index, DeviceEngine(index, initial_capacity=64), seqs
+
+
+def host_rows(index, tid, s, e):
+    rows = engine.query(index, int(tid), int(s), int(e))
+    return sorted(
+        (r.q_id, r.q_first, r.q_last, r.t_first, r.t_last) for r in rows[1:]
+    )
+
+
+def test_device_matches_host_engine():
+    index, dev, seqs = make_engine()
+    rng = random.Random(5)
+    names = list(seqs)
+    q_tid, q_s, q_e = [], [], []
+    for _ in range(32):
+        name = rng.choice(names)
+        tid = index.seq_index.get_id(name)
+        L = seqs[name]
+        a = rng.randint(0, max(0, L - 2))
+        b = rng.randint(a + 1, L)
+        q_tid.append(tid)
+        q_s.append(a)
+        q_e.append(b)
+    out = dev.query_batch(
+        np.array(q_tid, np.int32), np.array(q_s, np.int32), np.array(q_e, np.int32)
+    )
+    for qi in range(32):
+        mask = out["pair_q"] == qi
+        got = sorted(
+            zip(
+                out["query_id"][mask].tolist(),
+                out["pq_start"][mask].tolist(),
+                out["pq_end"][mask].tolist(),
+                out["pt_start"][mask].tolist(),
+                out["pt_end"][mask].tolist(),
+            )
+        )
+        expected = host_rows(index, q_tid[qi], q_s[qi], q_e[qi])
+        assert got == expected, f"query {qi}"
+
+
+def test_device_capacity_overflow_retry():
+    index, dev, seqs = make_engine(seed=77, n_alns=60)
+    dev.k_max = 2  # force repeated doubling
+    name = max(seqs, key=lambda n: seqs[n])
+    tid = index.seq_index.get_id(name)
+    out = dev.query_batch(
+        np.array([tid] * 8, np.int32),
+        np.zeros(8, np.int32),
+        np.full(8, seqs[name], np.int32),
+    )
+    assert dev.k_max >= int(out["k_needed"]) if "k_needed" in out else True
+    # Compare one query against host.
+    mask = out["pair_q"] == 0
+    got = sorted(
+        zip(
+            out["query_id"][mask].tolist(),
+            out["pq_start"][mask].tolist(),
+            out["pq_end"][mask].tolist(),
+        )
+    )
+    expected = [
+        (r.q_id, r.q_first, r.q_last)
+        for r in engine.query(index, tid, 0, seqs[name])[1:]
+    ]
+    assert got == sorted(expected)
+
+
+def test_device_clip_overlap_mode():
+    """clip_overlap projects the clipped overlap like the transitive walkers."""
+    index, dev, seqs = make_engine(seed=13)
+    name = list(seqs)[0]
+    tid = index.seq_index.get_id(name)
+    L = seqs[name]
+    out = dev.query_batch(
+        np.array([tid], np.int32),
+        np.array([0], np.int32),
+        np.array([L], np.int32),
+        clip_overlap=True,
+    )
+    # Every projected target interval must lie within the record's span.
+    for i in range(out["valid"].size):
+        rec = int(out["pair_rec"][i])
+        assert out["pt_start"][i] >= index.records.t_start[rec]
+        assert out["pt_end"][i] <= index.records.t_end[rec]
+
+
+def test_device_identity_stats_match_host():
+    from impg_tpu.ops import projection as proj
+
+    index, dev, seqs = make_engine(seed=3)
+    name = list(seqs)[1]
+    tid = index.seq_index.get_id(name)
+    out = dev.query_batch(
+        np.array([tid], np.int32),
+        np.array([0], np.int32),
+        np.array([seqs[name]], np.int32),
+    )
+    # Recompute via host projection for each surviving pair.
+    for i in range(out["valid"].size):
+        rec = int(out["pair_rec"][i])
+        sel = np.array([rec])
+        res = proj.project_batch(
+            np,
+            **index.arena.projection_kwargs(),
+            op_off=index.records.op_off[sel],
+            op_cnt=index.records.op_cnt[sel],
+            t_start=index.records.t_start[sel],
+            t_end=index.records.t_end[sel],
+            strand=index.records.strand[sel],
+            range_start=np.array([0], np.int32),
+            range_end=np.array([seqs[name]], np.int32),
+        )
+        assert int(res.matches[0]) == int(out["matches"][i])
+        assert int(res.i_count[0]) == int(out["i_count"][i])
+        assert int(res.d_bp[0]) == int(out["d_bp"][i])

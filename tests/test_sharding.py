@@ -1,0 +1,96 @@
+"""Sharded multi-device query path on the virtual 8-device CPU mesh."""
+
+import random
+
+import numpy as np
+import jax
+import pytest
+
+from impg_tpu.parallel.sharding import ShardedEngine, ShardedIndex
+from impg_tpu.query import engine
+from tests import datagen
+from tests.test_query import index_from_text
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) == 8, "tests expect the 8-device CPU mesh"
+    rng = random.Random(31)
+    text, seqs, alns = datagen.random_paf(rng, n_seqs=5, n_alns=40, n_ops=12)
+    index = index_from_text(text)
+    se = ShardedEngine(index, initial_capacity=256)
+    return index, se, seqs
+
+
+def test_sharded_matches_host(setup):
+    index, se, seqs = setup
+    q = [(index.seq_index.get_id(n), 0, seqs[n]) for n in seqs]
+    out = se.query_batch(
+        np.array([x[0] for x in q], np.int32),
+        np.array([x[1] for x in q], np.int32),
+        np.array([x[2] for x in q], np.int32),
+    )
+    for qi, (tid, s, e) in enumerate(q):
+        mask = out["pair_q"] == qi
+        got = sorted(
+            zip(
+                out["query_id"][mask].tolist(),
+                out["pq_start"][mask].tolist(),
+                out["pq_end"][mask].tolist(),
+            )
+        )
+        exp = sorted(
+            (r.q_id, r.q_first, r.q_last)
+            for r in engine.query(index, tid, s, e)[1:]
+        )
+        assert got == exp, qi
+
+
+def test_shard_blocks_cover_all_records(setup):
+    index, se, seqs = setup
+    si = se.sharded
+    assert si.n_shards == 8
+    # Global record ids reconstructed from shard blocks must be a partition.
+    n = len(index.records)
+    assert si.rec_base[0] == 0
+    assert all(si.rec_base[i] <= si.rec_base[i + 1] for i in range(7))
+    # Each shard's local arena matches the global arena slices.
+    for s in range(si.n_shards):
+        lo = int(si.rec_base[s])
+        hi = int(si.rec_base[s + 1]) if s + 1 < si.n_shards else n
+        if lo == hi:
+            continue
+        cnt = int(index.records.op_cnt[lo:hi].sum())
+        got = si.arena["runs"][s][:cnt]
+        parts = [
+            index.arena.runs[o : o + c]
+            for o, c in zip(
+                index.records.op_off[lo:hi], index.records.op_cnt[lo:hi]
+            )
+        ]
+        assert np.array_equal(got, np.concatenate(parts))
+
+
+def test_sharded_capacity_retry(setup):
+    index, se, seqs = setup
+    se.k_max = 2
+    name = list(seqs)[0]
+    tid = index.seq_index.get_id(name)
+    out = se.query_batch(
+        np.array([tid] * 4, np.int32),
+        np.zeros(4, np.int32),
+        np.full(4, seqs[name], np.int32),
+    )
+    mask = out["pair_q"] == 0
+    exp = sorted(
+        (r.q_id, r.q_first, r.q_last)
+        for r in engine.query(index, tid, 0, seqs[name])[1:]
+    )
+    got = sorted(
+        zip(
+            out["query_id"][mask].tolist(),
+            out["pq_start"][mask].tolist(),
+            out["pq_end"][mask].tolist(),
+        )
+    )
+    assert got == exp
