@@ -1,13 +1,18 @@
-"""Benchmark: batched range queries/sec on one chip.
+"""Benchmark: depth-2 transitive range queries/sec on one chip.
 
-Workload: a synthetic multi-genome pangenome alignment set (mutation chains +
-cross alignments, ~real CIGAR op mix), indexed once; then batches of random
-ranges are stabbed + projected through the device engine (the reference hot
-path: main.rs:11605 perform_query -> impg.rs:1852 query).
+Workload: a synthetic multi-genome pangenome alignment set (mutation chains,
+~real CIGAR op mix), indexed once; batches of random ranges are lifted
+transitively (depth 2, BFS) — the reference's headline path
+(main.rs:11605 perform_query -> impg.rs:2311 query_transitive_bfs) and the
+BASELINE.json metric ("cerevisiae PAF, depth-2 transitive").
+
+The device path batches every walk's per-depth stab+projection into one
+jitted TPU step (engine.query_transitive_bfs_many); visited-range
+bookkeeping stays on host, as in the reference.
 
 Prints ONE JSON line:
-  metric       "range_queries_per_sec_per_chip"
-  value        steady-state queries/s for the batched device path
+  metric       "transitive_queries_per_sec_per_chip"
+  value        steady-state depth-2 transitive queries/s (batched device)
   unit         "queries/s"
   vs_baseline  speedup vs the single-threaded host (numpy) engine on the
                same workload — a stand-in for the reference Rust path, which
@@ -29,8 +34,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 N_SEQS = 40
 SEQ_LEN = 400_000
 BATCH = 256
-N_BATCHES_TIMED = 10
+N_BATCHES_TIMED = 8
 RANGE_MIN, RANGE_MAX = 10_000, 100_000
+MAX_DEPTH = 2
 
 
 def build_workload():
@@ -62,38 +68,39 @@ def build_workload():
     qrng = np.random.default_rng(7)
     names = list(seqs)
     batches = []
-    for _ in range(N_BATCHES_TIMED + 2):
-        q_tid, q_s, q_e = [], [], []
+    for _ in range(N_BATCHES_TIMED + 1):
+        walk = []
         for _ in range(BATCH):
             name = names[qrng.integers(len(names))]
             L = seqs[name]
             span = int(qrng.integers(RANGE_MIN, RANGE_MAX))
             s = int(qrng.integers(0, max(1, L - span)))
-            q_tid.append(index.seq_index.get_id(name))
-            q_s.append(s)
-            q_e.append(min(s + span, L))
-        batches.append(
-            (
-                np.array(q_tid, np.int32),
-                np.array(q_s, np.int32),
-                np.array(q_e, np.int32),
+            walk.append(
+                (index.seq_index.get_id(name), s, min(s + span, L))
             )
-        )
+        batches.append(walk)
     return index, batches
 
 
 def bench_device(index, batches):
+    from impg_tpu.query import engine
     from impg_tpu.query.device import DeviceEngine
 
     dev = DeviceEngine(index)
-    # Warmup (compile + capacity settle) on the spare batches.
-    dev.query_batches(batches[:2])
+    # Warmup (compile + window-capacity settle).
+    engine.query_transitive_bfs_many(
+        index, batches[0], max_depth=MAX_DEPTH, device_engine=dev
+    )
     t0 = time.perf_counter()
-    outs = dev.query_batches(batches[2:])
+    rows = 0
+    for walk in batches[1:]:
+        res = engine.query_transitive_bfs_many(
+            index, walk, max_depth=MAX_DEPTH, device_engine=dev
+        )
+        rows += sum(len(r) for r in res)
     dt = time.perf_counter() - t0
-    hits = sum(o["pair_q"].size for o in outs)
-    n_queries = sum(b[0].size for b in batches[2:])
-    return n_queries / dt, hits, dt
+    n_queries = sum(len(w) for w in batches[1:])
+    return n_queries / dt, rows, dt
 
 
 def bench_host(index, batches, budget_s: float = 60.0):
@@ -101,9 +108,9 @@ def bench_host(index, batches, budget_s: float = 60.0):
 
     t0 = time.perf_counter()
     done = 0
-    for b in batches[2:]:
-        for tid, s, e in zip(*b):
-            engine.query(index, int(tid), int(s), int(e))
+    for walk in batches[1:]:
+        for tid, s, e in walk:
+            engine.query_transitive_bfs(index, tid, s, e, max_depth=MAX_DEPTH)
             done += 1
             if time.perf_counter() - t0 > budget_s:
                 return done / (time.perf_counter() - t0)
@@ -112,10 +119,10 @@ def bench_host(index, batches, budget_s: float = 60.0):
 
 def main():
     index, batches = build_workload()
-    qps_device, hits, dt = bench_device(index, batches)
+    qps_device, rows, dt = bench_device(index, batches)
     qps_host = bench_host(index, batches)
     result = {
-        "metric": "range_queries_per_sec_per_chip",
+        "metric": "transitive_queries_per_sec_per_chip",
         "value": round(qps_device, 2),
         "unit": "queries/s",
         "vs_baseline": round(qps_device / qps_host, 2),
@@ -124,8 +131,9 @@ def main():
             "arena_runs": int(index.arena.n_ops),
             "batch": BATCH,
             "batches_timed": N_BATCHES_TIMED,
-            "projected_intervals": int(hits),
-            "projected_intervals_per_sec": round(hits / dt, 2),
+            "max_depth": MAX_DEPTH,
+            "result_rows": int(rows),
+            "result_rows_per_sec": round(rows / dt, 2),
             "host_engine_qps": round(qps_host, 2),
         },
     }

@@ -113,30 +113,76 @@ def cmd_query(args) -> int:
     store_cigar = fmt in ("paf", "bedpe")
     merge_strands = not args.consider_strandness  # BED default merges strands
 
-    try:
-        for target_name, (start, end), name in targets:
-            target_id = index.seq_index.get_id(target_name)
-            if target_id is None:
-                print(
-                    f"error: target sequence '{target_name}' not found in index",
-                    file=sys.stderr,
-                )
-                return 1
-            target_len = index.seq_index.get_len_from_id(target_id)
-            if end > target_len:
-                print(
-                    f"error: target range end ({end}) exceeds the target "
-                    f"sequence length ({target_len})",
-                    file=sys.stderr,
-                )
-                return 1
+    device_engine = None
+    if args.compute_engine == "device":
+        import os
 
-            if args.transitive:
+        import jax
+
+        plat = os.environ.get("IMPG_TPU_PLATFORM")
+        if plat:
+            jax.config.update("jax_platforms", plat)
+        else:
+            try:
+                jax.devices()
+            except RuntimeError:
+                # Configured platform unavailable (e.g. env names a TPU
+                # plugin that was never registered): auto-choose.
+                jax.config.update("jax_platforms", "")
+        from impg_tpu.query.device import DeviceEngine
+
+        device_engine = DeviceEngine(index)
+
+    # Resolve + validate all targets up front (needed for batched walks).
+    resolved = []
+    for target_name, (start, end), name in targets:
+        target_id = index.seq_index.get_id(target_name)
+        if target_id is None:
+            print(
+                f"error: target sequence '{target_name}' not found in index",
+                file=sys.stderr,
+            )
+            return 1
+        target_len = index.seq_index.get_len_from_id(target_id)
+        if end > target_len:
+            print(
+                f"error: target range end ({end}) exceeds the target "
+                f"sequence length ({target_len})",
+                file=sys.stderr,
+            )
+            return 1
+        resolved.append((target_id, start, end, name))
+
+    # Batched multi-walk transitive path: one device batch per depth across
+    # all BED rows (the reference loops rows serially, main.rs:7435).
+    batched_results = None
+    if args.transitive and not args.transitive_dfs and len(resolved) > 1:
+        batched_results = engine.query_transitive_bfs_many(
+            index,
+            [(tid, s, e) for tid, s, e, _ in resolved],
+            max_depth=args.max_depth,
+            min_transitive_len=args.min_transitive_len,
+            min_distance_between_ranges=args.min_distance_between_ranges,
+            min_output_length=args.min_output_length,
+            store_cigar=store_cigar,
+            min_identity=args.min_result_identity,
+            subset_match=subset_match,
+            device_engine=device_engine,
+        )
+
+    try:
+        for ti, (target_id, start, end, name) in enumerate(resolved):
+            if batched_results is not None:
+                results = batched_results[ti]
+            elif args.transitive:
                 walker = (
                     engine.query_transitive_dfs
                     if args.transitive_dfs
                     else engine.query_transitive_bfs
                 )
+                kwargs = {}
+                if not args.transitive_dfs:
+                    kwargs["device_engine"] = device_engine
                 results = walker(
                     index,
                     target_id,
@@ -149,6 +195,7 @@ def cmd_query(args) -> int:
                     store_cigar=store_cigar,
                     min_identity=args.min_result_identity,
                     subset_match=subset_match,
+                    **kwargs,
                 )
             else:
                 results = engine.query(
@@ -279,6 +326,12 @@ def build_parser() -> argparse.ArgumentParser:
     p_query.add_argument("--subset-sequence-list")
     p_query.add_argument("--original-sequence-coordinates", action="store_true")
     p_query.add_argument("--consider-strandness", action="store_true")
+    p_query.add_argument(
+        "--compute-engine",
+        choices=["host", "device"],
+        default="host",
+        help="host: numpy engine; device: jitted TPU batched engine",
+    )
     p_query.set_defaults(func=cmd_query)
 
     p_stats = sub.add_parser("stats", help="Index statistics")

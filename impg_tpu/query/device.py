@@ -323,15 +323,29 @@ class DeviceEngine:
         """Run one batched query step; returns compact numpy arrays of hits."""
         return self.query_batches([(q_tid, q_s, q_e)], clip_overlap)[0]
 
+    @staticmethod
+    def _pad_batch(b):
+        """Pad a (tid, s, e) batch to a power-of-two length with inert
+        queries (tid=-1 windows are empty), so frontier-sized batches reuse
+        compiled executables instead of recompiling per length."""
+        n = len(b[0])
+        n_pad = 1 << max(5, int(np.ceil(np.log2(max(n, 1)))))
+        if n_pad == n:
+            return tuple(jnp.asarray(a, jnp.int32) for a in b)
+        out = []
+        for i, a in enumerate(b):
+            pad = np.full(n_pad, -1 if i == 0 else 0, np.int32)
+            pad[:n] = np.asarray(a, np.int32)
+            out.append(jnp.asarray(pad))
+        return tuple(out)
+
     def query_batches(self, batches: list, clip_overlap: bool = False) -> list[dict]:
         """Pipelined execution of many batches: dispatch all steps, then fetch.
 
         Overlaps device compute/transfer latency across batches; window
         overflows are detected after the fact and those batches re-run.
         """
-        dev_batches = [
-            tuple(jnp.asarray(a, jnp.int32) for a in b) for b in batches
-        ]
+        dev_batches = [self._pad_batch(b) for b in batches]
         results: list = [None] * len(batches)
         pending = list(range(len(batches)))
         while pending:

@@ -163,6 +163,71 @@ def _merge_frontier(ranges: list[tuple[int, int, int]]) -> list[tuple[int, int, 
     return out
 
 
+def _depth_step_host(
+    index: ImpgIndex, current: list[tuple[int, int, int]], min_identity
+):
+    """Stab+project a whole BFS depth on host; returns pair arrays.
+
+    Output arrays are ordered frontier-major then t_start (the same order the
+    device path produces), with fields matching DeviceEngine.query_batch.
+    """
+    cand_parts, ov_s_parts, ov_e_parts, src_parts = [], [], [], []
+    for fi, (cur_tid, cs, ce) in enumerate(current):
+        cand = index.stab(cur_tid, cs, ce)
+        if cand.size == 0:
+            continue
+        ov_s = np.maximum(cs, index.records.t_start[cand].astype(np.int64))
+        ov_e = np.minimum(ce, index.records.t_end[cand].astype(np.int64))
+        keep = ov_s < ov_e
+        cand_parts.append(cand[keep])
+        ov_s_parts.append(ov_s[keep])
+        ov_e_parts.append(ov_e[keep])
+        src_parts.append(np.full(int(keep.sum()), fi, np.int64))
+    if not cand_parts:
+        return None
+    cand = np.concatenate(cand_parts)
+    ov_s = np.concatenate(ov_s_parts)
+    ov_e = np.concatenate(ov_e_parts)
+    src = np.concatenate(src_parts)
+    res, ok = _project(index, cand, ov_s, ov_e, min_identity)
+    sel = np.nonzero(ok)[0]
+    return dict(
+        pair_rec=cand[sel],
+        pair_q=src[sel],
+        query_id=index.records.query_id[cand[sel]],
+        pq_start=np.asarray(res.pq_start)[sel],
+        pq_end=np.asarray(res.pq_end)[sel],
+        pt_start=np.asarray(res.pt_start)[sel],
+        pt_end=np.asarray(res.pt_end)[sel],
+        first_run=np.asarray(res.first_run)[sel],
+        last_run=np.asarray(res.last_run)[sel],
+        first_clip=np.asarray(res.first_clip)[sel],
+        last_rem=np.asarray(res.last_rem)[sel],
+    )
+
+
+def _depth_step_device(
+    device_engine, index: ImpgIndex, current: list[tuple[int, int, int]], min_identity
+):
+    """Stab+project a whole BFS depth with the batched device engine."""
+    q_tid = np.asarray([c[0] for c in current], np.int32)
+    q_s = np.asarray([c[1] for c in current], np.int32)
+    q_e = np.asarray([c[2] for c in current], np.int32)
+    out = device_engine.query_batch(q_tid, q_s, q_e, clip_overlap=True)
+    if out["pair_q"].size == 0:
+        return None
+    if min_identity is not None:
+        # Exact f64 identity filter on host (device stats are exact ints).
+        m = out["matches"].astype(np.float64)
+        total = (
+            out["matches"] + out["mismatches"] + out["i_count"] + out["d_count"]
+        ).astype(np.float64)
+        gci = np.where(total > 0, m / np.maximum(total, 1.0), 0.0)
+        keep = gci >= min_identity
+        out = {k: (v[keep] if np.ndim(v) else v) for k, v in out.items()}
+    return out
+
+
 def query_transitive_bfs(
     index: ImpgIndex,
     target_id: int,
@@ -176,6 +241,7 @@ def query_transitive_bfs(
     store_cigar: bool = False,
     min_identity: Optional[float] = None,
     subset_match: Optional[Callable[[str], bool]] = None,
+    device_engine=None,
 ) -> list[Row]:
     masked_none = masked_regions is None
     visited: dict[int, SortedRanges] = (
@@ -202,51 +268,46 @@ def query_transitive_bfs(
     depth = 0
     while current and (max_depth == 0 or depth < max_depth):
         # ── batched stab + projection over the whole depth ──
-        cand_parts, ov_s_parts, ov_e_parts, src_tid_parts = [], [], [], []
-        for cur_tid, cs, ce in current:
-            cand = index.stab(cur_tid, cs, ce)
-            if cand.size == 0:
-                continue
-            ov_s = np.maximum(cs, index.records.t_start[cand].astype(np.int64))
-            ov_e = np.minimum(ce, index.records.t_end[cand].astype(np.int64))
-            keep = ov_s < ov_e
-            cand_parts.append(cand[keep])
-            ov_s_parts.append(ov_s[keep])
-            ov_e_parts.append(ov_e[keep])
-            src_tid_parts.append(np.full(int(keep.sum()), cur_tid, np.int64))
-        if not cand_parts:
+        step = (
+            _depth_step_device(device_engine, index, current, min_identity)
+            if device_engine is not None
+            else _depth_step_host(index, current, min_identity)
+        )
+        if step is None:
             break
-        cand = np.concatenate(cand_parts)
-        ov_s = np.concatenate(ov_s_parts)
-        ov_e = np.concatenate(ov_e_parts)
-        src_tid = np.concatenate(src_tid_parts)
-        res, ok = _project(index, cand, ov_s, ov_e, min_identity)
 
         # ── sequential bookkeeping, in frontier order ──
         next_ranges: list[tuple[int, int, int]] = []
-        for i in np.nonzero(ok)[0]:
-            k = int(cand[i])
-            q_id = int(index.records.query_id[k])
+        pair_q = step["pair_q"]
+        for i in range(pair_q.size):
+            k = int(step["pair_rec"][i])
+            q_id = int(step["query_id"][i])
             if subset_match is not None and q_id != target_id:
                 name = index.seq_index.get_name(q_id)
                 if name is None or not subset_match(name):
                     continue
-            aq_s = int(res.pq_start[i])
-            aq_e = int(res.pq_end[i])
-            cur_tid = int(src_tid[i])
+            aq_s = int(step["pq_start"][i])
+            aq_e = int(step["pq_end"][i])
+            cur_tid = current[int(pair_q[i])][0]
             length = abs(aq_e - aq_s)
             if min_output_length is None or length >= min_output_length:
+                runs = None
+                if store_cigar:
+                    runs = projection.clipped_runs(
+                        index.arena.runs,
+                        int(index.records.op_off[k]),
+                        {f: step[f][i] for f in
+                         ("first_run", "last_run", "first_clip", "last_rem")},
+                    )
                 results.append(
                     Row(
                         q_id=q_id,
                         q_first=aq_s,
                         q_last=aq_e,
-                        cigar=_materialize_cigar(index, k, res, i)
-                        if store_cigar
-                        else None,
+                        cigar=runs,
                         t_id=cur_tid,
-                        t_first=int(res.pt_start[i]),
-                        t_last=int(res.pt_end[i]),
+                        t_first=int(step["pt_start"][i]),
+                        t_last=int(step["pt_end"][i]),
                     )
                 )
             if q_id != cur_tid:
@@ -260,6 +321,118 @@ def query_transitive_bfs(
 
         depth += 1
         current = _merge_frontier(next_ranges)
+
+    return results
+
+
+def query_transitive_bfs_many(
+    index: ImpgIndex,
+    targets: list[tuple[int, int, int]],
+    masked_regions: Optional[dict[int, SortedRanges]] = None,
+    max_depth: int = 2,
+    min_transitive_len: int = 101,
+    min_distance_between_ranges: int = 10,
+    min_output_length: Optional[int] = None,
+    store_cigar: bool = False,
+    min_identity: Optional[float] = None,
+    subset_match: Optional[Callable[[str], bool]] = None,
+    device_engine=None,
+) -> list[list[Row]]:
+    """Run many independent transitive BFS walks, batched per depth.
+
+    Each (target_id, start, end) walk keeps its own visited set and result
+    list (identical semantics to `query_transitive_bfs`), but every depth's
+    stab+projection for ALL walks runs as one batched step — the device
+    round-trip is amortized across walks.  This is the batched `-b BED -x`
+    hot path; the reference processes BED rows serially (main.rs:7435).
+    """
+    masked_none = masked_regions is None
+    n_walks = len(targets)
+    visited: list[dict[int, SortedRanges]] = [
+        ({k: v.clone() for k, v in masked_regions.items()} if masked_regions else {})
+        for _ in range(n_walks)
+    ]
+    results: list[list[Row]] = [[] for _ in range(n_walks)]
+    current: list[tuple[int, int, int, int]] = []  # (walk, tid, s, e)
+
+    for w, (target_id, range_start, range_end) in enumerate(targets):
+        seed = _visited_entry(visited[w], index, target_id, masked_none).insert(
+            (range_start, range_end)
+        )
+        for s, e in seed:
+            runs = (
+                cigar.pack(
+                    np.array([e - s], np.int64), np.array([cigar.OP_EQ], np.uint32)
+                )
+                if store_cigar
+                else None
+            )
+            results[w].append(Row(target_id, s, e, runs, target_id, s, e))
+            if abs(s - e) >= min_transitive_len:
+                current.append((w, target_id, s, e))
+
+    depth = 0
+    while current and (max_depth == 0 or depth < max_depth):
+        flat = [(tid, s, e) for (_, tid, s, e) in current]
+        step = (
+            _depth_step_device(device_engine, index, flat, min_identity)
+            if device_engine is not None
+            else _depth_step_host(index, flat, min_identity)
+        )
+        if step is None:
+            break
+
+        next_per_walk: list[list[tuple[int, int, int]]] = [
+            [] for _ in range(n_walks)
+        ]
+        pair_q = step["pair_q"]
+        for i in range(pair_q.size):
+            fi = int(pair_q[i])
+            w, cur_tid, _, _ = current[fi]
+            target_id = targets[w][0]
+            q_id = int(step["query_id"][i])
+            if subset_match is not None and q_id != target_id:
+                name = index.seq_index.get_name(q_id)
+                if name is None or not subset_match(name):
+                    continue
+            aq_s = int(step["pq_start"][i])
+            aq_e = int(step["pq_end"][i])
+            length = abs(aq_e - aq_s)
+            if min_output_length is None or length >= min_output_length:
+                runs = None
+                if store_cigar:
+                    k = int(step["pair_rec"][i])
+                    runs = projection.clipped_runs(
+                        index.arena.runs,
+                        int(index.records.op_off[k]),
+                        {f: step[f][i] for f in
+                         ("first_run", "last_run", "first_clip", "last_rem")},
+                    )
+                results[w].append(
+                    Row(
+                        q_id=q_id,
+                        q_first=aq_s,
+                        q_last=aq_e,
+                        cigar=runs,
+                        t_id=cur_tid,
+                        t_first=int(step["pt_start"][i]),
+                        t_last=int(step["pt_end"][i]),
+                    )
+                )
+            if q_id != cur_tid:
+                ranges = _visited_entry(visited[w], index, q_id, masked_none)
+                lo, hi = (aq_s, aq_e) if aq_s <= aq_e else (aq_e, aq_s)
+                if _too_close(ranges, lo, hi, min_distance_between_ranges):
+                    continue
+                for ns, ne in ranges.insert((aq_s, aq_e)):
+                    if abs(ne - ns) >= min_transitive_len:
+                        next_per_walk[w].append((q_id, ns, ne))
+
+        depth += 1
+        current = []
+        for w in range(n_walks):
+            for tid, s, e in _merge_frontier(next_per_walk[w]):
+                current.append((w, tid, s, e))
 
     return results
 

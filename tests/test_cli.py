@@ -16,6 +16,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_cli(*args, cwd=None):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["IMPG_TPU_PLATFORM"] = "cpu"  # keep subprocesses off the real chip
     return subprocess.run(
         [sys.executable, "-m", "impg_tpu.cli", *args],
         capture_output=True,
@@ -155,3 +156,16 @@ def test_cli_no_merge_and_subset(chain_paf, tmp_path):
     assert names <= {"ref", "s0"}
     all_names = {l.split("\t")[0] for l in r_all.stdout.splitlines() if l}
     assert "s1" in all_names
+
+
+def test_cli_device_engine_equivalence(chain_paf, tmp_path):
+    path, seqs, alns = chain_paf
+    bed = tmp_path / "t.bed"
+    bed.write_text("ref\t200\t900\n ref\t1200\t2000\n".replace(" ", ""))
+    base = ["query", "-a", path, "-b", str(bed), "-d", "100", "-x", "-m", "3",
+            "-o", "bed"]
+    r_host = run_cli(*base)
+    r_dev = run_cli(*base, "--compute-engine", "device")
+    assert r_host.returncode == 0, r_host.stderr
+    assert r_dev.returncode == 0, r_dev.stderr
+    assert r_host.stdout == r_dev.stdout

@@ -131,3 +131,52 @@ def test_device_identity_stats_match_host():
         assert int(res.matches[0]) == int(out["matches"][i])
         assert int(res.i_count[0]) == int(out["i_count"][i])
         assert int(res.d_bp[0]) == int(out["d_bp"][i])
+
+
+def test_transitive_bfs_device_matches_host():
+    rng = random.Random(55)
+    text, seqs, alns = datagen.mutate_chain_paf(rng, n_seqs=5, seq_len=2500)
+    index = index_from_text(text)
+    dev = DeviceEngine(index)
+    rid = index.seq_index.get_id("ref")
+    for kwargs in (
+        dict(max_depth=3),
+        dict(max_depth=0),
+        dict(max_depth=2, min_identity=0.9),
+        dict(max_depth=2, store_cigar=True),
+    ):
+        host = engine.query_transitive_bfs(index, rid, 300, 2200, **kwargs)
+        devr = engine.query_transitive_bfs(
+            index, rid, 300, 2200, device_engine=dev, **kwargs
+        )
+        assert len(host) == len(devr)
+        for a, b in zip(host, devr):
+            assert (a.q_id, a.q_first, a.q_last, a.t_id, a.t_first, a.t_last) == (
+                b.q_id, b.q_first, b.q_last, b.t_id, b.t_first, b.t_last
+            )
+            if a.cigar is not None:
+                assert np.array_equal(a.cigar, b.cigar)
+
+
+def test_transitive_bfs_many_matches_single():
+    rng = random.Random(66)
+    text, seqs, alns = datagen.mutate_chain_paf(rng, n_seqs=6, seq_len=2500)
+    index = index_from_text(text)
+    dev = DeviceEngine(index)
+    rid = index.seq_index.get_id("ref")
+    s1 = index.seq_index.get_id("s1")
+    targets = [(rid, 200, 1200), (s1, 100, 900), (rid, 1500, 2400)]
+    for de in (None, dev):
+        many = engine.query_transitive_bfs_many(
+            index, targets, max_depth=3, store_cigar=True, device_engine=de
+        )
+        for w, (tid, s, e) in enumerate(targets):
+            single = engine.query_transitive_bfs(
+                index, tid, s, e, max_depth=3, store_cigar=True
+            )
+            assert len(many[w]) == len(single), (de, w)
+            for a, b in zip(many[w], single):
+                assert (a.q_id, a.q_first, a.q_last, a.t_id, a.t_first,
+                        a.t_last) == (b.q_id, b.q_first, b.q_last, b.t_id,
+                                      b.t_first, b.t_last)
+                assert np.array_equal(a.cigar, b.cigar)
