@@ -262,6 +262,53 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_partition(args) -> int:
+    from impg_tpu.commands import partition as partition_mod
+
+    if args.merge_distance is None and not args.no_merge:
+        print(
+            "error: -d/--merge-distance is required. Use --no-merge to disable.",
+            file=sys.stderr,
+        )
+        return 2
+    merge_distance = -1 if args.no_merge else bed_mod.parse_size(args.merge_distance)
+    index = _load_index(args)
+
+    device_engine = None
+    if args.compute_engine == "device":
+        import os
+
+        import jax
+
+        plat = os.environ.get("IMPG_TPU_PLATFORM")
+        if plat:
+            jax.config.update("jax_platforms", plat)
+        from impg_tpu.query.device import DeviceEngine
+
+        device_engine = DeviceEngine(index)
+
+    partition_mod.partition_alignments(
+        index,
+        bed_mod.parse_size(args.window_size),
+        starting_sequences_file=args.starting_sequences_file,
+        selection_mode=args.selection_mode,
+        merge_distance=merge_distance,
+        min_identity=args.min_result_identity,
+        min_missing_size=args.min_missing_size,
+        min_boundary_distance=args.min_boundary_distance,
+        transitive_dfs=args.transitive_dfs,
+        max_depth=args.max_depth,
+        min_transitive_len=args.min_transitive_len,
+        min_distance_between_ranges=args.min_distance_between_ranges,
+        output_format=args.output_format,
+        output_folder=args.output_folder,
+        separate_files=args.separate_files,
+        rehome_singletons=not args.no_rehome_singletons,
+        device_engine=device_engine,
+    )
+    return 0
+
+
 def cmd_stats(args) -> int:
     index = _load_index(args)
     if args.list_sequences:
@@ -338,6 +385,36 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common_query_opts(p_stats)
     p_stats.add_argument("--list-sequences", action="store_true")
     p_stats.set_defaults(func=cmd_stats)
+
+    p_part = sub.add_parser(
+        "partition", help="Partition all genomes into homologous loci"
+    )
+    _add_common_query_opts(p_part)
+    p_part.add_argument("-w", "--window-size", required=True)
+    p_part.add_argument(
+        "-d",
+        "--merge-distance",
+        help="Merge ranges separated by at most D bp before partition "
+        "assignment (k/m/g suffixes ok)",
+    )
+    p_part.add_argument("--no-merge", action="store_true")
+    p_part.add_argument("--starting-sequences-file")
+    p_part.add_argument("--selection-mode", default="longest")
+    p_part.add_argument("--min-missing-size", type=int, default=3000)
+    p_part.add_argument("--min-boundary-distance", type=int, default=3000)
+    p_part.add_argument("--separate-files", action="store_true")
+    p_part.add_argument("--no-rehome-singletons", action="store_true")
+    p_part.add_argument("--min-result-identity", type=float)
+    p_part.add_argument("--transitive-dfs", action="store_true")
+    p_part.add_argument("-m", "--max-depth", type=int, default=2)
+    p_part.add_argument("--min-transitive-len", type=int, default=101)
+    p_part.add_argument("--min-distance-between-ranges", type=int, default=10)
+    p_part.add_argument("-o", "--output-format", default="bed", choices=["bed"])
+    p_part.add_argument("--output-folder")
+    p_part.add_argument(
+        "--compute-engine", choices=["host", "device"], default="host"
+    )
+    p_part.set_defaults(func=cmd_partition)
 
     return ap
 

@@ -169,3 +169,30 @@ def test_cli_device_engine_equivalence(chain_paf, tmp_path):
     assert r_host.returncode == 0, r_host.stderr
     assert r_dev.returncode == 0, r_dev.stderr
     assert r_host.stdout == r_dev.stdout
+
+
+def test_cli_partition(chain_paf, tmp_path):
+    path, seqs, alns = chain_paf
+    out = tmp_path / "parts"
+    r = run_cli(
+        "partition", "-a", path, "-w", "1500", "-d", "100",
+        "--min-missing-size", "200", "--min-boundary-distance", "200",
+        "--output-folder", str(out),
+    )
+    assert r.returncode == 0, r.stderr
+    lines = (out / "partitions.bed").read_text().splitlines()
+    assert lines
+    # Every sequence fully covered by disjoint intervals.
+    cov = {}
+    for l in lines:
+        name, s, e, p = l.split("\t")
+        cov.setdefault(name, []).append((int(s), int(e)))
+    for name, L in seqs.items():
+        ivs = sorted(cov.get(name, []))
+        total = 0
+        prev_end = 0
+        for s, e in ivs:
+            assert s >= prev_end  # disjoint
+            total += e - s
+            prev_end = e
+        assert total == L, name
