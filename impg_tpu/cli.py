@@ -253,6 +253,31 @@ def cmd_query(args) -> int:
                     merge_distance,
                     args.original_sequence_coordinates,
                 )
+            elif fmt == "fasta":
+                if not args.sequence_files:
+                    print(
+                        "error: -o fasta requires --sequence-files",
+                        file=sys.stderr,
+                    )
+                    return 2
+                from impg_tpu.io.fasta import UnifiedSequenceIndex
+
+                files = []
+                for entry in args.sequence_files:
+                    files.extend(x for x in entry.split(",") if x)
+                seq_idx = UnifiedSequenceIndex.from_files(files)
+                # FASTA keeps strands separate (main.rs:4395 default, and
+                # --consider-strandness also keeps them separate).
+                fasta_merge_strands = False
+                outputs.write_fasta(
+                    index.seq_index,
+                    results,
+                    out,
+                    seq_idx,
+                    merge_distance,
+                    fasta_merge_strands,
+                    args.reverse_complement,
+                )
             else:
                 print(f"error: unsupported output format '{fmt}'", file=sys.stderr)
                 return 2
@@ -272,6 +297,24 @@ def cmd_partition(args) -> int:
         )
         return 2
     merge_distance = -1 if args.no_merge else bed_mod.parse_size(args.merge_distance)
+    if args.output_format == "fasta" and not args.separate_files:
+        print(
+            "error: single-file output is only supported for BED format; "
+            "use --separate-files for FASTA",
+            file=sys.stderr,
+        )
+        return 2
+    sequence_index = None
+    if args.output_format == "fasta":
+        if not args.sequence_files:
+            print("error: -o fasta requires --sequence-files", file=sys.stderr)
+            return 2
+        from impg_tpu.io.fasta import UnifiedSequenceIndex
+
+        files = []
+        for entry in args.sequence_files:
+            files.extend(x for x in entry.split(",") if x)
+        sequence_index = UnifiedSequenceIndex.from_files(files)
     index = _load_index(args)
 
     device_engine = None
@@ -305,6 +348,7 @@ def cmd_partition(args) -> int:
         separate_files=args.separate_files,
         rehome_singletons=not args.no_rehome_singletons,
         device_engine=device_engine,
+        sequence_index=sequence_index,
     )
     return 0
 
@@ -360,7 +404,18 @@ def build_parser() -> argparse.ArgumentParser:
         "-o",
         "--output-format",
         default="bed",
-        choices=["bed", "bedpe", "paf"],
+        choices=["bed", "bedpe", "paf", "fasta"],
+    )
+    p_query.add_argument(
+        "--sequence-files",
+        action="append",
+        help="FASTA file(s) for sequence-consuming outputs (repeat or "
+        "comma-separate)",
+    )
+    p_query.add_argument(
+        "--reverse-complement",
+        action="store_true",
+        help="Reverse-complement reverse-strand sequences in FASTA output",
     )
     p_query.add_argument("--output", help="Output file (default stdout)")
     p_query.add_argument("-x", "--transitive", action="store_true")
@@ -409,7 +464,10 @@ def build_parser() -> argparse.ArgumentParser:
     p_part.add_argument("-m", "--max-depth", type=int, default=2)
     p_part.add_argument("--min-transitive-len", type=int, default=101)
     p_part.add_argument("--min-distance-between-ranges", type=int, default=10)
-    p_part.add_argument("-o", "--output-format", default="bed", choices=["bed"])
+    p_part.add_argument(
+        "-o", "--output-format", default="bed", choices=["bed", "fasta"]
+    )
+    p_part.add_argument("--sequence-files", action="append")
     p_part.add_argument("--output-folder")
     p_part.add_argument(
         "--compute-engine", choices=["host", "device"], default="host"

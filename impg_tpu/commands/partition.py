@@ -453,6 +453,7 @@ def partition_alignments(
     separate_files: bool = False,
     rehome_singletons: bool = True,
     device_engine=None,
+    sequence_index=None,
 ) -> list[tuple[int, list[PartitionInterval]]]:
     """Run the partition loop; returns [(partition_num, intervals)] and
     writes BED output as requested."""
@@ -531,6 +532,14 @@ def partition_alignments(
                     _write_partition_bed(
                         partition_num, intervals, index, output_folder
                     )
+                elif separate_files and output_format == "fasta":
+                    _write_partition_fasta(
+                        partition_num,
+                        intervals,
+                        index,
+                        output_folder,
+                        sequence_index,
+                    )
                 else:
                     collected.append((partition_num, intervals))
                 log.info(
@@ -579,6 +588,26 @@ def _write_partition_bed(
             name = index.seq_index.get_name(iv.seq_id)
             s, e = iv.span()
             fh.write(f"{name}\t{s}\t{e}\n")
+
+
+def _write_partition_fasta(
+    partition_num: int,
+    intervals: list[PartitionInterval],
+    index: ImpgIndex,
+    output_folder: Optional[str],
+    sequence_index,
+) -> None:
+    if sequence_index is None:
+        raise ValueError("FASTA partition output requires --sequence-files")
+    path = _output_path(output_folder, f"partition{partition_num}.fasta")
+    with open(path, "w") as fh:
+        for iv in intervals:
+            name = index.seq_index.get_name(iv.seq_id)
+            s, e = iv.span()
+            seq = sequence_index.fetch_sequence(name, s, e).decode()
+            fh.write(f">{name}:{s}-{e}\n")
+            for i in range(0, len(seq), 80):
+                fh.write(seq[i : i + 80] + "\n")
 
 
 def _write_single_partition_file(

@@ -124,6 +124,36 @@ def write_bedpe(
         )
 
 
+def write_fasta(
+    seq_index: SequenceIndex,
+    results: list[Row],
+    out: TextIO,
+    sequence_index,
+    merge_distance: int,
+    merge_strands: bool,
+    reverse_complement_flag: bool = False,
+) -> None:
+    """FASTA of the merged result regions (reference: main.rs:12351)."""
+    from impg_tpu.io.fasta import reverse_complement
+
+    merge_mod.merge_query_adjusted_intervals(results, merge_distance, merge_strands)
+    for row in results:
+        qname = seq_index.get_name(row.q_id)
+        if row.q_first <= row.q_last:
+            start, end, strand = row.q_first, row.q_last, "+"
+        else:
+            start, end, strand = row.q_last, row.q_first, "-"
+        seq = sequence_index.fetch_sequence(qname, start, end)
+        suffix = ""
+        if strand == "-" and reverse_complement_flag:
+            seq = reverse_complement(seq)
+            suffix = "/rc"
+        out.write(f">{qname}:{start}-{end}{suffix}\n")
+        text = seq.decode()
+        for i in range(0, len(text), 80):
+            out.write(text[i : i + 80] + "\n")
+
+
 def write_paf(
     seq_index: SequenceIndex,
     results: list[Row],

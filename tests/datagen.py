@@ -90,14 +90,43 @@ def random_paf(rng: random.Random, n_seqs=4, n_alns=30, n_ops=20):
     return "\n".join(lines) + "\n", seqs, alns
 
 
-def mutate_chain_paf(rng: random.Random, n_seqs=6, seq_len=5000, seed_name="ref"):
+BASES = "ACGT"
+
+
+def apply_ops(rng: random.Random, parent_seq: str, ops) -> str:
+    """Apply an edit script to a parent (target) sequence -> derived query."""
+    out = []
+    t = 0
+    for length, op in ops:
+        if op in "=M":
+            out.append(parent_seq[t : t + length])
+            t += length
+        elif op == "X":
+            for i in range(length):
+                orig = parent_seq[t + i]
+                out.append(rng.choice([b for b in BASES if b != orig]))
+            t += length
+        elif op == "I":
+            out.append("".join(rng.choice(BASES) for _ in range(length)))
+        elif op == "D":
+            t += length
+    return "".join(out)
+
+
+def mutate_chain_paf(
+    rng: random.Random, n_seqs=6, seq_len=5000, seed_name="ref",
+    return_sequences=False,
+):
     """A chain pangenome: ref <- s1 <- s2 ... with exact per-pair CIGARs.
 
     Each derived sequence aligns to its parent over the full length with
     random scattered SNPs and small indels, giving a transitive topology.
-    Returns (paf_text, seqs dict, alignments list).
+    Returns (paf_text, seqs dict, alignments list) and, with
+    `return_sequences`, a 4th dict of actual base strings consistent with
+    every CIGAR.
     """
     seqs = {seed_name: seq_len}
+    seq_data = {seed_name: "".join(rng.choice(BASES) for _ in range(seq_len))}
     alns = []
     parent = seed_name
     parent_len = seq_len
@@ -128,6 +157,15 @@ def mutate_chain_paf(rng: random.Random, n_seqs=6, seq_len=5000, seed_name="ref"
                 t_pos += length
         strand = rng.choice("++-")
         seqs[name] = q_len
+        derived = apply_ops(rng, seq_data[parent], ops)
+        assert len(derived) == q_len
+        # A '-' strand PAF row means the reverse complement of the query
+        # aligns to the target; store the query so that RC(query) == derived.
+        if strand == "-":
+            comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+            seq_data[name] = "".join(comp[b] for b in reversed(derived))
+        else:
+            seq_data[name] = derived
         alns.append(
             dict(
                 qname=name,
@@ -157,4 +195,15 @@ def mutate_chain_paf(rng: random.Random, n_seqs=6, seq_len=5000, seed_name="ref"
         )
         for a in alns
     ]
-    return "\n".join(lines) + "\n", seqs, alns
+    text = "\n".join(lines) + "\n"
+    if return_sequences:
+        return text, seqs, alns, seq_data
+    return text, seqs, alns
+
+
+def write_fasta(path: str, seq_data: dict, width: int = 60) -> None:
+    with open(path, "w") as fh:
+        for name, seq in seq_data.items():
+            fh.write(f">{name}\n")
+            for i in range(0, len(seq), width):
+                fh.write(seq[i : i + width] + "\n")
