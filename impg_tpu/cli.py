@@ -353,6 +353,65 @@ def cmd_partition(args) -> int:
     return 0
 
 
+def cmd_refine(args) -> int:
+    from impg_tpu.commands import refine as refine_mod
+    from impg_tpu.query.subset import SubsetFilter
+
+    if args.target_range is None and args.target_bed is None:
+        print(
+            "error: either --target-range or --target-bed must be provided",
+            file=sys.stderr,
+        )
+        return 2
+    if args.merge_distance is None and not args.no_merge:
+        print(
+            "error: -d/--merge-distance is required. Use --no-merge to disable.",
+            file=sys.stderr,
+        )
+        return 2
+    merge_distance = -1 if args.no_merge else bed_mod.parse_size(args.merge_distance)
+    index = _load_index(args)
+    if args.target_bed:
+        targets = bed_mod.parse_bed_file(args.target_bed)
+    else:
+        targets = [bed_mod.parse_target_range(args.target_range)]
+
+    subset = (
+        SubsetFilter.load(args.subset_sequence_list)
+        if args.subset_sequence_list
+        else None
+    )
+    blacklist = None
+    if args.blacklist_bed:
+        blacklist = {}
+        for name, (s, e), _ in bed_mod.parse_bed_file(args.blacklist_bed):
+            blacklist.setdefault(name, []).append((s, e))
+
+    config = refine_mod.RefineConfig(
+        span_bp=args.span_bp,
+        max_extension=args.max_extension,
+        support_level=args.pansn_mode,
+        extension_step=args.extension_step,
+        merge_distance=merge_distance,
+        min_identity=args.min_result_identity,
+        use_transitive_bfs=args.transitive and not args.transitive_dfs,
+        use_transitive_dfs=args.transitive and args.transitive_dfs,
+        max_transitive_depth=args.max_depth,
+        min_transitive_len=args.min_transitive_len,
+        min_distance_between_ranges=args.min_distance_between_ranges,
+        subset_match=subset.matches if subset else None,
+        blacklist=blacklist,
+    )
+    records = refine_mod.run_refine(index, targets, config)
+    support_out = open(args.support_output, "w") if args.support_output else None
+    try:
+        refine_mod.write_refine_output(records, sys.stdout, support_out)
+    finally:
+        if support_out:
+            support_out.close()
+    return 0
+
+
 def cmd_stats(args) -> int:
     index = _load_index(args)
     if args.list_sequences:
@@ -473,6 +532,32 @@ def build_parser() -> argparse.ArgumentParser:
         "--compute-engine", choices=["host", "device"], default="host"
     )
     p_part.set_defaults(func=cmd_partition)
+
+    p_ref = sub.add_parser(
+        "refine", help="Refine locus boundaries to maximize spanning support"
+    )
+    _add_common_query_opts(p_ref)
+    p_ref.add_argument("-r", "--target-range")
+    p_ref.add_argument("-b", "--target-bed")
+    p_ref.add_argument("-d", "--merge-distance")
+    p_ref.add_argument("--no-merge", action="store_true")
+    p_ref.add_argument("--span-bp", type=int, default=1000)
+    p_ref.add_argument("--max-extension", type=float, default=0.5)
+    p_ref.add_argument("--extension-step", type=int, default=1000)
+    p_ref.add_argument(
+        "--pansn-mode", choices=["sequence", "sample", "haplotype"],
+        default="sequence",
+    )
+    p_ref.add_argument("--support-output")
+    p_ref.add_argument("--blacklist-bed")
+    p_ref.add_argument("--min-result-identity", type=float)
+    p_ref.add_argument("-x", "--transitive", action="store_true")
+    p_ref.add_argument("--transitive-dfs", action="store_true")
+    p_ref.add_argument("-m", "--max-depth", type=int, default=2)
+    p_ref.add_argument("--min-transitive-len", type=int, default=101)
+    p_ref.add_argument("--min-distance-between-ranges", type=int, default=10)
+    p_ref.add_argument("--subset-sequence-list")
+    p_ref.set_defaults(func=cmd_refine)
 
     return ap
 
