@@ -1,0 +1,143 @@
+"""ctypes binding to the native C++ ingest library (auto-built on demand).
+
+Falls back gracefully: `load()` returns None when the shared library is
+missing and cannot be built, and io/paf.py then uses the pure-Python parser.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libimpg_native.so")
+
+_lib = None
+_load_attempted = False
+
+
+def _build() -> bool:
+    src = os.path.join(_NATIVE_DIR, "paf_parser.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o", _SO_PATH, src],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def load():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _load_attempted
+    if _lib is not None:
+        return _lib
+    if _load_attempted:
+        return _lib
+    _load_attempted = True
+    if not os.path.exists(_SO_PATH) or (
+        os.path.exists(os.path.join(_NATIVE_DIR, "paf_parser.cpp"))
+        and os.path.getmtime(_SO_PATH)
+        < os.path.getmtime(os.path.join(_NATIVE_DIR, "paf_parser.cpp"))
+    ):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+
+    lib.impg_paf_parse.restype = ctypes.c_void_p
+    lib.impg_paf_parse.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.c_int,
+    ]
+    lib.impg_paf_error.restype = ctypes.c_char_p
+    lib.impg_paf_error.argtypes = [ctypes.c_void_p]
+    for name in (
+        "impg_paf_n_records",
+        "impg_paf_n_runs",
+        "impg_paf_n_names",
+        "impg_paf_names_size",
+    ):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_void_p]
+    ptr_getters = {
+        "impg_paf_query_name_idx": ctypes.POINTER(ctypes.c_int32),
+        "impg_paf_target_name_idx": ctypes.POINTER(ctypes.c_int32),
+        "impg_paf_q_start": ctypes.POINTER(ctypes.c_int32),
+        "impg_paf_q_end": ctypes.POINTER(ctypes.c_int32),
+        "impg_paf_t_start": ctypes.POINTER(ctypes.c_int32),
+        "impg_paf_t_end": ctypes.POINTER(ctypes.c_int32),
+        "impg_paf_strand": ctypes.POINTER(ctypes.c_int8),
+        "impg_paf_runs": ctypes.POINTER(ctypes.c_uint32),
+        "impg_paf_run_offsets": ctypes.POINTER(ctypes.c_int64),
+        "impg_paf_name_offsets": ctypes.POINTER(ctypes.c_int64),
+        "impg_paf_name_lengths": ctypes.POINTER(ctypes.c_int64),
+    }
+    for name, restype in ptr_getters.items():
+        fn = getattr(lib, name)
+        fn.restype = restype
+        fn.argtypes = [ctypes.c_void_p]
+    lib.impg_paf_names_buf.restype = ctypes.POINTER(ctypes.c_char)
+    lib.impg_paf_names_buf.argtypes = [ctypes.c_void_p]
+    lib.impg_paf_free.restype = None
+    lib.impg_paf_free.argtypes = [ctypes.c_void_p]
+
+    _lib = lib
+    return _lib
+
+
+def _as_array(ptr, n, dtype):
+    if n == 0:
+        return np.zeros(0, dtype)
+    return np.ctypeslib.as_array(ptr, shape=(n,)).astype(dtype, copy=True)
+
+
+def parse_paf_bytes_native(data: bytes, require_cigar: bool = True) -> Optional[dict]:
+    """Parse a PAF buffer natively; returns column dict or None if the
+    native library is unavailable.  Raises ValueError on malformed input."""
+    lib = load()
+    if lib is None:
+        return None
+    handle = lib.impg_paf_parse(data, len(data), 1 if require_cigar else 0)
+    try:
+        err = lib.impg_paf_error(handle)
+        if err:
+            raise ValueError(err.decode())
+        n = int(lib.impg_paf_n_records(handle))
+        n_runs = int(lib.impg_paf_n_runs(handle))
+        n_names = int(lib.impg_paf_n_names(handle))
+        names_size = int(lib.impg_paf_names_size(handle))
+        out = dict(
+            query_name_idx=_as_array(lib.impg_paf_query_name_idx(handle), n, np.int32),
+            target_name_idx=_as_array(lib.impg_paf_target_name_idx(handle), n, np.int32),
+            q_start=_as_array(lib.impg_paf_q_start(handle), n, np.int32),
+            q_end=_as_array(lib.impg_paf_q_end(handle), n, np.int32),
+            t_start=_as_array(lib.impg_paf_t_start(handle), n, np.int32),
+            t_end=_as_array(lib.impg_paf_t_end(handle), n, np.int32),
+            strand=_as_array(lib.impg_paf_strand(handle), n, np.int8),
+            runs=_as_array(lib.impg_paf_runs(handle), n_runs, np.uint32),
+            run_offsets=_as_array(lib.impg_paf_run_offsets(handle), n + 1, np.int64),
+            name_offsets=_as_array(lib.impg_paf_name_offsets(handle), n_names + 1, np.int64),
+            name_lengths=_as_array(lib.impg_paf_name_lengths(handle), n_names, np.int64),
+        )
+        raw = ctypes.string_at(lib.impg_paf_names_buf(handle), names_size)
+        offs = out["name_offsets"]
+        out["names"] = [
+            raw[offs[i] : offs[i + 1]].decode() for i in range(n_names)
+        ]
+        return out
+    finally:
+        lib.impg_paf_free(handle)

@@ -61,6 +61,48 @@ def parse_paf_bytes(
     seq_index: SequenceIndex,
     require_cigar: bool = True,
     path: str = "<memory>",
+    use_native: bool = True,
+) -> PafRecords:
+    if use_native:
+        try:
+            from impg_tpu.io import native
+
+            cols = native.parse_paf_bytes_native(data, require_cigar)
+        except ValueError as e:
+            raise ValueError(f"{path}: {e}") from e
+        if cols is not None:
+            # Map file-local interned name ids to the global SequenceIndex.
+            local_to_global = np.array(
+                [
+                    seq_index.get_or_insert_id(name, int(length))
+                    for name, length in zip(cols["names"], cols["name_lengths"])
+                ],
+                dtype=np.int32,
+            )
+            n = cols["q_start"].size
+            return PafRecords(
+                query_id=local_to_global[cols["query_name_idx"]]
+                if n
+                else np.zeros(0, np.int32),
+                q_start=cols["q_start"],
+                q_end=cols["q_end"],
+                target_id=local_to_global[cols["target_name_idx"]]
+                if n
+                else np.zeros(0, np.int32),
+                t_start=cols["t_start"],
+                t_end=cols["t_end"],
+                strand=cols["strand"],
+                runs=cols["runs"],
+                run_offsets=cols["run_offsets"],
+            )
+    return _parse_paf_bytes_py(data, seq_index, require_cigar, path)
+
+
+def _parse_paf_bytes_py(
+    data: bytes,
+    seq_index: SequenceIndex,
+    require_cigar: bool = True,
+    path: str = "<memory>",
 ) -> PafRecords:
     q_ids: list[int] = []
     q_starts: list[int] = []
