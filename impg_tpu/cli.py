@@ -412,6 +412,114 @@ def cmd_refine(args) -> int:
     return 0
 
 
+def cmd_similarity(args) -> int:
+    from impg_tpu.commands import similarity as sim_mod
+    from impg_tpu.io.fasta import UnifiedSequenceIndex
+    from impg_tpu.query import engine, merge as merge_mod
+    from impg_tpu.query.subset import SubsetFilter
+
+    if args.target_range is None and args.target_bed is None:
+        print(
+            "error: either --target-range or --target-bed must be provided",
+            file=sys.stderr,
+        )
+        return 2
+    if args.merge_distance is None and not args.no_merge:
+        print(
+            "error: -d/--merge-distance is required. Use --no-merge to disable.",
+            file=sys.stderr,
+        )
+        return 2
+    merge_distance = -1 if args.no_merge else bed_mod.parse_size(args.merge_distance)
+    scoring = tuple(int(x) for x in args.poa_scoring.replace("/", ",").split(","))
+    if len(scoring) != 6:
+        print("error: --poa-scoring needs 6 comma-separated values", file=sys.stderr)
+        return 2
+
+    index = _load_index(args)
+    files = []
+    for entry in args.sequence_files:
+        files.extend(x for x in entry.split(",") if x)
+    seq_idx = UnifiedSequenceIndex.from_files(files)
+
+    if args.target_bed:
+        targets = bed_mod.parse_bed_file(args.target_bed)
+    else:
+        if ":" in args.target_range:
+            targets = [bed_mod.parse_target_range(args.target_range)]
+        else:
+            sid = index.seq_index.get_id(args.target_range)
+            if sid is None:
+                print(
+                    f"error: sequence '{args.target_range}' not found in index",
+                    file=sys.stderr,
+                )
+                return 1
+            L = index.seq_index.get_len_from_id(sid)
+            targets = [
+                (args.target_range, (0, L), f"{args.target_range}:0-{L}")
+            ]
+
+    subset = (
+        SubsetFilter.load(args.subset_sequence_list)
+        if args.subset_sequence_list
+        else None
+    )
+    subset_match = subset.matches if subset else None
+
+    print(sim_mod.similarity_header(args.distances))
+    for target_name, (start, end), name in targets:
+        tid = index.seq_index.get_id(target_name)
+        if tid is None:
+            print(
+                f"error: target sequence '{target_name}' not found in index",
+                file=sys.stderr,
+            )
+            return 1
+        if args.transitive:
+            walker = (
+                engine.query_transitive_dfs
+                if args.transitive_dfs
+                else engine.query_transitive_bfs
+            )
+            results = walker(
+                index, tid, start, end,
+                max_depth=args.max_depth,
+                min_transitive_len=args.min_transitive_len,
+                min_distance_between_ranges=args.min_distance_between_ranges,
+                min_output_length=args.min_output_length,
+                min_identity=args.min_result_identity,
+                subset_match=subset_match,
+            )
+        else:
+            results = engine.query(
+                index, tid, start, end, min_identity=args.min_result_identity
+            )
+            if args.min_output_length is not None:
+                results = [
+                    r for r in results
+                    if abs(r.q_last - r.q_first) >= args.min_output_length
+                ]
+        merge_mod.merge_query_adjusted_intervals(results, merge_distance, True)
+        region = f"{target_name}:{start}-{end}"
+        text, sims = sim_mod.compute_similarities_for_region(
+            index, results, seq_idx, scoring, args.distances,
+            args.emit_all_pairs, args.delim, args.delim_pos, region,
+        )
+        sys.stdout.write(text)
+        if args.pca and sims:
+            dm, labels = sim_mod.build_distance_matrix(sims, args.pca_similarity)
+            try:
+                coords, _ = sim_mod.mds_fit_transform(dm, args.pca_components)
+            except ValueError as e:
+                print(f"warning: PCA skipped for {region}: {e}", file=sys.stderr)
+                continue
+            for li, label in enumerate(labels):
+                comps = "\t".join(f"{c:.6f}" for c in coords[li])
+                print(f"#PCA\t{region}\t{label}\t{comps}")
+    return 0
+
+
 def cmd_stats(args) -> int:
     index = _load_index(args)
     if args.list_sequences:
@@ -558,6 +666,36 @@ def build_parser() -> argparse.ArgumentParser:
     p_ref.add_argument("--min-distance-between-ranges", type=int, default=10)
     p_ref.add_argument("--subset-sequence-list")
     p_ref.set_defaults(func=cmd_refine)
+
+    p_sim = sub.add_parser(
+        "similarity", help="Pairwise/group similarity over a region MSA"
+    )
+    _add_common_query_opts(p_sim)
+    p_sim.add_argument("-r", "--target-range")
+    p_sim.add_argument("-b", "--target-bed")
+    p_sim.add_argument("-d", "--merge-distance")
+    p_sim.add_argument("--no-merge", action="store_true")
+    p_sim.add_argument("--sequence-files", action="append", required=True)
+    p_sim.add_argument("--distances", action="store_true")
+    p_sim.add_argument("--all", action="store_true", dest="emit_all_pairs")
+    p_sim.add_argument("--delim")
+    p_sim.add_argument("--delim-pos", type=int, default=1)
+    p_sim.add_argument("--poa-scoring", default="1,4,6,2,26,1")
+    p_sim.add_argument("--pca", action="store_true")
+    p_sim.add_argument("--pca-components", type=int, default=2)
+    p_sim.add_argument(
+        "--pca-similarity", default="jaccard",
+        choices=["jaccard", "cosine", "dice"],
+    )
+    p_sim.add_argument("--min-result-identity", type=float)
+    p_sim.add_argument("-l", "--min-output-length", type=int)
+    p_sim.add_argument("-x", "--transitive", action="store_true")
+    p_sim.add_argument("--transitive-dfs", action="store_true")
+    p_sim.add_argument("-m", "--max-depth", type=int, default=2)
+    p_sim.add_argument("--min-transitive-len", type=int, default=101)
+    p_sim.add_argument("--min-distance-between-ranges", type=int, default=10)
+    p_sim.add_argument("--subset-sequence-list")
+    p_sim.set_defaults(func=cmd_similarity)
 
     return ap
 

@@ -1,0 +1,330 @@
+"""Per-region sequence similarity over a POA MSA (reference:
+commands/similarity.rs).
+
+Pipeline: query region -> merged homologous intervals -> fetch + strand-
+normalize sequences -> POA MSA (native engine) -> pairwise/group
+jaccard/cosine/dice + estimated identity; optional classical-MDS PCA on the
+distance matrix.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from impg_tpu.graph import poa as poa_mod
+from impg_tpu.index.impg_index import ImpgIndex
+from impg_tpu.io.fasta import UnifiedSequenceIndex, reverse_complement
+from impg_tpu.query.engine import Row
+
+
+@dataclass
+class SequenceMetadata:
+    """Mirrors graph.rs:15 SequenceMetadata (MAF-frame start for '-')."""
+
+    name: str
+    start: int
+    size: int
+    strand: str
+    total_length: int
+
+    def path_name(self) -> str:
+        if self.strand == "+":
+            fwd_start, fwd_end = self.start, self.start + self.size
+        else:
+            fwd_start = self.total_length - self.start - self.size
+            fwd_end = self.total_length - self.start
+        return f"{self.name}:{fwd_start}-{fwd_end}"
+
+
+def prepare_sequences(
+    index: ImpgIndex, rows: list[Row], seq_idx: UnifiedSequenceIndex
+) -> list[tuple[bytes, SequenceMetadata]]:
+    """Fetch + strand-normalize each interval (graph.rs:485)."""
+    out = []
+    for row in rows:
+        name = index.seq_index.get_name(row.q_id)
+        total = index.seq_index.get_len_from_id(row.q_id) or 0
+        if row.q_first <= row.q_last:
+            start, end, strand = row.q_first, row.q_last, "+"
+        else:
+            start, end, strand = row.q_last, row.q_first, "-"
+        seq = seq_idx.fetch_sequence(name, start, end)
+        if strand == "-":
+            seq = reverse_complement(seq)
+        maf_start = (total - end) if strand == "-" else start
+        out.append(
+            (
+                seq,
+                SequenceMetadata(
+                    name=name,
+                    start=maf_start,
+                    size=end - start,
+                    strand=strand,
+                    total_length=total,
+                ),
+            )
+        )
+    return out
+
+
+@dataclass
+class GroupInfo:
+    name: str
+    sequence_indices: list[int]
+    total_length: int
+
+
+def extract_group_name(path_name: str, delim: str, delim_pos: int) -> str:
+    positions = [i for i, ch in enumerate(path_name) if ch == delim]
+    target_index = max(delim_pos - 1, 0)
+    if target_index < len(positions):
+        return path_name[: positions[target_index]]
+    return path_name
+
+
+def create_groups(
+    metadata: list[SequenceMetadata],
+    delim: Optional[str],
+    delim_pos: int,
+) -> list[GroupInfo]:
+    if delim is not None:
+        group_map: dict[str, list[int]] = {}
+        for i, meta in enumerate(metadata):
+            group_map.setdefault(
+                extract_group_name(meta.name, delim, delim_pos), []
+            ).append(i)
+        return [
+            GroupInfo(name, idxs, sum(metadata[i].size for i in idxs))
+            for name, idxs in sorted(group_map.items())
+        ]
+    return [
+        GroupInfo(meta.path_name(), [i], meta.size)
+        for i, meta in enumerate(metadata)
+    ]
+
+
+def pairwise_intersection(row_a: str, row_b: str) -> int:
+    return sum(
+        1
+        for a, b in zip(row_a, row_b)
+        if a != "-" and b != "-" and a == b
+    )
+
+
+def group_intersection(msa: list[str], idx_a: list[int], idx_b: list[int]) -> int:
+    if not msa:
+        return 0
+    n_cols = len(msa[0])
+    total = 0
+    for pos in range(n_cols):
+        matches = 0
+        count_a = 0
+        for ia in idx_a:
+            ca = msa[ia][pos]
+            if ca == "-":
+                continue
+            count_a += 1
+            for ib in idx_b:
+                cb = msa[ib][pos]
+                if cb != "-" and ca == cb:
+                    matches += 1
+        count_b = sum(1 for ib in idx_b if msa[ib][pos] != "-")
+        total += min(matches, count_a, count_b)
+    return total
+
+
+@dataclass
+class SimilarityMetrics:
+    jaccard: float
+    cosine: float
+    dice: float
+    estimated_identity: float
+
+    @classmethod
+    def new(cls, intersection: int, len_a: int, len_b: int) -> "SimilarityMetrics":
+        perfect = len_a == len_b and intersection == len_a
+        union = max(len_a + len_b - intersection, 0)
+        f32 = np.float32
+        jaccard = (
+            f32(1.0)
+            if perfect
+            else (f32(intersection) / f32(union) if union > 0 else f32(0.0))
+        )
+        cosine = (
+            f32(1.0)
+            if perfect
+            else (
+                f32(intersection) / (np.sqrt(f32(len_a)) * np.sqrt(f32(len_b)))
+                if len_a > 0 and len_b > 0
+                else f32(0.0)
+            )
+        )
+        dice = (
+            f32(1.0)
+            if perfect
+            else (
+                f32(2.0) * f32(intersection) / f32(len_a + len_b)
+                if (len_a + len_b) > 0
+                else f32(0.0)
+            )
+        )
+        est = (
+            f32(1.0)
+            if perfect
+            else (
+                f32(2.0) * jaccard / (f32(1.0) + jaccard)
+                if jaccard > 0
+                else f32(0.0)
+            )
+        )
+        return cls(float(jaccard), float(cosine), float(dice), float(est))
+
+    def by_name(self, name: str) -> float:
+        return {
+            "jaccard": self.jaccard,
+            "cosine": self.cosine,
+            "dice": self.dice,
+        }.get(name, self.jaccard)
+
+
+def format_value(value: float) -> str:
+    s = f"{np.float32(value):.7f}".rstrip("0").rstrip(".")
+    return s if s else "0"
+
+
+def parse_region_string(region: str) -> tuple[str, str, str]:
+    name, sep, rng = region.rpartition(":")
+    if sep and "-" in rng:
+        start, _, end = rng.partition("-")
+        return name, start, end
+    return region, "", ""
+
+
+def compute_similarities_for_region(
+    index: ImpgIndex,
+    rows: list[Row],
+    seq_idx: UnifiedSequenceIndex,
+    scoring,
+    emit_distances: bool,
+    emit_all_pairs: bool,
+    delim: Optional[str],
+    delim_pos: int,
+    region: str,
+) -> tuple[str, list[tuple[str, str, SimilarityMetrics]]]:
+    pairs = prepare_sequences(index, rows, seq_idx)
+    seqs = [p[0] for p in pairs]
+    metadata = [p[1] for p in pairs]
+    result = poa_mod.poa_align(seqs, scoring)
+    msa = result.msa
+    groups = create_groups(metadata, delim, delim_pos)
+    chrom, start, end = parse_region_string(region)
+
+    out_lines = []
+    sims: list[tuple[str, str, SimilarityMetrics]] = []
+    for i in range(len(groups)):
+        for j in range(i, len(groups)):
+            ga, gb = groups[i], groups[j]
+            if (
+                delim is None
+                and len(ga.sequence_indices) == 1
+                and len(gb.sequence_indices) == 1
+            ):
+                inter = pairwise_intersection(
+                    msa[ga.sequence_indices[0]], msa[gb.sequence_indices[0]]
+                )
+            else:
+                inter = group_intersection(
+                    msa, ga.sequence_indices, gb.sequence_indices
+                )
+            if inter == 0 and not emit_all_pairs:
+                continue
+            metrics = SimilarityMetrics.new(inter, ga.total_length, gb.total_length)
+            sims.append((ga.name, gb.name, metrics))
+
+            def line(na, nb, la, lb):
+                vals = (
+                    (
+                        1.0 - metrics.jaccard,
+                        1.0 - metrics.cosine,
+                        1.0 - metrics.dice,
+                        1.0 - metrics.estimated_identity,
+                    )
+                    if emit_distances
+                    else (
+                        metrics.jaccard,
+                        metrics.cosine,
+                        metrics.dice,
+                        metrics.estimated_identity,
+                    )
+                )
+                return (
+                    f"{chrom}\t{start}\t{end}\t{na}\t{nb}\t{la}\t{lb}\t{inter}\t"
+                    + "\t".join(format_value(v) for v in vals)
+                )
+
+            out_lines.append(line(ga.name, gb.name, ga.total_length, gb.total_length))
+            if i != j:
+                out_lines.append(
+                    line(gb.name, ga.name, gb.total_length, ga.total_length)
+                )
+    text = "".join(l + "\n" for l in out_lines)
+    return text, sims
+
+
+def similarity_header(emit_distances: bool) -> str:
+    tail = (
+        "jaccard.distance\tcosine.distance\tdice.distance\testimated.difference.rate"
+        if emit_distances
+        else "jaccard.similarity\tcosine.similarity\tdice.similarity\testimated.identity"
+    )
+    return (
+        "chrom\tstart\tend\tgroup.a\tgroup.b\tgroup.a.length\tgroup.b.length"
+        f"\tintersection\t{tail}"
+    )
+
+
+# ── PCA (classical MDS over the distance matrix, similarity.rs:866) ──
+
+
+def build_distance_matrix(
+    sims: list[tuple[str, str, SimilarityMetrics]], similarity_type: str
+) -> tuple[np.ndarray, list[str]]:
+    labels = sorted({n for a, b, _ in sims for n in (a, b)})
+    idx = {name: i for i, name in enumerate(labels)}
+    n = len(labels)
+    d = np.zeros((n, n), np.float32)
+    for a, b, m in sims:
+        dist = 1.0 - m.by_name(similarity_type)
+        d[idx[a], idx[b]] = dist
+        d[idx[b], idx[a]] = dist
+    return d, labels
+
+
+def mds_fit_transform(
+    distance_matrix: np.ndarray, n_components: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Classical MDS: double-center D^2, eigendecompose, project."""
+    n = distance_matrix.shape[0]
+    n_components = min(n_components, max(n - 1, 0))
+    if n_components == 0:
+        raise ValueError("Cannot perform MDS with fewer than 2 samples")
+    d2 = (distance_matrix.astype(np.float64)) ** 2
+    j = np.eye(n) - np.full((n, n), 1.0 / n)
+    b = -0.5 * j @ d2 @ j
+    vals, vecs = np.linalg.eigh(b)
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    coords = np.zeros((n, n_components))
+    kept_vals = []
+    col = 0
+    for k in range(len(vals)):
+        if col >= n_components:
+            break
+        if vals[k] > 0:
+            coords[:, col] = vecs[:, k] * np.sqrt(vals[k])
+            kept_vals.append(vals[k])
+            col += 1
+    return coords, np.asarray(kept_vals)

@@ -1,0 +1,175 @@
+"""Python facade over the native POA engine (see native/poa.cpp).
+
+Capability parity with the reference's SPOA usage (graph.rs:158-483):
+build a partial-order graph from region sequences, emit the MSA, and emit a
+GFA with per-sequence paths.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from dataclasses import dataclass
+
+import numpy as np
+
+from impg_tpu.io import native
+
+DEFAULT_SCORING = (1, 4, 6, 2, 26, 1)  # main.rs:5566 --poa-scoring default
+
+
+def _bind(lib):
+    if getattr(lib, "_poa_bound", False):
+        return lib
+    lib.impg_poa_create.restype = ctypes.c_void_p
+    lib.impg_poa_create.argtypes = [ctypes.c_int] * 6
+    lib.impg_poa_add.restype = None
+    lib.impg_poa_add.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]
+    for name in ("impg_poa_n_nodes", "impg_poa_n_edges", "impg_poa_n_seqs",
+                 "impg_poa_msa_n_cols"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_void_p]
+    lib.impg_poa_msa_fill.restype = None
+    lib.impg_poa_msa_fill.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64
+    ]
+    lib.impg_poa_node_bases.restype = None
+    lib.impg_poa_node_bases.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.impg_poa_edges_fill.restype = None
+    lib.impg_poa_edges_fill.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.impg_poa_path_len.restype = ctypes.c_int64
+    lib.impg_poa_path_len.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.impg_poa_path_fill.restype = None
+    lib.impg_poa_path_fill.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)
+    ]
+    lib.impg_poa_free.restype = None
+    lib.impg_poa_free.argtypes = [ctypes.c_void_p]
+    lib._poa_bound = True
+    return lib
+
+
+@dataclass
+class PoaResult:
+    msa: list[str]  # one gapped row per input sequence
+    node_bases: bytes
+    edges: np.ndarray  # int32 [n_edges, 2]
+    edge_weights: np.ndarray  # int64 [n_edges]
+    paths: list[np.ndarray]  # per-sequence node id arrays
+
+
+def poa_align(sequences: list[bytes], scoring=DEFAULT_SCORING) -> PoaResult:
+    """Build a POA graph over `sequences` and return MSA + graph structure."""
+    lib = native.load()
+    if lib is None:
+        raise RuntimeError("native POA library unavailable (g++ build failed)")
+    _bind(lib)
+    m, x, go, ge, go2, ge2 = scoring
+    handle = lib.impg_poa_create(m, x, go, ge, go2, ge2)
+    try:
+        for seq in sequences:
+            lib.impg_poa_add(handle, seq, len(seq))
+        n_seqs = int(lib.impg_poa_n_seqs(handle))
+        n_nodes = int(lib.impg_poa_n_nodes(handle))
+        n_edges = int(lib.impg_poa_n_edges(handle))
+        n_cols = int(lib.impg_poa_msa_n_cols(handle))
+        buf = ctypes.create_string_buffer(max(n_seqs * n_cols, 1))
+        lib.impg_poa_msa_fill(handle, buf, n_cols)
+        raw = buf.raw[: n_seqs * n_cols]
+        msa = [
+            raw[i * n_cols : (i + 1) * n_cols].decode() for i in range(n_seqs)
+        ]
+        bases_buf = ctypes.create_string_buffer(max(n_nodes, 1))
+        lib.impg_poa_node_bases(handle, bases_buf)
+        frm = (ctypes.c_int32 * max(n_edges, 1))()
+        to = (ctypes.c_int32 * max(n_edges, 1))()
+        wt = (ctypes.c_int64 * max(n_edges, 1))()
+        lib.impg_poa_edges_fill(handle, frm, to, wt)
+        edges = np.stack(
+            [
+                np.frombuffer(frm, np.int32, n_edges),
+                np.frombuffer(to, np.int32, n_edges),
+            ],
+            axis=1,
+        ) if n_edges else np.zeros((0, 2), np.int32)
+        weights = np.frombuffer(wt, np.int64, n_edges).copy()
+        paths = []
+        for s in range(n_seqs):
+            plen = int(lib.impg_poa_path_len(handle, s))
+            pbuf = (ctypes.c_int32 * max(plen, 1))()
+            lib.impg_poa_path_fill(handle, s, pbuf)
+            paths.append(np.frombuffer(pbuf, np.int32, plen).copy())
+        return PoaResult(
+            msa=msa,
+            node_bases=bases_buf.raw[:n_nodes],
+            edges=edges,
+            edge_weights=weights,
+            paths=paths,
+        )
+    finally:
+        lib.impg_poa_free(handle)
+
+
+def poa_to_gfa(result: PoaResult, path_names: list[str]) -> str:
+    """Emit a blunt GFA (S/L/P lines) from a POA result, unchopped:
+    unbranched node chains are merged into single segments (reference:
+    graph.rs unchop_gfa)."""
+    n_nodes = len(result.node_bases)
+    succs: dict[int, list[int]] = {}
+    preds: dict[int, list[int]] = {}
+    for a, b in result.edges:
+        succs.setdefault(int(a), []).append(int(b))
+        preds.setdefault(int(b), []).append(int(a))
+
+    # Unchop: merge chains where a->b with outdeg(a)==1 and indeg(b)==1.
+    chain_id = [-1] * n_nodes
+    chains: list[list[int]] = []
+    for v in range(n_nodes):
+        if chain_id[v] != -1:
+            continue
+        if len(preds.get(v, [])) == 1:
+            p = preds[v][0]
+            if len(succs.get(p, [])) == 1:
+                continue  # interior node; handled from its chain head
+        chain = [v]
+        chain_id[v] = len(chains)
+        cur = v
+        while len(succs.get(cur, [])) == 1:
+            nxt = succs[cur][0]
+            if len(preds.get(nxt, [])) != 1:
+                break
+            chain.append(nxt)
+            chain_id[nxt] = len(chains)
+            cur = nxt
+        chains.append(chain)
+
+    lines = ["H\tVN:Z:1.0"]
+    for ci, chain in enumerate(chains):
+        seq = "".join(chr(result.node_bases[v]) for v in chain)
+        lines.append(f"S\t{ci + 1}\t{seq}")
+    emitted = set()
+    for a, b in result.edges:
+        ca, cb = chain_id[int(a)], chain_id[int(b)]
+        if ca == cb:
+            continue
+        key = (ca, cb)
+        if key in emitted:
+            continue
+        emitted.add(key)
+        lines.append(f"L\t{ca + 1}\t+\t{cb + 1}\t+\t0M")
+    for name, path in zip(path_names, result.paths):
+        seen = []
+        last = -1
+        for v in path:
+            c = chain_id[int(v)]
+            if c != last:
+                seen.append(c)
+                last = c
+        segs = ",".join(f"{c + 1}+" for c in seen)
+        lines.append(f"P\t{name}\t{segs}\t*")
+    return "\n".join(lines) + "\n"

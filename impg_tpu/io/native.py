@@ -21,12 +21,12 @@ _load_attempted = False
 
 
 def _build() -> bool:
-    src = os.path.join(_NATIVE_DIR, "paf_parser.cpp")
-    if not os.path.exists(src):
+    srcs = [os.path.join(_NATIVE_DIR, f) for f in ("paf_parser.cpp", "poa.cpp")]
+    if not all(os.path.exists(s) for s in srcs):
         return False
     try:
         subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o", _SO_PATH, src],
+            ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o", _SO_PATH, *srcs],
             check=True,
             capture_output=True,
             timeout=120,
@@ -47,7 +47,7 @@ def load():
     if not os.path.exists(_SO_PATH) or (
         os.path.exists(os.path.join(_NATIVE_DIR, "paf_parser.cpp"))
         and os.path.getmtime(_SO_PATH)
-        < os.path.getmtime(os.path.join(_NATIVE_DIR, "paf_parser.cpp"))
+        < max(os.path.getmtime(os.path.join(_NATIVE_DIR, f)) for f in ("paf_parser.cpp", "poa.cpp"))
     ):
         if not _build():
             return None

@@ -1,0 +1,130 @@
+"""POA engine + similarity command (reference: graph.rs SPOA usage,
+commands/similarity.rs)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from impg_tpu.commands import similarity as sim
+from impg_tpu.graph.poa import poa_align, poa_to_gfa
+from tests import datagen
+from tests.test_cli import run_cli
+from tests.test_fasta import make_fasta
+
+
+def test_poa_msa_reproduces_inputs():
+    rng = random.Random(9)
+    base = "".join(rng.choice("ACGT") for _ in range(200))
+    seqs = [base.encode()]
+    for _ in range(4):
+        mutated = list(base)
+        for _ in range(8):
+            pos = rng.randrange(len(mutated))
+            op = rng.random()
+            if op < 0.5:
+                mutated[pos] = rng.choice("ACGT")
+            elif op < 0.75:
+                mutated[pos] = ""
+            else:
+                mutated[pos] = mutated[pos] + rng.choice("ACGT")
+        seqs.append("".join(mutated).encode())
+    res = poa_align(seqs)
+    assert len({len(r) for r in res.msa}) == 1  # equal-width rows
+    for row, s in zip(res.msa, seqs):
+        assert row.replace("-", "").encode() == s
+    # Identical sequences get identical rows.
+    res2 = poa_align([b"ACGT" * 10] * 3)
+    assert res2.msa[0] == res2.msa[1] == res2.msa[2]
+    assert "-" not in res2.msa[0]
+
+
+def test_poa_gfa_structure():
+    res = poa_align([b"ACGTACGTAC", b"ACGTTCGTAC", b"ACGTACGAC"])
+    gfa = poa_to_gfa(res, ["a", "b", "c"])
+    lines = gfa.splitlines()
+    segs = {l.split("\t")[1]: l.split("\t")[2] for l in lines if l.startswith("S")}
+    paths = [l.split("\t") for l in lines if l.startswith("P")]
+    assert len(paths) == 3
+    # Path sequence reconstruction must equal the input sequence.
+    for pl, seq in zip(paths, [b"ACGTACGTAC", b"ACGTTCGTAC", b"ACGTACGAC"]):
+        walk = "".join(segs[s[:-1]] for s in pl[2].split(","))
+        assert walk.encode() == seq
+    # Links reference existing segments.
+    for l in lines:
+        if l.startswith("L"):
+            f = l.split("\t")
+            assert f[1] in segs and f[3] in segs
+
+
+def test_similarity_metrics():
+    m = sim.SimilarityMetrics.new(100, 100, 100)
+    assert m.jaccard == m.cosine == m.dice == m.estimated_identity == 1.0
+    m = sim.SimilarityMetrics.new(50, 100, 100)
+    assert m.jaccard == pytest.approx(50 / 150, abs=1e-6)
+    assert m.dice == pytest.approx(0.5, abs=1e-6)
+    assert m.cosine == pytest.approx(0.5, abs=1e-6)
+    m = sim.SimilarityMetrics.new(0, 100, 100)
+    assert m.jaccard == 0.0 and m.estimated_identity == 0.0
+
+
+def test_group_name_extraction():
+    assert sim.extract_group_name("HG002#1#chr1", "#", 1) == "HG002"
+    assert sim.extract_group_name("HG002#1#chr1", "#", 2) == "HG002#1"
+    assert sim.extract_group_name("HG002#1#chr1", "#", 9) == "HG002#1#chr1"
+
+
+def test_mds_recovers_structure():
+    # Two tight clusters far apart.
+    d = np.array(
+        [
+            [0.0, 0.1, 0.9, 0.9],
+            [0.1, 0.0, 0.9, 0.9],
+            [0.9, 0.9, 0.0, 0.1],
+            [0.9, 0.9, 0.1, 0.0],
+        ],
+        np.float32,
+    )
+    coords, vals = sim.mds_fit_transform(d, 2)
+    # First axis separates the clusters.
+    assert np.sign(coords[0, 0]) == np.sign(coords[1, 0])
+    assert np.sign(coords[2, 0]) == np.sign(coords[3, 0])
+    assert np.sign(coords[0, 0]) != np.sign(coords[2, 0])
+
+
+def test_cli_similarity(tmp_path):
+    fa, paf, seqs, seq_data = make_fasta(tmp_path)
+    r = run_cli(
+        "similarity", "-a", paf, "-r", "ref:100-900", "-d", "100", "-x",
+        "--sequence-files", fa,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert lines[0].startswith("chrom\tstart\tend")
+    rows = [l.split("\t") for l in lines[1:]]
+    assert rows
+    names = {r0[3] for r0 in rows}
+    assert any(n.startswith("ref:") for n in names)
+    assert any(n.startswith("s0:") for n in names)
+    # Self-similarity rows are 1.
+    for r0 in rows:
+        if r0[3] == r0[4]:
+            assert float(r0[8]) == 1.0
+        # Chain identity ~96%: estimated identity should be high for ref/s0.
+    ref_s0 = [
+        r0 for r0 in rows
+        if r0[3].startswith("ref:") and r0[4].startswith("s0:")
+    ]
+    assert ref_s0 and float(ref_s0[0][11]) > 0.8
+
+
+def test_cli_similarity_pca_and_distances(tmp_path):
+    fa, paf, seqs, seq_data = make_fasta(tmp_path)
+    r = run_cli(
+        "similarity", "-a", paf, "-r", "ref:100-900", "-d", "100", "-x",
+        "--sequence-files", fa, "--distances", "--pca",
+    )
+    assert r.returncode == 0, r.stderr
+    assert "jaccard.distance" in r.stdout.splitlines()[0]
+    pca_lines = [l for l in r.stdout.splitlines() if l.startswith("#PCA")]
+    assert pca_lines
