@@ -253,10 +253,10 @@ def cmd_query(args) -> int:
                     merge_distance,
                     args.original_sequence_coordinates,
                 )
-            elif fmt == "fasta":
+            elif fmt in ("fasta", "gfa", "maf", "fasta-aln"):
                 if not args.sequence_files:
                     print(
-                        "error: -o fasta requires --sequence-files",
+                        f"error: -o {fmt} requires --sequence-files",
                         file=sys.stderr,
                     )
                     return 2
@@ -266,18 +266,42 @@ def cmd_query(args) -> int:
                 for entry in args.sequence_files:
                     files.extend(x for x in entry.split(",") if x)
                 seq_idx = UnifiedSequenceIndex.from_files(files)
-                # FASTA keeps strands separate (main.rs:4395 default, and
-                # --consider-strandness also keeps them separate).
-                fasta_merge_strands = False
-                outputs.write_fasta(
-                    index.seq_index,
-                    results,
-                    out,
-                    seq_idx,
-                    merge_distance,
-                    fasta_merge_strands,
-                    args.reverse_complement,
-                )
+                if fmt == "fasta":
+                    # FASTA keeps strands separate (main.rs:4395 default, and
+                    # --consider-strandness also keeps them separate).
+                    outputs.write_fasta(
+                        index.seq_index,
+                        results,
+                        out,
+                        seq_idx,
+                        merge_distance,
+                        False,
+                        args.reverse_complement,
+                    )
+                else:
+                    from impg_tpu.graph import region as region_mod
+                    from impg_tpu.query import merge as merge_mod
+
+                    scoring = tuple(
+                        int(x)
+                        for x in args.poa_scoring.replace("/", ",").split(",")
+                    )
+                    # gfa/maf merge strands by default; fasta-aln keeps them
+                    # separate (main.rs:4395-4399).
+                    ms = (
+                        False
+                        if (fmt == "fasta-aln" or args.consider_strandness)
+                        else True
+                    )
+                    merge_mod.merge_query_adjusted_intervals(
+                        results, merge_distance, ms
+                    )
+                    gen = {
+                        "gfa": region_mod.generate_gfa,
+                        "maf": region_mod.generate_maf,
+                        "fasta-aln": region_mod.generate_fasta_aln,
+                    }[fmt]
+                    out.write(gen(index, results, seq_idx, scoring))
             else:
                 print(f"error: unsupported output format '{fmt}'", file=sys.stderr)
                 return 2
@@ -571,8 +595,9 @@ def build_parser() -> argparse.ArgumentParser:
         "-o",
         "--output-format",
         default="bed",
-        choices=["bed", "bedpe", "paf", "fasta"],
+        choices=["bed", "bedpe", "paf", "fasta", "gfa", "maf", "fasta-aln"],
     )
+    p_query.add_argument("--poa-scoring", default="1,4,6,2,26,1")
     p_query.add_argument(
         "--sequence-files",
         action="append",

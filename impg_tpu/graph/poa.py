@@ -126,27 +126,42 @@ def poa_to_gfa(result: PoaResult, path_names: list[str]) -> str:
         succs.setdefault(int(a), []).append(int(b))
         preds.setdefault(int(b), []).append(int(a))
 
-    # Unchop: merge chains where a->b with outdeg(a)==1 and indeg(b)==1.
+    # Unchop: merge chains where a->b with outdeg(a)==1 and indeg(b)==1,
+    # breaking at path endpoints so every path covers whole segments.
+    path_starts = {int(p[0]) for p in result.paths if len(p)}
+    path_ends = {int(p[-1]) for p in result.paths if len(p)}
+
+    def is_head(v: int) -> bool:
+        if v in path_starts:
+            return True
+        ps = preds.get(v, [])
+        if len(ps) != 1:
+            return True
+        p = ps[0]
+        return len(succs.get(p, [])) != 1 or p in path_ends
+
     chain_id = [-1] * n_nodes
     chains: list[list[int]] = []
     for v in range(n_nodes):
-        if chain_id[v] != -1:
+        if chain_id[v] != -1 or not is_head(v):
             continue
-        if len(preds.get(v, [])) == 1:
-            p = preds[v][0]
-            if len(succs.get(p, [])) == 1:
-                continue  # interior node; handled from its chain head
         chain = [v]
         chain_id[v] = len(chains)
         cur = v
-        while len(succs.get(cur, [])) == 1:
+        while len(succs.get(cur, [])) == 1 and cur not in path_ends:
             nxt = succs[cur][0]
-            if len(preds.get(nxt, [])) != 1:
+            if len(preds.get(nxt, [])) != 1 or nxt in path_starts:
                 break
             chain.append(nxt)
             chain_id[nxt] = len(chains)
             cur = nxt
         chains.append(chain)
+    # Any node not reached from a head (shouldn't happen in a DAG) gets its
+    # own chain defensively.
+    for v in range(n_nodes):
+        if chain_id[v] == -1:
+            chain_id[v] = len(chains)
+            chains.append([v])
 
     lines = ["H\tVN:Z:1.0"]
     for ci, chain in enumerate(chains):

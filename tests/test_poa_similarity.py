@@ -128,3 +128,65 @@ def test_cli_similarity_pca_and_distances(tmp_path):
     assert "jaccard.distance" in r.stdout.splitlines()[0]
     pca_lines = [l for l in r.stdout.splitlines() if l.startswith("#PCA")]
     assert pca_lines
+
+
+def test_cli_query_gfa_maf_fasta_aln(tmp_path):
+    fa, paf, seqs, seq_data = make_fasta(tmp_path)
+    # GFA: paths must reconstruct the region sequences.
+    r = run_cli(
+        "query", "-a", paf, "-r", "ref:100-900", "-d", "100", "-x", "-o", "gfa",
+        "--sequence-files", fa,
+    )
+    assert r.returncode == 0, r.stderr
+    segs, paths = {}, {}
+    for line in r.stdout.splitlines():
+        f = line.split("\t")
+        if f[0] == "S":
+            segs[f[1]] = f[2]
+        elif f[0] == "P":
+            paths[f[1]] = f[2]
+    assert paths and segs
+    from impg_tpu.io.fasta import reverse_complement
+
+    for name, walk in paths.items():
+        seq_name, rng_part = name.rsplit(":", 1)
+        s, e = map(int, rng_part.split("-"))
+        expected = seq_data[seq_name][s:e]
+        got = ""
+        for step in walk.split(","):
+            piece = segs[step[:-1]]
+            if step.endswith("-"):
+                piece = reverse_complement(piece.encode()).decode()
+            got += piece
+        # Forward paths reconstruct directly; reverse paths reconstruct the RC.
+        assert got in (expected, reverse_complement(expected.encode()).decode()), name
+
+    # MAF: per-row size/total fields consistent, rows reproduce sequences.
+    r = run_cli(
+        "query", "-a", paf, "-r", "ref:100-900", "-d", "100", "-x", "-o", "maf",
+        "--sequence-files", fa,
+    )
+    assert r.returncode == 0, r.stderr
+    maf_lines = [l for l in r.stdout.splitlines() if l.startswith("s ")]
+    assert maf_lines
+    for l in maf_lines:
+        _, name, start, size, strand, total, text = l.split(maxsplit=6)
+        assert int(total) == seqs[name]
+        assert sum(1 for c in text if c != "-") == int(size)
+
+    # fasta-aln: equal-width gapped rows.
+    r = run_cli(
+        "query", "-a", paf, "-r", "ref:100-900", "-d", "100", "-x",
+        "-o", "fasta-aln", "--sequence-files", fa,
+    )
+    assert r.returncode == 0, r.stderr
+    rows = {}
+    cur = None
+    for line in r.stdout.splitlines():
+        if line.startswith(">"):
+            cur = line[1:]
+            rows[cur] = ""
+        else:
+            rows[cur] += line
+    widths = {len(v) for v in rows.values()}
+    assert len(widths) == 1
