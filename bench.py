@@ -33,8 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_SEQS = 40
 SEQ_LEN = 400_000
-BATCH = 256
-N_BATCHES_TIMED = 8
+BATCH = 1024
+N_BATCHES_TIMED = 5
 RANGE_MIN, RANGE_MAX = 10_000, 100_000
 MAX_DEPTH = 2
 

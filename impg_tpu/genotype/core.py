@@ -1,0 +1,197 @@
+"""Backend-neutral genotyping core (reference: genotyping.rs).
+
+Cosine scoring of candidate-haplotype feature-count vectors against a sample
+coverage vector, with ploidy-combination search (multisets of candidates,
+ranked by similarity, then dot, then lexicographic combination).
+
+Two formulations:
+  - sparse dict-based scoring with exact reference semantics;
+  - a dense matrix formulation where all ploidy-2 combinations score via one
+    Gram matrix (candidates x candidates) — the TPU-friendly path (a tiny
+    matmul), used when candidates are dense vectors.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from itertools import combinations_with_replacement
+from typing import Mapping, Sequence
+
+import numpy as np
+
+FEATURE_SPACES = (
+    "syng-syncmer-node",
+    "gfa-segment",
+    "variation-graph-node",
+    "local-haplotype-segment",
+    "haplotype-sequence",
+    "mem-hit",
+)
+EVIDENCE_BACKENDS = (
+    "pack",
+    "projection",
+    "syncmer-walk",
+    "variation-graph-alignment",
+    "haplotype-alignment",
+    "mem-projection",
+)
+SCORING_METHODS = ("cos", "count-likelihood")
+
+
+@dataclass
+class CombinationScore:
+    combination: list[int]
+    similarity: float
+    qv: float
+    dot: float
+    sample_norm: float
+    genotype_norm: float
+
+
+def qv_from_similarity(similarity: float) -> float:
+    if similarity >= 1.0:
+        return 999.0
+    if similarity <= 0.0:
+        return 0.0
+    return -10.0 * math.log10(1.0 - similarity)
+
+
+def feature_universe(candidate_features: Sequence[Sequence[tuple[int, float]]]):
+    seen = set()
+    for features in candidate_features:
+        for feature_id, _ in features:
+            seen.add(feature_id)
+    return sorted(seen)
+
+
+def sample_norm_sq_for_features(
+    sample_counts: Mapping[int, float], features: Sequence[int]
+) -> float:
+    return float(
+        sum((sample_counts.get(f, 0)) ** 2 for f in features)
+    )
+
+
+def cosine_for_feature_counts(
+    candidate_features: Sequence[tuple[int, float]],
+    sample_counts: Mapping[int, float],
+    sample_norm_sq: float,
+) -> float:
+    if sample_norm_sq == 0.0:
+        return 0.0
+    dot = 0.0
+    genotype_norm_sq = 0.0
+    for feature_id, count in candidate_features:
+        g = float(count)
+        genotype_norm_sq += g * g
+        dot += g * float(sample_counts.get(feature_id, 0))
+    if genotype_norm_sq == 0.0:
+        return 0.0
+    return dot / (math.sqrt(sample_norm_sq) * math.sqrt(genotype_norm_sq))
+
+
+def score_cosine_combination(
+    combination: Sequence[int],
+    candidate_features: Sequence[Sequence[tuple[int, float]]],
+    sample_counts: Mapping[int, float],
+    sample_norm_sq: float,
+) -> CombinationScore:
+    genotype: dict[int, float] = {}
+    for idx in combination:
+        for feature_id, count in candidate_features[idx]:
+            genotype[feature_id] = genotype.get(feature_id, 0.0) + float(count)
+    dot = 0.0
+    genotype_norm_sq = 0.0
+    for feature_id, g in genotype.items():
+        genotype_norm_sq += g * g
+        dot += g * float(sample_counts.get(feature_id, 0))
+    sample_norm = math.sqrt(sample_norm_sq)
+    genotype_norm = math.sqrt(genotype_norm_sq)
+    similarity = (
+        0.0
+        if sample_norm == 0.0 or genotype_norm == 0.0
+        else dot / (sample_norm * genotype_norm)
+    )
+    return CombinationScore(
+        combination=list(combination),
+        similarity=similarity,
+        qv=qv_from_similarity(similarity),
+        dot=dot,
+        sample_norm=sample_norm,
+        genotype_norm=genotype_norm,
+    )
+
+
+def run_cosine_combination_search(
+    candidate_features: Sequence[Sequence[tuple[int, float]]],
+    sample_counts: Mapping[int, float],
+    sample_norm_sq: float,
+    ploidy: int,
+    max_combinations: int = 1_000_000,
+) -> list[CombinationScore]:
+    """All multisets of size `ploidy`, sorted (similarity desc, dot desc,
+    combination asc) — reference semantics (genotyping.rs:295-406)."""
+    n = len(candidate_features)
+    results = []
+    visited = 0
+    for combo in combinations_with_replacement(range(n), ploidy):
+        visited += 1
+        if visited > max_combinations:
+            raise ValueError(
+                f"genotype combination search exceeded --max-combinations "
+                f"({max_combinations})"
+            )
+        results.append(
+            score_cosine_combination(
+                combo, candidate_features, sample_counts, sample_norm_sq
+            )
+        )
+    results.sort(key=lambda c: (-c.similarity, -c.dot, c.combination))
+    return results
+
+
+def diploid_cosine_matrix(candidates: np.ndarray, sample: np.ndarray):
+    """Score all ploidy-2 combinations densely via the Gram matrix.
+
+    candidates: [n, d] float64, sample: [d] float64.
+    Returns (similarity [n, n], dot [n, n]) for combined vectors C[i]+C[j]
+    (upper triangle meaningful).  Equivalent to the sparse search for dense
+    inputs; maps onto the MXU when run under jnp.
+    """
+    proj = candidates @ sample  # [n]
+    gram = candidates @ candidates.T  # [n, n]
+    norms_sq = np.diag(gram)
+    dot = proj[:, None] + proj[None, :]
+    comb_norm_sq = norms_sq[:, None] + norms_sq[None, :] + 2.0 * gram
+    sample_norm = np.sqrt(float(sample @ sample))
+    denom = sample_norm * np.sqrt(comb_norm_sq)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = np.where(denom > 0, dot / denom, 0.0)
+    return sim, dot
+
+
+def run_diploid_search_dense(
+    candidates: np.ndarray, sample: np.ndarray
+) -> list[CombinationScore]:
+    """Dense ploidy-2 search via `diploid_cosine_matrix` with reference
+    ordering."""
+    n = candidates.shape[0]
+    sim, dot = diploid_cosine_matrix(candidates, sample)
+    sample_norm = math.sqrt(float(sample @ sample))
+    results = []
+    for i in range(n):
+        for j in range(i, n):
+            combined = candidates[i] + candidates[j]
+            results.append(
+                CombinationScore(
+                    combination=[i, j],
+                    similarity=float(sim[i, j]),
+                    qv=qv_from_similarity(float(sim[i, j])),
+                    dot=float(dot[i, j]),
+                    sample_norm=sample_norm,
+                    genotype_norm=math.sqrt(float(combined @ combined)),
+                )
+            )
+    results.sort(key=lambda c: (-c.similarity, -c.dot, c.combination))
+    return results
