@@ -321,17 +321,20 @@ def cmd_partition(args) -> int:
         )
         return 2
     merge_distance = -1 if args.no_merge else bed_mod.parse_size(args.merge_distance)
-    if args.output_format == "fasta" and not args.separate_files:
+    if args.output_format != "bed" and not args.separate_files:
         print(
             "error: single-file output is only supported for BED format; "
-            "use --separate-files for FASTA",
+            f"use --separate-files for {args.output_format.upper()}",
             file=sys.stderr,
         )
         return 2
     sequence_index = None
-    if args.output_format == "fasta":
+    if args.output_format in ("fasta", "gfa", "maf"):
         if not args.sequence_files:
-            print("error: -o fasta requires --sequence-files", file=sys.stderr)
+            print(
+                f"error: -o {args.output_format} requires --sequence-files",
+                file=sys.stderr,
+            )
             return 2
         from impg_tpu.io.fasta import UnifiedSequenceIndex
 
@@ -544,6 +547,33 @@ def cmd_similarity(args) -> int:
     return 0
 
 
+def cmd_lace(args) -> int:
+    from impg_tpu.graph import lace as lace_mod
+
+    files: list[str] = []
+    for entry in args.gfa_files or []:
+        files.extend(x for x in entry.split(",") if x)
+    if args.gfa_list:
+        with open(args.gfa_list) as fh:
+            files.extend(l.strip() for l in fh if l.strip())
+    if not files:
+        print("error: no GFA files specified", file=sys.stderr)
+        return 2
+    seq_idx = None
+    if args.sequence_files:
+        from impg_tpu.io.fasta import UnifiedSequenceIndex
+
+        sf = []
+        for entry in args.sequence_files:
+            sf.extend(x for x in entry.split(",") if x)
+        seq_idx = UnifiedSequenceIndex.from_files(sf)
+    text = lace_mod.lace_files(files, args.fill_gaps, seq_idx)
+    with open(args.output, "w") as fh:
+        fh.write(text)
+    print(f"Laced {len(files)} GFAs -> {args.output}", file=sys.stderr)
+    return 0
+
+
 def cmd_stats(args) -> int:
     index = _load_index(args)
     if args.list_sequences:
@@ -657,7 +687,8 @@ def build_parser() -> argparse.ArgumentParser:
     p_part.add_argument("--min-transitive-len", type=int, default=101)
     p_part.add_argument("--min-distance-between-ranges", type=int, default=10)
     p_part.add_argument(
-        "-o", "--output-format", default="bed", choices=["bed", "fasta"]
+        "-o", "--output-format", default="bed",
+        choices=["bed", "fasta", "gfa", "maf"],
     )
     p_part.add_argument("--sequence-files", action="append")
     p_part.add_argument("--output-folder")
@@ -721,6 +752,21 @@ def build_parser() -> argparse.ArgumentParser:
     p_sim.add_argument("--min-distance-between-ranges", type=int, default=10)
     p_sim.add_argument("--subset-sequence-list")
     p_sim.set_defaults(func=cmd_similarity)
+
+    p_lace = sub.add_parser(
+        "lace", help="Combine per-window GFAs into one graph"
+    )
+    p_lace.add_argument(
+        "--gfa-files", action="append", help="GFA files (repeat/comma-separate)"
+    )
+    p_lace.add_argument("--gfa-list", help="File listing GFA paths, one per line")
+    p_lace.add_argument("--output", required=True)
+    p_lace.add_argument(
+        "--fill-gaps", action="store_true",
+        help="Fill inter-range gaps from --sequence-files",
+    )
+    p_lace.add_argument("--sequence-files", action="append")
+    p_lace.set_defaults(func=cmd_lace)
 
     return ap
 

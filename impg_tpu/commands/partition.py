@@ -540,6 +540,15 @@ def partition_alignments(
                         output_folder,
                         sequence_index,
                     )
+                elif separate_files and output_format in ("gfa", "maf"):
+                    _write_partition_graph(
+                        partition_num,
+                        intervals,
+                        index,
+                        output_folder,
+                        sequence_index,
+                        output_format,
+                    )
                 else:
                     collected.append((partition_num, intervals))
                 log.info(
@@ -608,6 +617,33 @@ def _write_partition_fasta(
             fh.write(f">{name}:{s}-{e}\n")
             for i in range(0, len(seq), 80):
                 fh.write(seq[i : i + 80] + "\n")
+
+
+def _write_partition_graph(
+    partition_num: int,
+    intervals: list[PartitionInterval],
+    index: ImpgIndex,
+    output_folder: Optional[str],
+    sequence_index,
+    fmt: str,
+) -> None:
+    """Per-partition POA graph output (reference: write_partition_gfa)."""
+    if sequence_index is None:
+        raise ValueError(f"{fmt.upper()} partition output requires --sequence-files")
+    from impg_tpu.graph import region as region_mod
+
+    rows = [
+        Row(iv.seq_id, iv.first, iv.last, None, iv.seq_id, *iv.span())
+        for iv in intervals
+    ]
+    gen = {
+        "gfa": region_mod.generate_gfa,
+        "maf": region_mod.generate_maf,
+    }[fmt]
+    text = gen(index, rows, sequence_index)
+    path = _output_path(output_folder, f"partition{partition_num}.{fmt}")
+    with open(path, "w") as fh:
+        fh.write(text)
 
 
 def _write_single_partition_file(

@@ -1,0 +1,148 @@
+"""Lace: combining per-window GFAs (reference: commands/lace.rs)."""
+
+import random
+
+import pytest
+
+from impg_tpu.graph import lace
+from impg_tpu.graph.region import generate_gfa
+from impg_tpu.io.fasta import UnifiedSequenceIndex, reverse_complement
+from impg_tpu.query import engine
+from impg_tpu.query.merge import merge_query_adjusted_intervals
+from tests import datagen
+from tests.test_cli import run_cli
+from tests.test_fasta import make_fasta
+from tests.test_query import index_from_text
+
+
+def path_seqs(gfa_text: str) -> dict[str, str]:
+    segs, out = {}, {}
+    for line in gfa_text.splitlines():
+        f = line.split("\t")
+        if f[0] == "S":
+            segs[f[1]] = f[2]
+        elif f[0] == "P":
+            seq = ""
+            for step in f[2].split(","):
+                piece = segs[step[:-1]]
+                if step.endswith("-"):
+                    piece = reverse_complement(piece.encode()).decode()
+                seq += piece
+            out[f[1]] = seq
+    return out
+
+
+def test_split_path_name():
+    assert lace.split_path_name("chr1:100-200") == ("chr1", 100, 200)
+    assert lace.split_path_name("HG#1#chr1:0-5") == ("HG#1#chr1", 0, 5)
+    assert lace.split_path_name("plain") is None
+
+
+def test_sort_and_filter_ranges():
+    mk = lambda s, e: lace.RangeInfo(s, e, 0, [(0, False)])
+    ranges = [mk(100, 200), mk(0, 50), mk(100, 200), mk(120, 180), mk(150, 300)]
+    lace.sort_and_filter_ranges(ranges)
+    assert [(r.start, r.end) for r in ranges] == [(0, 50), (100, 200), (150, 300)]
+
+
+def region_gfa(index, seq_idx, tid, start, end):
+    rows = engine.query_transitive_bfs(index, tid, start, end, max_depth=3)
+    merge_query_adjusted_intervals(rows, 100, True)
+    return generate_gfa(index, rows, seq_idx)
+
+
+@pytest.fixture(scope="module")
+def windows(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("lace")
+    fa, paf, seqs, seq_data = make_fasta(tmp, seed=23)
+    index = index_from_text(open(paf).read())
+    seq_idx = UnifiedSequenceIndex.from_files([fa])
+    rid = index.seq_index.get_id("ref")
+    g1 = region_gfa(index, seq_idx, rid, 0, 700)
+    g2 = region_gfa(index, seq_idx, rid, 600, 1500)  # overlaps g1 by 100 on ref
+    return g1, g2, seqs, seq_data, fa
+
+
+def test_lace_overlapping_windows(windows):
+    g1, g2, seqs, seq_data, fa = windows
+    laced = lace.lace_gfas([g1, g2])
+    merged = path_seqs(laced)
+    assert merged
+    # Laced paths must spell the source sequence over their merged span.
+    for name, seq in merged.items():
+        parsed = lace.split_path_name(name)
+        assert parsed is not None, name
+        key, start, end = parsed
+        expected = seq_data[key][start:end]
+        assert seq in (
+            expected,
+            reverse_complement(expected.encode()).decode(),
+        ), f"{name}: laced path does not spell source"
+    # ref's windows are contiguous after trim -> single merged ref path.
+    ref_paths = [n for n in merged if n.startswith("ref:")]
+    assert ref_paths == ["ref:0-1500"]
+
+
+def test_lace_disjoint_windows_stay_separate(windows):
+    g1, g2, seqs, seq_data, fa = windows
+    # Shift the second window so a gap remains -> two ref paths.
+    laced = lace.lace_gfas([g1])
+    merged = path_seqs(laced)
+    assert any(n.startswith("ref:") for n in merged)
+
+
+def test_lace_gap_fill(tmp_path):
+    fa, paf, seqs, seq_data = make_fasta(tmp_path, seed=29)
+    index = index_from_text(open(paf).read())
+    seq_idx = UnifiedSequenceIndex.from_files([fa])
+    rid = index.seq_index.get_id("ref")
+    g1 = region_gfa(index, seq_idx, rid, 0, 500)
+    g2 = region_gfa(index, seq_idx, rid, 900, 1400)  # 400bp gap on ref
+    laced = lace.lace_gfas([g1, g2], fill_gaps=True, sequence_index=seq_idx)
+    merged = path_seqs(laced)
+    ref_paths = [n for n in merged if n.startswith("ref:")]
+    assert ref_paths == ["ref:0-1400"]
+    assert merged["ref:0-1400"] == seq_data["ref"][0:1400]
+
+
+def test_cli_lace(tmp_path, windows):
+    g1, g2, seqs, seq_data, fa = windows
+    p1, p2 = tmp_path / "w1.gfa", tmp_path / "w2.gfa"
+    p1.write_text(g1)
+    p2.write_text(g2)
+    out = tmp_path / "laced.gfa"
+    r = run_cli(
+        "lace", "--gfa-files", f"{p1},{p2}", "--output", str(out)
+    )
+    assert r.returncode == 0, r.stderr
+    merged = path_seqs(out.read_text())
+    assert any(n == "ref:0-1500" for n in merged)
+
+
+def test_partition_gfa_then_lace(tmp_path):
+    """Full pipeline: partition -> per-partition GFAs -> lace."""
+    fa, paf, seqs, seq_data = make_fasta(tmp_path, seed=31)
+    out = tmp_path / "parts"
+    r = run_cli(
+        "partition", "-a", paf, "-w", "800", "-d", "100",
+        "--min-missing-size", "100", "--min-boundary-distance", "100",
+        "--separate-files", "-o", "gfa", "--sequence-files", fa,
+        "--output-folder", str(out),
+    )
+    assert r.returncode == 0, r.stderr
+    gfas = sorted(out.glob("partition*.gfa"))
+    assert gfas
+    laced_out = tmp_path / "combined.gfa"
+    r = run_cli(
+        "lace", "--gfa-files", ",".join(str(g) for g in gfas),
+        "--output", str(laced_out),
+    )
+    assert r.returncode == 0, r.stderr
+    merged = path_seqs(laced_out.read_text())
+    # Every laced path spells its source slice.
+    for name, seq in merged.items():
+        key, start, end = lace.split_path_name(name)
+        expected = seq_data[key][start:end]
+        assert seq in (
+            expected, reverse_complement(expected.encode()).decode()
+        ), name
