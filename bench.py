@@ -40,30 +40,28 @@ MAX_DEPTH = 2
 
 
 def build_workload():
-    from impg_tpu.core.seqidx import SequenceIndex
-    from impg_tpu.index.impg_index import ImpgIndex
-    from impg_tpu.io import paf as paf_mod
-    import impg_tpu.core.arena as arena_mod
+    from impg_tpu.index.impg_index import ImpgIndex, load_or_build
     from tests import datagen
 
-    rng = random.Random(20260817)
-    text, seqs, alns = datagen.mutate_chain_paf(
-        rng, n_seqs=N_SEQS, seq_len=SEQ_LEN
-    )
-    seq_index = SequenceIndex()
-    recs = paf_mod.parse_paf_bytes(text.encode(), seq_index)
-    records, arena = arena_mod.build_directed(
-        query_id=recs.query_id,
-        q_start=recs.q_start,
-        q_end=recs.q_end,
-        target_id=recs.target_id,
-        t_start=recs.t_start,
-        t_end=recs.t_end,
-        strand=recs.strand,
-        runs=recs.runs,
-        run_offsets=recs.run_offsets,
-    )
-    index = ImpgIndex._finalize(seq_index, records, arena, ["<synthetic>"])
+    # Cache the synthetic PAF so repeated bench runs measure the engine,
+    # not Python data generation.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    tag = f"pangenome_{N_SEQS}x{SEQ_LEN}"
+    paf_path = os.path.join(cache_dir, tag + ".paf")
+    if not os.path.exists(paf_path):
+        rng = random.Random(20260817)
+        text, seqs, alns = datagen.pangenome_paf(
+            rng, n_seqs=N_SEQS, seq_len=SEQ_LEN
+        )
+        with open(paf_path, "w") as fh:
+            fh.write(text)
+    index = load_or_build([paf_path])
+    seqs = {
+        index.seq_index.get_name(i): index.seq_index.get_len_from_id(i)
+        for i in range(len(index.seq_index))
+    }
 
     qrng = np.random.default_rng(7)
     names = list(seqs)

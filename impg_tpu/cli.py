@@ -110,6 +110,34 @@ def cmd_query(args) -> int:
 
     out = open(args.output, "w") if args.output else sys.stdout
     fmt = args.output_format
+    gfa_stages = []
+    if fmt.startswith("gfa:"):
+        from impg_tpu.graph.pipeline import GraphPipelineSpec
+
+        try:
+            spec = GraphPipelineSpec.parse(fmt)
+        except ValueError as e:
+            print(f"error: invalid -o pipeline spec: {e}", file=sys.stderr)
+            return 2
+        fmt = "gfa"
+        supported = {"gfa", "sort"}
+        for stage in spec.stages[1:]:
+            if stage.name not in supported:
+                print(
+                    f"error: unsupported gfa pipeline stage '{stage.name}' "
+                    f"(supported: {', '.join(sorted(supported - {'gfa'}))})",
+                    file=sys.stderr,
+                )
+                return 2
+            gfa_stages.append(stage)
+    valid_formats = {"bed", "bedpe", "paf", "fasta", "gfa", "maf", "fasta-aln"}
+    if fmt not in valid_formats:
+        print(
+            f"error: invalid output format '{fmt}' "
+            f"(choose from {', '.join(sorted(valid_formats))})",
+            file=sys.stderr,
+        )
+        return 2
     store_cigar = fmt in ("paf", "bedpe")
     merge_strands = not args.consider_strandness  # BED default merges strands
 
@@ -301,7 +329,16 @@ def cmd_query(args) -> int:
                         "maf": region_mod.generate_maf,
                         "fasta-aln": region_mod.generate_fasta_aln,
                     }[fmt]
-                    out.write(gen(index, results, seq_idx, scoring))
+                    text = gen(index, results, seq_idx, scoring)
+                    if gfa_stages:
+                        from impg_tpu.graph import gfa as gfa_mod
+
+                        g = gfa_mod.Gfa.parse(text)
+                        for stage in gfa_stages:
+                            if stage.name == "sort":
+                                g = gfa_mod.topological_sort(g)
+                        text = g.write()
+                    out.write(text)
             else:
                 print(f"error: unsupported output format '{fmt}'", file=sys.stderr)
                 return 2
@@ -574,6 +611,20 @@ def cmd_lace(args) -> int:
     return 0
 
 
+def cmd_graph_report(args) -> int:
+    from impg_tpu.graph import gfa as gfa_mod
+
+    if args.gfa == "-":
+        text = sys.stdin.read()
+    else:
+        with open(args.gfa) as fh:
+            text = fh.read()
+    g = gfa_mod.Gfa.parse(text)
+    rep = gfa_mod.report(g)
+    sys.stdout.write(gfa_mod.report_text(rep, args.format))
+    return 0
+
+
 def cmd_stats(args) -> int:
     index = _load_index(args)
     if args.list_sequences:
@@ -625,7 +676,8 @@ def build_parser() -> argparse.ArgumentParser:
         "-o",
         "--output-format",
         default="bed",
-        choices=["bed", "bedpe", "paf", "fasta", "gfa", "maf", "fasta-aln"],
+        help="bed | bedpe | paf | fasta | gfa | maf | fasta-aln; 'gfa' also "
+        "accepts a pipeline spec like 'gfa:sort' (graph_pipeline.rs grammar)",
     )
     p_query.add_argument("--poa-scoring", default="1,4,6,2,26,1")
     p_query.add_argument(
@@ -767,6 +819,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_lace.add_argument("--sequence-files", action="append")
     p_lace.set_defaults(func=cmd_lace)
+
+    p_rep = sub.add_parser("graph-report", help="Characterize a GFA graph")
+    p_rep.add_argument("gfa", help="GFA file (or - for stdin)")
+    p_rep.add_argument(
+        "--format", default="md", choices=["md", "json", "tsv"]
+    )
+    p_rep.set_defaults(func=cmd_graph_report)
 
     return ap
 

@@ -1,0 +1,217 @@
+"""GFA parsing, statistics/report, and topological sort.
+
+Covers the round-1 slices of the reference's GFA post-processing stack:
+  - `parse` / `write`: S/L/P round-trip (blunt GFAs, 0M overlaps);
+  - `topological_sort`: stable Kahn order with renumbering (the `s` stage of
+    the reference's gfasort Ygs pipeline, graph.rs:893-971);
+  - `report`: graph characterization metrics (node/edge/path counts, length
+    and degree distributions, per-node path depth buckets — the core of
+    graph_report.rs:307 describe_gfa).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class Gfa:
+    segments: dict[str, str] = field(default_factory=dict)  # id -> seq
+    links: list[tuple[str, bool, str, bool]] = field(default_factory=list)
+    paths: list[tuple[str, list[tuple[str, bool]]]] = field(default_factory=list)
+    header: str = "H\tVN:Z:1.0"
+
+    @classmethod
+    def parse(cls, text: str) -> "Gfa":
+        g = cls()
+        for line in text.splitlines():
+            if not line or line.startswith("#"):
+                continue
+            f = line.split("\t")
+            if f[0] == "H":
+                g.header = line
+            elif f[0] == "S" and len(f) >= 3:
+                g.segments[f[1]] = f[2]
+            elif f[0] == "L" and len(f) >= 6:
+                g.links.append((f[1], f[2] == "-", f[3], f[4] == "-"))
+            elif f[0] == "P" and len(f) >= 3:
+                steps = [(s[:-1], s.endswith("-")) for s in f[2].split(",") if s]
+                g.paths.append((f[1], steps))
+        return g
+
+    def write(self) -> str:
+        lines = [self.header]
+        for sid, seq in self.segments.items():
+            lines.append(f"S\t{sid}\t{seq}")
+        for a, ar, b, br in self.links:
+            lines.append(
+                f"L\t{a}\t{'-' if ar else '+'}\t{b}\t{'-' if br else '+'}\t0M"
+            )
+        for name, steps in self.paths:
+            walk = ",".join(f"{s}{'-' if r else '+'}" for s, r in steps)
+            lines.append(f"P\t{name}\t{walk}\t*")
+        return "\n".join(lines) + "\n"
+
+
+def topological_sort(gfa: Gfa) -> Gfa:
+    """Renumber segments 1..N in stable topological order (links treated as
+    undirected-orientation DAG edges from->to; cycles broken by input order)."""
+    order: list[str] = []
+    indeg: dict[str, int] = {sid: 0 for sid in gfa.segments}
+    succs: dict[str, list[str]] = {sid: [] for sid in gfa.segments}
+    for a, _, b, _ in gfa.links:
+        if a in indeg and b in indeg and a != b:
+            succs[a].append(b)
+            indeg[b] += 1
+    ready = sorted(
+        (sid for sid, d in indeg.items() if d == 0),
+        key=lambda s: _numeric_key(s),
+    )
+    seen = set()
+    while ready:
+        v = ready.pop(0)
+        if v in seen:
+            continue
+        seen.add(v)
+        order.append(v)
+        newly = []
+        for w in succs[v]:
+            indeg[w] -= 1
+            if indeg[w] == 0:
+                newly.append(w)
+        ready.extend(sorted(newly, key=_numeric_key))
+    # Cycle remnants: append in input order.
+    for sid in gfa.segments:
+        if sid not in seen:
+            order.append(sid)
+
+    rename = {old: str(i + 1) for i, old in enumerate(order)}
+    out = Gfa(header=gfa.header)
+    for old in order:
+        out.segments[rename[old]] = gfa.segments[old]
+    out.links = [
+        (rename[a], ar, rename[b], br)
+        for a, ar, b, br in gfa.links
+        if a in rename and b in rename
+    ]
+    out.paths = [
+        (name, [(rename[s], r) for s, r in steps if s in rename])
+        for name, steps in gfa.paths
+    ]
+    return out
+
+
+def _numeric_key(s: str):
+    try:
+        return (0, int(s), "")
+    except ValueError:
+        return (1, 0, s)
+
+
+def report(gfa: Gfa) -> dict:
+    """Graph characterization metrics (graph_report.rs core)."""
+    n_nodes = len(gfa.segments)
+    node_lens = [len(s) for s in gfa.segments.values()]
+    total_len = sum(node_lens)
+    degree_out: dict[str, int] = {}
+    degree_in: dict[str, int] = {}
+    for a, _, b, _ in gfa.links:
+        degree_out[a] = degree_out.get(a, 0) + 1
+        degree_in[b] = degree_in.get(b, 0) + 1
+
+    depth: dict[str, int] = {}
+    path_lens = []
+    for _, steps in gfa.paths:
+        plen = 0
+        for sid, _ in steps:
+            depth[sid] = depth.get(sid, 0) + 1
+            plen += len(gfa.segments.get(sid, ""))
+        path_lens.append(plen)
+
+    depth_values = [depth.get(sid, 0) for sid in gfa.segments]
+    buckets = {"0": 0, "1": 0, "2-4": 0, "5-9": 0, "10+": 0}
+    for d in depth_values:
+        if d == 0:
+            buckets["0"] += 1
+        elif d == 1:
+            buckets["1"] += 1
+        elif d < 5:
+            buckets["2-4"] += 1
+        elif d < 10:
+            buckets["5-9"] += 1
+        else:
+            buckets["10+"] += 1
+
+    def stats(vals):
+        if not vals:
+            return dict(min=0, max=0, mean=0.0, median=0)
+        sv = sorted(vals)
+        return dict(
+            min=sv[0],
+            max=sv[-1],
+            mean=round(sum(sv) / len(sv), 2),
+            median=sv[len(sv) // 2],
+        )
+
+    branching = sum(
+        1 for sid in gfa.segments if degree_out.get(sid, 0) > 1
+    )
+    merging = sum(1 for sid in gfa.segments if degree_in.get(sid, 0) > 1)
+
+    return {
+        "nodes": n_nodes,
+        "edges": len(gfa.links),
+        "paths": len(gfa.paths),
+        "total_segment_bp": total_len,
+        "node_length": stats(node_lens),
+        "path_length_bp": stats(path_lens),
+        "node_depth": stats(depth_values),
+        "depth_buckets": buckets,
+        "branching_nodes": branching,
+        "merging_nodes": merging,
+        "mean_depth": round(
+            sum(d * len(gfa.segments.get(s, "")) for s, d in depth.items())
+            / total_len,
+            3,
+        )
+        if total_len
+        else 0.0,
+    }
+
+
+def report_text(rep: dict, fmt: str = "md") -> str:
+    if fmt == "json":
+        return json.dumps(rep, indent=2) + "\n"
+    if fmt == "tsv":
+        lines = []
+
+        def flat(prefix, obj):
+            for k, v in obj.items():
+                if isinstance(v, dict):
+                    flat(f"{prefix}{k}.", v)
+                else:
+                    lines.append(f"{prefix}{k}\t{v}")
+
+        flat("", rep)
+        return "\n".join(lines) + "\n"
+    # markdown
+    out = ["# Graph report", ""]
+    out.append(f"- nodes: {rep['nodes']}")
+    out.append(f"- edges: {rep['edges']}")
+    out.append(f"- paths: {rep['paths']}")
+    out.append(f"- total segment bp: {rep['total_segment_bp']}")
+    out.append(f"- mean path depth (bp-weighted): {rep['mean_depth']}")
+    out.append(
+        f"- node length: min {rep['node_length']['min']}, "
+        f"median {rep['node_length']['median']}, max {rep['node_length']['max']}"
+    )
+    out.append(
+        f"- branching nodes: {rep['branching_nodes']}, "
+        f"merging nodes: {rep['merging_nodes']}"
+    )
+    out.append("- depth buckets: " + ", ".join(
+        f"{k}: {v}" for k, v in rep["depth_buckets"].items()
+    ))
+    return "\n".join(out) + "\n"

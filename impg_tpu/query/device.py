@@ -306,11 +306,28 @@ jax.tree_util.register_pytree_node(
 
 
 class DeviceEngine:
-    """Host-facing wrapper: window-capacity management + numpy in/out."""
+    """Host-facing wrapper: window-capacity management + numpy in/out.
 
-    def __init__(self, index: ImpgIndex, initial_capacity: int = 32):
+    Every batch is padded/split to one fixed chunk length so the jitted step
+    compiles exactly once per (chunk, k_max) pair — compile latency through a
+    remote-compile TPU link dwarfs any padding waste.  k_max is seeded from
+    the largest per-target record count (windows can never exceed it), capped
+    to keep the dense grid bounded.
+    """
+
+    def __init__(
+        self,
+        index: ImpgIndex,
+        initial_capacity: int | None = None,
+        chunk: int = 1024,
+    ):
         self.index = index
         self.dindex = DeviceIndex.build(index)
+        self.chunk = chunk
+        if initial_capacity is None:
+            tree_sizes = np.diff(index.tgt_offsets)
+            max_tree = int(tree_sizes.max()) if tree_sizes.size else 1
+            initial_capacity = 1 << _iters_for(min(max_tree, 128))
         self.k_max = initial_capacity
 
     def query_batch(
@@ -323,57 +340,89 @@ class DeviceEngine:
         """Run one batched query step; returns compact numpy arrays of hits."""
         return self.query_batches([(q_tid, q_s, q_e)], clip_overlap)[0]
 
-    @staticmethod
-    def _pad_batch(b):
-        """Pad a (tid, s, e) batch to a power-of-two length with inert
-        queries (tid=-1 windows are empty), so frontier-sized batches reuse
-        compiled executables instead of recompiling per length."""
+    def _chunk_batch(self, b):
+        """Split a (tid, s, e) batch into fixed-size chunks, padding the tail
+        with inert queries (tid=-1 windows are empty).  One chunk length =
+        one compiled executable."""
         n = len(b[0])
-        n_pad = 1 << max(5, int(np.ceil(np.log2(max(n, 1)))))
-        if n_pad == n:
-            return tuple(jnp.asarray(a, jnp.int32) for a in b)
-        out = []
-        for i, a in enumerate(b):
-            pad = np.full(n_pad, -1 if i == 0 else 0, np.int32)
-            pad[:n] = np.asarray(a, np.int32)
-            out.append(jnp.asarray(pad))
-        return tuple(out)
+        arrays = [np.asarray(a, np.int32) for a in b]
+        chunks = []
+        for off in range(0, max(n, 1), self.chunk):
+            end = min(off + self.chunk, n)
+            cnt = end - off
+            cols = []
+            for i, a in enumerate(arrays):
+                pad = np.full(self.chunk, -1 if i == 0 else 0, np.int32)
+                pad[:cnt] = a[off:end]
+                cols.append(jnp.asarray(pad))
+            chunks.append((off, cnt, tuple(cols)))
+        return chunks
 
     def query_batches(self, batches: list, clip_overlap: bool = False) -> list[dict]:
         """Pipelined execution of many batches: dispatch all steps, then fetch.
 
         Overlaps device compute/transfer latency across batches; window
-        overflows are detected after the fact and those batches re-run.
+        overflows are detected after the fact and those chunks re-run.
         """
-        dev_batches = [self._pad_batch(b) for b in batches]
-        results: list = [None] * len(batches)
-        pending = list(range(len(batches)))
+        per_batch_chunks = [self._chunk_batch(b) for b in batches]
+        flat = [
+            (bi, off, cnt, cols)
+            for bi, chunks in enumerate(per_batch_chunks)
+            for off, cnt, cols in chunks
+        ]
+        outputs: dict = {}
+        pending = list(range(len(flat)))
         while pending:
             k_max = self.k_max
             inflight = [
                 (
-                    i,
+                    fi,
                     query_step(
                         self.dindex,
-                        *dev_batches[i],
+                        *flat[fi][3],
                         k_max=k_max,
                         clip_overlap=clip_overlap,
                     ),
                 )
-                for i in pending
+                for fi in pending
             ]
             retry = []
-            for i, (scalars, mat) in inflight:
+            for fi, (scalars, mat) in inflight:
                 s_host = np.asarray(scalars)
                 if s_host[0] > k_max:
-                    retry.append(i)
+                    retry.append(fi)
                     while self.k_max < int(s_host[0]):
                         self.k_max *= 2
                     continue
                 out = unpack_result(s_host, np.asarray(mat))
                 keep = out["valid"]
-                results[i] = {
+                outputs[fi] = {
                     k: (v[keep] if np.ndim(v) else v) for k, v in out.items()
                 }
             pending = retry
+
+        results = []
+        for bi, chunks in enumerate(per_batch_chunks):
+            parts = [
+                outputs[fi]
+                for fi, (fbi, off, cnt, _) in enumerate(flat)
+                if fbi == bi
+            ]
+            offs = [off for fbi, off, cnt, _ in flat if fbi == bi]
+            merged: dict = {}
+            for key in parts[0]:
+                if np.ndim(parts[0][key]) == 0:
+                    merged[key] = parts[0][key]
+                    continue
+                cols = []
+                for p, off in zip(parts, offs):
+                    col = p[key]
+                    if key == "pair_q":
+                        col = col + off
+                    cols.append(col)
+                merged[key] = np.concatenate(cols)
+            merged["n_hits"] = np.int32(
+                sum(int(p["n_hits"]) for p in parts)
+            )
+            results.append(merged)
         return results

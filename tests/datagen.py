@@ -201,6 +201,73 @@ def mutate_chain_paf(
     return text, seqs, alns
 
 
+def pangenome_paf(
+    rng: random.Random, n_seqs=40, seq_len=400_000, cross_links=2
+):
+    """A denser pangenome: a mutation chain plus `cross_links` extra
+    alignments per sequence to random ancestors (composed edit scripts),
+    giving realistic interval-tree fan-out for benchmarking."""
+    text, seqs, alns, seq_data = mutate_chain_paf(
+        rng, n_seqs=n_seqs, seq_len=seq_len, return_sequences=True
+    )
+    names = list(seqs)
+    extra = []
+    for i, name in enumerate(names):
+        for _ in range(cross_links):
+            j = rng.randrange(len(names))
+            if j == i:
+                continue
+            other = names[j]
+            # Align a random window of `name` to `other` approximately by
+            # generating a fresh edit script from other's window.
+            o_len = seqs[other]
+            w = min(rng.randint(o_len // 4, o_len // 2), o_len)
+            t_start = rng.randint(0, o_len - w)
+            ops = []
+            t_pos = 0
+            q_len = 0
+            while t_pos < w:
+                kind = rng.random()
+                if kind < 0.85:
+                    length = min(rng.randint(50, 400), w - t_pos)
+                    ops.append((length, "="))
+                    t_pos += length
+                    q_len += length
+                elif kind < 0.92:
+                    length = min(rng.randint(1, 4), w - t_pos)
+                    ops.append((length, "X"))
+                    t_pos += length
+                    q_len += length
+                elif kind < 0.96:
+                    length = rng.randint(1, 30)
+                    ops.append((length, "I"))
+                    q_len += length
+                else:
+                    length = min(rng.randint(1, 30), w - t_pos)
+                    ops.append((length, "D"))
+                    t_pos += length
+            n_len = seqs[name]
+            if q_len >= n_len:
+                continue
+            q_start = rng.randint(0, n_len - q_len)
+            extra.append(
+                dict(
+                    qname=name, qstart=q_start, qend=q_start + q_len,
+                    strand=rng.choice("++-"), tname=other,
+                    tstart=t_start, tend=t_start + w, ops=ops,
+                )
+            )
+    alns = alns + extra
+    lines = [
+        make_paf_line(
+            a["qname"], seqs[a["qname"]], a["qstart"], a["qend"], a["strand"],
+            a["tname"], seqs[a["tname"]], a["tstart"], a["tend"], a["ops"],
+        )
+        for a in alns
+    ]
+    return "\n".join(lines) + "\n", seqs, alns
+
+
 def write_fasta(path: str, seq_data: dict, width: int = 60) -> None:
     with open(path, "w") as fh:
         for name, seq in seq_data.items():

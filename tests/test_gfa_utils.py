@@ -1,0 +1,106 @@
+"""GFA utilities: pipeline DSL, topological sort, graph report."""
+
+import json
+
+import pytest
+
+from impg_tpu.graph.gfa import Gfa, report, report_text, topological_sort
+from impg_tpu.graph.pipeline import GraphPipelineSpec
+from tests.test_cli import run_cli
+from tests.test_fasta import make_fasta
+from tests.test_lace import path_seqs
+
+
+def test_pipeline_spec_parse():
+    spec = GraphPipelineSpec.parse("gfa:poa,scoring=1/4/6/2:sort")
+    assert [s.name for s in spec.stages] == ["gfa", "poa", "sort"]
+    assert spec.stages[1].param("scoring") == "1/4/6/2"
+    assert spec.to_spec() == "gfa:poa,scoring=1/4/6/2:sort"
+    with pytest.raises(ValueError):
+        GraphPipelineSpec.parse("")
+    with pytest.raises(ValueError):
+        GraphPipelineSpec.parse("gfa::x")
+    with pytest.raises(ValueError):
+        GraphPipelineSpec.parse("gfa:poa,scoring")
+    with pytest.raises(ValueError):
+        GraphPipelineSpec.parse("gfa:poa,k=1,k=2")
+
+
+GFA_TEXT = """H\tVN:Z:1.0
+S\t10\tACGT
+S\t20\tA
+S\t30\tG
+S\t40\tTTTT
+L\t10\t+\t20\t+\t0M
+L\t10\t+\t30\t+\t0M
+L\t20\t+\t40\t+\t0M
+L\t30\t+\t40\t+\t0M
+P\tx:0-9\t10+,20+,40+\t*
+P\ty:0-9\t10+,30+,40+\t*
+"""
+
+
+def test_topological_sort_renumbers():
+    g = Gfa.parse(GFA_TEXT)
+    s = topological_sort(g)
+    assert list(s.segments.keys()) == ["1", "2", "3", "4"]
+    assert s.segments["1"] == "ACGT"
+    assert s.segments["4"] == "TTTT"
+    # Paths still spell the same sequences.
+    assert path_seqs(s.write()) == path_seqs(GFA_TEXT)
+    # Edges all go from lower to higher rank (DAG).
+    for a, _, b, _ in s.links:
+        assert int(a) < int(b)
+
+
+def test_report_metrics():
+    g = Gfa.parse(GFA_TEXT)
+    rep = report(g)
+    assert rep["nodes"] == 4
+    assert rep["edges"] == 4
+    assert rep["paths"] == 2
+    assert rep["total_segment_bp"] == 10
+    assert rep["branching_nodes"] == 1  # node 10
+    assert rep["merging_nodes"] == 1  # node 40
+    assert rep["depth_buckets"]["1"] == 2  # nodes 20, 30
+    assert rep["depth_buckets"]["2-4"] == 2  # nodes 10, 40
+    for fmt in ("md", "json", "tsv"):
+        text = report_text(rep, fmt)
+        assert text
+    parsed = json.loads(report_text(rep, "json"))
+    assert parsed["nodes"] == 4
+
+
+def test_cli_graph_report_and_sorted_gfa(tmp_path):
+    fa, paf, seqs, seq_data = make_fasta(tmp_path)
+    r = run_cli(
+        "query", "-a", paf, "-r", "ref:100-900", "-d", "100", "-x",
+        "-o", "gfa:sort", "--sequence-files", fa,
+    )
+    assert r.returncode == 0, r.stderr
+    # Sorted: S ids are 1..N in order.
+    s_ids = [l.split("\t")[1] for l in r.stdout.splitlines() if l.startswith("S")]
+    assert s_ids == [str(i + 1) for i in range(len(s_ids))]
+    # Paths still reconstruct their sequences.
+    for name, seq in path_seqs(r.stdout).items():
+        key, rng_part = name.rsplit(":", 1)
+        s, e = map(int, rng_part.split("-"))
+        from impg_tpu.io.fasta import reverse_complement
+
+        expected = seq_data[key][s:e]
+        assert seq in (expected, reverse_complement(expected.encode()).decode())
+
+    gfa_file = tmp_path / "g.gfa"
+    gfa_file.write_text(r.stdout)
+    rep = run_cli("graph-report", str(gfa_file), "--format", "json")
+    assert rep.returncode == 0, rep.stderr
+    data = json.loads(rep.stdout)
+    assert data["nodes"] == len(s_ids)
+    assert data["paths"] >= 2
+
+    bad = run_cli(
+        "query", "-a", paf, "-r", "ref:100-900", "-d", "100", "-o",
+        "gfa:bogus", "--sequence-files", fa,
+    )
+    assert bad.returncode == 2
+    assert "unsupported" in bad.stderr
