@@ -130,7 +130,9 @@ def cmd_query(args) -> int:
                 )
                 return 2
             gfa_stages.append(stage)
-    valid_formats = {"bed", "bedpe", "paf", "fasta", "gfa", "maf", "fasta-aln"}
+    valid_formats = {
+        "bed", "bedpe", "paf", "fasta", "fasta+paf", "gfa", "maf", "fasta-aln",
+    }
     if fmt not in valid_formats:
         print(
             f"error: invalid output format '{fmt}' "
@@ -138,7 +140,7 @@ def cmd_query(args) -> int:
             file=sys.stderr,
         )
         return 2
-    store_cigar = fmt in ("paf", "bedpe")
+    store_cigar = fmt in ("paf", "bedpe", "fasta+paf")
     merge_strands = not args.consider_strandness  # BED default merges strands
 
     device_engine = None
@@ -279,6 +281,31 @@ def cmd_query(args) -> int:
                     out,
                     name,
                     merge_distance,
+                    args.original_sequence_coordinates,
+                )
+            elif fmt == "fasta+paf":
+                if not args.sequence_files:
+                    print(
+                        "error: -o fasta+paf requires --sequence-files",
+                        file=sys.stderr,
+                    )
+                    return 2
+                from impg_tpu.io.fasta import UnifiedSequenceIndex
+
+                files = []
+                for entry in args.sequence_files:
+                    files.extend(x for x in entry.split(",") if x)
+                seq_idx = UnifiedSequenceIndex.from_files(files)
+                # FASTA part (self row included, strands separate), then PAF
+                # over the SAME (fasta-merged) results without the self row —
+                # matching the reference's in-place flow (main.rs:7601-7623).
+                outputs.write_fasta(
+                    index.seq_index, results, out, seq_idx,
+                    merge_distance, False, args.reverse_complement,
+                )
+                results.pop(0)
+                outputs.write_paf(
+                    index.seq_index, results, out, name, merge_distance,
                     args.original_sequence_coordinates,
                 )
             elif fmt in ("fasta", "gfa", "maf", "fasta-aln"):

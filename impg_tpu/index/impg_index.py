@@ -162,8 +162,20 @@ class ImpgIndex:
 
 
 def index_path_for(paf_paths: list[str]) -> str:
-    """Default index artifact path for a set of alignment files."""
-    return paf_paths[0] + INDEX_SUFFIX
+    """Default index artifact path for a set of alignment files.
+
+    Single file: `<file>.impgt` next to it.  Multiple files: the name embeds
+    a digest of the full sorted path list so different sets never share an
+    artifact.
+    """
+    if len(paf_paths) == 1:
+        return paf_paths[0] + INDEX_SUFFIX
+    import hashlib
+
+    digest = hashlib.sha256(
+        "\0".join(sorted(paf_paths)).encode()
+    ).hexdigest()[:12]
+    return f"{paf_paths[0]}.multi-{digest}{INDEX_SUFFIX}"
 
 
 def load_or_build(

@@ -127,3 +127,32 @@ def test_partition_fasta_output(tmp_path):
             assert seq == seq_data[name][s:e]
             total += e - s
     assert total == sum(seqs.values())
+
+
+def test_cli_fasta_plus_paf(tmp_path):
+    fa, paf, seqs, seq_data = make_fasta(tmp_path)
+    r = run_cli(
+        "query", "-a", paf, "-r", "ref:100-700", "-d", "100", "-o",
+        "fasta+paf", "--sequence-files", fa,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert any(l.startswith(">") for l in lines)
+    paf_lines = [l for l in lines if "\tcg:Z:" in l]
+    assert paf_lines
+    for l in paf_lines:
+        assert len(l.split("\t")) >= 16
+
+
+def test_multi_file_index_cache_distinct(tmp_path):
+    import random
+    from impg_tpu.index.impg_index import index_path_for
+
+    rng = random.Random(3)
+    t1, _, _ = datagen.random_paf(rng, n_seqs=3, n_alns=5, n_ops=5)
+    t2, _, _ = datagen.random_paf(rng, n_seqs=3, n_alns=5, n_ops=5)
+    p1, p2, p3 = (str(tmp_path / f"{n}.paf") for n in "abc")
+    for p, t in ((p1, t1), (p2, t2), (p3, t1)):
+        open(p, "w").write(t)
+    assert index_path_for([p1]) == p1 + ".impgt"
+    assert index_path_for([p1, p2]) != index_path_for([p1, p3])
