@@ -94,6 +94,12 @@ def cmd_query(args) -> int:
         return 2
     merge_distance = -1 if args.no_merge else bed_mod.parse_size(args.merge_distance)
 
+    # `-a <prefix>.syngt` auto-routes to the alignment-free syng backend
+    # (reference: resolve_syng_prefix, main.rs:4634).
+    files = _alignment_files(args)
+    if len(files) == 1 and files[0].endswith(".syngt"):
+        return _syng_query(args, merge_distance)
+
     index = _load_index(args)
 
     if args.target_bed:
@@ -638,6 +644,86 @@ def cmd_lace(args) -> int:
     return 0
 
 
+def cmd_syng(args) -> int:
+    from impg_tpu.syng.index import SyngIndex
+
+    files = []
+    for entry in args.fasta_files:
+        files.extend(x for x in entry.split(",") if x)
+    idx = SyngIndex.build_from_fasta(
+        files, k=args.syncmer_k, w=args.syncmer_w, seed=args.syncmer_seed
+    )
+    path = idx.save(args.output)
+    print(
+        f"Indexed {idx.occ_ids.size} syncmer occurrences over "
+        f"{len(idx.seq_index)} sequences -> {path}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def _syng_query(args, merge_distance: int) -> int:
+    """Query routing for `-a <prefix>.syngt` (alignment-free backend)."""
+    from impg_tpu.query import engine as engine_mod
+    from impg_tpu.query import outputs
+    from impg_tpu.syng.index import SyngIndex
+
+    fmt = args.output_format
+    if fmt not in ("bed", "bedpe"):
+        print(
+            "error: the syng backend currently supports bed/bedpe output",
+            file=sys.stderr,
+        )
+        return 2
+    syng = SyngIndex.load(_alignment_files(args)[0])
+    if args.target_bed:
+        targets = bed_mod.parse_bed_file(args.target_bed)
+    else:
+        targets = [bed_mod.parse_target_range(args.target_range)]
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        for target_name, (start, end), name in targets:
+            qid = syng.seq_index.get_id(target_name)
+            if qid is None:
+                print(
+                    f"error: sequence '{target_name}' not found in syng index",
+                    file=sys.stderr,
+                )
+                return 1
+            intervals = syng.query_region(target_name, start, end)
+            # Mirror syng_intervals_to_adjusted (main.rs:11728): homolog
+            # interval (reversed coords on '-') + empty CIGAR + query range.
+            rows = [
+                engine_mod.Row(qid, start, end, None, qid, start, end)
+            ]
+            for iv in intervals:
+                hid = syng.seq_index.get_id(iv.genome)
+                if hid is None:
+                    continue
+                if iv.strand == "-":
+                    rows.append(
+                        engine_mod.Row(hid, iv.end, iv.start, None, qid, start, end)
+                    )
+                else:
+                    rows.append(
+                        engine_mod.Row(hid, iv.start, iv.end, None, qid, start, end)
+                    )
+            if fmt == "bed":
+                outputs.write_bed(
+                    syng.seq_index, rows, out, name, merge_distance,
+                    not args.consider_strandness,
+                )
+            else:
+                rows.pop(0)
+                outputs.write_bedpe(
+                    syng.seq_index, rows, out, name, merge_distance
+                )
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
 def cmd_graph_report(args) -> int:
     from impg_tpu.graph import gfa as gfa_mod
 
@@ -846,6 +932,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_lace.add_argument("--sequence-files", action="append")
     p_lace.set_defaults(func=cmd_lace)
+
+    p_syng = sub.add_parser(
+        "syng", help="Build a syncmer-anchor alignment-free index"
+    )
+    p_syng.add_argument(
+        "-f", "--fasta-files", required=True, action="append",
+        help="FASTA file(s) to index (repeat/comma-separate)",
+    )
+    p_syng.add_argument("-o", "--output", required=True, help="Index prefix")
+    p_syng.add_argument("--syncmer-k", type=int, default=8)
+    p_syng.add_argument("--syncmer-w", type=int, default=55)
+    p_syng.add_argument("--syncmer-seed", type=int, default=7)
+    p_syng.set_defaults(func=cmd_syng)
 
     p_rep = sub.add_parser("graph-report", help="Characterize a GFA graph")
     p_rep.add_argument("gfa", help="GFA file (or - for stdin)")

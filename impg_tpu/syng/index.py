@@ -1,0 +1,271 @@
+"""Syncmer-anchor alignment-free index (the syng backend's first layer).
+
+The reference's syng backend (syng.rs:2249 SyngIndex) answers homology
+queries from a syncmer GBWT with sampled-position sidecars.  This round-1
+layer implements the anchor machinery TPU-style, without the GBWT yet:
+
+  - every sequence's closed syncmers (ops/syncmer.py) go into one global
+    occurrence table sorted by syncmer id — flat SoA arrays, binary-search
+    lookup (the tensor layout the device engine consumes);
+  - `query_region` extracts the region's syncmers, gathers all occurrences,
+    applies a seed-frequency filter (drop the most frequent query seeds,
+    reference SyngSeedFilter syng.rs:1866), groups hits per (sequence,
+    relative strand), and merges anchor positions within a gap budget into
+    homologous intervals — the reference's raw query mode (--syng-raw,
+    README.md:418).
+
+Artifact: `<prefix>.syngt` (npz) with the occurrence table + name index.
+GBWT construction, transitive hops with chaining, and boundary realignment
+arrive with the native GBWT in a later round.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from impg_tpu.core.seqidx import SequenceIndex
+from impg_tpu.ops import syncmer as syncmer_mod
+
+SYNG_SUFFIX = ".syngt"
+INDEX_VERSION = 1
+
+
+@dataclass
+class HomologousInterval:
+    genome: str
+    start: int
+    end: int
+    strand: str
+    n_anchors: int
+
+
+@dataclass
+class SyngIndex:
+    seq_index: SequenceIndex
+    # Occurrence table sorted by (id, seq, pos):
+    occ_ids: np.ndarray  # uint64 [n]
+    occ_seq: np.ndarray  # int32 [n]
+    occ_pos: np.ndarray  # int64 [n]
+    occ_fwd: np.ndarray  # bool [n]
+    k: int
+    w: int
+    seed: int
+    # Secondary (seq, pos)-sorted view for region slicing (built lazily).
+    _pos_order: np.ndarray | None = None
+    _seq_offsets: np.ndarray | None = None
+
+    @property
+    def syncmer_len(self) -> int:
+        return self.w + self.k
+
+    def _ensure_pos_view(self) -> None:
+        if self._pos_order is None:
+            self._pos_order = np.lexsort((self.occ_pos, self.occ_seq))
+            seq_sorted = self.occ_seq[self._pos_order]
+            n_seqs = len(self.seq_index)
+            self._seq_offsets = np.searchsorted(
+                seq_sorted, np.arange(n_seqs + 1), side="left"
+            ).astype(np.int64)
+
+    def region_syncmers(self, name: str, start: int, end: int):
+        """(abs positions, ids, fwd) of indexed syncmers fully inside the
+        region — the query seed set (reference walks the path range,
+        syng.rs:4301)."""
+        sid = self.seq_index.get_id(name)
+        if sid is None:
+            raise KeyError(f"Sequence '{name}' not found in syng index")
+        self._ensure_pos_view()
+        lo, hi = int(self._seq_offsets[sid]), int(self._seq_offsets[sid + 1])
+        view = self._pos_order[lo:hi]
+        pos = self.occ_pos[view]
+        cut_lo = np.searchsorted(pos, start, side="left")
+        cut_hi = np.searchsorted(pos, end - self.syncmer_len, side="right")
+        sel = view[cut_lo:cut_hi]
+        return self.occ_pos[sel], self.occ_ids[sel], self.occ_fwd[sel]
+
+    # ── build ────────────────────────────────────────────────────────
+    @classmethod
+    def build(
+        cls,
+        sequences: list[tuple[str, bytes]],
+        k: int = syncmer_mod.DEFAULT_K,
+        w: int = syncmer_mod.DEFAULT_W,
+        seed: int = syncmer_mod.DEFAULT_SEED,
+    ) -> "SyngIndex":
+        seq_index = SequenceIndex()
+        ids_parts, seq_parts, pos_parts, fwd_parts = [], [], [], []
+        for name, seq in sequences:
+            sid = seq_index.get_or_insert_id(name, len(seq))
+            positions, ids, fwd = syncmer_mod.extract_syncmers(seq, k, w, seed)
+            ids_parts.append(ids)
+            seq_parts.append(np.full(ids.size, sid, np.int32))
+            pos_parts.append(positions)
+            fwd_parts.append(fwd)
+        occ_ids = np.concatenate(ids_parts) if ids_parts else np.zeros(0, np.uint64)
+        occ_seq = np.concatenate(seq_parts) if seq_parts else np.zeros(0, np.int32)
+        occ_pos = np.concatenate(pos_parts) if pos_parts else np.zeros(0, np.int64)
+        occ_fwd = np.concatenate(fwd_parts) if fwd_parts else np.zeros(0, bool)
+        order = np.lexsort((occ_pos, occ_seq, occ_ids))
+        return cls(
+            seq_index=seq_index,
+            occ_ids=occ_ids[order],
+            occ_seq=occ_seq[order],
+            occ_pos=occ_pos[order],
+            occ_fwd=occ_fwd[order],
+            k=k,
+            w=w,
+            seed=seed,
+        )
+
+    @classmethod
+    def build_from_fasta(cls, fasta_files: list[str], **kwargs) -> "SyngIndex":
+        from impg_tpu.io.fasta import FastaIndex
+
+        fa = FastaIndex.build_from_files(fasta_files)
+        sequences = [
+            (name, fa.fetch_sequence(name, 0, fa.get_sequence_length(name)))
+            for name in fa.sequence_names()
+        ]
+        return cls.build(sequences, **kwargs)
+
+    # ── serialization ────────────────────────────────────────────────
+    def save(self, prefix: str) -> str:
+        path = prefix if prefix.endswith(SYNG_SUFFIX) else prefix + SYNG_SUFFIX
+        names, lengths = self.seq_index.to_arrays()
+        np.savez(
+            path if path.endswith(".npz") else path + ".npz",
+            version=np.int64(INDEX_VERSION),
+            names=names.astype(str),
+            lengths=lengths,
+            occ_ids=self.occ_ids,
+            occ_seq=self.occ_seq,
+            occ_pos=self.occ_pos,
+            occ_fwd=self.occ_fwd,
+            params=np.array([self.k, self.w, self.seed], np.int64),
+        )
+        if not path.endswith(".npz") and os.path.exists(path + ".npz"):
+            os.replace(path + ".npz", path)
+        return path
+
+    @classmethod
+    def load(cls, path: str) -> "SyngIndex":
+        if not path.endswith(SYNG_SUFFIX):
+            path = path + SYNG_SUFFIX
+        with np.load(path, allow_pickle=False) as z:
+            if int(z["version"]) != INDEX_VERSION:
+                raise ValueError(f"unsupported syng index version in {path}")
+            k, w, seed = (int(x) for x in z["params"])
+            return cls(
+                seq_index=SequenceIndex.from_lists(z["names"], z["lengths"]),
+                occ_ids=z["occ_ids"],
+                occ_seq=z["occ_seq"],
+                occ_pos=z["occ_pos"],
+                occ_fwd=z["occ_fwd"],
+                k=k,
+                w=w,
+                seed=seed,
+            )
+
+    # ── query ────────────────────────────────────────────────────────
+    def query_region(
+        self,
+        name: str,
+        start: int,
+        end: int,
+        merge_gap: int = 10_000,
+        min_anchors: int = 2,
+        drop_top_fraction: float = 0.0005,
+        max_occurrences: int | None = None,
+        include_self: bool = False,
+    ) -> list[HomologousInterval]:
+        """Homologous intervals for the indexed region (raw anchor mode)."""
+        positions, ids, fwd = self.region_syncmers(name, start, end)
+        if ids.size == 0:
+            return []
+
+        # Occurrence lookup: contiguous [lo, hi) slice per query syncmer.
+        lo = np.searchsorted(self.occ_ids, ids, side="left")
+        hi = np.searchsorted(self.occ_ids, ids, side="right")
+        counts = hi - lo
+
+        # Seed-frequency filter (reference SyngSeedFilter): drop the most
+        # frequent `drop_top_fraction` of the query's seeds, and optionally
+        # seeds above an absolute occurrence cap.
+        keep = counts > 0
+        if ids.size and drop_top_fraction > 0:
+            n_drop = int(np.ceil(ids.size * drop_top_fraction))
+            if n_drop > 0:
+                order = np.argsort(counts)
+                cutoff_idx = order[-n_drop:]
+                mask = np.ones(ids.size, bool)
+                # Only drop seeds that are genuinely repetitive (count > 1).
+                mask[cutoff_idx[counts[cutoff_idx] > 1]] = False
+                keep &= mask
+        if max_occurrences is not None:
+            keep &= counts <= max_occurrences
+
+        qsel = np.nonzero(keep)[0]
+        if qsel.size == 0:
+            return []
+
+        # Gather all occurrences of kept seeds.
+        total = int(counts[qsel].sum())
+        occ_idx = np.empty(total, np.int64)
+        q_of_occ = np.empty(total, np.int64)
+        at = 0
+        for qi in qsel:
+            c = int(counts[qi])
+            occ_idx[at : at + c] = np.arange(lo[qi], hi[qi])
+            q_of_occ[at : at + c] = qi
+            at += c
+
+        o_seq = self.occ_seq[occ_idx]
+        o_pos = self.occ_pos[occ_idx]
+        o_fwd = self.occ_fwd[occ_idx]
+        rel_fwd = o_fwd == fwd[q_of_occ]
+
+        qname_id = self.seq_index.get_id(name)
+        if not include_self and qname_id is not None:
+            q_abs = positions[q_of_occ]
+            self_hit = (o_seq == qname_id) & (o_pos == q_abs)
+            keep_occ = ~self_hit
+            o_seq, o_pos, rel_fwd = (
+                o_seq[keep_occ],
+                o_pos[keep_occ],
+                rel_fwd[keep_occ],
+            )
+        if o_seq.size == 0:
+            return []
+
+        # Group by (sequence, relative strand); merge anchors within the gap.
+        out: list[HomologousInterval] = []
+        strand_code = np.where(rel_fwd, 0, 1)
+        order = np.lexsort((o_pos, strand_code, o_seq))
+        o_seq, o_pos, strand_code = (
+            o_seq[order], o_pos[order], strand_code[order]
+        )
+        boundaries = np.nonzero(
+            (o_seq[1:] != o_seq[:-1])
+            | (strand_code[1:] != strand_code[:-1])
+            | (o_pos[1:] - o_pos[:-1] > merge_gap)
+        )[0]
+        starts = np.concatenate([[0], boundaries + 1])
+        ends = np.concatenate([boundaries + 1, [o_seq.size]])
+        for s, e in zip(starts, ends):
+            n_anchors = int(e - s)
+            if n_anchors < min_anchors:
+                continue
+            genome = self.seq_index.get_name(int(o_seq[s]))
+            out.append(
+                HomologousInterval(
+                    genome=genome,
+                    start=int(o_pos[s]),
+                    end=int(o_pos[e - 1]) + self.syncmer_len,
+                    strand="-" if strand_code[s] else "+",
+                    n_anchors=n_anchors,
+                )
+            )
+        return out

@@ -1,0 +1,130 @@
+"""Syncmer extraction + syng anchor index (reference: syng.rs raw mode)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from impg_tpu.io.fasta import reverse_complement
+from impg_tpu.ops import syncmer
+from impg_tpu.syng.index import SyngIndex
+from tests import datagen
+from tests.test_cli import run_cli
+
+
+def test_syncmer_extraction_basic():
+    rng = random.Random(4)
+    seq = "".join(rng.choice("ACGT") for _ in range(5000)).encode()
+    pos, ids, fwd = syncmer.extract_syncmers(seq)
+    assert pos.size > 0
+    # Density: closed syncmers select ~2/(w+1) of positions.
+    density = pos.size / len(seq)
+    assert 0.01 < density < 0.2
+    # Positions strictly increasing, within bounds.
+    assert np.all(np.diff(pos) > 0)
+    assert pos[-1] + 63 <= len(seq)
+
+
+def test_syncmer_strand_symmetry():
+    rng = random.Random(9)
+    seq = "".join(rng.choice("ACGT") for _ in range(3000)).encode()
+    rc = reverse_complement(seq)
+    pos_f, ids_f, fwd_f = syncmer.extract_syncmers(seq)
+    pos_r, ids_r, fwd_r = syncmer.extract_syncmers(rc)
+    # Same number of syncmers, mirrored positions, same canonical ids.
+    assert pos_f.size == pos_r.size
+    mirrored = len(seq) - 63 - pos_r[::-1]
+    assert np.array_equal(pos_f, mirrored)
+    assert np.array_equal(ids_f, ids_r[::-1])
+    # Orientation flags flip.
+    assert np.array_equal(fwd_f, ~fwd_r[::-1])
+
+
+def test_syncmer_determinism_and_mutation_stability():
+    rng = random.Random(2)
+    seq = "".join(rng.choice("ACGT") for _ in range(4000))
+    pos1, ids1, _ = syncmer.extract_syncmers(seq.encode())
+    pos2, ids2, _ = syncmer.extract_syncmers(seq.encode())
+    assert np.array_equal(pos1, pos2) and np.array_equal(ids1, ids2)
+    # A single SNP changes only syncmers overlapping it.
+    mutated = list(seq)
+    mutated[2000] = "A" if seq[2000] != "A" else "C"
+    pos3, ids3, _ = syncmer.extract_syncmers("".join(mutated).encode())
+    far_before = pos1[pos1 < 2000 - 63]
+    far_before3 = pos3[pos3 < 2000 - 63]
+    assert np.array_equal(far_before, far_before3)
+
+
+def test_syncmer_skips_N_runs():
+    seq = (b"ACGT" * 50) + (b"N" * 100) + (b"TGCA" * 50)
+    pos, ids, fwd = syncmer.extract_syncmers(seq)
+    # No syncmer may overlap the N run [200, 300).
+    for p in pos:
+        assert p + 63 <= 200 or p >= 300
+
+
+@pytest.fixture(scope="module")
+def chain_fixture(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("syng")
+    rng = random.Random(64)
+    text, seqs, alns, seq_data = datagen.mutate_chain_paf(
+        rng, n_seqs=4, seq_len=8000, return_sequences=True
+    )
+    fa = str(tmp / "genomes.fa")
+    datagen.write_fasta(fa, seq_data)
+    return fa, seqs, seq_data
+
+
+def test_syng_index_finds_homologs(chain_fixture):
+    fa, seqs, seq_data = chain_fixture
+    idx = SyngIndex.build_from_fasta([fa])
+    hits = idx.query_region("ref", 1000, 5000)
+    by_genome = {}
+    for h in hits:
+        by_genome.setdefault(h.genome, []).append(h)
+    # The direct child s0 must be found with good coverage.
+    assert "s0" in by_genome
+    best = max(by_genome["s0"], key=lambda h: h.n_anchors)
+    # The homologous interval should be roughly the same locus.
+    assert best.end - best.start > 2000
+    assert best.n_anchors > 10
+
+
+def test_syng_roundtrip_and_cli(chain_fixture, tmp_path):
+    fa, seqs, seq_data = chain_fixture
+    prefix = str(tmp_path / "pan")
+    r = run_cli("syng", "-f", fa, "-o", prefix)
+    assert r.returncode == 0, r.stderr
+    # Query through the common pipeline (gap-2d merge path).
+    r = run_cli(
+        "query", "-a", prefix + ".syngt", "-r", "ref:1000-5000",
+        "-d", "2000", "-o", "bed",
+    )
+    assert r.returncode == 0, r.stderr
+    lines = [l.split("\t") for l in r.stdout.splitlines() if l]
+    names = {l[0] for l in lines}
+    assert "ref" in names and "s0" in names
+    # BEDPE path too.
+    r = run_cli(
+        "query", "-a", prefix + ".syngt", "-r", "ref:1000-5000",
+        "-d", "2000", "-o", "bedpe",
+    )
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip()
+
+
+def test_syng_reverse_strand_homolog(tmp_path):
+    rng = random.Random(11)
+    base = "".join(rng.choice("ACGT") for _ in range(6000))
+    rc = reverse_complement(base.encode()).decode()
+    fa = tmp_path / "two.fa"
+    datagen.write_fasta(str(fa), {"fwd": base, "rev": rc})
+    idx = SyngIndex.build_from_fasta([str(fa)])
+    hits = idx.query_region("fwd", 1000, 5000)
+    rev_hits = [h for h in hits if h.genome == "rev"]
+    assert rev_hits
+    assert all(h.strand == "-" for h in rev_hits)
+    best = max(rev_hits, key=lambda h: h.n_anchors)
+    # Mirrored locus on the RC sequence.
+    assert abs(best.start - (6000 - 5000)) < 200
+    assert abs(best.end - (6000 - 1000)) < 200
