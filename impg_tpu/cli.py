@@ -724,6 +724,58 @@ def _syng_query(args, merge_distance: int) -> int:
     return 0
 
 
+def cmd_map(args) -> int:
+    from impg_tpu.syng.index import SyngIndex
+    from impg_tpu.syng.pack import map_reads
+
+    index = SyngIndex.load(args.alignment)
+    reads = []
+    for entry in args.reads:
+        reads.extend(x for x in entry.split(",") if x)
+    pack, n_reads, n_matched = map_reads(index, reads)
+    if args.output_format == "pack-tsv":
+        with open(args.output, "w") as fh:
+            pack.write_tsv(fh)
+    else:
+        pack.save(args.output)
+    print(
+        f"Mapped {n_reads} reads: {n_matched} syncmer matches over "
+        f"{pack.feature_ids.size} features -> {args.output}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_genotype(args) -> int:
+    from impg_tpu.commands import genotype as gt_mod
+    from impg_tpu.syng.index import SyngIndex
+    from impg_tpu.syng.pack import Pack
+
+    index = SyngIndex.load(args.alignment)
+    pack = Pack.load(args.pack)
+    target_name, (start, end), region = bed_mod.parse_target_range(
+        args.target_range
+    )
+    candidates, results = gt_mod.genotype_cos(
+        index,
+        pack,
+        target_name,
+        start,
+        end,
+        ploidy=args.ploidy,
+        top_n=args.top_n,
+        max_combinations=args.max_combinations,
+        mode=args.candidate_mode,
+    )
+    if not results:
+        print("error: no candidates found for region", file=sys.stderr)
+        return 1
+    gt_mod.write_genotype_report(
+        sys.stdout, region, candidates, results, args.sample_name
+    )
+    return 0
+
+
 def cmd_graph_report(args) -> int:
     from impg_tpu.graph import gfa as gfa_mod
 
@@ -945,6 +997,41 @@ def build_parser() -> argparse.ArgumentParser:
     p_syng.add_argument("--syncmer-w", type=int, default=55)
     p_syng.add_argument("--syncmer-seed", type=int, default=7)
     p_syng.set_defaults(func=cmd_syng)
+
+    p_map = sub.add_parser(
+        "map", help="Map reads against a syng index into a pack"
+    )
+    p_map.add_argument("-a", "--alignment", required=True,
+                       help="syng index prefix (or .syngt path)")
+    p_map.add_argument(
+        "-q", "--reads", required=True, action="append",
+        help="FASTA/FASTQ read file(s), optionally gzipped",
+    )
+    p_map.add_argument(
+        "-o", "--output-format", default="pack", choices=["pack", "pack-tsv"]
+    )
+    p_map.add_argument("-O", "--output", required=True,
+                       help="Output pack path (or TSV path)")
+    p_map.set_defaults(func=cmd_map)
+
+    p_gt = sub.add_parser(
+        "genotype", help="Cosine genotyping of a locus from a pack"
+    )
+    p_gt.add_argument("method", choices=["cos", "cosigt"],
+                      help="Scoring method")
+    p_gt.add_argument("-a", "--alignment", required=True,
+                      help="syng index prefix (or .syngt path)")
+    p_gt.add_argument("-p", "--pack", required=True)
+    p_gt.add_argument("-r", "--target-range", required=True)
+    p_gt.add_argument("--ploidy", type=int, default=2)
+    p_gt.add_argument("--top-n", type=int, default=10)
+    p_gt.add_argument("--max-combinations", type=int, default=1_000_000)
+    p_gt.add_argument(
+        "--candidate-mode", choices=["overlapping", "spanning"],
+        default="overlapping",
+    )
+    p_gt.add_argument("--sample-name", default="sample")
+    p_gt.set_defaults(func=cmd_genotype)
 
     p_rep = sub.add_parser("graph-report", help="Characterize a GFA graph")
     p_rep.add_argument("gfa", help="GFA file (or - for stdin)")

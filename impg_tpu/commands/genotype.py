@@ -1,0 +1,135 @@
+"""Cosine genotyping over syncmer features (reference: commands/genotype.rs
+`run_syng_cosigt`, docs/genotype-architecture.md).
+
+Candidates are the haplotypes homologous to a reference-path range (found
+through the syng anchor index, or given explicitly); each candidate's
+feature vector counts the syncmer ids inside its homologous interval.  The
+sample evidence is a pack (read-derived counts over the same feature space).
+Ploidy combinations are ranked by cosine similarity (genotype core).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from impg_tpu.genotype import core as gt_core
+from impg_tpu.syng.index import SyngIndex
+from impg_tpu.syng.pack import Pack
+
+
+@dataclass
+class Candidate:
+    name: str  # "genome:start-end"
+    genome: str
+    start: int
+    end: int
+    features: list[tuple[int, int]]  # (syncmer id, count)
+
+
+def candidate_features(
+    index: SyngIndex, genome: str, start: int, end: int
+) -> list[tuple[int, int]]:
+    """Per-candidate count vector: syncmer ids within the interval."""
+    _pos, ids, _fwd = index.region_syncmers(genome, start, end)
+    uniq, counts = np.unique(ids, return_counts=True)
+    return list(zip(uniq.tolist(), counts.tolist()))
+
+
+def find_candidates(
+    index: SyngIndex,
+    target_name: str,
+    start: int,
+    end: int,
+    merge_gap: int = 10_000,
+    min_anchors: int = 2,
+    mode: str = "overlapping",
+) -> list[Candidate]:
+    """Candidate haplotype intervals for the target range: the target region
+    itself plus every homologous interval (CandidateMode genotype.rs:15;
+    `spanning` keeps only candidates covering most of the query span)."""
+    cands = [
+        Candidate(
+            name=f"{target_name}:{start}-{end}",
+            genome=target_name,
+            start=start,
+            end=end,
+            features=candidate_features(index, target_name, start, end),
+        )
+    ]
+    span = end - start
+    best_per_genome: dict[str, tuple[int, int, int]] = {}
+    for iv in index.query_region(
+        target_name, start, end, merge_gap=merge_gap, min_anchors=min_anchors
+    ):
+        if iv.genome == target_name:
+            continue
+        cur = best_per_genome.get(iv.genome)
+        if cur is None or (iv.end - iv.start) > (cur[1] - cur[0]):
+            best_per_genome[iv.genome] = (iv.start, iv.end, iv.n_anchors)
+    for genome in sorted(best_per_genome):
+        s, e, _ = best_per_genome[genome]
+        if mode == "spanning" and (e - s) < 0.5 * span:
+            continue
+        cands.append(
+            Candidate(
+                name=f"{genome}:{s}-{e}",
+                genome=genome,
+                start=s,
+                end=e,
+                features=candidate_features(index, genome, s, e),
+            )
+        )
+    return cands
+
+
+def genotype_cos(
+    index: SyngIndex,
+    pack: Pack,
+    target_name: str,
+    start: int,
+    end: int,
+    ploidy: int = 2,
+    top_n: int = 10,
+    max_combinations: int = 1_000_000,
+    mode: str = "overlapping",
+):
+    """Rank ploidy combinations of candidate haplotypes against the pack."""
+    candidates = find_candidates(index, target_name, start, end, mode=mode)
+    if not candidates:
+        return [], []
+    universe = gt_core.feature_universe([c.features for c in candidates])
+    uni_arr = np.asarray(universe, np.uint64)
+    sample_counts_arr = pack.counts_for(uni_arr)
+    sample_counts = {
+        int(f): int(c) for f, c in zip(universe, sample_counts_arr)
+    }
+    norm_sq = gt_core.sample_norm_sq_for_features(sample_counts, universe)
+    results = gt_core.run_cosine_combination_search(
+        [c.features for c in candidates],
+        sample_counts,
+        norm_sq,
+        ploidy,
+        max_combinations,
+    )
+    return candidates, results[:top_n]
+
+
+def write_genotype_report(
+    out, region: str, candidates, results, sample_name: str = "sample"
+) -> None:
+    """TSV report: rank, haplotype combination, cosine, qv (genotype.rs:550)."""
+    out.write(
+        "#sample\tregion\trank\tgenotype\tcosine.similarity\tqv\tdot"
+        "\tsample.norm\tgenotype.norm\n"
+    )
+    for rank, score in enumerate(results, 1):
+        combo_names = "|".join(
+            candidates[i].name for i in score.combination
+        )
+        out.write(
+            f"{sample_name}\t{region}\t{rank}\t{combo_names}"
+            f"\t{score.similarity:.6f}\t{score.qv:.2f}\t{score.dot:.1f}"
+            f"\t{score.sample_norm:.3f}\t{score.genotype_norm:.3f}\n"
+        )
