@@ -147,6 +147,13 @@ def cmd_query(args) -> int:
         )
         return 2
     store_cigar = fmt in ("paf", "bedpe", "fasta+paf")
+    if args.approximate and fmt not in ("bed", "bedpe"):
+        print(
+            f"error: --approximate mode is only compatible with 'bed' and "
+            f"'bedpe' output formats, not '{fmt}'",
+            file=sys.stderr,
+        )
+        return 2
     merge_strands = not args.consider_strandness  # BED default merges strands
 
     device_engine = None
@@ -204,6 +211,7 @@ def cmd_query(args) -> int:
             min_identity=args.min_result_identity,
             subset_match=subset_match,
             device_engine=device_engine,
+            approximate=args.approximate,
         )
 
     try:
@@ -219,6 +227,7 @@ def cmd_query(args) -> int:
                 kwargs = {}
                 if not args.transitive_dfs:
                     kwargs["device_engine"] = device_engine
+                    kwargs["approximate"] = args.approximate
                 results = walker(
                     index,
                     target_id,
@@ -241,6 +250,7 @@ def cmd_query(args) -> int:
                     end,
                     store_cigar=store_cigar,
                     min_identity=args.min_result_identity,
+                    approximate=args.approximate,
                 )
                 if args.min_output_length is not None:
                     results = [
@@ -867,6 +877,12 @@ def build_parser() -> argparse.ArgumentParser:
     p_query.add_argument("--subset-sequence-list")
     p_query.add_argument("--original-sequence-coordinates", action="store_true")
     p_query.add_argument("--consider-strandness", action="store_true")
+    p_query.add_argument(
+        "--approximate",
+        action="store_true",
+        help="Tracepoint-only projection: intervals + identity without run "
+        "slicing (bed/bedpe output only)",
+    )
     p_query.add_argument(
         "--compute-engine",
         choices=["host", "device"],

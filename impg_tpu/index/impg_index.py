@@ -35,6 +35,15 @@ class ImpgIndex:
     arena: CigarArena
     tgt_offsets: np.ndarray  # int64 [n_seqs + 1] — record slice per target id
     alignment_files: list[str]
+    tp: object | None = None  # TracepointArena for --approximate (optional)
+
+    def ensure_tracepoints(self, spacing: int = 100):
+        """Derive (and cache) the tracepoint arena for approximate mode."""
+        from impg_tpu.index.tracepoints import TracepointArena
+
+        if self.tp is None or self.tp.spacing != spacing:
+            self.tp = TracepointArena.build(self.records, self.arena, spacing)
+        return self.tp
 
     # ── construction ─────────────────────────────────────────────────
     @classmethod

@@ -51,6 +51,44 @@ def _self_row(target_id: int, start: int, end: int, store_cigar: bool) -> Row:
     return Row(target_id, start, end, runs, target_id, start, end)
 
 
+def _project_approx(
+    index: ImpgIndex,
+    cand: np.ndarray,
+    rng_s: np.ndarray,
+    rng_e: np.ndarray,
+    min_identity: Optional[float],
+):
+    """Approximate (tracepoint) projection (impg.rs:1317); returns an object
+    with the same fields the bookkeeping reads, plus an ok mask."""
+    from impg_tpu.index import tracepoints as tp_mod
+
+    tp = index.ensure_tracepoints() if index.tp is None else index.tp
+    res = tp_mod.project_batch_approx(
+        tp, index.records, cand, np.asarray(rng_s), np.asarray(rng_e)
+    )
+    ok = np.asarray(res.valid)
+    if min_identity is not None:
+        gci = tp_mod.gap_compressed_identity_approx(res)
+        ok = ok & (gci >= min_identity)
+    return res, ok
+
+
+def _approx_cigar_runs(res, i: int) -> Optional[np.ndarray]:
+    """2-run approx CIGAR [m=, xX] for identity stats (impg.rs:1481-1489)."""
+    m = int(round(float(res.matches[i])))
+    x = int(round(float(res.mismatches[i])))
+    lens, ops = [], []
+    if m > 0:
+        lens.append(m)
+        ops.append(cigar.OP_EQ)
+    if x > 0:
+        lens.append(x)
+        ops.append(cigar.OP_X)
+    if not lens:
+        return np.zeros(0, np.uint32)
+    return cigar.pack(np.asarray(lens, np.int64), np.asarray(ops, np.uint32))
+
+
 def _project(
     index: ImpgIndex,
     cand: np.ndarray,
@@ -95,6 +133,7 @@ def query(
     range_end: int,
     store_cigar: bool = False,
     min_identity: Optional[float] = None,
+    approximate: bool = False,
 ) -> list[Row]:
     """Single-hop query: the input range plus every projected overlap."""
     results = [_self_row(target_id, range_start, range_end, store_cigar)]
@@ -103,15 +142,24 @@ def query(
         return results
     rng_s = np.full(cand.size, range_start, np.int64)
     rng_e = np.full(cand.size, range_end, np.int64)
-    res, ok = _project(index, cand, rng_s, rng_e, min_identity)
+    project = _project_approx if approximate else _project
+    res, ok = project(index, cand, rng_s, rng_e, min_identity)
     for i in np.nonzero(ok)[0]:
         k = int(cand[i])
+        if store_cigar:
+            runs = (
+                _approx_cigar_runs(res, i)
+                if approximate
+                else _materialize_cigar(index, k, res, i)
+            )
+        else:
+            runs = None
         results.append(
             Row(
                 q_id=int(index.records.query_id[k]),
                 q_first=int(res.pq_start[i]),
                 q_last=int(res.pq_end[i]),
-                cigar=_materialize_cigar(index, k, res, i) if store_cigar else None,
+                cigar=runs,
                 t_id=target_id,
                 t_first=int(res.pt_start[i]),
                 t_last=int(res.pt_end[i]),
@@ -164,7 +212,10 @@ def _merge_frontier(ranges: list[tuple[int, int, int]]) -> list[tuple[int, int, 
 
 
 def _depth_step_host(
-    index: ImpgIndex, current: list[tuple[int, int, int]], min_identity
+    index: ImpgIndex,
+    current: list[tuple[int, int, int]],
+    min_identity,
+    approximate: bool = False,
 ):
     """Stab+project a whole BFS depth on host; returns pair arrays.
 
@@ -189,9 +240,10 @@ def _depth_step_host(
     ov_s = np.concatenate(ov_s_parts)
     ov_e = np.concatenate(ov_e_parts)
     src = np.concatenate(src_parts)
-    res, ok = _project(index, cand, ov_s, ov_e, min_identity)
+    project = _project_approx if approximate else _project
+    res, ok = project(index, cand, ov_s, ov_e, min_identity)
     sel = np.nonzero(ok)[0]
-    return dict(
+    out = dict(
         pair_rec=cand[sel],
         pair_q=src[sel],
         query_id=index.records.query_id[cand[sel]],
@@ -199,10 +251,34 @@ def _depth_step_host(
         pq_end=np.asarray(res.pq_end)[sel],
         pt_start=np.asarray(res.pt_start)[sel],
         pt_end=np.asarray(res.pt_end)[sel],
-        first_run=np.asarray(res.first_run)[sel],
-        last_run=np.asarray(res.last_run)[sel],
-        first_clip=np.asarray(res.first_clip)[sel],
-        last_rem=np.asarray(res.last_rem)[sel],
+    )
+    if approximate:
+        out["approx_matches"] = np.asarray(res.matches)[sel]
+        out["approx_mismatches"] = np.asarray(res.mismatches)[sel]
+    else:
+        out.update(
+            first_run=np.asarray(res.first_run)[sel],
+            last_run=np.asarray(res.last_run)[sel],
+            first_clip=np.asarray(res.first_clip)[sel],
+            last_rem=np.asarray(res.last_rem)[sel],
+        )
+    return out
+
+
+
+def _step_cigar(index: ImpgIndex, step: dict, i: int, k: int):
+    """Materialize a row's CIGAR from a depth-step record (exact slice or
+    2-run approximate stats)."""
+    if "approx_matches" in step:
+        class _R:
+            matches = step["approx_matches"]
+            mismatches = step["approx_mismatches"]
+        return _approx_cigar_runs(_R, i)
+    return projection.clipped_runs(
+        index.arena.runs,
+        int(index.records.op_off[k]),
+        {f: step[f][i] for f in
+         ("first_run", "last_run", "first_clip", "last_rem")},
     )
 
 
@@ -242,6 +318,7 @@ def query_transitive_bfs(
     min_identity: Optional[float] = None,
     subset_match: Optional[Callable[[str], bool]] = None,
     device_engine=None,
+    approximate: bool = False,
 ) -> list[Row]:
     masked_none = masked_regions is None
     visited: dict[int, SortedRanges] = (
@@ -270,8 +347,8 @@ def query_transitive_bfs(
         # ── batched stab + projection over the whole depth ──
         step = (
             _depth_step_device(device_engine, index, current, min_identity)
-            if device_engine is not None
-            else _depth_step_host(index, current, min_identity)
+            if device_engine is not None and not approximate
+            else _depth_step_host(index, current, min_identity, approximate)
         )
         if step is None:
             break
@@ -291,14 +368,7 @@ def query_transitive_bfs(
             cur_tid = current[int(pair_q[i])][0]
             length = abs(aq_e - aq_s)
             if min_output_length is None or length >= min_output_length:
-                runs = None
-                if store_cigar:
-                    runs = projection.clipped_runs(
-                        index.arena.runs,
-                        int(index.records.op_off[k]),
-                        {f: step[f][i] for f in
-                         ("first_run", "last_run", "first_clip", "last_rem")},
-                    )
+                runs = _step_cigar(index, step, i, k) if store_cigar else None
                 results.append(
                     Row(
                         q_id=q_id,
@@ -337,6 +407,7 @@ def query_transitive_bfs_many(
     min_identity: Optional[float] = None,
     subset_match: Optional[Callable[[str], bool]] = None,
     device_engine=None,
+    approximate: bool = False,
 ) -> list[list[Row]]:
     """Run many independent transitive BFS walks, batched per depth.
 
@@ -376,8 +447,8 @@ def query_transitive_bfs_many(
         flat = [(tid, s, e) for (_, tid, s, e) in current]
         step = (
             _depth_step_device(device_engine, index, flat, min_identity)
-            if device_engine is not None
-            else _depth_step_host(index, flat, min_identity)
+            if device_engine is not None and not approximate
+            else _depth_step_host(index, flat, min_identity, approximate)
         )
         if step is None:
             break
@@ -402,12 +473,7 @@ def query_transitive_bfs_many(
                 runs = None
                 if store_cigar:
                     k = int(step["pair_rec"][i])
-                    runs = projection.clipped_runs(
-                        index.arena.runs,
-                        int(index.records.op_off[k]),
-                        {f: step[f][i] for f in
-                         ("first_run", "last_run", "first_clip", "last_rem")},
-                    )
+                    runs = _step_cigar(index, step, i, k)
                 results[w].append(
                     Row(
                         q_id=q_id,
