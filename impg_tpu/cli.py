@@ -654,6 +654,32 @@ def cmd_lace(args) -> int:
     return 0
 
 
+def cmd_align(args) -> int:
+    from impg_tpu.commands import align as align_mod
+
+    files = []
+    for entry in args.fasta_files:
+        files.extend(x for x in entry.split(",") if x)
+    scoring = tuple(int(x) for x in args.scoring.split(","))
+    if len(scoring) != 4:
+        print("error: --scoring needs 4 comma-separated values", file=sys.stderr)
+        return 2
+    config = align_mod.AlignConfig(
+        min_anchors=args.min_anchors,
+        max_gap=args.max_gap,
+        min_chain_span=args.min_chain_span,
+        scoring=scoring,
+    )
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        n = align_mod.run_align(files, out, config)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    print(f"Wrote {n} alignment rows", file=sys.stderr)
+    return 0
+
+
 def cmd_syng(args) -> int:
     from impg_tpu.syng.index import SyngIndex
 
@@ -1000,6 +1026,21 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_lace.add_argument("--sequence-files", action="append")
     p_lace.set_defaults(func=cmd_lace)
+
+    p_aln = sub.add_parser(
+        "align", help="All-vs-all alignment of FASTA sequences -> PAF"
+    )
+    p_aln.add_argument(
+        "-f", "--fasta-files", required=True, action="append",
+        help="FASTA file(s) (repeat/comma-separate)",
+    )
+    p_aln.add_argument("-o", "--output", help="Output PAF (default stdout)")
+    p_aln.add_argument("--min-anchors", type=int, default=3)
+    p_aln.add_argument("--max-gap", type=int, default=10_000)
+    p_aln.add_argument("--min-chain-span", type=int, default=100)
+    p_aln.add_argument("--scoring", default="1,4,6,2",
+                       help="match,mismatch,gap_open,gap_ext")
+    p_aln.set_defaults(func=cmd_align)
 
     p_syng = sub.add_parser(
         "syng", help="Build a syncmer-anchor alignment-free index"

@@ -1,0 +1,256 @@
+"""All-vs-all sparse alignment: FASTA -> PAF with base-level CIGARs
+(reference: commands/align.rs, which drives sweepga/wfmash/FastGA
+subprocesses; here the pipeline is native: syncmer anchors + chaining +
+native gap alignment).
+
+Per ordered sequence pair with enough shared syncmer anchors:
+  1. anchors = shared canonical syncmers (query pos, target pos, rel strand),
+     taken from the syng occurrence index;
+  2. reverse-strand pairs are lifted into RC-query coordinates so chaining
+     and alignment run forward/forward (PAF '-' convention);
+  3. chaining = longest increasing subsequence over target positions of the
+     query-sorted anchors, split at gaps larger than `max_gap`;
+  4. every anchor is verified base-exact (hash collisions dropped) and
+     contributes an '=' run; inter-anchor gaps align with the native
+     affine-gap aligner (ops/align.py);
+  5. each chain emits one PAF row with cg:Z: runs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from impg_tpu.core import cigar
+from impg_tpu.io.fasta import reverse_complement
+from impg_tpu.ops.align import DEFAULT_SCORING, align_pair
+from impg_tpu.syng.index import SyngIndex
+
+
+@dataclass
+class AlignConfig:
+    min_anchors: int = 3
+    max_gap: int = 10_000
+    min_chain_span: int = 100
+    scoring: tuple = DEFAULT_SCORING
+    drop_top_fraction: float = 0.0005
+
+
+def _lis_chain(q_pos: np.ndarray, t_pos: np.ndarray) -> list[int]:
+    """Indices of a longest strictly-increasing chain of t_pos over
+    q_pos-sorted anchors (O(n log n) patience LIS with backpointers)."""
+    import bisect
+
+    n = q_pos.size
+    tails: list[int] = []  # anchor index whose t_pos ends the pile
+    tails_vals: list[int] = []
+    back = [-1] * n
+    for i in range(n):
+        v = int(t_pos[i])
+        j = bisect.bisect_left(tails_vals, v)
+        if j > 0:
+            back[i] = tails[j - 1]
+        if j == len(tails):
+            tails.append(i)
+            tails_vals.append(v)
+        else:
+            tails[j] = i
+            tails_vals[j] = v
+    if not tails:
+        return []
+    out = []
+    cur = tails[-1]
+    while cur != -1:
+        out.append(cur)
+        cur = back[cur]
+    out.reverse()
+    return out
+
+
+def _pair_anchors(
+    index: SyngIndex, qname: str, tname: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(q_pos, t_pos, rel_fwd) anchors between two indexed sequences."""
+    qid = index.seq_index.get_id(qname)
+    tid = index.seq_index.get_id(tname)
+    q_len = index.seq_index.get_len_from_id(qid)
+    q_pos_all, ids, fwd = index.region_syncmers(qname, 0, q_len)
+    lo = np.searchsorted(index.occ_ids, ids, side="left")
+    hi = np.searchsorted(index.occ_ids, ids, side="right")
+    counts = hi - lo
+    total = int(counts.sum())
+    occ_idx = np.empty(total, np.int64)
+    q_of = np.empty(total, np.int64)
+    at = 0
+    for i in range(ids.size):
+        c = int(counts[i])
+        occ_idx[at : at + c] = np.arange(lo[i], hi[i])
+        q_of[at : at + c] = i
+        at += c
+    sel = index.occ_seq[occ_idx] == tid
+    occ_idx, q_of = occ_idx[sel], q_of[sel]
+    return (
+        q_pos_all[q_of],
+        index.occ_pos[occ_idx],
+        index.occ_fwd[occ_idx] == fwd[q_of],
+    )
+
+
+def align_sequence_pair(
+    index: SyngIndex,
+    seqs: dict[str, bytes],
+    qname: str,
+    tname: str,
+    config: AlignConfig = AlignConfig(),
+) -> list[dict]:
+    """PAF-row dicts for every chained alignment between two sequences."""
+    L = index.syncmer_len
+    q_seq = seqs[qname]
+    t_seq = seqs[tname]
+    q_len, t_len = len(q_seq), len(t_seq)
+    q_pos, t_pos, rel_fwd = _pair_anchors(index, qname, tname)
+    rows = []
+
+    for strand, mask in (("+", rel_fwd), ("-", ~rel_fwd)):
+        qp = q_pos[mask].astype(np.int64)
+        tp = t_pos[mask].astype(np.int64)
+        if qp.size < config.min_anchors:
+            continue
+        # Work in RC-query frame for '-' so both axes ascend together.
+        work_q = reverse_complement(q_seq) if strand == "-" else q_seq
+        wq = (q_len - qp - L) if strand == "-" else qp
+
+        # Verify anchors base-exact (canonical-id collisions are dropped).
+        keep = np.fromiter(
+            (
+                work_q[int(a) : int(a) + L] == t_seq[int(b) : int(b) + L]
+                for a, b in zip(wq, tp)
+            ),
+            bool,
+            count=wq.size,
+        )
+        wq, tp = wq[keep], tp[keep]
+        if wq.size < config.min_anchors:
+            continue
+        order = np.argsort(wq, kind="stable")
+        wq, tp = wq[order], tp[order]
+        chain = _lis_chain(wq, tp)
+        if len(chain) < config.min_anchors:
+            continue
+
+        # Split the chain at large gaps; emit one row per sub-chain.
+        sub: list[int] = []
+        subchains: list[list[int]] = []
+        for idx in chain:
+            if sub:
+                pg = wq[idx] - wq[sub[-1]]
+                tg = tp[idx] - tp[sub[-1]]
+                if pg > config.max_gap or tg > config.max_gap:
+                    subchains.append(sub)
+                    sub = []
+            sub.append(idx)
+        if sub:
+            subchains.append(sub)
+
+        for sub in subchains:
+            if len(sub) < config.min_anchors:
+                continue
+            a0, a1 = sub[0], sub[-1]
+            if wq[a1] + L - wq[a0] < config.min_chain_span:
+                continue
+            runs_parts: list[np.ndarray] = []
+            prev_q = int(wq[a0])
+            prev_t = int(tp[a0])
+            row_q_start = prev_q
+            row_t_start = prev_t
+            ok = True
+            for idx in sub:
+                aq, at_ = int(wq[idx]), int(tp[idx])
+                if aq < prev_q or at_ < prev_t:
+                    continue  # overlapping anchor; skip
+                gap_q = work_q[prev_q:aq]
+                gap_t = t_seq[prev_t:at_]
+                if gap_q or gap_t:
+                    try:
+                        runs_parts.append(
+                            align_pair(gap_q, gap_t, config.scoring)
+                        )
+                    except ValueError:
+                        ok = False
+                        break
+                runs_parts.append(
+                    cigar.pack(
+                        np.array([L], np.int64),
+                        np.array([cigar.OP_EQ], np.uint32),
+                    )
+                )
+                prev_q, prev_t = aq + L, at_ + L
+            if not ok or not runs_parts:
+                continue
+            from impg_tpu.query.merge import merge_consecutive_runs
+
+            runs = merge_consecutive_runs(np.concatenate(runs_parts))
+            row_q_end, row_t_end = prev_q, prev_t
+            # Map RC-frame coords back to forward query coords for PAF.
+            if strand == "-":
+                pq_start = q_len - row_q_end
+                pq_end = q_len - row_q_start
+            else:
+                pq_start, pq_end = row_q_start, row_q_end
+            lens = cigar.run_len(runs)
+            ops = cigar.run_op(runs)
+            matches = int(lens[ops == cigar.OP_EQ].sum())
+            block = int(lens.sum())
+            rows.append(
+                dict(
+                    qname=qname,
+                    qlen=q_len,
+                    qstart=pq_start,
+                    qend=pq_end,
+                    strand=strand,
+                    tname=tname,
+                    tlen=t_len,
+                    tstart=row_t_start,
+                    tend=row_t_end,
+                    matches=matches,
+                    block=block,
+                    runs=runs,
+                )
+            )
+    return rows
+
+
+def run_align(
+    fasta_files: list[str],
+    out,
+    config: AlignConfig = AlignConfig(),
+    pairs: Optional[list[tuple[str, str]]] = None,
+) -> int:
+    """Align every ordered sequence pair with shared anchors; write PAF."""
+    from impg_tpu.io.fasta import FastaIndex
+
+    fa = FastaIndex.build_from_files(fasta_files)
+    names = list(fa.sequence_names())
+    seqs = {
+        n: fa.fetch_sequence(n, 0, fa.get_sequence_length(n)) for n in names
+    }
+    index = SyngIndex.build(list(seqs.items()))
+
+    if pairs is None:
+        pairs = [
+            (q, t) for q in names for t in names if q != t
+        ]
+    n_rows = 0
+    for qname, tname in pairs:
+        for row in align_sequence_pair(index, seqs, qname, tname, config):
+            text = cigar.format_runs(row["runs"])
+            out.write(
+                f"{row['qname']}\t{row['qlen']}\t{row['qstart']}\t{row['qend']}"
+                f"\t{row['strand']}\t{row['tname']}\t{row['tlen']}"
+                f"\t{row['tstart']}\t{row['tend']}\t{row['matches']}"
+                f"\t{row['block']}\t255\tcg:Z:{text}\n"
+            )
+            n_rows += 1
+    return n_rows

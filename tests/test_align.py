@@ -1,0 +1,127 @@
+"""Native aligner + align command (reference: commands/align.rs role)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from impg_tpu.core import cigar
+from impg_tpu.io.fasta import reverse_complement
+from impg_tpu.ops.align import align_pair
+from tests import datagen
+from tests.test_cli import run_cli
+
+
+def validate_cigar(q: bytes, t: bytes, runs: np.ndarray) -> None:
+    """Walk the CIGAR: '=' runs must match exactly, 'X' must differ."""
+    qi = ti = 0
+    for r in runs:
+        length = int(r & cigar.LEN_MASK)
+        op = int(r >> 29)
+        if op == cigar.OP_EQ:
+            assert q[qi : qi + length] == t[ti : ti + length]
+            qi += length
+            ti += length
+        elif op == cigar.OP_X:
+            for j in range(length):
+                assert q[qi + j] != t[ti + j]
+            qi += length
+            ti += length
+        elif op == cigar.OP_I:
+            qi += length
+        elif op == cigar.OP_D:
+            ti += length
+    assert qi == len(q) and ti == len(t)
+
+
+def test_align_pair_validates():
+    rng = random.Random(6)
+    for _ in range(30):
+        t = "".join(rng.choice("ACGT") for _ in range(rng.randint(20, 400)))
+        q = datagen.apply_ops(
+            rng,
+            t,
+            [(len(t), "=")] if rng.random() < 0.2 else
+            pyops(rng, len(t)),
+        )
+        runs = align_pair(q.encode(), t.encode())
+        validate_cigar(q.encode(), t.encode(), runs)
+
+
+def pyops(rng, tlen):
+    ops = []
+    pos = 0
+    while pos < tlen:
+        r = rng.random()
+        if r < 0.7:
+            l = min(rng.randint(5, 60), tlen - pos)
+            ops.append((l, "="))
+            pos += l
+        elif r < 0.85:
+            l = min(rng.randint(1, 3), tlen - pos)
+            ops.append((l, "X"))
+            pos += l
+        elif r < 0.93:
+            ops.append((rng.randint(1, 8), "I"))
+        else:
+            l = min(rng.randint(1, 8), tlen - pos)
+            ops.append((l, "D"))
+            pos += l
+    return ops
+
+
+@pytest.fixture(scope="module")
+def chain_fa(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("align")
+    rng = random.Random(808)
+    text, seqs, alns, seq_data = datagen.mutate_chain_paf(
+        rng, n_seqs=3, seq_len=6000, return_sequences=True
+    )
+    fa = str(tmp / "genomes.fa")
+    datagen.write_fasta(fa, seq_data)
+    return tmp, fa, seqs, seq_data
+
+
+def test_align_command_produces_valid_paf(chain_fa, tmp_path):
+    tmp, fa, seqs, seq_data = chain_fa
+    paf_out = tmp_path / "out.paf"
+    r = run_cli("align", "-f", fa, "-o", str(paf_out))
+    assert r.returncode == 0, r.stderr
+    lines = [l for l in paf_out.read_text().splitlines() if l]
+    assert lines
+    covered_pairs = set()
+    for line in lines:
+        f = line.split("\t")
+        qname, qlen, qs, qe = f[0], int(f[1]), int(f[2]), int(f[3])
+        strand = f[4]
+        tname, tlen, ts, te = f[5], int(f[6]), int(f[7]), int(f[8])
+        covered_pairs.add((qname, tname))
+        runs = np.array(
+            [
+                (["=", "X", "I", "D", "M"].index(op) << 29) | int(n)
+                for n, op in __import__("re").findall(r"(\d+)([=XIDM])", f[12][5:])
+            ],
+            np.uint32,
+        )
+        q_seq = seq_data[qname][qs:qe].encode()
+        if strand == "-":
+            q_seq = reverse_complement(q_seq)
+        t_seq = seq_data[tname][ts:te].encode()
+        validate_cigar(q_seq, t_seq, runs)
+    # Adjacent chain members must align.
+    assert ("s0", "ref") in covered_pairs or ("ref", "s0") in covered_pairs
+
+
+def test_align_then_index_then_query(chain_fa, tmp_path):
+    """Full loop: FASTA -> align -> index -> transitive query."""
+    tmp, fa, seqs, seq_data = chain_fa
+    paf_out = tmp_path / "self.paf"
+    r = run_cli("align", "-f", fa, "-o", str(paf_out))
+    assert r.returncode == 0, r.stderr
+    r = run_cli(
+        "query", "-a", str(paf_out), "-r", "ref:1000-5000", "-d", "200",
+        "-x", "-m", "3", "-o", "bed",
+    )
+    assert r.returncode == 0, r.stderr
+    names = {l.split("\t")[0] for l in r.stdout.splitlines() if l}
+    assert {"ref", "s0", "s1"} <= names
