@@ -367,12 +367,18 @@ def cmd_query(args) -> int:
                     merge_mod.merge_query_adjusted_intervals(
                         results, merge_distance, ms
                     )
-                    gen = {
-                        "gfa": region_mod.generate_gfa,
-                        "maf": region_mod.generate_maf,
-                        "fasta-aln": region_mod.generate_fasta_aln,
-                    }[fmt]
-                    text = gen(index, results, seq_idx, scoring)
+                    if fmt == "gfa" and args.gfa_engine in ("seqwish", "pggb"):
+                        text = region_mod.generate_gfa_seqwish(
+                            index, results, seq_idx,
+                            sort_output=args.gfa_engine == "pggb",
+                        )
+                    else:
+                        gen = {
+                            "gfa": region_mod.generate_gfa,
+                            "maf": region_mod.generate_maf,
+                            "fasta-aln": region_mod.generate_fasta_aln,
+                        }[fmt]
+                        text = gen(index, results, seq_idx, scoring)
                     if gfa_stages:
                         from impg_tpu.graph import gfa as gfa_mod
 
@@ -881,6 +887,10 @@ def build_parser() -> argparse.ArgumentParser:
         "accepts a pipeline spec like 'gfa:sort' (graph_pipeline.rs grammar)",
     )
     p_query.add_argument("--poa-scoring", default="1,4,6,2,26,1")
+    p_query.add_argument(
+        "--gfa-engine", choices=["poa", "seqwish", "pggb"], default="poa",
+        help="Graph engine for -o gfa (pggb = seqwish + sort)",
+    )
     p_query.add_argument(
         "--sequence-files",
         action="append",

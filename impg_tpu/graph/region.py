@@ -78,6 +78,53 @@ def _trim_bounds(msa: list[str]) -> tuple[int, int]:
     return left, right
 
 
+def generate_gfa_seqwish(
+    index: ImpgIndex,
+    rows: list[Row],
+    seq_idx: UnifiedSequenceIndex,
+    scoring=None,
+    sort_output: bool = False,
+) -> str:
+    """Seqwish-engine region GFA: extract region sequences, all-vs-all align
+    them natively, induce the variation graph (reference: GfaEngine::Seqwish,
+    graph.rs:1058 -> commands/graph.rs build_graph; Pggb = seqwish + sort)."""
+    from impg_tpu.commands import align as align_mod
+    from impg_tpu.graph import seqwish as seqwish_mod
+    from impg_tpu.syng.index import SyngIndex
+
+    pairs = prepare_sequences(index, rows, seq_idx)
+    seqs = {meta.path_name(): seq for seq, meta in pairs}
+    syng = SyngIndex.build(list(seqs.items()))
+    paf_rows = []
+    names = list(seqs)
+    for q in names:
+        for t in names:
+            if q != t:
+                paf_rows.extend(
+                    align_mod.align_sequence_pair(syng, seqs, q, t)
+                )
+    gfa = seqwish_mod.induce_graph(seqs, paf_rows)
+    # induce_graph names paths `key:0-len`; the keys already carry region
+    # coordinates, so strip the redundant suffix.
+    fixed = []
+    for line in gfa.splitlines():
+        if line.startswith("P\t"):
+            parts = line.split("\t")
+            name = parts[1]
+            base, _, suffix = name.rpartition(":")
+            if suffix.startswith("0-") and base in seqs:
+                parts[1] = base
+            fixed.append("\t".join(parts))
+        else:
+            fixed.append(line)
+    text = "\n".join(fixed) + "\n"
+    if sort_output:
+        from impg_tpu.graph import gfa as gfa_mod
+
+        text = gfa_mod.topological_sort(gfa_mod.Gfa.parse(text)).write()
+    return text
+
+
 def generate_maf(
     index: ImpgIndex,
     rows: list[Row],

@@ -104,3 +104,32 @@ def test_cli_graph_report_and_sorted_gfa(tmp_path):
     )
     assert bad.returncode == 2
     assert "unsupported" in bad.stderr
+
+
+def test_seqwish_engine_region_gfa(tmp_path):
+    fa, paf, seqs, seq_data = make_fasta(tmp_path, seed=41)
+    for engine_name in ("seqwish", "pggb"):
+        r = run_cli(
+            "query", "-a", paf, "-r", "ref:100-1200", "-d", "100", "-x",
+            "-o", "gfa", "--gfa-engine", engine_name, "--sequence-files", fa,
+        )
+        assert r.returncode == 0, r.stderr
+        from impg_tpu.io.fasta import reverse_complement
+
+        ps = path_seqs(r.stdout)
+        assert len(ps) >= 3
+        for name, seq in ps.items():
+            key, rng_part = name.rsplit(":", 1)
+            s, e = map(int, rng_part.split("-"))
+            expected = seq_data[key][s:e]
+            assert seq in (
+                expected, reverse_complement(expected.encode()).decode()
+            ), (engine_name, name)
+        # Compression: shared sequence collapses.
+        seg_bp = sum(
+            len(l.split("\t")[2])
+            for l in r.stdout.splitlines()
+            if l.startswith("S")
+        )
+        total = sum(len(s) for s in ps.values())
+        assert seg_bp < total * 0.8, (engine_name, seg_bp, total)
