@@ -137,7 +137,8 @@ def cmd_query(args) -> int:
                 return 2
             gfa_stages.append(stage)
     valid_formats = {
-        "bed", "bedpe", "paf", "fasta", "fasta+paf", "gfa", "maf", "fasta-aln",
+        "bed", "bedpe", "paf", "fasta", "fasta+paf", "gfa", "maf",
+        "fasta-aln", "vcf",
     }
     if fmt not in valid_formats:
         print(
@@ -324,7 +325,7 @@ def cmd_query(args) -> int:
                     index.seq_index, results, out, name, merge_distance,
                     args.original_sequence_coordinates,
                 )
-            elif fmt in ("fasta", "gfa", "maf", "fasta-aln"):
+            elif fmt in ("fasta", "gfa", "maf", "fasta-aln", "vcf"):
                 if not args.sequence_files:
                     print(
                         f"error: -o {fmt} requires --sequence-files",
@@ -367,7 +368,10 @@ def cmd_query(args) -> int:
                     merge_mod.merge_query_adjusted_intervals(
                         results, merge_distance, ms
                     )
-                    if fmt == "gfa" and args.gfa_engine in ("seqwish", "pggb"):
+                    build_fmt = "gfa" if fmt == "vcf" else fmt
+                    if build_fmt == "gfa" and args.gfa_engine in (
+                        "seqwish", "pggb"
+                    ):
                         text = region_mod.generate_gfa_seqwish(
                             index, results, seq_idx,
                             sort_output=args.gfa_engine == "pggb",
@@ -377,8 +381,13 @@ def cmd_query(args) -> int:
                             "gfa": region_mod.generate_gfa,
                             "maf": region_mod.generate_maf,
                             "fasta-aln": region_mod.generate_fasta_aln,
-                        }[fmt]
+                        }[build_fmt]
                         text = gen(index, results, seq_idx, scoring)
+                    if fmt == "vcf":
+                        from impg_tpu.graph import vcf as vcf_mod
+
+                        target_name = index.seq_index.get_name(target_id)
+                        text = vcf_mod.gfa_to_vcf(text, target_name)
                     if gfa_stages:
                         from impg_tpu.graph import gfa as gfa_mod
 
@@ -818,6 +827,18 @@ def cmd_genotype(args) -> int:
     return 0
 
 
+def cmd_gfa2vcf(args) -> int:
+    from impg_tpu.graph import vcf as vcf_mod
+
+    if args.gfa == "-":
+        text = sys.stdin.read()
+    else:
+        with open(args.gfa) as fh:
+            text = fh.read()
+    sys.stdout.write(vcf_mod.gfa_to_vcf(text, args.reference))
+    return 0
+
+
 def cmd_graph_report(args) -> int:
     from impg_tpu.graph import gfa as gfa_mod
 
@@ -1099,6 +1120,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_gt.add_argument("--sample-name", default="sample")
     p_gt.set_defaults(func=cmd_genotype)
+
+    p_vcf = sub.add_parser("gfa2vcf", help="Call variants from a GFA")
+    p_vcf.add_argument("gfa", help="GFA file (or - for stdin)")
+    p_vcf.add_argument(
+        "--reference", help="Reference path name or prefix (default: first path)"
+    )
+    p_vcf.set_defaults(func=cmd_gfa2vcf)
 
     p_rep = sub.add_parser("graph-report", help="Characterize a GFA graph")
     p_rep.add_argument("gfa", help="GFA file (or - for stdin)")

@@ -1,0 +1,190 @@
+"""GFA -> VCF: call variants from path walks against a reference path
+(reference: lib.rs:930 gfa_to_vcf_string via POVU flubble decomposition).
+
+Method (path-anchored bubble calling): for every non-reference path, match
+its node walk against the reference walk via a longest increasing chain of
+shared nodes; between consecutive shared anchors, the differing node
+subsequences spell REF/ALT alleles at the reference coordinate (VCF
+conventions: 1-based, indels left-anchored on the preceding base).
+Identical (pos, ref, alt) records merge across paths; per-path genotypes
+are emitted as haploid sample columns.
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass, field
+
+from impg_tpu.graph.gfa import Gfa
+from impg_tpu.io.fasta import reverse_complement
+
+
+def _step_seq(gfa: Gfa, step: tuple[str, bool]) -> bytes:
+    seq = gfa.segments[step[0]].encode()
+    return reverse_complement(seq) if step[1] else seq
+
+
+def _walk_seq(gfa: Gfa, steps) -> bytes:
+    return b"".join(_step_seq(gfa, s) for s in steps)
+
+
+def _anchor_chain(ref_steps, alt_steps) -> list[tuple[int, int]]:
+    """(ref_idx, alt_idx) pairs of shared oriented nodes, increasing in both
+    walks (LIS over reference positions of alt's shared nodes)."""
+    ref_pos: dict[tuple[str, bool], list[int]] = {}
+    for i, s in enumerate(ref_steps):
+        ref_pos.setdefault(s, []).append(i)
+    # Candidates in alt order, choosing greedily increasing ref positions via
+    # patience LIS over the flattened (alt_idx, ref_idx) candidates.
+    cands: list[tuple[int, int]] = []
+    for j, s in enumerate(alt_steps):
+        for i in ref_pos.get(s, []):
+            cands.append((j, i))
+    # LIS on ref_idx over alt-ordered candidates (strictly increasing both).
+    tails: list[int] = []
+    tails_idx: list[int] = []
+    back = [-1] * len(cands)
+    for ci, (j, i) in enumerate(cands):
+        k = bisect.bisect_left(tails, i)
+        if k > 0:
+            back[ci] = tails_idx[k - 1]
+        if k == len(tails):
+            tails.append(i)
+            tails_idx.append(ci)
+        else:
+            tails[k] = i
+            tails_idx[k] = ci
+    if not tails_idx:
+        return []
+    chain = []
+    cur = tails_idx[-1]
+    while cur != -1:
+        chain.append(cands[cur])
+        cur = back[cur]
+    chain.reverse()
+    # chain is (alt_idx, ref_idx); return (ref_idx, alt_idx), ensuring strict
+    # increase on the alt side too (LIS guarantees ref side).
+    out = []
+    last_alt = -1
+    for j, i in chain:
+        if j > last_alt:
+            out.append((i, j))
+            last_alt = j
+    return out
+
+
+@dataclass
+class VcfRecord:
+    chrom: str
+    pos: int  # 1-based
+    ref: str
+    alt: str
+    carriers: set = field(default_factory=set)
+
+
+def gfa_to_vcf(gfa_text: str, reference_path: str | None = None) -> str:
+    """Call variants of every path against the reference path.
+
+    `reference_path` selects by exact name or prefix; defaults to the first
+    path.  Path names of the form `name:start-end` shift coordinates by
+    `start` and report CHROM as `name`.
+    """
+    gfa = Gfa.parse(gfa_text)
+    if not gfa.paths:
+        return "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+    ref_name, ref_steps = gfa.paths[0]
+    if reference_path is not None:
+        for name, steps in gfa.paths:
+            if name == reference_path or name.startswith(reference_path):
+                ref_name, ref_steps = name, steps
+                break
+
+    # Reference coordinates: cumulative bp offset at each step boundary.
+    ref_off = [0]
+    for s in ref_steps:
+        ref_off.append(ref_off[-1] + len(gfa.segments[s[0]]))
+    ref_seq = _walk_seq(gfa, ref_steps).decode()
+
+    chrom = ref_name
+    base_offset = 0
+    if ":" in ref_name:
+        base, _, rng = ref_name.rpartition(":")
+        if "-" in rng:
+            s, _, _e = rng.partition("-")
+            try:
+                base_offset = int(s)
+                chrom = base
+            except ValueError:
+                pass
+
+    records: dict[tuple[int, str, str], VcfRecord] = {}
+    sample_names = [n for n, _ in gfa.paths if n != ref_name]
+
+    for alt_name, alt_steps in gfa.paths:
+        if alt_name == ref_name:
+            continue
+        chain = _anchor_chain(ref_steps, alt_steps)
+        if not chain:
+            continue
+        for (ri, ai), (rj, aj) in zip(chain, chain[1:]):
+            if rj == ri + 1 and aj == ai + 1:
+                continue  # contiguous: no bubble
+            ref_sub = ref_seq[ref_off[ri + 1] : ref_off[rj]]
+            alt_sub = _walk_seq(gfa, alt_steps[ai + 1 : aj]).decode()
+            if ref_sub == alt_sub:
+                continue
+            pos0 = ref_off[ri + 1]  # 0-based ref coordinate of the bubble
+            if ref_sub and alt_sub and len(ref_sub) == len(alt_sub):
+                # (MNP kept as one record; trim shared affixes.)
+                lead = 0
+                while (
+                    lead < len(ref_sub)
+                    and ref_sub[lead] == alt_sub[lead]
+                ):
+                    lead += 1
+                trail = 0
+                while (
+                    trail < len(ref_sub) - lead
+                    and ref_sub[-1 - trail] == alt_sub[-1 - trail]
+                ):
+                    trail += 1
+                r = ref_sub[lead : len(ref_sub) - trail]
+                a = alt_sub[lead : len(alt_sub) - trail]
+                pos = pos0 + lead
+                if not r:
+                    continue
+            else:
+                # Indel / complex: left-anchor with the preceding base.
+                anchor_pos = pos0 - 1
+                if anchor_pos < 0:
+                    continue
+                anchor = ref_seq[anchor_pos]
+                r = anchor + ref_sub
+                a = anchor + alt_sub
+                pos = anchor_pos
+            key = (pos, r, a)
+            rec = records.get(key)
+            if rec is None:
+                rec = VcfRecord(
+                    chrom=chrom, pos=base_offset + pos + 1, ref=r, alt=a
+                )
+                records[key] = rec
+            rec.carriers.add(alt_name)
+
+    out = [
+        "##fileformat=VCFv4.2",
+        f"##reference={ref_name}",
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+        + "\t".join(sample_names),
+    ]
+    for key in sorted(records):
+        rec = records[key]
+        gts = "\t".join(
+            "1" if name in rec.carriers else "0" for name in sample_names
+        )
+        out.append(
+            f"{rec.chrom}\t{rec.pos}\t.\t{rec.ref}\t{rec.alt}\t.\t.\t"
+            f"AC={len(rec.carriers)};AN={len(sample_names)}\tGT\t{gts}"
+        )
+    return "\n".join(out) + "\n"

@@ -1,0 +1,120 @@
+"""GFA -> VCF bubble calling (reference: lib.rs:930 POVU role)."""
+
+import random
+
+import pytest
+
+from impg_tpu.graph import seqwish
+from impg_tpu.graph.vcf import gfa_to_vcf
+from impg_tpu.commands import align as align_mod
+from impg_tpu.syng.index import SyngIndex
+from tests import datagen
+from tests.test_cli import run_cli
+from tests.test_fasta import make_fasta
+
+
+def build_gfa_for(seq_data: dict[str, str]):
+    seqs = {n: s.encode() for n, s in seq_data.items()}
+    index = SyngIndex.build(list(seqs.items()))
+    rows = []
+    names = list(seqs)
+    for q in names:
+        for t in names:
+            if q != t:
+                rows.extend(align_mod.align_sequence_pair(index, seqs, q, t))
+    return seqwish.induce_graph(seqs, rows)
+
+
+def test_snp_and_insertion_called():
+    rng = random.Random(15)
+    ref = "".join(rng.choice("ACGT") for _ in range(4000))
+    # One SNP at 1500, one 12bp insertion after 2500.
+    alt = list(ref)
+    orig = alt[1500]
+    alt[1500] = {"A": "C", "C": "A", "G": "T", "T": "G"}[orig]
+    snp_base = alt[1500]
+    ins = "".join(rng.choice("ACGT") for _ in range(12))
+    alt_seq = "".join(alt[:2500]) + ins + "".join(alt[2500:])
+    gfa = build_gfa_for({"ref": ref, "alt": alt_seq})
+    vcf = gfa_to_vcf(gfa, "ref")
+    rows = [l.split("\t") for l in vcf.splitlines() if not l.startswith("#")]
+    assert rows, vcf
+    by_pos = {int(r[1]): r for r in rows}
+    # SNP at 1-based 1501.
+    assert 1501 in by_pos, sorted(by_pos)
+    snp = by_pos[1501]
+    assert snp[3] == orig and snp[4] == snp_base
+    # Insertion anchored at 2500 (1-based): ALT longer than REF by 12.
+    ins_rows = [r for r in rows if len(r[4]) - len(r[3]) == 12]
+    assert ins_rows
+    assert abs(int(ins_rows[0][1]) - 2500) <= 1
+    # REF alleles match the reference sequence.
+    for r in rows:
+        pos = int(r[1]) - 1
+        assert ref[pos : pos + len(r[3])] == r[3], r
+
+
+def test_deletion_called():
+    rng = random.Random(25)
+    ref = "".join(rng.choice("ACGT") for _ in range(3000))
+    alt_seq = ref[:1200] + ref[1230:]  # 30bp deletion
+    gfa = build_gfa_for({"ref": ref, "alt": alt_seq})
+    vcf = gfa_to_vcf(gfa, "ref")
+    rows = [l.split("\t") for l in vcf.splitlines() if not l.startswith("#")]
+    del_rows = [r for r in rows if len(r[3]) - len(r[4]) == 30]
+    assert del_rows, vcf
+    assert abs(int(del_rows[0][1]) - 1200) <= 1
+
+
+def test_genotype_columns():
+    rng = random.Random(35)
+    ref = "".join(rng.choice("ACGT") for _ in range(3000))
+    alt = list(ref)
+    alt[800] = {"A": "C"}.get(alt[800], "A")
+    a_seq = "".join(alt)
+    gfa = build_gfa_for({"ref": ref, "a": a_seq, "b": ref[:]})
+    # 'b' is identical to ref -> carries nothing; 'a' carries the SNP.
+    vcf = gfa_to_vcf(gfa, "ref")
+    header = [l for l in vcf.splitlines() if l.startswith("#CHROM")][0]
+    cols = header.split("\t")
+    rows = [l.split("\t") for l in vcf.splitlines() if not l.startswith("#")]
+    assert rows
+    ai = next(i for i, c in enumerate(cols) if c.split(":")[0] == "a")
+    bi = next(i for i, c in enumerate(cols) if c.split(":")[0] == "b")
+    for r in rows:
+        assert r[ai] == "1"
+        assert r[bi] == "0"
+
+
+def test_cli_query_vcf(tmp_path):
+    fa, paf, seqs, seq_data = make_fasta(tmp_path, seed=51)
+    r = run_cli(
+        "query", "-a", paf, "-r", "ref:100-1200", "-d", "100", "-x",
+        "-o", "vcf", "--gfa-engine", "seqwish", "--sequence-files", fa,
+    )
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert lines[0] == "##fileformat=VCFv4.2"
+    rows = [l.split("\t") for l in lines if not l.startswith("#")]
+    assert rows
+    # CHROM is the bare sequence name; positions inside the region; REF
+    # alleles match the source genome.
+    for row in rows:
+        assert row[0] == "ref"
+        pos = int(row[1]) - 1
+        assert 100 <= pos <= 1250
+        assert seq_data["ref"][pos : pos + len(row[3])] == row[3], row
+
+
+def test_cli_gfa2vcf(tmp_path):
+    rng = random.Random(45)
+    ref = "".join(rng.choice("ACGT") for _ in range(2000))
+    alt = ref[:900] + "T" + ref[901:]
+    if alt == ref:
+        alt = ref[:900] + "A" + ref[901:]
+    gfa = build_gfa_for({"ref": ref, "alt": alt})
+    p = tmp_path / "g.gfa"
+    p.write_text(gfa)
+    r = run_cli("gfa2vcf", str(p), "--reference", "ref")
+    assert r.returncode == 0, r.stderr
+    assert "##fileformat=VCFv4.2" in r.stdout
