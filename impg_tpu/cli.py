@@ -126,7 +126,7 @@ def cmd_query(args) -> int:
             print(f"error: invalid -o pipeline spec: {e}", file=sys.stderr)
             return 2
         fmt = "gfa"
-        supported = {"gfa", "sort"}
+        supported = {"gfa", "sort", "smooth"}
         for stage in spec.stages[1:]:
             if stage.name not in supported:
                 print(
@@ -391,11 +391,16 @@ def cmd_query(args) -> int:
                     if gfa_stages:
                         from impg_tpu.graph import gfa as gfa_mod
 
-                        g = gfa_mod.Gfa.parse(text)
                         for stage in gfa_stages:
                             if stage.name == "sort":
-                                g = gfa_mod.topological_sort(g)
-                        text = g.write()
+                                text = gfa_mod.topological_sort(
+                                    gfa_mod.Gfa.parse(text)
+                                ).write()
+                            elif stage.name == "smooth":
+                                from impg_tpu.graph import smooth as smooth_mod
+
+                                bl = int(stage.param("block-len") or 1100)
+                                text = smooth_mod.smooth_gfa(text, bl)
                     out.write(text)
             else:
                 print(f"error: unsupported output format '{fmt}'", file=sys.stderr)
@@ -827,6 +832,26 @@ def cmd_genotype(args) -> int:
     return 0
 
 
+def cmd_smooth(args) -> int:
+    from impg_tpu.graph import smooth as smooth_mod
+
+    if args.gfa == "-":
+        text = sys.stdin.read()
+    else:
+        with open(args.gfa) as fh:
+            text = fh.read()
+    scoring = tuple(
+        int(x) for x in args.poa_scoring.replace("/", ",").split(",")
+    )
+    out_text = smooth_mod.smooth_gfa(text, args.block_len, scoring)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(out_text)
+    else:
+        sys.stdout.write(out_text)
+    return 0
+
+
 def cmd_gfa2vcf(args) -> int:
     from impg_tpu.graph import vcf as vcf_mod
 
@@ -1120,6 +1145,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_gt.add_argument("--sample-name", default="sample")
     p_gt.set_defaults(func=cmd_genotype)
+
+    p_sm = sub.add_parser(
+        "smooth", help="POA-smooth a GFA (sort -> blocks -> POA -> lace)"
+    )
+    p_sm.add_argument("gfa", help="GFA file (or - for stdin)")
+    p_sm.add_argument("--block-len", type=int, default=1100)
+    p_sm.add_argument("--poa-scoring", default="1,4,6,2,26,1")
+    p_sm.add_argument("--output", help="Output GFA (default stdout)")
+    p_sm.set_defaults(func=cmd_smooth)
 
     p_vcf = sub.add_parser("gfa2vcf", help="Call variants from a GFA")
     p_vcf.add_argument("gfa", help="GFA file (or - for stdin)")

@@ -1,0 +1,108 @@
+"""Graph smoothing: per-block POA realignment (reference: smooth.rs:207
+smooth_gfa, the smoothxg-style pipeline).
+
+Pipeline (smooth.rs semantics, simplified block source):
+  1. 1D order: stable topological ranks over the segment DAG;
+  2. block decomposition: consecutive-rank node groups bounded by a target
+     block length in bp;
+  3. per block: every path's maximal subwalks through the block spell
+     sequences (with their bp offsets along the path);
+  4. each block realigns with the native POA engine into a clean local
+     graph whose paths are named `path:start-end`;
+  5. the block graphs LACE back together (graph/lace.py) into the smoothed
+     whole — trimming, linking, renumbering.
+
+Invariant (tested): every path of the smoothed graph spells exactly the same
+bases as in the input graph.
+"""
+
+from __future__ import annotations
+
+from impg_tpu.graph import lace as lace_mod
+from impg_tpu.graph import poa as poa_mod
+from impg_tpu.graph.gfa import Gfa, topological_sort
+from impg_tpu.io.fasta import reverse_complement
+
+
+def _step_seq(gfa: Gfa, step: tuple[str, bool]) -> bytes:
+    seq = gfa.segments[step[0]].encode()
+    return reverse_complement(seq) if step[1] else seq
+
+
+def smooth_gfa(
+    gfa_text: str,
+    block_len: int = 1100,
+    scoring=poa_mod.DEFAULT_SCORING,
+) -> str:
+    gfa = topological_sort(Gfa.parse(gfa_text))
+    if not gfa.paths or not gfa.segments:
+        return gfa.write()
+
+    # Block id per node: consecutive ranks, bounded by block_len bp.
+    rank = {sid: i for i, sid in enumerate(gfa.segments)}
+    block_of: dict[str, int] = {}
+    cur_block = 0
+    cur_bp = 0
+    for sid in gfa.segments:
+        node_bp = len(gfa.segments[sid])
+        if cur_bp > 0 and cur_bp + node_bp > block_len:
+            cur_block += 1
+            cur_bp = 0
+        block_of[sid] = cur_block
+        cur_bp += node_bp
+    n_blocks = cur_block + 1
+
+    # Per block: list of (path_name, start_bp, sequence bytes).
+    block_slices: dict[int, list[tuple[str, int, bytes]]] = {
+        b: [] for b in range(n_blocks)
+    }
+    for path_name, steps in gfa.paths:
+        pos = 0
+        run_block = None
+        run_start = 0
+        run_seq: list[bytes] = []
+        for step in steps:
+            b = block_of[step[0]]
+            piece = _step_seq(gfa, step)
+            if run_block is None or b != run_block:
+                if run_block is not None and run_seq:
+                    block_slices[run_block].append(
+                        (path_name, run_start, b"".join(run_seq))
+                    )
+                run_block = b
+                run_start = pos
+                run_seq = []
+            run_seq.append(piece)
+            pos += len(piece)
+        if run_block is not None and run_seq:
+            block_slices[run_block].append(
+                (path_name, run_start, b"".join(run_seq))
+            )
+
+    # Strip any existing :start-end suffix so lace keys stay collision-free,
+    # rebasing offsets into source coordinates when present.
+    def base_key(path_name: str) -> tuple[str, int]:
+        base, sep, rng = path_name.rpartition(":")
+        if sep and "-" in rng:
+            s, _, _ = rng.partition("-")
+            try:
+                return base, int(s)
+            except ValueError:
+                pass
+        return path_name, 0
+
+    block_gfas: list[str] = []
+    for b in range(n_blocks):
+        slices = block_slices[b]
+        if not slices:
+            continue
+        seqs = [s for _, _, s in slices]
+        result = poa_mod.poa_align(seqs, scoring)
+        names = []
+        for path_name, start, seq in slices:
+            key, base_off = base_key(path_name)
+            lo = base_off + start
+            names.append(f"{key}:{lo}-{lo + len(seq)}")
+        block_gfas.append(poa_mod.poa_to_gfa(result, names))
+
+    return lace_mod.lace_gfas(block_gfas)

@@ -133,3 +133,30 @@ def test_seqwish_engine_region_gfa(tmp_path):
         )
         total = sum(len(s) for s in ps.values())
         assert seg_bp < total * 0.8, (engine_name, seg_bp, total)
+
+
+def test_smooth_preserves_path_sequences(tmp_path):
+    fa, paf, seqs, seq_data = make_fasta(tmp_path, seed=61)
+    r = run_cli(
+        "query", "-a", paf, "-r", "ref:100-1300", "-d", "100", "-x",
+        "-o", "gfa", "--gfa-engine", "seqwish", "--sequence-files", fa,
+    )
+    assert r.returncode == 0, r.stderr
+    before = path_seqs(r.stdout)
+    gfa_file = tmp_path / "in.gfa"
+    gfa_file.write_text(r.stdout)
+    s = run_cli("smooth", str(gfa_file), "--block-len", "400")
+    assert s.returncode == 0, s.stderr
+    after = path_seqs(s.stdout)
+    # Same path set (names preserved through block naming + lace), same bases.
+    assert set(after) == set(before), (set(before), set(after))
+    for name in before:
+        assert after[name] == before[name], name
+    # Pipeline stage form too.
+    r2 = run_cli(
+        "query", "-a", paf, "-r", "ref:100-1300", "-d", "100", "-x",
+        "-o", "gfa:smooth,block-len=400", "--gfa-engine", "seqwish",
+        "--sequence-files", fa,
+    )
+    assert r2.returncode == 0, r2.stderr
+    assert path_seqs(r2.stdout) == after
