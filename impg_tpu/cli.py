@@ -832,6 +832,31 @@ def cmd_genotype(args) -> int:
     return 0
 
 
+def cmd_infer(args) -> int:
+    from impg_tpu.commands import infer as infer_mod
+    from impg_tpu.syng.index import SyngIndex
+    from impg_tpu.syng.pack import Pack
+
+    index = SyngIndex.load(args.alignment)
+    pack = Pack.load(args.pack)
+    chrom, (start, end), _ = bed_mod.parse_target_range(args.target_range)
+    windows, path, segments = infer_mod.run_infer(
+        index, pack, chrom, start, end,
+        window=args.window,
+        ploidy=args.ploidy,
+        top_n=args.top_n,
+        switch_penalty=args.switch_penalty,
+        candidate_mode=args.candidate_mode,
+    )
+    if not windows:
+        print("error: no calls produced for region", file=sys.stderr)
+        return 1
+    infer_mod.write_infer_report(
+        sys.stdout, windows, path, segments, args.sample_name
+    )
+    return 0
+
+
 def cmd_smooth(args) -> int:
     from impg_tpu.graph import smooth as smooth_mod
 
@@ -1145,6 +1170,24 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_gt.add_argument("--sample-name", default="sample")
     p_gt.set_defaults(func=cmd_genotype)
+
+    p_inf = sub.add_parser(
+        "infer", help="Windowed allele inference with mosaic stitching"
+    )
+    p_inf.add_argument("-a", "--alignment", required=True,
+                       help="syng index prefix (or .syngt path)")
+    p_inf.add_argument("-p", "--pack", required=True)
+    p_inf.add_argument("-r", "--target-range", required=True)
+    p_inf.add_argument("-w", "--window", type=int, default=5000)
+    p_inf.add_argument("--ploidy", type=int, default=2)
+    p_inf.add_argument("--top-n", type=int, default=5)
+    p_inf.add_argument("--switch-penalty", type=float, default=0.1)
+    p_inf.add_argument(
+        "--candidate-mode", choices=["overlapping", "spanning"],
+        default="overlapping",
+    )
+    p_inf.add_argument("--sample-name", default="sample")
+    p_inf.set_defaults(func=cmd_infer)
 
     p_sm = sub.add_parser(
         "smooth", help="POA-smooth a GFA (sort -> blocks -> POA -> lace)"

@@ -1,0 +1,187 @@
+"""Allele inference over windows with mosaic stitching
+(reference: commands/infer.rs run_syng_pack_infer, docs/infer-design.md).
+
+Per reference-range window, candidates are genotyped against the sample pack
+(commands/genotype.py); the per-window top-N combinations then stitch into
+phased mosaic haplotypes with a beam search that rewards cosine similarity
+and penalizes haplotype switches between adjacent windows (reference
+StitchMode/--switch-penalty, infer.rs:42).
+
+Outputs: per-window call TSV + per-haplotype mosaic segments (phase blocks).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from itertools import permutations
+from typing import Optional
+
+from impg_tpu.commands import genotype as gt_mod
+from impg_tpu.syng.index import SyngIndex
+from impg_tpu.syng.pack import Pack
+
+
+@dataclass
+class WindowCall:
+    chrom: str
+    start: int
+    end: int
+    combos: list  # top-N CombinationScore
+    candidates: list  # Candidate list for this window
+
+
+@dataclass
+class MosaicSegment:
+    hap_slot: int
+    chrom: str
+    start: int
+    end: int
+    source: str  # candidate genome name
+
+
+def _switch_cost(prev: tuple, nxt: tuple) -> int:
+    """Minimal number of haplotype switches between two genome multisets
+    (best assignment over slot permutations)."""
+    best = len(nxt)
+    for perm in permutations(range(len(nxt))):
+        cost = sum(1 for i, j in enumerate(perm) if prev[i] != nxt[j])
+        best = min(best, cost)
+    return best
+
+
+def _best_perm(prev: tuple, nxt: tuple) -> tuple:
+    """Order `nxt` to minimize switches against `prev`."""
+    best, best_cost = nxt, len(nxt)
+    for perm in permutations(nxt):
+        cost = sum(1 for a, b in zip(prev, perm) if a != b)
+        if cost < best_cost:
+            best, best_cost = perm, cost
+    return best
+
+
+def stitch(
+    windows: list[WindowCall],
+    switch_penalty: float = 0.1,
+    beam_width: int = 8,
+) -> tuple[list[tuple], float]:
+    """Beam search over per-window combinations.
+
+    Returns (chosen combination of genome-name tuples per window, score).
+    """
+    if not windows:
+        return [], 0.0
+    # States: genome-name tuples (slot-ordered).
+    beams: list[tuple[float, list[tuple]]] = [(0.0, [])]
+    for w in windows:
+        options = []
+        for score in w.combos:
+            genomes = tuple(
+                w.candidates[i].genome for i in score.combination
+            )
+            options.append((genomes, score.similarity))
+        nxt_beams = []
+        for acc, path in beams:
+            prev = path[-1] if path else None
+            for genomes, sim in options:
+                if prev is None:
+                    cost = 0
+                    ordered = genomes
+                else:
+                    ordered = _best_perm(prev, genomes)
+                    cost = sum(1 for a, b in zip(prev, ordered) if a != b)
+                nxt_beams.append(
+                    (acc + sim - switch_penalty * cost, path + [ordered])
+                )
+        nxt_beams.sort(key=lambda x: -x[0])
+        beams = nxt_beams[:beam_width]
+    best_score, best_path = beams[0]
+    return best_path, best_score
+
+
+def mosaic_segments(
+    windows: list[WindowCall], path: list[tuple]
+) -> list[MosaicSegment]:
+    """Merge adjacent windows with the same source per haplotype slot."""
+    if not windows or not path:
+        return []
+    ploidy = len(path[0])
+    out: list[MosaicSegment] = []
+    for slot in range(ploidy):
+        cur: Optional[MosaicSegment] = None
+        for w, genomes in zip(windows, path):
+            src = genomes[slot]
+            if (
+                cur is not None
+                and cur.source == src
+                and cur.chrom == w.chrom
+                and cur.end == w.start
+            ):
+                cur.end = w.end
+            else:
+                if cur is not None:
+                    out.append(cur)
+                cur = MosaicSegment(slot, w.chrom, w.start, w.end, src)
+        if cur is not None:
+            out.append(cur)
+    return out
+
+
+def run_infer(
+    index: SyngIndex,
+    pack: Pack,
+    chrom: str,
+    start: int,
+    end: int,
+    window: int = 5000,
+    ploidy: int = 2,
+    top_n: int = 5,
+    switch_penalty: float = 0.1,
+    candidate_mode: str = "overlapping",
+) -> tuple[list[WindowCall], list[tuple], list[MosaicSegment]]:
+    windows: list[WindowCall] = []
+    pos = start
+    while pos < end:
+        w_end = min(pos + window, end)
+        if w_end - pos < window // 4 and windows:
+            windows[-1].end = w_end  # merge small tail into previous window
+            # Re-genotype the extended window.
+            w = windows[-1]
+            candidates, results = gt_mod.genotype_cos(
+                index, pack, chrom, w.start, w.end,
+                ploidy=ploidy, top_n=top_n, mode=candidate_mode,
+            )
+            w.candidates, w.combos = candidates, results
+            break
+        candidates, results = gt_mod.genotype_cos(
+            index, pack, chrom, pos, w_end,
+            ploidy=ploidy, top_n=top_n, mode=candidate_mode,
+        )
+        if results:
+            windows.append(WindowCall(chrom, pos, w_end, results, candidates))
+        pos = w_end
+    path, _score = stitch(windows, switch_penalty)
+    segments = mosaic_segments(windows, path)
+    return windows, path, segments
+
+
+def write_infer_report(out, windows, path, segments, sample="sample") -> None:
+    out.write("#type\tsample\tchrom\tstart\tend\tcall\tsimilarity\tqv\n")
+    for w, genomes in zip(windows, path):
+        top = w.combos[0]
+        # Find the score matching the chosen (unordered) combination.
+        chosen = sorted(genomes)
+        sim, qv = top.similarity, top.qv
+        for sc in w.combos:
+            g = sorted(w.candidates[i].genome for i in sc.combination)
+            if g == chosen:
+                sim, qv = sc.similarity, sc.qv
+                break
+        out.write(
+            f"window\t{sample}\t{w.chrom}\t{w.start}\t{w.end}"
+            f"\t{'|'.join(genomes)}\t{sim:.6f}\t{qv:.2f}\n"
+        )
+    for seg in segments:
+        out.write(
+            f"mosaic\t{sample}\t{seg.chrom}\t{seg.start}\t{seg.end}"
+            f"\thap{seg.hap_slot}={seg.source}\t.\t.\n"
+        )

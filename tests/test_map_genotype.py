@@ -139,3 +139,64 @@ def test_cli_map_and_genotype(panel):
     tsv = (tmp / "sample.tsv").read_text().splitlines()
     assert tsv[0] == "feature.id\tcount"
     assert len(tsv) > 10
+
+
+def test_infer_detects_recombinant(panel, tmp_path):
+    """Sample = s0 on the left half of ref's frame, s2 on the right half:
+    windowed inference should stitch a mosaic with one switch per slot."""
+    tmp, fa, idx, seq_data, fastq = panel
+    rng = random.Random(99)
+    half = len(seq_data["s0"]) // 2
+    recomb = seq_data["s0"][:half] + seq_data["s2"][len(seq_data["s2"]) // 2:]
+    reads = []
+    for i in range(900):
+        if len(recomb) <= 150:
+            break
+        s = rng.randint(0, len(recomb) - 150)
+        reads.append((f"m{i}", recomb[s : s + 150]))
+    fq = str(tmp_path / "recomb.fastq")
+    with open(fq, "w") as fh:
+        for name, seq in reads:
+            fh.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
+    from impg_tpu.syng.pack import map_reads
+    from impg_tpu.commands import infer as infer_mod
+
+    pack, _, _ = map_reads(idx, [fq])
+    L = idx.seq_index.get_len_from_id(idx.seq_index.get_id("ref"))
+    windows, path, segments = infer_mod.run_infer(
+        idx, pack, "ref", 0, L, window=3000, ploidy=2
+    )
+    assert windows and path
+    # Both source haplotypes must appear somewhere in the stitched path
+    # (chain members may be stored reverse-complemented, so which ref-frame
+    # side each half lands on is orientation-dependent).
+    all_sources = {g for combo in path for g in combo}
+    assert {"s0", "s2"} <= all_sources, path
+    # The mosaic detects a switch: not every window calls the same combo.
+    assert len({tuple(sorted(c)) for c in path}) > 1, path
+    seg_sources = {s.source for s in segments}
+    assert {"s0", "s2"} <= seg_sources, segments
+
+
+def test_cli_infer(panel, tmp_path):
+    tmp, fa, idx, seq_data, fastq = panel
+    prefix = str(tmp / "cli_pan")  # built by test_cli_map_and_genotype? ensure
+    r = run_cli("syng", "-f", fa, "-o", prefix + "2")
+    assert r.returncode == 0, r.stderr
+    pack_path = str(tmp_path / "p.packt")
+    r = run_cli("map", "-a", prefix + "2.syngt", "-q", fastq, "-O", pack_path)
+    assert r.returncode == 0, r.stderr
+    L = len(seq_data["ref"])
+    r = run_cli(
+        "infer", "-a", prefix + "2.syngt", "-p", pack_path,
+        "-r", f"ref:0-{L}", "-w", "4000",
+    )
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert lines[0].startswith("#type")
+    assert any(l.startswith("window") for l in lines)
+    assert any(l.startswith("mosaic") for l in lines)
+    # The diploid truth (ref + s1) should dominate the window calls.
+    window_calls = [l.split("\t")[5] for l in lines if l.startswith("window")]
+    hit = sum(1 for c in window_calls if "ref" in c and "s1" in c)
+    assert hit >= len(window_calls) // 2, window_calls
