@@ -126,7 +126,7 @@ def cmd_query(args) -> int:
             print(f"error: invalid -o pipeline spec: {e}", file=sys.stderr)
             return 2
         fmt = "gfa"
-        supported = {"gfa", "sort", "smooth"}
+        supported = {"gfa", "sort", "smooth", "normalize"}
         for stage in spec.stages[1:]:
             if stage.name not in supported:
                 print(
@@ -401,6 +401,12 @@ def cmd_query(args) -> int:
 
                                 bl = int(stage.param("block-len") or 1100)
                                 text = smooth_mod.smooth_gfa(text, bl)
+                            elif stage.name == "normalize":
+                                from impg_tpu.graph import (
+                                    normalize as norm_mod,
+                                )
+
+                                text = norm_mod.normalize_gfa(text)
                     out.write(text)
             else:
                 print(f"error: unsupported output format '{fmt}'", file=sys.stderr)
@@ -832,6 +838,23 @@ def cmd_genotype(args) -> int:
     return 0
 
 
+def cmd_normalize(args) -> int:
+    from impg_tpu.graph import normalize as norm_mod
+
+    if args.gfa == "-":
+        text = sys.stdin.read()
+    else:
+        with open(args.gfa) as fh:
+            text = fh.read()
+    out_text = norm_mod.normalize_gfa(text)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(out_text)
+    else:
+        sys.stdout.write(out_text)
+    return 0
+
+
 def cmd_infer(args) -> int:
     from impg_tpu.commands import infer as infer_mod
     from impg_tpu.syng.index import SyngIndex
@@ -1170,6 +1193,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_gt.add_argument("--sample-name", default="sample")
     p_gt.set_defaults(func=cmd_genotype)
+
+    p_norm = sub.add_parser(
+        "normalize", help="GFAffix-style shared-affix normalization of a GFA"
+    )
+    p_norm.add_argument("gfa", help="GFA file (or - for stdin)")
+    p_norm.add_argument("--output", help="Output GFA (default stdout)")
+    p_norm.set_defaults(func=cmd_normalize)
 
     p_inf = sub.add_parser(
         "infer", help="Windowed allele inference with mosaic stitching"

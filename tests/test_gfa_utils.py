@@ -160,3 +160,34 @@ def test_smooth_preserves_path_sequences(tmp_path):
     )
     assert r2.returncode == 0, r2.stderr
     assert path_seqs(r2.stdout) == after
+
+
+def test_normalize_preserves_paths_and_shrinks(tmp_path):
+    from impg_tpu.graph.normalize import normalize_gfa
+
+    fa, paf, seqs, seq_data = make_fasta(tmp_path, seed=71)
+    r = run_cli(
+        "query", "-a", paf, "-r", "ref:100-1300", "-d", "100", "-x",
+        "-o", "gfa", "--sequence-files", fa,
+    )
+    assert r.returncode == 0, r.stderr
+    before = path_seqs(r.stdout)
+    out = normalize_gfa(r.stdout)
+    after = path_seqs(out)
+    assert before == after
+    bp = lambda t: sum(
+        len(l.split("\t")[2]) for l in t.splitlines() if l.startswith("S")
+    )
+    assert bp(out) <= bp(r.stdout)
+    # CLI + pipeline stage form.
+    g = tmp_path / "n.gfa"
+    g.write_text(r.stdout)
+    c = run_cli("normalize", str(g))
+    assert c.returncode == 0, c.stderr
+    assert path_seqs(c.stdout) == before
+    r2 = run_cli(
+        "query", "-a", paf, "-r", "ref:100-1300", "-d", "100", "-x",
+        "-o", "gfa:normalize:sort", "--sequence-files", fa,
+    )
+    assert r2.returncode == 0, r2.stderr
+    assert path_seqs(r2.stdout) == before
