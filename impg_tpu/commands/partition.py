@@ -568,6 +568,28 @@ def partition_alignments(
 
     if not separate_files and collected and output_format == "bed":
         _write_single_partition_file(collected, index, output_folder)
+    elif not separate_files and collected and output_format == "gfa":
+        # Partitioned single-file GFA: per-partition POA graphs laced into
+        # one (reference: partitioned_gfa_pipeline, lib.rs:1204).
+        from impg_tpu.graph import lace as lace_mod
+        from impg_tpu.graph import region as region_mod
+
+        if sequence_index is None:
+            raise ValueError("GFA partition output requires --sequence-files")
+        gfas = []
+        for pnum, intervals in collected:
+            rows = [
+                Row(iv.seq_id, iv.first, iv.last, None, iv.seq_id, *iv.span())
+                for iv in intervals
+            ]
+            gfas.append(region_mod.generate_gfa(index, rows, sequence_index))
+        laced = lace_mod.lace_gfas(
+            gfas, fill_gaps=True, sequence_index=sequence_index
+        )
+        path = _output_path(output_folder, "partitions.gfa")
+        with open(path, "w") as fh:
+            fh.write(laced)
+        log.info("Wrote partitioned GFA to %s", path)
 
     log.info(
         "Partitioned into %d regions: %d bp / %d bp total",

@@ -146,3 +146,31 @@ def test_partition_gfa_then_lace(tmp_path):
         assert seq in (
             expected, reverse_complement(expected.encode()).decode()
         ), name
+
+
+def test_partition_single_file_gfa(tmp_path):
+    """Partitioned single-file pipeline: partition -> POA graphs -> lace."""
+    fa, paf, seqs, seq_data = make_fasta(tmp_path, seed=37)
+    out = tmp_path / "one"
+    r = run_cli(
+        "partition", "-a", paf, "-w", "800", "-d", "100",
+        "--min-missing-size", "100", "--min-boundary-distance", "100",
+        "-o", "gfa", "--sequence-files", fa, "--output-folder", str(out),
+    )
+    assert r.returncode == 0, r.stderr
+    laced = (out / "partitions.gfa").read_text()
+    merged = path_seqs(laced)
+    assert merged
+    for name, seq in merged.items():
+        key, start, end = lace.split_path_name(name)
+        expected = seq_data[key][start:end]
+        assert seq in (
+            expected, reverse_complement(expected.encode()).decode()
+        ), name
+    # With gap filling the pipeline should reassemble near-full genomes.
+    covered = {}
+    for name in merged:
+        key, start, end = lace.split_path_name(name)
+        covered[key] = covered.get(key, 0) + (end - start)
+    for name, L in seqs.items():
+        assert covered.get(name, 0) >= 0.9 * L, (name, covered.get(name), L)
