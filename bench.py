@@ -80,20 +80,22 @@ def build_workload():
     return index, batches
 
 
-def bench_device(index, batches):
+def bench_device(index, batches, approximate=False):
     from impg_tpu.query import engine
     from impg_tpu.query.device import DeviceEngine
 
-    dev = DeviceEngine(index)
+    dev = DeviceEngine(index, with_tracepoints=approximate)
     # Warmup (compile + window-capacity settle).
     engine.query_transitive_bfs_many(
-        index, batches[0], max_depth=MAX_DEPTH, device_engine=dev
+        index, batches[0], max_depth=MAX_DEPTH, device_engine=dev,
+        approximate=approximate,
     )
     t0 = time.perf_counter()
     rows = 0
     for walk in batches[1:]:
         res = engine.query_transitive_bfs_many(
-            index, walk, max_depth=MAX_DEPTH, device_engine=dev
+            index, walk, max_depth=MAX_DEPTH, device_engine=dev,
+            approximate=approximate,
         )
         rows += sum(len(r) for r in res)
     dt = time.perf_counter() - t0
@@ -118,6 +120,8 @@ def bench_host(index, batches, budget_s: float = 60.0):
 def main():
     index, batches = build_workload()
     qps_device, rows, dt = bench_device(index, batches)
+    index.ensure_tracepoints(100)
+    qps_approx, _, _ = bench_device(index, batches, approximate=True)
     qps_host = bench_host(index, batches)
     result = {
         "metric": "transitive_queries_per_sec_per_chip",
@@ -133,6 +137,7 @@ def main():
             "result_rows": int(rows),
             "result_rows_per_sec": round(rows / dt, 2),
             "host_engine_qps": round(qps_host, 2),
+            "approximate_mode_qps": round(qps_approx, 2),
         },
     }
     print(json.dumps(result))

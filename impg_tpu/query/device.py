@@ -65,9 +65,13 @@ class DeviceIndex:
     n_records: int
     search_iters: int  # 2**iters > max op_cnt
     window_iters: int  # 2**iters > max records per target
+    tp: dict | None = None  # tracepoint arrays for device approximate mode
+    tp_spacing: int = 0
 
     @classmethod
-    def build(cls, index: ImpgIndex) -> "DeviceIndex":
+    def build(
+        cls, index: ImpgIndex, with_tracepoints: bool = False
+    ) -> "DeviceIndex":
         if index.arena.n_ops >= 2**31:
             raise ValueError("arena too large for int32 offsets")
         n = len(index.records)
@@ -82,6 +86,20 @@ class DeviceIndex:
         arena = {
             k: jnp.asarray(v) for k, v in index.arena.projection_kwargs().items()
         }
+        tp_arrays = None
+        tp_spacing = 0
+        if with_tracepoints:
+            tp = index.ensure_tracepoints()
+            tp_spacing = tp.spacing
+            tp_arrays = dict(
+                seg_off=jnp.asarray(tp.seg_off.astype(np.int32)),
+                n_seg=jnp.asarray(tp.n_seg.astype(np.int32)),
+                q_bound=jnp.asarray(tp.q_bound.astype(np.int32)),
+                pre_diffs=jnp.asarray(tp.pre_diffs.astype(np.int32)),
+                pre_aligned=jnp.asarray(tp.pre_aligned.astype(np.int32)),
+                q_start=jnp.asarray(index.records.q_start.astype(np.int32)),
+                q_end=jnp.asarray(index.records.q_end.astype(np.int32)),
+            )
         as_i32 = lambda a: jnp.asarray(a.astype(np.int32))
         return cls(
             target_id=as_i32(index.records.target_id),
@@ -97,6 +115,8 @@ class DeviceIndex:
             n_records=n,
             search_iters=_iters_for(max_ops),
             window_iters=_iters_for(max_tree),
+            tp=tp_arrays,
+            tp_spacing=tp_spacing,
         )
 
 
@@ -180,7 +200,9 @@ def unpack_result(scalars: np.ndarray, mat: np.ndarray) -> dict:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("k_max", "clip_overlap"))
+@functools.partial(
+    jax.jit, static_argnames=("k_max", "clip_overlap", "approximate")
+)
 def query_step(
     dindex: DeviceIndex,
     q_tid,
@@ -189,6 +211,7 @@ def query_step(
     *,
     k_max: int,
     clip_overlap: bool = False,
+    approximate: bool = False,
 ):
     """Batched stab + projection. Inputs int32 [B]; outputs [B * k_max]."""
     out = _query_core(
@@ -212,13 +235,72 @@ def query_step(
         search_iters=dindex.search_iters,
         window_iters=dindex.window_iters,
         n_records=dindex.n_records,
+        tp=dindex.tp if approximate else None,
+        tp_spacing=dindex.tp_spacing,
     )
     return pack_result(out)
 
 
+
+def _project_approx_device(
+    tp: dict, spacing: int, cand_c, r_ts, r_te, rng_s, rng_e
+):
+    """Device approximate (tracepoint) projection — O(1) segment arithmetic
+    per pair (host semantics: index/tracepoints.py project_batch_approx)."""
+    off = jnp.take(tp["seg_off"], cand_c)
+    nseg = jnp.take(tp["n_seg"], cand_c)
+    q0 = jnp.take(tp["q_start"], cand_c)
+    qe = jnp.take(tp["q_end"], cand_c)
+    valid = (rng_s < r_te) & (rng_e > r_ts) & (rng_s < rng_e)
+    rs_c = jnp.clip(rng_s, r_ts, r_te - 1)
+    re_c = jnp.clip(rng_e, r_ts + 1, r_te)
+    i0 = jnp.clip((rs_c - r_ts) // spacing, 0, nseg - 1)
+    j1 = jnp.clip((re_c - 1 - r_ts) // spacing, 0, nseg - 1)
+
+    def boundary(i):
+        return jnp.minimum(r_ts + i * spacing, r_te)
+
+    qb = tp["q_bound"]
+
+    def refine(i, overlap_pos):
+        seg_s = boundary(i)
+        seg_e = boundary(i + 1)
+        q_pos = jnp.take(qb, off + i)
+        q_next = jnp.take(qb, off + i + 1)
+        q_delta = q_next - q_pos
+        t_delta = jnp.maximum(seg_e - seg_s, 1)
+        advance = jnp.round(
+            (overlap_pos - seg_s).astype(jnp.float32)
+            * q_delta.astype(jnp.float32)
+            / t_delta.astype(jnp.float32)
+        ).astype(jnp.int32)
+        lo = jnp.minimum(q0, qe)
+        hi = jnp.maximum(q0, qe)
+        return jnp.clip(q_pos + advance, lo, hi)
+
+    pq_start = refine(i0, jnp.maximum(boundary(i0), rs_c))
+    pq_end = refine(j1, jnp.minimum(boundary(j1 + 1), re_c))
+    aligned = jnp.take(tp["pre_aligned"], off + j1 + 1) - jnp.take(
+        tp["pre_aligned"], off + i0
+    )
+    diffs = jnp.take(tp["pre_diffs"], off + j1 + 1) - jnp.take(
+        tp["pre_diffs"], off + i0
+    )
+    matches = jnp.maximum(aligned - diffs, 0)
+    return dict(
+        valid=valid,
+        pq_start=pq_start,
+        pq_end=pq_end,
+        pt_start=rng_s,
+        pt_end=rng_e,
+        matches=matches,
+        mismatches=diffs,
+    )
+
+
 def _query_core(
     *, rec, arena, q_tid, q_s, q_e, k_max, clip_overlap, search_iters,
-    window_iters, n_records,
+    window_iters, n_records, tp=None, tp_spacing=0,
 ):
     """Shared single-device kernel body (also used per-shard by shard_map)."""
     b = q_tid.shape[0]
@@ -242,6 +324,34 @@ def _query_core(
         rng_s = jnp.maximum(rng_s, r_ts)
         rng_e = jnp.minimum(rng_e, r_te)
 
+    if tp is not None:
+        a = _project_approx_device(
+            tp, tp_spacing, cand_c, r_ts, r_te, rng_s, rng_e
+        )
+        valid = a["valid"] & hit
+        zero = jnp.zeros_like(cand_c)
+        return dict(
+            k_needed=k.max(),
+            n_hits=valid.sum(dtype=jnp.int32),
+            pair_rec=cand_c,
+            pair_q=pair_q,
+            valid=valid,
+            query_id=jnp.take(rec["query_id"], cand_c),
+            pq_start=a["pq_start"],
+            pq_end=a["pq_end"],
+            pt_start=a["pt_start"],
+            pt_end=a["pt_end"],
+            first_run=zero,
+            last_run=zero,
+            first_clip=zero,
+            last_rem=zero,
+            matches=a["matches"],
+            mismatches=a["mismatches"],
+            i_count=zero,
+            d_count=zero,
+            i_bp=zero,
+            d_bp=zero,
+        )
     res = projection.project_batch(
         jnp,
         **arena,
@@ -293,14 +403,17 @@ jax.tree_util.register_pytree_node(
             d.op_cnt,
             d.tgt_offsets,
             d.arena,
+            d.tp,
         ),
-        (d.n_records, d.search_iters, d.window_iters),
+        (d.n_records, d.search_iters, d.window_iters, d.tp_spacing),
     ),
     lambda aux, children: DeviceIndex(
-        *children,
+        *children[:-1],
+        tp=children[-1],
         n_records=aux[0],
         search_iters=aux[1],
         window_iters=aux[2],
+        tp_spacing=aux[3],
     ),
 )
 
@@ -320,9 +433,10 @@ class DeviceEngine:
         index: ImpgIndex,
         initial_capacity: int | None = None,
         chunk: int = 1024,
+        with_tracepoints: bool = False,
     ):
         self.index = index
-        self.dindex = DeviceIndex.build(index)
+        self.dindex = DeviceIndex.build(index, with_tracepoints)
         self.chunk = chunk
         if initial_capacity is None:
             tree_sizes = np.diff(index.tgt_offsets)
@@ -336,9 +450,12 @@ class DeviceEngine:
         q_s: np.ndarray,
         q_e: np.ndarray,
         clip_overlap: bool = False,
+        approximate: bool = False,
     ) -> dict:
         """Run one batched query step; returns compact numpy arrays of hits."""
-        return self.query_batches([(q_tid, q_s, q_e)], clip_overlap)[0]
+        return self.query_batches(
+            [(q_tid, q_s, q_e)], clip_overlap, approximate
+        )[0]
 
     def _chunk_batch(self, b):
         """Split a (tid, s, e) batch into fixed-size chunks, padding the tail
@@ -358,7 +475,10 @@ class DeviceEngine:
             chunks.append((off, cnt, tuple(cols)))
         return chunks
 
-    def query_batches(self, batches: list, clip_overlap: bool = False) -> list[dict]:
+    def query_batches(
+        self, batches: list, clip_overlap: bool = False,
+        approximate: bool = False,
+    ) -> list[dict]:
         """Pipelined execution of many batches: dispatch all steps, then fetch.
 
         Overlaps device compute/transfer latency across batches; window
@@ -382,6 +502,7 @@ class DeviceEngine:
                         *flat[fi][3],
                         k_max=k_max,
                         clip_overlap=clip_overlap,
+                        approximate=approximate,
                     ),
                 )
                 for fi in pending

@@ -283,13 +283,26 @@ def _step_cigar(index: ImpgIndex, step: dict, i: int, k: int):
 
 
 def _depth_step_device(
-    device_engine, index: ImpgIndex, current: list[tuple[int, int, int]], min_identity
+    device_engine, index: ImpgIndex, current: list[tuple[int, int, int]],
+    min_identity, approximate: bool = False,
 ):
     """Stab+project a whole BFS depth with the batched device engine."""
     q_tid = np.asarray([c[0] for c in current], np.int32)
     q_s = np.asarray([c[1] for c in current], np.int32)
     q_e = np.asarray([c[2] for c in current], np.int32)
-    out = device_engine.query_batch(q_tid, q_s, q_e, clip_overlap=True)
+    out = device_engine.query_batch(
+        q_tid, q_s, q_e, clip_overlap=True, approximate=approximate
+    )
+    if approximate:
+        out["approx_matches"] = out.pop("matches")
+        out["approx_mismatches"] = out.pop("mismatches")
+        if min_identity is not None:
+            m = out["approx_matches"].astype(np.float64)
+            total = m + out["approx_mismatches"].astype(np.float64)
+            gci = np.where(total > 0, m / np.maximum(total, 1.0), 0.0)
+            keep = gci >= min_identity
+            out = {k: (v[keep] if np.ndim(v) else v) for k, v in out.items()}
+        return out if out["pair_q"].size else None
     if out["pair_q"].size == 0:
         return None
     if min_identity is not None:
@@ -345,9 +358,14 @@ def query_transitive_bfs(
     depth = 0
     while current and (max_depth == 0 or depth < max_depth):
         # ── batched stab + projection over the whole depth ──
+        use_device = device_engine is not None and (
+            not approximate or device_engine.dindex.tp is not None
+        )
         step = (
-            _depth_step_device(device_engine, index, current, min_identity)
-            if device_engine is not None and not approximate
+            _depth_step_device(
+                device_engine, index, current, min_identity, approximate
+            )
+            if use_device
             else _depth_step_host(index, current, min_identity, approximate)
         )
         if step is None:
@@ -445,9 +463,14 @@ def query_transitive_bfs_many(
     depth = 0
     while current and (max_depth == 0 or depth < max_depth):
         flat = [(tid, s, e) for (_, tid, s, e) in current]
+        use_device = device_engine is not None and (
+            not approximate or device_engine.dindex.tp is not None
+        )
         step = (
-            _depth_step_device(device_engine, index, flat, min_identity)
-            if device_engine is not None and not approximate
+            _depth_step_device(
+                device_engine, index, flat, min_identity, approximate
+            )
+            if use_device
             else _depth_step_host(index, flat, min_identity, approximate)
         )
         if step is None:

@@ -124,3 +124,27 @@ def test_cli_approximate(tmp_path, chain_index):
     )
     assert r.returncode == 2
     assert "approximate" in r.stderr
+
+
+def test_device_approximate_matches_host(chain_index):
+    from impg_tpu.query.device import DeviceEngine
+
+    index, seqs, alns = chain_index
+    index.ensure_tracepoints(100)
+    dev = DeviceEngine(index, with_tracepoints=True)
+    rid = index.seq_index.get_id("ref")
+    host = engine.query_transitive_bfs(
+        index, rid, 500, 4000, max_depth=3, approximate=True
+    )
+    devr = engine.query_transitive_bfs(
+        index, rid, 500, 4000, max_depth=3, approximate=True,
+        device_engine=dev,
+    )
+    assert len(host) == len(devr)
+    for a, b in zip(host, devr):
+        assert (a.q_id, a.t_id, a.t_first, a.t_last) == (
+            b.q_id, b.t_id, b.t_first, b.t_last
+        )
+        # f32-vs-f64 rounding in boundary refinement may differ by 1 bp.
+        assert abs(a.q_first - b.q_first) <= 1
+        assert abs(a.q_last - b.q_last) <= 1
