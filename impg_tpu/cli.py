@@ -838,6 +838,35 @@ def cmd_genotype(args) -> int:
     return 0
 
 
+def cmd_normalize_self_loops(args) -> int:
+    import json
+
+    from impg_tpu.graph import selfloops
+    from impg_tpu.graph.gfa import Gfa
+
+    if args.gfa == "-":
+        text = sys.stdin.read()
+    else:
+        with open(args.gfa) as fh:
+            text = fh.read()
+    if args.diagnose:
+        print(json.dumps(selfloops.diagnose(Gfa.parse(text)), indent=2))
+        return 0
+    out_text, stats = selfloops.normalize_self_loops(text, args.max_unit_len)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(out_text)
+    else:
+        sys.stdout.write(out_text)
+    print(
+        f"normalized {stats.normalized_nodes} nodes, collapsed "
+        f"{stats.collapsed_runs} runs, removed "
+        f"{stats.removed_self_loop_links} self-loop links",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def cmd_normalize(args) -> int:
     from impg_tpu.graph import normalize as norm_mod
 
@@ -1193,6 +1222,17 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_gt.add_argument("--sample-name", default="sample")
     p_gt.set_defaults(func=cmd_genotype)
+
+    p_nsl = sub.add_parser(
+        "normalize-self-loops",
+        help="Collapse path-local repeat self-loop runs into run segments",
+    )
+    p_nsl.add_argument("gfa", help="GFA file (or - for stdin)")
+    p_nsl.add_argument("--max-unit-len", type=int, default=0)
+    p_nsl.add_argument("--diagnose", action="store_true",
+                       help="Report self-loop statistics only")
+    p_nsl.add_argument("--output", help="Output GFA (default stdout)")
+    p_nsl.set_defaults(func=cmd_normalize_self_loops)
 
     p_norm = sub.add_parser(
         "normalize", help="GFAffix-style shared-affix normalization of a GFA"

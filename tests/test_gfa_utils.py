@@ -191,3 +191,45 @@ def test_normalize_preserves_paths_and_shrinks(tmp_path):
     )
     assert r2.returncode == 0, r2.stderr
     assert path_seqs(r2.stdout) == before
+
+
+def test_self_loop_normalization(tmp_path):
+    from impg_tpu.graph.selfloops import diagnose, normalize_self_loops
+    from impg_tpu.graph.gfa import Gfa
+
+    gfa = (
+        "H\tVN:Z:1.0\n"
+        "S\t1\tAAGG\n"
+        "S\t2\tCAT\n"
+        "S\t3\tTTTT\n"
+        "L\t1\t+\t2\t+\t0M\n"
+        "L\t2\t+\t2\t+\t0M\n"
+        "L\t2\t+\t3\t+\t0M\n"
+        "P\tx:0-17\t1+,2+,2+,2+,3+\t*\n"
+        "P\ty:0-10\t1+,2+,3+\t*\n"
+    )
+    rep = diagnose(Gfa.parse(gfa))
+    assert rep["direct_self_loop_edges"] == 1
+    assert rep["repeated_path_runs"] == 1
+    assert rep["max_repeat_run_len"] == 3
+
+    out, stats = normalize_self_loops(gfa)
+    assert stats.removed_self_loop_links == 1
+    assert stats.collapsed_runs == 1
+    assert stats.created_segments == 1
+    assert path_seqs(out) == path_seqs(gfa)
+    # No self loops remain; x's run became one step over CATCATCAT.
+    assert stats.output_self_loop_edges == 0
+    segs = {
+        l.split("\t")[2] for l in out.splitlines() if l.startswith("S")
+    }
+    assert "CATCATCAT" in segs
+
+    # CLI.
+    g = tmp_path / "sl.gfa"
+    g.write_text(gfa)
+    r = run_cli("normalize-self-loops", str(g))
+    assert r.returncode == 0, r.stderr
+    assert path_seqs(r.stdout) == path_seqs(gfa)
+    d = run_cli("normalize-self-loops", str(g), "--diagnose")
+    assert d.returncode == 0 and '"direct_self_loop_edges": 1' in d.stdout
