@@ -798,6 +798,31 @@ def cmd_map(args) -> int:
     if args.output_format == "pack-tsv":
         with open(args.output, "w") as fh:
             pack.write_tsv(fh)
+    elif args.output_format == "proj":
+        # Projection bundle (reference: projection.rs:12 ProjectionManifest —
+        # sample.proj/ = manifest.json + pack artifact).
+        import json
+        import os
+
+        os.makedirs(args.output, exist_ok=True)
+        pack.save(os.path.join(args.output, "sample.packt"))
+        with open(os.path.join(args.output, "manifest.json"), "w") as fh:
+            json.dump(
+                dict(
+                    format="impg-tpu-projection-bundle",
+                    version=1,
+                    feature_space=pack.feature_space,
+                    evidence_backend=pack.backend,
+                    index=args.alignment,
+                    reads=reads,
+                    n_reads=n_reads,
+                    n_matched_syncmers=n_matched,
+                    n_features=int(pack.feature_ids.size),
+                    files=dict(pack="sample.packt"),
+                ),
+                fh,
+                indent=2,
+            )
     else:
         pack.save(args.output)
     print(
@@ -835,6 +860,87 @@ def cmd_genotype(args) -> int:
     gt_mod.write_genotype_report(
         sys.stdout, region, candidates, results, args.sample_name
     )
+    return 0
+
+
+def cmd_render(args) -> int:
+    """Render bundle (reference: render_bundle.rs:12 RenderManifest —
+    rendered FASTA + regional graph + namespace table + manifest)."""
+    import json
+    import os
+
+    from impg_tpu.graph import region as region_mod
+    from impg_tpu.io.fasta import UnifiedSequenceIndex
+    from impg_tpu.query import engine, merge as merge_mod, outputs
+
+    index = _load_index(args)
+    target_name, (start, end), name = bed_mod.parse_target_range(
+        args.target_range
+    )
+    tid = index.seq_index.get_id(target_name)
+    if tid is None:
+        print(f"error: '{target_name}' not found in index", file=sys.stderr)
+        return 1
+    files = []
+    for entry in args.sequence_files:
+        files.extend(x for x in entry.split(",") if x)
+    seq_idx = UnifiedSequenceIndex.from_files(files)
+    merge_distance = bed_mod.parse_size(args.merge_distance)
+    if args.transitive:
+        results = engine.query_transitive_bfs(
+            index, tid, start, end, max_depth=args.max_depth
+        )
+    else:
+        results = engine.query(index, tid, start, end)
+    merge_mod.merge_query_adjusted_intervals(results, merge_distance, True)
+
+    os.makedirs(args.output_prefix, exist_ok=True)
+    fasta_path = os.path.join(args.output_prefix, "render.fa")
+    with open(fasta_path, "w") as fh:
+        fasta_rows = [
+            engine.Row(r.q_id, r.q_first, r.q_last, r.cigar, r.t_id,
+                       r.t_first, r.t_last)
+            for r in results
+        ]
+        outputs.write_fasta(
+            index.seq_index, fasta_rows, fh, seq_idx, -1, False, False
+        )
+    if args.gfa_engine in ("seqwish", "pggb"):
+        gfa_text = region_mod.generate_gfa_seqwish(
+            index, results, seq_idx, sort_output=args.gfa_engine == "pggb"
+        )
+    else:
+        gfa_text = region_mod.generate_gfa(index, results, seq_idx)
+    gfa_path = os.path.join(args.output_prefix, "render.gfa")
+    with open(gfa_path, "w") as fh:
+        fh.write(gfa_text)
+    # Namespace table: rendered path name -> source sequence + range.
+    ns_path = os.path.join(args.output_prefix, "namespace.tsv")
+    with open(ns_path, "w") as fh:
+        fh.write("path\tsource\tstart\tend\tstrand\n")
+        for r in results:
+            src_name = index.seq_index.get_name(r.q_id)
+            lo, hi = sorted((r.q_first, r.q_last))
+            strand = "+" if r.q_first <= r.q_last else "-"
+            fh.write(f"{src_name}:{lo}-{hi}\t{src_name}\t{lo}\t{hi}\t{strand}\n")
+    with open(os.path.join(args.output_prefix, "manifest.json"), "w") as fh:
+        json.dump(
+            dict(
+                format="impg-tpu-render-bundle",
+                version=1,
+                region=name,
+                engine=args.gfa_engine,
+                n_paths=len(results),
+                files=dict(
+                    fasta="render.fa",
+                    gfa="render.gfa",
+                    namespace="namespace.tsv",
+                ),
+            ),
+            fh,
+            indent=2,
+        )
+    print(f"Render bundle -> {args.output_prefix}", file=sys.stderr)
     return 0
 
 
@@ -1198,7 +1304,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="FASTA/FASTQ read file(s), optionally gzipped",
     )
     p_map.add_argument(
-        "-o", "--output-format", default="pack", choices=["pack", "pack-tsv"]
+        "-o", "--output-format", default="pack",
+        choices=["pack", "pack-tsv", "proj"],
     )
     p_map.add_argument("-O", "--output", required=True,
                        help="Output pack path (or TSV path)")
@@ -1222,6 +1329,22 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_gt.add_argument("--sample-name", default="sample")
     p_gt.set_defaults(func=cmd_genotype)
+
+    p_rnd = sub.add_parser(
+        "render", help="Write a local-graph render bundle for a region"
+    )
+    _add_common_query_opts(p_rnd)
+    p_rnd.add_argument("-r", "--target-range", required=True)
+    p_rnd.add_argument("-d", "--merge-distance", required=True)
+    p_rnd.add_argument("--sequence-files", action="append", required=True)
+    p_rnd.add_argument("-O", "--output-prefix", required=True,
+                       help="Bundle directory")
+    p_rnd.add_argument(
+        "--gfa-engine", choices=["poa", "seqwish", "pggb"], default="poa"
+    )
+    p_rnd.add_argument("-x", "--transitive", action="store_true")
+    p_rnd.add_argument("-m", "--max-depth", type=int, default=2)
+    p_rnd.set_defaults(func=cmd_render)
 
     p_nsl = sub.add_parser(
         "normalize-self-loops",

@@ -200,3 +200,49 @@ def test_cli_infer(panel, tmp_path):
     window_calls = [l.split("\t")[5] for l in lines if l.startswith("window")]
     hit = sum(1 for c in window_calls if "ref" in c and "s1" in c)
     assert hit >= len(window_calls) // 2, window_calls
+
+
+def test_cli_proj_bundle_and_render(panel, tmp_path):
+    import json
+
+    tmp, fa, idx, seq_data, fastq = panel
+    prefix = str(tmp_path / "pb")
+    r = run_cli("syng", "-f", fa, "-o", prefix)
+    assert r.returncode == 0, r.stderr
+    bundle = str(tmp_path / "sample.proj")
+    r = run_cli(
+        "map", "-a", prefix + ".syngt", "-q", fastq, "-o", "proj",
+        "-O", bundle,
+    )
+    assert r.returncode == 0, r.stderr
+    manifest = json.load(open(bundle + "/manifest.json"))
+    assert manifest["format"] == "impg-tpu-projection-bundle"
+    assert manifest["n_reads"] == 800
+    from impg_tpu.syng.pack import Pack
+
+    pack = Pack.load(bundle + "/sample.packt")
+    assert pack.counts.sum() == manifest["n_matched_syncmers"]
+
+    # Render bundle over the alignment index of the same panel.
+    import random as _r
+    from tests import datagen as _dg
+
+    rng = _r.Random(123)
+    text, seqs, alns, sd = _dg.mutate_chain_paf(
+        rng, n_seqs=4, seq_len=12_000, return_sequences=True
+    )
+    paf = tmp_path / "panel.paf"
+    paf.write_text(text)
+    rb = str(tmp_path / "bundle")
+    r = run_cli(
+        "render", "-a", str(paf), "-r", "ref:1000-6000", "-d", "100",
+        "--sequence-files", fa, "-O", rb, "-x",
+    )
+    assert r.returncode == 0, r.stderr
+    m = json.load(open(rb + "/manifest.json"))
+    assert m["format"] == "impg-tpu-render-bundle"
+    assert (tmp_path / "bundle" / "render.fa").exists()
+    assert (tmp_path / "bundle" / "render.gfa").exists()
+    ns = (tmp_path / "bundle" / "namespace.tsv").read_text().splitlines()
+    assert ns[0].startswith("path\tsource")
+    assert len(ns) > 1
