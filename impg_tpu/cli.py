@@ -940,7 +940,47 @@ def cmd_render(args) -> int:
             fh,
             indent=2,
         )
+    if args.render_graph:
+        from impg_tpu.graph.render_svg import render_svg
+
+        with open(os.path.join(args.output_prefix, "render.svg"), "w") as fh:
+            fh.write(render_svg(gfa_text))
     print(f"Render bundle -> {args.output_prefix}", file=sys.stderr)
+    return 0
+
+
+def cmd_read_index(args) -> int:
+    from impg_tpu.syng.read_index import ReadSyncmerIndex
+
+    reads = []
+    for entry in args.reads:
+        reads.extend(x for x in entry.split(",") if x)
+    idx = ReadSyncmerIndex.build(
+        reads, k=args.syncmer_k, w=args.syncmer_w, seed=args.syncmer_seed
+    )
+    path = idx.save(args.output)
+    print(
+        f"Indexed {len(idx.read_names)} reads, {idx.ids.size} distinct "
+        f"syncmers -> {path}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_render_graph(args) -> int:
+    from impg_tpu.graph.render_svg import render_svg
+
+    if args.gfa == "-":
+        text = sys.stdin.read()
+    else:
+        with open(args.gfa) as fh:
+            text = fh.read()
+    svg = render_svg(text, width=args.width)
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(svg)
+    else:
+        sys.stdout.write(svg)
     return 0
 
 
@@ -1344,7 +1384,32 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_rnd.add_argument("-x", "--transitive", action="store_true")
     p_rnd.add_argument("-m", "--max-depth", type=int, default=2)
+    p_rnd.add_argument(
+        "--render-graph", action="store_true",
+        help="Also write render.svg (native SVG graph rendering)",
+    )
     p_rnd.set_defaults(func=cmd_render)
+
+    p_ri = sub.add_parser(
+        "read-index", help="Build a read-syncmer inverted index"
+    )
+    p_ri.add_argument(
+        "-q", "--reads", required=True, action="append",
+        help="FASTA/FASTQ read file(s)",
+    )
+    p_ri.add_argument("-O", "--output", required=True, help="Index prefix")
+    p_ri.add_argument("--syncmer-k", type=int, default=8)
+    p_ri.add_argument("--syncmer-w", type=int, default=55)
+    p_ri.add_argument("--syncmer-seed", type=int, default=7)
+    p_ri.set_defaults(func=cmd_read_index)
+
+    p_rg = sub.add_parser(
+        "render-graph", help="Render a GFA as SVG (depth-colored 1D layout)"
+    )
+    p_rg.add_argument("gfa", help="GFA file (or - for stdin)")
+    p_rg.add_argument("--output", help="Output SVG (default stdout)")
+    p_rg.add_argument("--width", type=int, default=1200)
+    p_rg.set_defaults(func=cmd_render_graph)
 
     p_nsl = sub.add_parser(
         "normalize-self-loops",

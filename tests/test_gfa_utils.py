@@ -233,3 +233,25 @@ def test_self_loop_normalization(tmp_path):
     assert path_seqs(r.stdout) == path_seqs(gfa)
     d = run_cli("normalize-self-loops", str(g), "--diagnose")
     assert d.returncode == 0 and '"direct_self_loop_edges": 1' in d.stdout
+
+
+def test_render_svg(tmp_path):
+    from impg_tpu.graph.render_svg import render_svg
+
+    fa, paf, seqs, seq_data = make_fasta(tmp_path, seed=81)
+    r = run_cli(
+        "query", "-a", paf, "-r", "ref:100-900", "-d", "100", "-x",
+        "-o", "gfa", "--sequence-files", fa,
+    )
+    assert r.returncode == 0, r.stderr
+    svg = render_svg(r.stdout)
+    assert svg.startswith("<svg")
+    n_nodes = sum(1 for l in r.stdout.splitlines() if l.startswith("S"))
+    assert svg.count("<rect") == n_nodes + 1  # + background
+    assert "</svg>" in svg
+    g = tmp_path / "r.gfa"
+    g.write_text(r.stdout)
+    out = tmp_path / "r.svg"
+    c = run_cli("render-graph", str(g), "--output", str(out))
+    assert c.returncode == 0, c.stderr
+    assert out.read_text().startswith("<svg")

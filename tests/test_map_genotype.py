@@ -246,3 +246,32 @@ def test_cli_proj_bundle_and_render(panel, tmp_path):
     ns = (tmp_path / "bundle" / "namespace.tsv").read_text().splitlines()
     assert ns[0].startswith("path\tsource")
     assert len(ns) > 1
+
+
+def test_read_syncmer_index(panel, tmp_path):
+    from impg_tpu.syng.read_index import ReadSyncmerIndex
+    from impg_tpu.ops import syncmer as sm
+
+    tmp, fa, idx, seq_data, fastq = panel
+    ridx = ReadSyncmerIndex.build([fastq])
+    assert len(ridx.read_names) == 800
+    assert ridx.ids.size > 0
+    # Oracle: pick a read, its syncmers must map back to it.
+    from impg_tpu.syng.pack import read_sequences
+
+    name, seq = next(iter(read_sequences(fastq)))
+    _pos, ids, _f = sm.extract_syncmers(seq)
+    if ids.size:
+        reads = ridx.reads_with(int(ids[0]))
+        assert 0 in reads.tolist()
+    # Linking reads: two syncmers from the same read co-occur.
+    if ids.size >= 2:
+        links = ridx.linking_reads(int(ids[0]), int(ids[1]))
+        assert 0 in links.tolist()
+    # Roundtrip + CLI.
+    p = ridx.save(str(tmp_path / "reads"))
+    r2 = ReadSyncmerIndex.load(p)
+    assert np.array_equal(r2.ids, ridx.ids)
+    r = run_cli("read-index", "-q", fastq, "-O", str(tmp_path / "cli_reads"))
+    assert r.returncode == 0, r.stderr
+    assert "800 reads" in r.stderr
