@@ -1075,6 +1075,38 @@ def cmd_smooth(args) -> int:
     return 0
 
 
+def cmd_crush(args) -> int:
+    from impg_tpu.graph import crush as crush_mod
+
+    if args.gfa == "-":
+        text = sys.stdin.read()
+    else:
+        with open(args.gfa) as fh:
+            text = fh.read()
+    scoring = tuple(
+        int(x) for x in args.poa_scoring.replace("/", ",").split(",")
+    )
+    out_text, st = crush_mod.crush_gfa(
+        text, max_span=args.max_span, max_rounds=args.max_rounds,
+        scoring=scoring,
+    )
+    print(
+        f"crush: {st.rounds} rounds, {st.bubbles_resolved}/"
+        f"{st.bubbles_seen} bubbles resolved, nodes "
+        f"{st.nodes_before}->{st.nodes_after}, bp "
+        f"{st.bp_before}->{st.bp_after}"
+        + (f", {st.excluded_paths} paths excluded (no-op)"
+           if st.excluded_paths and st.rounds == 0 else ""),
+        file=sys.stderr,
+    )
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(out_text)
+    else:
+        sys.stdout.write(out_text)
+    return 0
+
+
 def cmd_gfa2vcf(args) -> int:
     from impg_tpu.graph import vcf as vcf_mod
 
@@ -1455,6 +1487,18 @@ def build_parser() -> argparse.ArgumentParser:
     p_sm.add_argument("--poa-scoring", default="1,4,6,2,26,1")
     p_sm.add_argument("--output", help="Output GFA (default stdout)")
     p_sm.set_defaults(func=cmd_smooth)
+
+    p_cr = sub.add_parser(
+        "crush",
+        help="Resolve anchor-bounded bubbles by POA realignment "
+        "(path spellings preserved exactly)",
+    )
+    p_cr.add_argument("gfa", help="GFA file (or - for stdin)")
+    p_cr.add_argument("--max-span", type=int, default=10_000)
+    p_cr.add_argument("--max-rounds", type=int, default=4)
+    p_cr.add_argument("--poa-scoring", default="1,4,6,2,26,1")
+    p_cr.add_argument("--output", help="Output GFA (default stdout)")
+    p_cr.set_defaults(func=cmd_crush)
 
     p_vcf = sub.add_parser("gfa2vcf", help="Call variants from a GFA")
     p_vcf.add_argument("gfa", help="GFA file (or - for stdin)")

@@ -1,0 +1,99 @@
+"""Crush (anchor-bounded bubble resolution; reference: resolution.rs
+resolve_gfa_bubbles): path spellings must be preserved EXACTLY, redundant
+identical-sequence bubbles must collapse, and paths the anchor walk can't
+slice (inversions) must make the pass a no-op rather than degrade sharing."""
+
+import random
+
+from impg_tpu.graph.crush import crush_gfa
+from impg_tpu.graph.gfa import Gfa
+from impg_tpu.io.fasta import reverse_complement
+from tests.test_cli import run_cli
+
+
+def _spell(gfa_text: str) -> dict:
+    g = Gfa.parse(gfa_text)
+    out = {}
+    for name, steps in g.paths:
+        seq = b""
+        for sid, rev in steps:
+            s = g.segments[sid].encode()
+            seq += reverse_complement(s) if rev else s
+        out[name] = seq
+    return out
+
+
+def _bubble_gfa(extra_paths=()):
+    seg = {
+        "a1": "ACGTACGTAC",
+        "m1": "TTTTGGGGCCCCAAAA",
+        "m2": "TTTTGGGGCCCCAAAA",  # identical to m1: pure redundancy
+        "a2": "GGGGCCCCGG",
+    }
+    lines = ["H\tVN:Z:1.0"]
+    for sid, s in seg.items():
+        lines.append(f"S\t{sid}\t{s}")
+    lines += [
+        "L\ta1\t+\tm1\t+\t0M", "L\tm1\t+\ta2\t+\t0M",
+        "L\ta1\t+\tm2\t+\t0M", "L\tm2\t+\ta2\t+\t0M",
+        "P\tp1\ta1+,m1+,a2+\t*", "P\tp2\ta1+,m2+,a2+\t*",
+    ]
+    lines += list(extra_paths)
+    return "\n".join(lines) + "\n"
+
+
+def test_crush_collapses_redundant_bubble():
+    gfa = _bubble_gfa()
+    out, st = crush_gfa(gfa)
+    assert st.rounds == 1
+    assert st.bubbles_seen >= 1 and st.bubbles_resolved >= 1
+    assert st.bp_after < st.bp_before
+    assert _spell(out) == _spell(gfa)
+
+
+def test_crush_noop_on_inversion_path():
+    gfa = _bubble_gfa(["P\tp3\ta2-,m1-,a1-\t*"])
+    out, st = crush_gfa(gfa)
+    assert st.rounds == 0
+    assert st.excluded_paths == 1
+    assert out == gfa  # untouched
+
+
+def test_crush_preserves_spellings_on_real_graph(tmp_path):
+    """A POA-engine region graph from mutated chain data: crush must keep
+    every path spelling bit-exact through its rounds."""
+    from impg_tpu.graph import region as region_mod
+    from impg_tpu.index.impg_index import load_or_build
+    from impg_tpu.io.fasta import UnifiedSequenceIndex
+    from impg_tpu.query import engine as engine_mod
+    from tests import datagen
+
+    rng = random.Random(7)
+    text, seqs, alns, seq_data = datagen.mutate_chain_paf(
+        rng, n_seqs=3, seq_len=3000, return_sequences=True
+    )
+    fa = str(tmp_path / "p.fa")
+    paf = str(tmp_path / "p.paf")
+    datagen.write_fasta(fa, seq_data)
+    with open(paf, "w") as fh:
+        fh.write(text)
+    index = load_or_build([paf])
+    useq = UnifiedSequenceIndex.from_files([fa])
+    qid = index.seq_index.get_id("ref")
+    rows = engine_mod.query(index, qid, 0, 3000)
+    gfa = region_mod.generate_gfa(index, rows, useq)
+    out, st = crush_gfa(gfa, max_rounds=2)
+    assert st.rounds >= 1
+    assert _spell(out) == _spell(gfa)
+    assert st.bp_after <= st.bp_before + 50  # no runaway duplication
+
+
+def test_cli_crush(tmp_path):
+    gfa_path = tmp_path / "bubble.gfa"
+    gfa_path.write_text(_bubble_gfa())
+    out_path = tmp_path / "crushed.gfa"
+    r = run_cli("crush", str(gfa_path), "--output", str(out_path))
+    assert r.returncode == 0, r.stderr
+    assert "bubbles resolved" in r.stderr
+    crushed = out_path.read_text()
+    assert _spell(crushed) == _spell(gfa_path.read_text())
