@@ -85,22 +85,27 @@ def bench_device(index, batches, approximate=False):
     from impg_tpu.query.device import DeviceEngine
 
     dev = DeviceEngine(index, with_tracepoints=approximate)
-    # Warmup (compile + window-capacity settle).
+    # All timed walks go through ONE multi-walk call — the `-b BED -x`
+    # batch path: every depth's stab+projection for all walks is pipelined
+    # chunk dispatches with a single sync per depth.  Warm up with the same
+    # shape so compile + window-capacity settle are excluded (steady state).
+    walks = [q for walk in batches[1:] for q in walk]
     engine.query_transitive_bfs_many(
         index, batches[0], max_depth=MAX_DEPTH, device_engine=dev,
         approximate=approximate,
     )
+    engine.query_transitive_bfs_many(
+        index, walks, max_depth=MAX_DEPTH, device_engine=dev,
+        approximate=approximate,
+    )
     t0 = time.perf_counter()
-    rows = 0
-    for walk in batches[1:]:
-        res = engine.query_transitive_bfs_many(
-            index, walk, max_depth=MAX_DEPTH, device_engine=dev,
-            approximate=approximate,
-        )
-        rows += sum(len(r) for r in res)
+    res = engine.query_transitive_bfs_many(
+        index, walks, max_depth=MAX_DEPTH, device_engine=dev,
+        approximate=approximate,
+    )
+    rows = sum(len(r) for r in res)
     dt = time.perf_counter() - t0
-    n_queries = sum(len(w) for w in batches[1:])
-    return n_queries / dt, rows, dt
+    return len(walks) / dt, rows, dt
 
 
 def bench_host(index, batches, budget_s: float = 60.0):

@@ -150,11 +150,8 @@ def make_sharded_query_step(mesh: Mesh, axis: str = "shard"):
                 window_iters=window_iters,
                 n_records=r_pad,
             )
-            scalars, mat = device_mod.pack_result(out)
-            return (
-                jax.lax.all_gather(scalars, axis),
-                jax.lax.all_gather(mat, axis),
-            )
+            mat = device_mod.pack_result(out)
+            return jax.lax.all_gather(mat, axis)
 
         return jax.shard_map(
             local,
@@ -203,7 +200,7 @@ class ShardedEngine:
         q_s = jnp.asarray(q_s, jnp.int32)
         q_e = jnp.asarray(q_e, jnp.int32)
         while True:
-            scalars, mat = self._step(
+            mat = self._step(
                 self.rec, self.arena, q_tid, q_s, q_e,
                 k_max=self.k_max,
                 clip_overlap=clip_overlap,
@@ -211,17 +208,16 @@ class ShardedEngine:
                 window_iters=self.sharded.window_iters,
                 r_pad=self.sharded.r_pad,
             )
-            s_host = np.asarray(scalars)  # [n_shards, 2]
-            k_needed = int(s_host[:, 0].max())
+            mat_host = np.asarray(mat)  # [n_shards, n_fields + 1, B*K]
+            k_needed = int(mat_host[:, -1, 0].max())
             if k_needed <= self.k_max:
                 break
             while self.k_max < k_needed:
                 self.k_max *= 2
-        mat_host = np.asarray(mat)  # [n_shards, n_fields, B*K]
         n_sh = self.sharded.n_shards
         out_flat: dict = {}
         shards = [
-            device_mod.unpack_result(s_host[s], mat_host[s]) for s in range(n_sh)
+            device_mod.unpack_result(mat_host[s]) for s in range(n_sh)
         ]
         for k in device_mod.RESULT_FIELDS:
             parts = []

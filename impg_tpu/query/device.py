@@ -184,19 +184,22 @@ RESULT_FIELDS = (
 
 
 def pack_result(out: dict):
-    """(scalars [2], matrix [n_fields, B*K]) — minimizes host round-trips."""
+    """One matrix [n_fields + 1, B*K]: the extra last row carries the
+    (k_needed, n_hits) scalars in its first two slots, so each chunk costs
+    exactly ONE device->host fetch (the relay link is latency-bound)."""
     mat = jnp.stack([out[f].astype(jnp.int32) for f in RESULT_FIELDS])
     scalars = jnp.stack(
         [out["k_needed"].astype(jnp.int32), out["n_hits"].astype(jnp.int32)]
     )
-    return scalars, mat
+    extra = jnp.zeros(mat.shape[1], jnp.int32).at[:2].set(scalars)
+    return jnp.concatenate([mat, extra[None, :]], axis=0)
 
 
-def unpack_result(scalars: np.ndarray, mat: np.ndarray) -> dict:
+def unpack_result(mat: np.ndarray) -> dict:
     out = {f: mat[i] for i, f in enumerate(RESULT_FIELDS)}
     out["valid"] = out["valid"].astype(bool)
-    out["k_needed"] = scalars[0]
-    out["n_hits"] = scalars[1]
+    out["k_needed"] = mat[-1, 0]
+    out["n_hits"] = mat[-1, 1]
     return out
 
 
@@ -508,14 +511,15 @@ class DeviceEngine:
                 for fi in pending
             ]
             retry = []
-            for fi, (scalars, mat) in inflight:
-                s_host = np.asarray(scalars)
-                if s_host[0] > k_max:
+            for fi, mat in inflight:
+                m_host = np.asarray(mat)
+                k_needed = int(m_host[-1, 0])
+                if k_needed > k_max:
                     retry.append(fi)
-                    while self.k_max < int(s_host[0]):
+                    while self.k_max < k_needed:
                         self.k_max *= 2
                     continue
-                out = unpack_result(s_host, np.asarray(mat))
+                out = unpack_result(m_host)
                 keep = out["valid"]
                 outputs[fi] = {
                     k: (v[keep] if np.ndim(v) else v) for k, v in out.items()

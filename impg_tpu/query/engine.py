@@ -24,7 +24,7 @@ from impg_tpu.index.impg_index import ImpgIndex
 from impg_tpu.ops import projection
 
 
-@dataclass
+@dataclass(slots=True)
 class Row:
     """One adjusted interval: query side, optional CIGAR runs, target side.
 
@@ -479,18 +479,25 @@ def query_transitive_bfs_many(
         next_per_walk: list[list[tuple[int, int, int]]] = [
             [] for _ in range(n_walks)
         ]
-        pair_q = step["pair_q"]
-        for i in range(pair_q.size):
-            fi = int(pair_q[i])
+        # Batch-convert device arrays to Python lists once — per-element
+        # numpy scalar indexing dominates this loop otherwise.
+        pq_l = step["pair_q"].tolist()
+        qid_l = step["query_id"].tolist()
+        aqs_l = step["pq_start"].tolist()
+        aqe_l = step["pq_end"].tolist()
+        pts_l = step["pt_start"].tolist()
+        pte_l = step["pt_end"].tolist()
+        for i in range(len(pq_l)):
+            fi = pq_l[i]
             w, cur_tid, _, _ = current[fi]
             target_id = targets[w][0]
-            q_id = int(step["query_id"][i])
+            q_id = qid_l[i]
             if subset_match is not None and q_id != target_id:
                 name = index.seq_index.get_name(q_id)
                 if name is None or not subset_match(name):
                     continue
-            aq_s = int(step["pq_start"][i])
-            aq_e = int(step["pq_end"][i])
+            aq_s = aqs_l[i]
+            aq_e = aqe_l[i]
             length = abs(aq_e - aq_s)
             if min_output_length is None or length >= min_output_length:
                 runs = None
@@ -504,8 +511,8 @@ def query_transitive_bfs_many(
                         q_last=aq_e,
                         cigar=runs,
                         t_id=cur_tid,
-                        t_first=int(step["pt_start"][i]),
-                        t_last=int(step["pt_end"][i]),
+                        t_first=pts_l[i],
+                        t_last=pte_l[i],
                     )
                 )
             if q_id != cur_tid:
