@@ -601,6 +601,7 @@ def cmd_similarity(args) -> int:
     subset_match = subset.matches if subset else None
 
     print(sim_mod.similarity_header(args.distances))
+    pca_results: list = []
     for target_name, (start, end), name in targets:
         tid = index.seq_index.get_id(target_name)
         if tid is None:
@@ -647,9 +648,27 @@ def cmd_similarity(args) -> int:
             except ValueError as e:
                 print(f"warning: PCA skipped for {region}: {e}", file=sys.stderr)
                 continue
-            for li, label in enumerate(labels):
-                comps = "\t".join(f"{c:.6f}" for c in coords[li])
-                print(f"#PCA\t{region}\t{label}\t{comps}")
+            pca_results.append(
+                sim_mod.PcaResult(region=region, labels=labels, coords=coords)
+            )
+    if pca_results:
+        # Sign polarization across region windows (reference:
+        # similarity.rs:210-220): guide samples win over adaptive mode.
+        if args.polarize_guide_samples:
+            guides = [
+                g for g in args.polarize_guide_samples.split(",") if g
+            ]
+            try:
+                sim_mod.polarize_with_guides(pca_results, guides)
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
+        elif args.polarize_n_prev > 0:
+            sim_mod.polarize_adaptive(pca_results, args.polarize_n_prev)
+        for res in pca_results:
+            for li, label in enumerate(res.labels):
+                comps = "\t".join(f"{c:.6f}" for c in res.coords[li])
+                print(f"#PCA\t{res.region}\t{label}\t{comps}")
     return 0
 
 
@@ -1309,6 +1328,16 @@ def build_parser() -> argparse.ArgumentParser:
     p_sim.add_argument("--poa-scoring", default="1,4,6,2,26,1")
     p_sim.add_argument("--pca", action="store_true")
     p_sim.add_argument("--pca-components", type=int, default=2)
+    p_sim.add_argument(
+        "--polarize-n-prev", type=int, default=0,
+        help="Adaptive PCA sign polarization over N previous windows "
+        "(0 disables)",
+    )
+    p_sim.add_argument(
+        "--polarize-guide-samples",
+        help="Comma-separated sample names anchoring PCA signs across "
+        "windows (overrides --polarize-n-prev)",
+    )
     p_sim.add_argument(
         "--pca-similarity", default="jaccard",
         choices=["jaccard", "cosine", "dice"],

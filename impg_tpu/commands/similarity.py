@@ -328,3 +328,115 @@ def mds_fit_transform(
             kept_vals.append(vals[k])
             col += 1
     return coords, np.asarray(kept_vals)
+
+
+@dataclass
+class PcaResult:
+    """PCA coordinates for one region window (similarity.rs PcaResult)."""
+
+    region: str
+    labels: list[str]
+    coords: np.ndarray  # [n_samples, n_components]
+
+
+def polarize_adaptive(results: list["PcaResult"], n_prev: int) -> None:
+    """Adaptive sliding-window sign polarization, in place (reference:
+    similarity.rs:649 polarize_pca_result + the driver loop at :211-220).
+
+    Per PC, each window's sign anchor ("polarizer") is the sample with the
+    largest |value|; the flip decision majority-votes the anchor's sign
+    against the last `n_prev` windows that used the same anchor."""
+    window: list[tuple[list[int], list[bool]]] = []
+    for res in results:
+        n_comp = res.coords.shape[1] if res.coords.size else 0
+        indices: list[int] = []
+        signs: list[bool] = []
+        for pc in range(n_comp):
+            pc_values = res.coords[:, pc]
+            # Rust max_by keeps the LAST maximal element on ties.
+            cur_idx = 0
+            for i in range(len(pc_values)):
+                if abs(pc_values[i]) >= abs(pc_values[cur_idx]):
+                    cur_idx = i
+            if not window or pc >= len(window[0][0]):
+                indices.append(cur_idx)
+                signs.append(bool(pc_values[cur_idx] > 0.0))
+                continue
+            counts: dict[int, int] = {}
+            for prev_idx_list, _ in window:
+                if pc < len(prev_idx_list):
+                    counts[prev_idx_list[pc]] = counts.get(
+                        prev_idx_list[pc], 0
+                    ) + 1
+            most_frequent = max(counts, key=lambda k: (counts[k], -k))
+            flip_votes = total_votes = 0
+            if cur_idx == most_frequent:
+                cur_sign = pc_values[cur_idx] > 0.0
+                for prev_idx_list, prev_sign_list in window:
+                    if pc < len(prev_idx_list) and prev_idx_list[pc] == cur_idx:
+                        if cur_sign != prev_sign_list[pc]:
+                            flip_votes += 1
+                        total_votes += 1
+            elif most_frequent < len(pc_values):
+                sign_at_prev = pc_values[most_frequent] > 0.0
+                for prev_idx_list, prev_sign_list in window:
+                    if (
+                        pc < len(prev_idx_list)
+                        and prev_idx_list[pc] == most_frequent
+                    ):
+                        if sign_at_prev != prev_sign_list[pc]:
+                            flip_votes += 1
+                        total_votes += 1
+            if total_votes > 0 and flip_votes > total_votes // 2:
+                res.coords[:, pc] *= -1.0
+                indices.append(cur_idx)
+                signs.append(bool(pc_values[cur_idx] <= 0.0))
+            else:
+                indices.append(cur_idx)
+                signs.append(bool(pc_values[cur_idx] > 0.0))
+        window.append((indices, signs))
+        if len(window) > n_prev:
+            window.pop(0)
+
+
+def polarize_with_guides(
+    results: list["PcaResult"], guide_samples: list[str]
+) -> None:
+    """Guide-sample polarization, in place (reference: similarity.rs:758
+    polarize_pca_result_with_guides): per PC, each guide votes to flip a
+    window when its coordinate is closer to the negated previous value;
+    positive consensus flips the window."""
+    guide_indices: list[list[int | None]] = []
+    for guide in guide_samples:
+        per_window = [
+            res.labels.index(guide) if guide in res.labels else None
+            for res in results
+        ]
+        if all(i is None for i in per_window):
+            raise ValueError(
+                f"Guide sample '{guide}' not found in any window"
+            )
+        guide_indices.append(per_window)
+
+    n_components = results[0].coords.shape[1] if results else 0
+    for pc in range(n_components):
+        decisions = [[0] * len(results) for _ in guide_samples]
+        for gi, per_window in enumerate(guide_indices):
+            prev_value: float | None = None
+            for wi, res in enumerate(results):
+                sample_idx = per_window[wi]
+                if wi == 0:
+                    if sample_idx is not None and pc < res.coords.shape[1]:
+                        prev_value = float(res.coords[sample_idx, pc])
+                elif sample_idx is not None and pc < res.coords.shape[1]:
+                    cur = float(res.coords[sample_idx, pc])
+                    if prev_value is not None:
+                        if abs(cur - (-prev_value)) < abs(cur - prev_value):
+                            decisions[gi][wi] = 1
+                            prev_value = -cur
+                        else:
+                            decisions[gi][wi] = -1
+                            prev_value = cur
+        for wi, res in enumerate(results):
+            if sum(d[wi] for d in decisions) > 0 and pc < res.coords.shape[1]:
+                res.coords[:, pc] *= -1.0

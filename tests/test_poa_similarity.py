@@ -190,3 +190,73 @@ def test_cli_query_gfa_maf_fasta_aln(tmp_path):
             rows[cur] += line
     widths = {len(v) for v in rows.values()}
     assert len(widths) == 1
+
+
+def test_polarize_adaptive_and_guides():
+    """PCA sign polarization across windows (reference: similarity.rs:649
+    polarize_pca_result, :758 polarize_pca_result_with_guides)."""
+    import numpy as np
+
+    from impg_tpu.commands.similarity import (
+        PcaResult, polarize_adaptive, polarize_with_guides,
+    )
+
+    def mk(sign):
+        coords = np.array(
+            [[1.0, 0.5], [-2.0, 0.1], [0.5, -0.3]]
+        ) * [sign, 1.0]
+        return PcaResult("r", ["a", "b", "c"], coords.copy())
+
+    # Window 1's PC0 is sign-flipped vs windows 0 and 2: adaptive
+    # polarization must make the anchor sample's sign continuous.
+    res = [mk(1), mk(-1), mk(1)]
+    polarize_adaptive(res, 3)
+    assert np.allclose(res[0].coords[:, 0], res[1].coords[:, 0])
+    assert np.allclose(res[0].coords[:, 0], res[2].coords[:, 0])
+    # PC1 untouched (no flips needed).
+    assert np.allclose(res[0].coords[:, 1], mk(1).coords[:, 1])
+
+    res = [mk(1), mk(-1), mk(1)]
+    polarize_with_guides(res, ["b"])
+    vals = [r.coords[1, 0] for r in res]
+    assert all(v == vals[0] for v in vals), vals
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not found in any window"):
+        polarize_with_guides(res, ["zzz"])
+
+
+def test_cli_similarity_pca_polarized_windows(tmp_path):
+    """--target-bed windows + --polarize-n-prev: PC signs continuous across
+    consecutive windows for every sample."""
+    fa, paf, seqs, seq_data = make_fasta(tmp_path)
+    bed = tmp_path / "wins.bed"
+    bed.write_text(
+        "ref\t100\t500\nref\t300\t700\nref\t500\t900\n"
+    )
+    out = {}
+    for flags in ([], ["--polarize-n-prev", "2"]):
+        r = run_cli(
+            "similarity", "-a", paf, "--target-bed", str(bed), "-d", "100",
+            "-x", "--sequence-files", fa, "--pca", *flags,
+        )
+        assert r.returncode == 0, r.stderr
+        pca = {}
+        for l in r.stdout.splitlines():
+            if l.startswith("#PCA"):
+                _, region, label, *comps = l.split("\t")
+                pca.setdefault(region, {})[label] = [
+                    float(c) for c in comps
+                ]
+        assert len(pca) == 3
+        out[bool(flags)] = pca
+    # Polarized coordinates are the raw ones up to a per-window sign on PC0.
+    raw, pol = out[False], out[True]
+    for region in raw:
+        labels = sorted(raw[region])
+        r0 = [raw[region][l][0] for l in labels]
+        p0 = [pol[region][l][0] for l in labels]
+        same = all(abs(a - b) < 1e-9 for a, b in zip(r0, p0))
+        flip = all(abs(a + b) < 1e-9 for a, b in zip(r0, p0))
+        assert same or flip, (region, r0, p0)
