@@ -1148,7 +1148,30 @@ def cmd_graph_report(args) -> int:
             text = fh.read()
     g = gfa_mod.Gfa.parse(text)
     rep = gfa_mod.report(g)
-    sys.stdout.write(gfa_mod.report_text(rep, args.format))
+    if args.flubbles:
+        from impg_tpu.graph import bubbles as bubbles_mod
+
+        refs = (
+            [r for r in args.reference.split(",") if r]
+            if args.reference
+            else None
+        )
+        dec = bubbles_mod.decompose_flubbles(text, refs)
+        rep["flubbles"] = {
+            "reference_path": dec.reference_path,
+            "sites": len(dec.sites),
+            "leaf_sites": dec.leaf_sites,
+            "level_counts": {
+                str(k): v for k, v in dec.level_counts().items()
+            },
+        }
+        sys.stdout.write(gfa_mod.report_text(rep, args.format))
+        if args.format == "md":
+            sys.stdout.write(
+                bubbles_mod.architecture_text(dec, args.top_sites) + "\n"
+            )
+    else:
+        sys.stdout.write(gfa_mod.report_text(rep, args.format))
     return 0
 
 
@@ -1541,6 +1564,16 @@ def build_parser() -> argparse.ArgumentParser:
     p_rep.add_argument(
         "--format", default="md", choices=["md", "json", "tsv"]
     )
+    p_rep.add_argument(
+        "--flubbles", action="store_true",
+        help="Include nested variation-site (flubble) decomposition",
+    )
+    p_rep.add_argument(
+        "--reference",
+        help="Comma-separated reference path names/prefixes for the "
+        "flubble decomposition (default: first path)",
+    )
+    p_rep.add_argument("--top-sites", type=int, default=5)
     p_rep.set_defaults(func=cmd_graph_report)
 
     return ap

@@ -1,0 +1,106 @@
+"""Flubble (variation-site) decomposition (reference: graph_report.rs:2130
+povu_architecture via the povu crate's decompose_flubbles)."""
+
+import random
+
+from impg_tpu.graph.bubbles import architecture_text, decompose_flubbles
+from tests.test_cli import run_cli
+
+NESTED_GFA = """H\tVN:Z:1.0
+S\tn1\tAAAA
+S\tn2\tCC
+S\tn3a\tG
+S\tn3b\tT
+S\tn4\tCC
+S\tn5x\tGGGG
+S\tn6\tTTTT
+P\tref\tn1+,n2+,n3a+,n4+,n6+\t*
+P\tp1\tn1+,n2+,n3b+,n4+,n6+\t*
+P\tp2\tn1+,n5x+,n6+\t*
+"""
+
+
+def test_nested_sites_with_deletion_allele():
+    dec = decompose_flubbles(NESTED_GFA, ["ref"])
+    assert dec.reference_path == "ref"
+    assert len(dec.sites) == 2
+    outer = dec.sites[0]
+    inner = dec.sites[1]
+    assert outer.level == 0 and not outer.is_leaf
+    assert outer.start == "n1+" and outer.end == "n6+"
+    assert outer.n_alleles == 3  # SNP-a, SNP-b, deletion-allele walks
+    assert (outer.reference_start_step, outer.reference_end_step) == (0, 4)
+    assert inner.level == 1 and inner.is_leaf
+    assert inner.parent_id == outer.id
+    assert inner.start == "n2+" and inner.end == "n4+"
+    assert inner.n_alleles == 2
+    assert dec.leaf_sites == 1
+    assert dec.level_counts() == {0: 1, 1: 1}
+    text = architecture_text(dec)
+    assert "2 sites, 1 leaves" in text and "n2+ .. n4+" in text
+
+
+def test_no_variation_no_sites():
+    gfa = (
+        "H\tVN:Z:1.0\nS\ta\tAC\nS\tb\tGT\n"
+        "P\tp1\ta+,b+\t*\nP\tp2\ta+,b+\t*\n"
+    )
+    dec = decompose_flubbles(gfa)
+    assert dec.sites == []
+
+
+def test_reference_selection_by_prefix():
+    dec = decompose_flubbles(NESTED_GFA, ["p1"])
+    assert dec.reference_path == "p1"
+    # Same site structure regardless of reference choice here.
+    assert len(dec.sites) == 2
+
+
+def test_sites_on_pipeline_graph(tmp_path):
+    """Region graph from mutated chain data must yield >=1 variable site
+    and token boundaries that exist in the graph."""
+    from impg_tpu.graph import region as region_mod
+    from impg_tpu.graph.gfa import Gfa
+    from impg_tpu.index.impg_index import load_or_build
+    from impg_tpu.io.fasta import UnifiedSequenceIndex
+    from impg_tpu.query import engine as engine_mod
+    from tests import datagen
+
+    rng = random.Random(21)
+    text, seqs, alns, seq_data = datagen.mutate_chain_paf(
+        rng, n_seqs=3, seq_len=3000, return_sequences=True
+    )
+    fa = str(tmp_path / "p.fa")
+    paf = str(tmp_path / "p.paf")
+    datagen.write_fasta(fa, seq_data)
+    with open(paf, "w") as fh:
+        fh.write(text)
+    index = load_or_build([paf])
+    useq = UnifiedSequenceIndex.from_files([fa])
+    qid = index.seq_index.get_id("ref")
+    rows = engine_mod.query(index, qid, 0, 3000)
+    gfa_text = region_mod.generate_gfa(index, rows, useq)
+    dec = decompose_flubbles(gfa_text, ["ref"])
+    assert dec.sites, "mutated chains must produce variable sites"
+    g = Gfa.parse(gfa_text)
+    for s in dec.sites:
+        assert s.start[:-1] in g.segments and s.end[:-1] in g.segments
+        assert s.reference_end_step >= s.reference_start_step
+        assert s.n_alleles >= 2
+
+
+def test_cli_graph_report_flubbles(tmp_path):
+    p = tmp_path / "g.gfa"
+    p.write_text(NESTED_GFA)
+    r = run_cli(
+        "graph-report", str(p), "--flubbles", "--reference", "ref"
+    )
+    assert r.returncode == 0, r.stderr
+    assert "Flubble decomposition on reference `ref`: 2 sites" in r.stdout
+    r = run_cli("graph-report", str(p), "--flubbles", "--format", "json")
+    assert r.returncode == 0, r.stderr
+    import json
+
+    rep = json.loads(r.stdout)
+    assert rep["flubbles"]["sites"] == 2
+    assert rep["flubbles"]["leaf_sites"] == 1
