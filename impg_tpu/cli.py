@@ -771,24 +771,42 @@ def _syng_query(args, merge_distance: int) -> int:
                     file=sys.stderr,
                 )
                 return 1
-            intervals = syng.query_region(target_name, start, end)
-            # Mirror syng_intervals_to_adjusted (main.rs:11728): homolog
-            # interval (reversed coords on '-') + empty CIGAR + query range.
-            rows = [
-                engine_mod.Row(qid, start, end, None, qid, start, end)
-            ]
-            for iv in intervals:
-                hid = syng.seq_index.get_id(iv.genome)
-                if hid is None:
-                    continue
-                if iv.strand == "-":
-                    rows.append(
-                        engine_mod.Row(hid, iv.end, iv.start, None, qid, start, end)
-                    )
-                else:
-                    rows.append(
-                        engine_mod.Row(hid, iv.start, iv.end, None, qid, start, end)
-                    )
+            if args.transitive:
+                # Chained multihop homology walk (syng_transitive.rs role).
+                from impg_tpu.syng import transitive as syng_transitive
+
+                rows = syng_transitive.query_transitive(
+                    syng, target_name, start, end,
+                    max_depth=args.max_depth,
+                    min_transitive_len=args.min_transitive_len,
+                    min_distance_between_ranges=(
+                        args.min_distance_between_ranges
+                    ),
+                )
+            else:
+                intervals = syng.query_region(target_name, start, end)
+                # Mirror syng_intervals_to_adjusted (main.rs:11728): homolog
+                # interval (reversed coords on '-') + empty CIGAR + query
+                # range.
+                rows = [
+                    engine_mod.Row(qid, start, end, None, qid, start, end)
+                ]
+                for iv in intervals:
+                    hid = syng.seq_index.get_id(iv.genome)
+                    if hid is None:
+                        continue
+                    if iv.strand == "-":
+                        rows.append(
+                            engine_mod.Row(
+                                hid, iv.end, iv.start, None, qid, start, end
+                            )
+                        )
+                    else:
+                        rows.append(
+                            engine_mod.Row(
+                                hid, iv.start, iv.end, None, qid, start, end
+                            )
+                        )
             if fmt == "bed":
                 outputs.write_bed(
                     syng.seq_index, rows, out, name, merge_distance,

@@ -182,61 +182,12 @@ class SyngIndex:
         include_self: bool = False,
     ) -> list[HomologousInterval]:
         """Homologous intervals for the indexed region (raw anchor mode)."""
-        positions, ids, fwd = self.region_syncmers(name, start, end)
-        if ids.size == 0:
-            return []
-
-        # Occurrence lookup: contiguous [lo, hi) slice per query syncmer.
-        lo = np.searchsorted(self.occ_ids, ids, side="left")
-        hi = np.searchsorted(self.occ_ids, ids, side="right")
-        counts = hi - lo
-
-        # Seed-frequency filter (reference SyngSeedFilter): drop the most
-        # frequent `drop_top_fraction` of the query's seeds, and optionally
-        # seeds above an absolute occurrence cap.
-        keep = counts > 0
-        if ids.size and drop_top_fraction > 0:
-            n_drop = int(np.ceil(ids.size * drop_top_fraction))
-            if n_drop > 0:
-                order = np.argsort(counts)
-                cutoff_idx = order[-n_drop:]
-                mask = np.ones(ids.size, bool)
-                # Only drop seeds that are genuinely repetitive (count > 1).
-                mask[cutoff_idx[counts[cutoff_idx] > 1]] = False
-                keep &= mask
-        if max_occurrences is not None:
-            keep &= counts <= max_occurrences
-
-        qsel = np.nonzero(keep)[0]
-        if qsel.size == 0:
-            return []
-
-        # Gather all occurrences of kept seeds.
-        total = int(counts[qsel].sum())
-        occ_idx = np.empty(total, np.int64)
-        q_of_occ = np.empty(total, np.int64)
-        at = 0
-        for qi in qsel:
-            c = int(counts[qi])
-            occ_idx[at : at + c] = np.arange(lo[qi], hi[qi])
-            q_of_occ[at : at + c] = qi
-            at += c
-
-        o_seq = self.occ_seq[occ_idx]
-        o_pos = self.occ_pos[occ_idx]
-        o_fwd = self.occ_fwd[occ_idx]
-        rel_fwd = o_fwd == fwd[q_of_occ]
-
-        qname_id = self.seq_index.get_id(name)
-        if not include_self and qname_id is not None:
-            q_abs = positions[q_of_occ]
-            self_hit = (o_seq == qname_id) & (o_pos == q_abs)
-            keep_occ = ~self_hit
-            o_seq, o_pos, rel_fwd = (
-                o_seq[keep_occ],
-                o_pos[keep_occ],
-                rel_fwd[keep_occ],
-            )
+        q_abs, o_seq, o_pos, rel_fwd = self.region_occurrences(
+            name, start, end,
+            drop_top_fraction=drop_top_fraction,
+            max_occurrences=max_occurrences,
+            include_self=include_self,
+        )
         if o_seq.size == 0:
             return []
 
@@ -269,3 +220,76 @@ class SyngIndex:
                 )
             )
         return out
+
+    def region_occurrences(
+        self,
+        name: str,
+        start: int,
+        end: int,
+        drop_top_fraction: float = 0.0005,
+        max_occurrences: int | None = None,
+        include_self: bool = False,
+    ):
+        """Seed-filtered anchor occurrences for an indexed region:
+        (query abs position, target seq id, target pos, same-strand flag)
+        per occurrence — the shared front half of raw-mode and chained
+        transitive queries (syng.rs:4301/4494 anchor collection)."""
+        positions, ids, fwd = self.region_syncmers(name, start, end)
+        if ids.size == 0:
+            z = np.zeros(0, np.int64)
+            return z, z.astype(np.int32), z, np.zeros(0, bool)
+
+        # Occurrence lookup: contiguous [lo, hi) slice per query syncmer.
+        lo = np.searchsorted(self.occ_ids, ids, side="left")
+        hi = np.searchsorted(self.occ_ids, ids, side="right")
+        counts = hi - lo
+
+        # Seed-frequency filter (reference SyngSeedFilter): drop the most
+        # frequent `drop_top_fraction` of the query's seeds, and optionally
+        # seeds above an absolute occurrence cap.
+        keep = counts > 0
+        if ids.size and drop_top_fraction > 0:
+            n_drop = int(np.ceil(ids.size * drop_top_fraction))
+            if n_drop > 0:
+                order = np.argsort(counts)
+                cutoff_idx = order[-n_drop:]
+                mask = np.ones(ids.size, bool)
+                # Only drop seeds that are genuinely repetitive (count > 1).
+                mask[cutoff_idx[counts[cutoff_idx] > 1]] = False
+                keep &= mask
+        if max_occurrences is not None:
+            keep &= counts <= max_occurrences
+
+        qsel = np.nonzero(keep)[0]
+        if qsel.size == 0:
+            z = np.zeros(0, np.int64)
+            return z, z.astype(np.int32), z, np.zeros(0, bool)
+
+        # Gather all occurrences of kept seeds.
+        total = int(counts[qsel].sum())
+        occ_idx = np.empty(total, np.int64)
+        q_of_occ = np.empty(total, np.int64)
+        at = 0
+        for qi in qsel:
+            c = int(counts[qi])
+            occ_idx[at : at + c] = np.arange(lo[qi], hi[qi])
+            q_of_occ[at : at + c] = qi
+            at += c
+
+        o_seq = self.occ_seq[occ_idx]
+        o_pos = self.occ_pos[occ_idx]
+        o_fwd = self.occ_fwd[occ_idx]
+        rel_fwd = o_fwd == fwd[q_of_occ]
+        q_abs = positions[q_of_occ]
+
+        qname_id = self.seq_index.get_id(name)
+        if not include_self and qname_id is not None:
+            self_hit = (o_seq == qname_id) & (o_pos == q_abs)
+            keep_occ = ~self_hit
+            q_abs, o_seq, o_pos, rel_fwd = (
+                q_abs[keep_occ],
+                o_seq[keep_occ],
+                o_pos[keep_occ],
+                rel_fwd[keep_occ],
+            )
+        return q_abs, o_seq, o_pos, rel_fwd

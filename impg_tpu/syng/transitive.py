@@ -1,0 +1,201 @@
+"""Syng-seeded transitive homology queries (reference: syng_transitive.rs —
+per hop: anchor collection -> collinear chaining with gap/scaffold-mass
+limits -> padded end extension -> multihop BFS with visited-range
+bookkeeping matching the alignment-backed transitive walk).
+
+The reference delegates chaining to SweepGA's plane-sweep scaffold filter
+and refines chain ends with BiWFA; here chains come from a patience-LIS
+over (query, target) anchor pairs per (target sequence, strand) with the
+same gap and seed-mass bounds, and ends extend by the bounded padding the
+reference falls back to below its identity floor
+(syng_transitive.rs:44 MIN_ALIGNMENT_IDENTITY fallback).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from impg_tpu.commands.align import _lis_chain
+from impg_tpu.core.intervals import SortedRanges
+from impg_tpu.query.engine import Row, _too_close
+from impg_tpu.syng.index import SyngIndex
+
+
+@dataclass
+class SyngChain:
+    """One collinear homology chain: query span -> target span."""
+
+    genome: str
+    t_start: int
+    t_end: int
+    q_start: int
+    q_end: int
+    strand: str
+    n_anchors: int
+
+
+def chain_region(
+    syng: SyngIndex,
+    name: str,
+    start: int,
+    end: int,
+    scaffold_gap: int = 10_000,
+    min_anchors: int = 3,
+    extend_budget: int = 1_000,
+    drop_top_fraction: float = 0.0005,
+    max_occurrences: int | None = None,
+) -> list[SyngChain]:
+    """Collinear homology chains for an indexed region."""
+    q_abs, o_seq, o_pos, rel_fwd = syng.region_occurrences(
+        name, start, end,
+        drop_top_fraction=drop_top_fraction,
+        max_occurrences=max_occurrences,
+    )
+    if o_seq.size == 0:
+        return []
+    k = syng.syncmer_len
+    strand_code = np.where(rel_fwd, 0, 1)
+    order = np.lexsort((o_pos, q_abs, strand_code, o_seq))
+    q_abs, o_seq, o_pos, strand_code = (
+        q_abs[order], o_seq[order], o_pos[order], strand_code[order]
+    )
+    group_bounds = np.nonzero(
+        (o_seq[1:] != o_seq[:-1]) | (strand_code[1:] != strand_code[:-1])
+    )[0]
+    starts = np.concatenate([[0], group_bounds + 1])
+    ends = np.concatenate([group_bounds + 1, [o_seq.size]])
+
+    out: list[SyngChain] = []
+    for gs, ge in zip(starts, ends):
+        gq = q_abs[gs:ge]
+        gt = o_pos[gs:ge]
+        rev = bool(strand_code[gs])
+        # Patience-LIS over target positions in query order gives the
+        # longest collinear subset; '-' chains are anti-diagonal, so LIS
+        # runs on the negated target axis.
+        chain_idx = _lis_chain(gq, -gt if rev else gt)
+        if len(chain_idx) < min_anchors:
+            continue
+        cq = gq[chain_idx]
+        ct = gt[chain_idx]
+        # Split at gaps beyond the scaffold gap on either axis.
+        sub: list[int] = [0]
+        pieces: list[tuple[int, int]] = []
+        for i in range(1, len(chain_idx)):
+            if (
+                cq[i] - cq[i - 1] > scaffold_gap
+                or abs(int(ct[i]) - int(ct[i - 1])) > scaffold_gap
+            ):
+                pieces.append((sub[0], i))
+                sub = [i]
+        pieces.append((sub[0], len(chain_idx)))
+        genome = syng.seq_index.get_name(int(o_seq[gs]))
+        hid = int(o_seq[gs])
+        seq_len = syng.seq_index.get_len_from_id(hid)
+        for ps, pe in pieces:
+            n = pe - ps
+            if n < min_anchors:
+                continue
+            q0, q1 = int(cq[ps]), int(cq[pe - 1]) + k
+            tmin = int(ct[ps:pe].min())
+            tmax = int(ct[ps:pe].max()) + k
+            # Bounded padded end extension toward the region bounds
+            # (the reference's sub-identity fallback path).
+            ext_l = min(extend_budget, max(q0 - start, 0))
+            ext_r = min(extend_budget, max(end - q1, 0))
+            q0 -= ext_l
+            q1 += ext_r
+            if rev:
+                tmin -= ext_r
+                tmax += ext_l
+            else:
+                tmin -= ext_l
+                tmax += ext_r
+            tmin = max(tmin, 0)
+            tmax = min(tmax, seq_len)
+            out.append(
+                SyngChain(
+                    genome=genome,
+                    t_start=tmin,
+                    t_end=tmax,
+                    q_start=q0,
+                    q_end=q1,
+                    strand="-" if rev else "+",
+                    n_anchors=n,
+                )
+            )
+    return out
+
+
+def _entry(
+    visited: dict[int, SortedRanges], syng: SyngIndex, sid: int
+) -> SortedRanges:
+    r = visited.get(sid)
+    if r is None:
+        r = SortedRanges(
+            sequence_length=syng.seq_index.get_len_from_id(sid),
+            min_distance=0,
+        )
+        visited[sid] = r
+    return r
+
+
+def query_transitive(
+    syng: SyngIndex,
+    name: str,
+    start: int,
+    end: int,
+    max_depth: int = 2,
+    min_transitive_len: int = 101,
+    min_distance_between_ranges: int = 10,
+    scaffold_gap: int = 10_000,
+    min_anchors: int = 3,
+    extend_budget: int = 1_000,
+) -> list[Row]:
+    """Multihop homology walk with visited-range bookkeeping mirroring the
+    alignment-backed `query_transitive_bfs` semantics (same
+    min-transitive-length and min-distance snapping rules)."""
+    qid = syng.seq_index.get_id(name)
+    if qid is None:
+        raise KeyError(f"Sequence '{name}' not found in syng index")
+    visited: dict[int, SortedRanges] = {}
+    results: list[Row] = []
+    current: list[tuple[int, int, int]] = []
+    for s, e in _entry(visited, syng, qid).insert((start, end)):
+        results.append(Row(qid, s, e, None, qid, s, e))
+        if abs(e - s) >= min_transitive_len:
+            current.append((qid, s, e))
+
+    depth = 0
+    while current and (max_depth == 0 or depth < max_depth):
+        nxt: list[tuple[int, int, int]] = []
+        for tid, s, e in current:
+            tname = syng.seq_index.get_name(tid)
+            for ch in chain_region(
+                syng, tname, s, e,
+                scaffold_gap=scaffold_gap,
+                min_anchors=min_anchors,
+                extend_budget=extend_budget,
+            ):
+                hid = syng.seq_index.get_id(ch.genome)
+                if hid is None:
+                    continue
+                if ch.strand == "-":
+                    q_first, q_last = ch.t_end, ch.t_start
+                else:
+                    q_first, q_last = ch.t_start, ch.t_end
+                results.append(
+                    Row(hid, q_first, q_last, None, tid, ch.q_start, ch.q_end)
+                )
+                ranges = _entry(visited, syng, hid)
+                lo, hi = ch.t_start, ch.t_end
+                if _too_close(ranges, lo, hi, min_distance_between_ranges):
+                    continue
+                for ns, ne in ranges.insert((lo, hi)):
+                    if abs(ne - ns) >= min_transitive_len:
+                        nxt.append((hid, ns, ne))
+        depth += 1
+        current = nxt
+    return results
