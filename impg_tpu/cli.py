@@ -62,6 +62,18 @@ def cmd_index(args) -> int:
     from impg_tpu.index import impg_index
 
     files = _alignment_files(args)
+    if args.index is None and len(files) > 1 and not args.no_bidirectional:
+        # Per-file artifacts (multi_impg.rs role): each file caches its own
+        # index; queries merge them in memory.
+        idx = impg_index.load_or_build(files, force=True)
+        paths = ", ".join(f + impg_index.INDEX_SUFFIX for f in files)
+        print(
+            f"Indexed {len(idx.records)} directed records over "
+            f"{len(idx.seq_index)} sequences -> per-file artifacts "
+            f"({paths})",
+            file=sys.stderr,
+        )
+        return 0
     idx = impg_index.ImpgIndex.from_paf_files(
         files, bidirectional=not args.no_bidirectional
     )

@@ -111,6 +111,55 @@ class ImpgIndex:
             alignment_files=files,
         )
 
+    @classmethod
+    def merge(cls, parts: list["ImpgIndex"], files: list[str]) -> "ImpgIndex":
+        """Combine per-file indexes into one unified index (reference:
+        multi_impg.rs — lazily-combined per-file caches).  Sequence ids are
+        remapped into a union SequenceIndex; arenas concatenate with op
+        offsets shifted; records re-sort in _finalize."""
+        seq_index = SequenceIndex()
+        maps = []
+        for p in parts:
+            m = np.zeros(max(len(p.seq_index), 1), np.int32)
+            for i in range(len(p.seq_index)):
+                m[i] = seq_index.get_or_insert_id(
+                    p.seq_index.get_name(i), p.seq_index.get_len_from_id(i)
+                )
+            maps.append(m)
+        rec_parts: list[DirectedRecords] = []
+        arena_cols: dict[str, list[np.ndarray]] = {
+            f: [] for f in CigarArena.__dataclass_fields__
+        }
+        arena_base = 0
+        rec_base = 0
+        for p, m in zip(parts, maps):
+            r = p.records
+            rec_parts.append(
+                DirectedRecords(
+                    target_id=m[r.target_id],
+                    query_id=m[r.query_id],
+                    t_start=r.t_start,
+                    t_end=r.t_end,
+                    q_start=r.q_start,
+                    q_end=r.q_end,
+                    strand=r.strand,
+                    op_off=r.op_off + arena_base,
+                    op_cnt=r.op_cnt,
+                    rec_id=r.rec_id + rec_base,
+                    is_reversed=r.is_reversed,
+                )
+            )
+            for f in arena_cols:
+                arena_cols[f].append(getattr(p.arena, f))
+            arena_base += p.arena.n_ops
+            if len(r):
+                rec_base += int(r.rec_id.max()) + 1
+        records = DirectedRecords.concatenate(rec_parts)
+        arena = CigarArena(
+            **{f: np.concatenate(cols) for f, cols in arena_cols.items()}
+        )
+        return cls._finalize(seq_index, records, arena, files)
+
     # ── stabbing ─────────────────────────────────────────────────────
     def stab(self, target_id: int, start: int, end: int) -> np.ndarray:
         """Directed record indices overlapping [start, end] (closed-interval
@@ -196,6 +245,12 @@ def load_or_build(
     artifact (the reference warns instead, main.rs:11355; rebuilding is
     strictly safer since our artifact embeds the CIGAR tensors).
     """
+    if index_path is None and len(paf_paths) > 1:
+        # Per-file artifact caching (reference: multi_impg.rs): each file
+        # keeps its own `<file>.impgt`, so growing a file set only builds
+        # the new files; the union merges in memory.
+        parts = [load_or_build([p], force=force) for p in paf_paths]
+        return ImpgIndex.merge(parts, list(paf_paths))
     path = index_path or index_path_for(paf_paths)
     if not force and os.path.exists(path):
         idx_mtime = os.path.getmtime(path)

@@ -156,3 +156,66 @@ def test_multi_file_index_cache_distinct(tmp_path):
         open(p, "w").write(t)
     assert index_path_for([p1]) == p1 + ".impgt"
     assert index_path_for([p1, p2]) != index_path_for([p1, p3])
+
+
+def test_per_file_index_caching_and_merge(tmp_path):
+    """Multi-file load_or_build caches one artifact per file and merges in
+    memory with identical query results to a combined one-shot build
+    (reference: multi_impg.rs lazily-combined per-file caches)."""
+    import os
+    import random
+
+    from impg_tpu.index.impg_index import ImpgIndex, load_or_build
+    from impg_tpu.query import engine
+
+    rng = random.Random(9)
+    t1, seqs1, _ = datagen.random_paf(rng, n_seqs=4, n_alns=12, n_ops=8)
+    t2, seqs2, _ = datagen.random_paf(rng, n_seqs=4, n_alns=12, n_ops=8)
+    p1, p2 = str(tmp_path / "a.paf"), str(tmp_path / "b.paf")
+    open(p1, "w").write(t1)
+    open(p2, "w").write(t2)
+
+    merged = load_or_build([p1, p2])
+    # Per-file artifacts exist; no combined-digest artifact was created.
+    assert os.path.exists(p1 + ".impgt") and os.path.exists(p2 + ".impgt")
+    assert not any(
+        ".multi-" in f for f in os.listdir(tmp_path)
+    ), os.listdir(tmp_path)
+
+    oneshot = ImpgIndex.from_paf_files([p1, p2])
+    assert len(merged.records) == len(oneshot.records)
+    assert len(merged.seq_index) == len(oneshot.seq_index)
+    # Same query answers across every sequence (ids may be permuted, so
+    # compare by name).
+    def rows_by_name(idx, name, s, e):
+        tid = idx.seq_index.get_id(name)
+        out = set()
+        for r in engine.query(idx, tid, s, e):
+            out.add(
+                (
+                    idx.seq_index.get_name(r.q_id), r.q_first, r.q_last,
+                    idx.seq_index.get_name(r.t_id), r.t_first, r.t_last,
+                )
+            )
+        return out
+
+    checked = 0
+    for name in list(seqs1) + list(seqs2):
+        if merged.seq_index.get_id(name) is None:
+            continue
+        L = merged.seq_index.get_len_from_id(
+            merged.seq_index.get_id(name)
+        )
+        got = rows_by_name(merged, name, 0, L)
+        want = rows_by_name(oneshot, name, 0, L)
+        assert got == want, name
+        checked += 1
+    assert checked >= 4
+
+    # Touching one file invalidates only that file's artifact (the other's
+    # mtime ordering still serves its cache) and results stay correct.
+    mtime_b = os.path.getmtime(p2 + ".impgt")
+    os.utime(p1, None)
+    merged2 = load_or_build([p1, p2])
+    assert os.path.getmtime(p2 + ".impgt") == mtime_b
+    assert len(merged2.records) == len(merged.records)
