@@ -138,7 +138,7 @@ def cmd_query(args) -> int:
             print(f"error: invalid -o pipeline spec: {e}", file=sys.stderr)
             return 2
         fmt = "gfa"
-        supported = {"gfa", "sort", "smooth", "normalize"}
+        supported = {"gfa", "sort", "sgd", "smooth", "normalize"}
         for stage in spec.stages[1:]:
             if stage.name not in supported:
                 print(
@@ -408,6 +408,15 @@ def cmd_query(args) -> int:
                                 text = gfa_mod.topological_sort(
                                     gfa_mod.Gfa.parse(text)
                                 ).write()
+                            elif stage.name == "sgd":
+                                from impg_tpu.graph import (
+                                    sortgfa as sortgfa_mod,
+                                )
+
+                                text = sortgfa_mod.sort_pipeline(
+                                    text,
+                                    stage.param("pipeline") or "Ygs",
+                                )
                             elif stage.name == "smooth":
                                 from impg_tpu.graph import smooth as smooth_mod
 
@@ -1124,6 +1133,27 @@ def cmd_smooth(args) -> int:
     return 0
 
 
+def cmd_sort(args) -> int:
+    from impg_tpu.graph import sortgfa as sortgfa_mod
+
+    if args.gfa == "-":
+        text = sys.stdin.read()
+    else:
+        with open(args.gfa) as fh:
+            text = fh.read()
+    try:
+        out_text = sortgfa_mod.sort_pipeline(text, args.pipeline)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(out_text)
+    else:
+        sys.stdout.write(out_text)
+    return 0
+
+
 def cmd_crush(args) -> int:
     from impg_tpu.graph import crush as crush_mod
 
@@ -1569,6 +1599,18 @@ def build_parser() -> argparse.ArgumentParser:
     p_sm.add_argument("--poa-scoring", default="1,4,6,2,26,1")
     p_sm.add_argument("--output", help="Output GFA (default stdout)")
     p_sm.set_defaults(func=cmd_smooth)
+
+    p_srt = sub.add_parser(
+        "sort",
+        help="Sort a GFA (Ygs: path-SGD 1D layout, groom, topological)",
+    )
+    p_srt.add_argument("gfa", help="GFA file (or - for stdin)")
+    p_srt.add_argument(
+        "--pipeline", default="Ygs",
+        help="Steps: Y = path-SGD, g = groom, s = topological (default Ygs)",
+    )
+    p_srt.add_argument("--output", help="Output GFA (default stdout)")
+    p_srt.set_defaults(func=cmd_sort)
 
     p_cr = sub.add_parser(
         "crush",

@@ -1,0 +1,228 @@
+"""GFA sorting: path-guided 1D SGD + grooming + topological sort — the
+reference's gfasort "Ygs" pipeline (reference: graph.rs:893 sort_gfa /
+sort_gfa_pipeline dispatching 'Y' sgd_sort_only, 'g' groom_only,
+'s' topological_sort_only via the external gfasort crate).
+
+Path-SGD follows the odgi 1D layout recipe: nodes carry a scalar position;
+random step pairs sampled within paths pull node positions toward their
+path-bp distance with an annealed learning rate.  The updates are fully
+vectorized per batch (numpy scatter-adds), the natural batched form for
+accelerator offload.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from impg_tpu.graph.gfa import Gfa, topological_sort
+
+
+def _path_arrays(gfa: Gfa):
+    """Per-step (node ordinal, bp midpoint along its path) over all paths."""
+    node_ord = {sid: i for i, sid in enumerate(gfa.segments)}
+    lens = {sid: len(s) for sid, s in gfa.segments.items()}
+    step_node: list[int] = []
+    step_pos: list[float] = []
+    path_bounds: list[tuple[int, int]] = []
+    for _, steps in gfa.paths:
+        s0 = len(step_node)
+        at = 0.0
+        for sid, _ in steps:
+            L = lens.get(sid, 0)
+            step_node.append(node_ord[sid])
+            step_pos.append(at + L / 2.0)
+            at += L
+        path_bounds.append((s0, len(step_node)))
+    return (
+        np.asarray(step_node, np.int64),
+        np.asarray(step_pos, np.float64),
+        path_bounds,
+        node_ord,
+    )
+
+
+def path_sgd_order(
+    gfa: Gfa,
+    epochs: int = 30,
+    batch_per_step: int = 8,
+    eta_max: float | None = None,
+    eta_min: float = 0.01,
+    rng: np.random.Generator | None = None,
+) -> list[str]:
+    """Segment ids ordered by the converged 1D path-SGD layout."""
+    sids = list(gfa.segments)
+    n = len(sids)
+    if n <= 1 or not gfa.paths:
+        return sids
+    step_node, step_pos, bounds, node_ord = _path_arrays(gfa)
+    n_steps = step_node.size
+    if n_steps < 2:
+        return sids
+    rng = rng or np.random.default_rng(42)
+
+    # Initial positions: first-seen path position per node (stable and
+    # already nearly sorted for mostly-linear graphs).
+    x = np.zeros(n, np.float64)
+    seen = np.zeros(n, bool)
+    for i in range(n_steps - 1, -1, -1):
+        x[step_node[i]] = step_pos[i]
+        seen[step_node[i]] = True
+    if not seen.all():
+        x[~seen] = step_pos.max() + 1.0
+
+    # Step index -> its path's [start, end) for in-path partner sampling.
+    pstart = np.zeros(n_steps, np.int64)
+    pend = np.zeros(n_steps, np.int64)
+    for s0, s1 in bounds:
+        pstart[s0:s1] = s0
+        pend[s0:s1] = s1
+
+    if eta_max is None:
+        span = float(step_pos.max() - step_pos.min()) or 1.0
+        eta_max = span
+    lam = np.log(eta_max / max(eta_min, 1e-9)) / max(epochs - 1, 1)
+
+    batch = n_steps * batch_per_step
+    for t in range(epochs):
+        eta = eta_max * np.exp(-lam * t)
+        i = rng.integers(0, n_steps, batch)
+        # Zipf-ish partner distance in steps keeps local structure dominant
+        # while long jumps still occur.
+        off = np.ceil(
+            np.exp(rng.uniform(0.0, np.log(n_steps), batch))
+        ).astype(np.int64)
+        sign = np.where(rng.random(batch) < 0.5, -1, 1)
+        j = np.clip(i + sign * off, pstart[i], pend[i] - 1)
+        valid = i != j
+        i, j = i[valid], j[valid]
+        a, b = step_node[i], step_node[j]
+        d = np.abs(step_pos[i] - step_pos[j])
+        d = np.maximum(d, 1e-9)
+        w = 1.0 / (d * d)
+        mu = np.minimum(eta * w, 1.0)
+        diff = x[a] - x[b]
+        mag = np.abs(diff)
+        cur = np.where(mag > 1e-9, mag, 1e-9)
+        r = (cur - d) / (2.0 * cur) * np.where(mag > 1e-9, 1.0, 0.0)
+        dx = mu * r * diff
+        # The whole batch applies at once, so average each node's moves
+        # (Jacobi-style) — summing conflicting full-strength moves diverges
+        # on small dense graphs.
+        acc = np.zeros_like(x)
+        cnt = np.zeros_like(x)
+        np.add.at(acc, a, dx)
+        np.subtract.at(acc, b, dx)
+        np.add.at(cnt, a, 1.0)
+        np.add.at(cnt, b, 1.0)
+        x -= acc / np.maximum(cnt, 1.0)
+
+    order = sorted(range(n), key=lambda k: (x[k], k))
+    return [sids[k] for k in order]
+
+
+def groom(gfa: Gfa) -> Gfa:
+    """Flip segments that are majority-reverse across path steps so most
+    steps read forward (gfasort 'g' role).  Path spellings are preserved
+    exactly: a flipped segment stores its reverse complement and every
+    step/link orientation touching it inverts."""
+    from impg_tpu.io.fasta import reverse_complement
+
+    rev_votes: dict[str, int] = {}
+    fwd_votes: dict[str, int] = {}
+    for _, steps in gfa.paths:
+        for sid, rev in steps:
+            if rev:
+                rev_votes[sid] = rev_votes.get(sid, 0) + 1
+            else:
+                fwd_votes[sid] = fwd_votes.get(sid, 0) + 1
+    flip = {
+        sid
+        for sid in gfa.segments
+        if rev_votes.get(sid, 0) > fwd_votes.get(sid, 0)
+    }
+    if not flip:
+        return gfa
+    out = Gfa(header=gfa.header)
+    for sid, seq in gfa.segments.items():
+        out.segments[sid] = (
+            reverse_complement(seq.encode()).decode() if sid in flip else seq
+        )
+    out.links = [
+        (a, ar ^ (a in flip), b, br ^ (b in flip))
+        for a, ar, b, br in gfa.links
+    ]
+    out.paths = [
+        (name, [(sid, rev ^ (sid in flip)) for sid, rev in steps])
+        for name, steps in gfa.paths
+    ]
+    return out
+
+
+def _topo_priority(gfa: Gfa) -> Gfa:
+    """Stable topological sort whose ties follow the CURRENT segment order
+    (so a preceding path-SGD pass decides the layout inside each level),
+    with 1..N renumbering."""
+    import heapq
+
+    prio = {sid: k for k, sid in enumerate(gfa.segments)}
+    indeg = {sid: 0 for sid in gfa.segments}
+    succs: dict[str, list[str]] = {sid: [] for sid in gfa.segments}
+    for a, _, b, _ in gfa.links:
+        if a in indeg and b in indeg and a != b:
+            succs[a].append(b)
+            indeg[b] += 1
+    heap = [(prio[s], s) for s, d in indeg.items() if d == 0]
+    heapq.heapify(heap)
+    order: list[str] = []
+    seen: set = set()
+    while heap:
+        _, v = heapq.heappop(heap)
+        if v in seen:
+            continue
+        seen.add(v)
+        order.append(v)
+        for w in succs[v]:
+            indeg[w] -= 1
+            if indeg[w] == 0:
+                heapq.heappush(heap, (prio[w], w))
+    for sid in gfa.segments:  # cycle remnants
+        if sid not in seen:
+            order.append(sid)
+    rename = {old: str(i + 1) for i, old in enumerate(order)}
+    out = Gfa(header=gfa.header)
+    for old in order:
+        out.segments[rename[old]] = gfa.segments[old]
+    out.links = [
+        (rename[a], ar, rename[b], br)
+        for a, ar, b, br in gfa.links
+        if a in rename and b in rename
+    ]
+    out.paths = [
+        (name, [(rename[s], r) for s, r in steps if s in rename])
+        for name, steps in gfa.paths
+    ]
+    return out
+
+
+def sort_pipeline(gfa_text: str, pipeline: str = "Ygs") -> str:
+    """Apply the gfasort-style pipeline: Y = path-SGD order, g = groom,
+    s = priority topological sort (+ renumber).  Unknown steps error."""
+    gfa = Gfa.parse(gfa_text)
+    if len(gfa.segments) <= 1:
+        return gfa_text
+    for c in pipeline:
+        if c == "Y":
+            order = path_sgd_order(gfa)
+            rank = {sid: k for k, sid in enumerate(order)}
+            gfa.segments = dict(
+                sorted(gfa.segments.items(), key=lambda kv: rank[kv[0]])
+            )
+        elif c == "g":
+            gfa = groom(gfa)
+        elif c == "s":
+            gfa = _topo_priority(gfa)
+        else:
+            raise ValueError(
+                f"unsupported sort pipeline step '{c}' (expected Y, g, s)"
+            )
+    return gfa.write()
