@@ -735,6 +735,9 @@ def cmd_align(args) -> int:
         max_gap=args.max_gap,
         min_chain_span=args.min_chain_span,
         scoring=scoring,
+        sparsify=args.sparsify,
+        mash_k=args.mash_k,
+        sketch_size=args.sketch_size,
     )
     out = open(args.output, "w") if args.output else sys.stdout
     try:
@@ -1461,6 +1464,13 @@ def build_parser() -> argparse.ArgumentParser:
     p_aln.add_argument("--min-anchors", type=int, default=3)
     p_aln.add_argument("--max-gap", type=int, default=10_000)
     p_aln.add_argument("--min-chain-span", type=int, default=100)
+    p_aln.add_argument(
+        "--sparsify", default="none",
+        help="Pair selection: none | random:P | knn:K (mash-sketch "
+        "nearest groups, PanSN-aware)",
+    )
+    p_aln.add_argument("--mash-k", type=int, default=15)
+    p_aln.add_argument("--sketch-size", type=int, default=1000)
     p_aln.add_argument("--scoring", default="1,4,6,2",
                        help="match,mismatch,gap_open,gap_ext")
     p_aln.set_defaults(func=cmd_align)

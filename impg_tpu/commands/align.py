@@ -36,6 +36,10 @@ class AlignConfig:
     min_chain_span: int = 100
     scoring: tuple = DEFAULT_SCORING
     drop_top_fraction: float = 0.0005
+    # Pair sparsification: none | random:P | knn:K (align.rs:26 role).
+    sparsify: str = "none"
+    mash_k: int = 15
+    sketch_size: int = 1000
 
 
 def _lis_chain(q_pos: np.ndarray, t_pos: np.ndarray) -> list[int]:
@@ -239,9 +243,11 @@ def run_align(
     index = SyngIndex.build(list(seqs.items()))
 
     if pairs is None:
-        pairs = [
-            (q, t) for q in names for t in names if q != t
-        ]
+        pairs = select_pairs(
+            names, seqs, getattr(config, "sparsify", "none"),
+            mash_k=getattr(config, "mash_k", 15),
+            sketch_size=getattr(config, "sketch_size", 1000),
+        )
     n_rows = 0
     for qname, tname in pairs:
         for row in align_sequence_pair(index, seqs, qname, tname, config):
@@ -254,3 +260,146 @@ def run_align(
             )
             n_rows += 1
     return n_rows
+
+
+# ── mash-sketch pair sparsification (reference: commands/align.rs:104
+# generate_pairs_for_sequences via sweepga::mash bottom-k sketches +
+# knn_graph haplotype-aware selection) ─────────────────────────────────
+
+
+def _hash_kmers(seq: bytes, k: int) -> np.ndarray:
+    """Unique canonical k-mer hashes (splitmix-style finalizer)."""
+    from impg_tpu.ops import syncmer as sm
+
+    code = sm.encode_bases(seq).astype(np.int64)
+    n = code.size - k + 1
+    if n <= 0:
+        return np.zeros(0, np.uint64)
+    bad = (code < 0) | (code >= 4)
+    invalid_win = np.convolve(bad.astype(np.int32), np.ones(k, np.int32))[
+        k - 1 : k - 1 + n
+    ]
+    valid = invalid_win == 0
+    safe = np.where(bad, 0, code)
+    idx = np.arange(n)
+    fwd = np.zeros(n, np.uint64)
+    rev = np.zeros(n, np.uint64)
+    rc = 3 - safe
+    for j in range(k):
+        fwd = fwd << np.uint64(2) | safe[idx + j].astype(np.uint64)
+        rev = rev << np.uint64(2) | rc[idx + k - 1 - j].astype(np.uint64)
+    canon = np.minimum(fwd, rev)[valid]
+    x = canon * np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    return np.unique(x)
+
+
+def mash_sketch(seq: bytes, k: int = 15, sketch_size: int = 1000) -> np.ndarray:
+    """Bottom-k sketch: the `sketch_size` smallest canonical k-mer hashes."""
+    h = _hash_kmers(seq, k)
+    if h.size > sketch_size:
+        h = np.partition(h, sketch_size)[:sketch_size]
+        h.sort()
+    return h
+
+
+def mash_distance(a: np.ndarray, b: np.ndarray, k: int = 15) -> float:
+    """Mash distance from the merged bottom-k jaccard estimate."""
+    if a.size == 0 or b.size == 0:
+        return 1.0
+    s = min(a.size, b.size)
+    merged = np.union1d(a, b)[:s]
+    shared = np.intersect1d(a, b, assume_unique=True)
+    j = float(np.isin(merged, shared, assume_unique=True).sum()) / s
+    if j <= 0.0:
+        return 1.0
+    import math
+
+    return min(1.0, -math.log(2.0 * j / (1.0 + j)) / k)
+
+
+def _pansn_group(name: str) -> str:
+    """PanSN SAMPLE#HAPLOTYPE grouping key (contig-level fallback)."""
+    parts = name.split("#")
+    return "#".join(parts[:2]) if len(parts) >= 3 else name
+
+
+def select_pairs(
+    names: list[str],
+    seqs: dict[str, bytes],
+    strategy: str = "none",
+    mash_k: int = 15,
+    sketch_size: int = 1000,
+    rng_seed: int = 42,
+) -> list[tuple[str, str]]:
+    """Ordered alignment pairs under a sparsification strategy:
+
+      none       — all ordered pairs (dense)
+      random:P   — keep each unordered pair with probability P
+      knn:K      — each group keeps its K nearest groups by mash distance
+                   (the connectivity-backbone role of the reference's
+                   default Connectivity strategy)
+
+    Groups follow PanSN SAMPLE#HAPLOTYPE prefixes, falling back to one
+    group per contig for non-PanSN names; selected group pairs expand to
+    all cross-group contig pairs, both orders.
+    """
+    groups: dict[str, list[str]] = {}
+    for n in names:
+        groups.setdefault(_pansn_group(n), []).append(n)
+    gnames = list(groups)
+    n_g = len(gnames)
+    if strategy == "none" or n_g <= 1:
+        return [(q, t) for q in names for t in names if q != t]
+
+    selected: set[tuple[int, int]] = set()
+    if strategy.startswith("random:"):
+        p = float(strategy.split(":", 1)[1])
+        rng = np.random.default_rng(rng_seed)
+        for i in range(n_g):
+            for j in range(i + 1, n_g):
+                if rng.random() < p:
+                    selected.add((i, j))
+    elif strategy.startswith("knn:"):
+        kk = int(strategy.split(":", 1)[1])
+        sketches = []
+        for g in gnames:
+            h = np.concatenate(
+                [_hash_kmers(seqs[n], mash_k) for n in groups[g]]
+            )
+            h = np.unique(h)
+            if h.size > sketch_size:
+                h = np.partition(h, sketch_size)[:sketch_size]
+                h.sort()
+            sketches.append(h)
+        for i in range(n_g):
+            d = [
+                (mash_distance(sketches[i], sketches[j], mash_k), j)
+                for j in range(n_g)
+                if j != i
+            ]
+            d.sort()
+            for _, j in d[:kk]:
+                selected.add((min(i, j), max(i, j)))
+    else:
+        raise ValueError(
+            f"unknown sparsification strategy '{strategy}' "
+            "(expected none, random:P, knn:K)"
+        )
+
+    pairs: list[tuple[str, str]] = []
+    for i, j in sorted(selected):
+        for a in groups[gnames[i]]:
+            for b in groups[gnames[j]]:
+                pairs.append((a, b))
+                pairs.append((b, a))
+    # Intra-group pairs always align (haplotypes of one sample).
+    for g in gnames:
+        members = groups[g]
+        for a in members:
+            for b in members:
+                if a != b:
+                    pairs.append((a, b))
+    return pairs

@@ -125,3 +125,80 @@ def test_align_then_index_then_query(chain_fa, tmp_path):
     assert r.returncode == 0, r.stderr
     names = {l.split("\t")[0] for l in r.stdout.splitlines() if l}
     assert {"ref", "s0", "s1"} <= names
+
+
+def test_mash_sketch_distance():
+    """Mash distance: identical sequences ~0; diverged ones larger; RC
+    invariance via canonical k-mers (align.rs:94 KmerSketch role)."""
+    import numpy as np
+
+    from impg_tpu.commands.align import mash_distance, mash_sketch
+    from impg_tpu.io.fasta import reverse_complement
+
+    rng = random.Random(3)
+    seq = "".join(rng.choice("ACGT") for _ in range(5000)).encode()
+    a = mash_sketch(seq)
+    assert mash_distance(a, a) == 0.0
+    assert mash_distance(a, mash_sketch(reverse_complement(seq))) == 0.0
+    # 5% mutated copy: small but nonzero distance.
+    mut = bytearray(seq)
+    for i in rng.sample(range(len(mut)), len(mut) // 20):
+        mut[i] = ord(rng.choice("ACGT"))
+    d_near = mash_distance(a, mash_sketch(bytes(mut)))
+    assert 0.0 < d_near < 0.2, d_near
+    rnd = "".join(rng.choice("ACGT") for _ in range(5000)).encode()
+    d_far = mash_distance(a, mash_sketch(rnd))
+    assert d_far > d_near
+
+
+def test_select_pairs_strategies():
+    import random as _r
+
+    from impg_tpu.commands.align import select_pairs
+
+    rng = _r.Random(8)
+    base = "".join(rng.choice("ACGT") for _ in range(3000))
+
+    def mutate(s, frac):
+        b = bytearray(s.encode())
+        for i in rng.sample(range(len(b)), int(len(b) * frac)):
+            b[i] = ord(rng.choice("ACGT"))
+        return b.decode()
+
+    seqs = {
+        "a#1#c": base,
+        "b#1#c": mutate(base, 0.02),
+        "c#1#c": mutate(base, 0.03),
+        "d#1#c": "".join(rng.choice("ACGT") for _ in range(3000)),
+    }
+    seqs_b = {k: v.encode() for k, v in seqs.items()}
+    names = list(seqs)
+    dense = select_pairs(names, seqs_b, "none")
+    assert len(dense) == 12  # all ordered pairs
+    knn = select_pairs(names, seqs_b, "knn:1")
+    assert set(knn) <= set(dense)
+    # The unrelated group d only keeps its own nearest edge; the related
+    # trio stays connected.
+    knn_unordered = {tuple(sorted(p)) for p in knn}
+    assert ("a#1#c", "b#1#c") in knn_unordered
+    assert len(knn_unordered) < 6
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown sparsification"):
+        select_pairs(names, seqs_b, "bogus")
+
+
+def test_cli_align_sparsify(tmp_path):
+    rng = random.Random(13)
+    text, seqs, alns, seq_data = datagen.mutate_chain_paf(
+        rng, n_seqs=3, seq_len=2500, return_sequences=True
+    )
+    fa = str(tmp_path / "p.fa")
+    datagen.write_fasta(fa, seq_data)
+    from tests.test_cli import run_cli
+
+    r = run_cli("align", "-f", fa, "--sparsify", "knn:2")
+    assert r.returncode == 0, r.stderr
+    assert "Wrote" in r.stderr
+    rows = [l for l in r.stdout.splitlines() if l]
+    assert rows and all("cg:Z:" in l for l in rows)
