@@ -421,7 +421,11 @@ def cmd_query(args) -> int:
                                 from impg_tpu.graph import smooth as smooth_mod
 
                                 bl = int(stage.param("block-len") or 1100)
-                                text = smooth_mod.smooth_gfa(text, bl)
+                                text = smooth_mod.smooth_gfa(
+                                    text, bl,
+                                    block_source=stage.param("block-source")
+                                    or "fixed",
+                                )
                             elif stage.name == "normalize":
                                 from impg_tpu.graph import (
                                     normalize as norm_mod,
@@ -1127,7 +1131,9 @@ def cmd_smooth(args) -> int:
     scoring = tuple(
         int(x) for x in args.poa_scoring.replace("/", ",").split(",")
     )
-    out_text = smooth_mod.smooth_gfa(text, args.block_len, scoring)
+    out_text = smooth_mod.smooth_gfa(
+        text, args.block_len, scoring, block_source=args.block_source
+    )
     if args.output:
         with open(args.output, "w") as fh:
             fh.write(out_text)
@@ -1606,6 +1612,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_sm.add_argument("gfa", help="GFA file (or - for stdin)")
     p_sm.add_argument("--block-len", type=int, default=1100)
+    p_sm.add_argument(
+        "--block-source", default="fixed", choices=["fixed", "flubble"],
+        help="Block boundaries: fixed bp, or flubble-aware (never split "
+        "a variation site)",
+    )
     p_sm.add_argument("--poa-scoring", default="1,4,6,2,26,1")
     p_sm.add_argument("--output", help="Output GFA (default stdout)")
     p_sm.set_defaults(func=cmd_smooth)

@@ -29,27 +29,66 @@ def _step_seq(gfa: Gfa, step: tuple[str, bool]) -> bytes:
     return reverse_complement(seq) if step[1] else seq
 
 
+def _node_sites(gfa: Gfa, gfa_text: str) -> dict[str, int]:
+    """Top-level flubble site id per node (nodes outside any site: -1) —
+    the POVU-flubble block source (smooth.rs block_source role): block
+    boundaries must not split a variation site."""
+    from impg_tpu.graph import bubbles as bubbles_mod
+
+    dec = bubbles_mod.decompose_flubbles(gfa_text)
+    site_of: dict[str, int] = {}
+    top = [s for s in dec.sites if s.level == 0]
+    bounds = {
+        (s.start[:-1], s.end[:-1]): i for i, s in enumerate(top)
+    }
+    for _, steps in gfa.paths:
+        active: int | None = None
+        for sid, _ in steps:
+            started = None
+            for (a, b), i in bounds.items():
+                if sid == a:
+                    started = i
+            if active is not None:
+                site_of.setdefault(sid, active)
+                end_sid = top[active].end[:-1]
+                if sid == end_sid:
+                    active = None
+            if started is not None:
+                site_of.setdefault(sid, started)
+                active = started
+    return site_of
+
+
 def smooth_gfa(
     gfa_text: str,
     block_len: int = 1100,
     scoring=poa_mod.DEFAULT_SCORING,
+    block_source: str = "fixed",
 ) -> str:
     gfa = topological_sort(Gfa.parse(gfa_text))
     if not gfa.paths or not gfa.segments:
         return gfa.write()
 
-    # Block id per node: consecutive ranks, bounded by block_len bp.
-    rank = {sid: i for i, sid in enumerate(gfa.segments)}
+    # Block id per node: consecutive ranks, bounded by block_len bp.  With
+    # the flubble source, a block never ends inside a variation site —
+    # POA always sees whole bubbles.
+    site_of = (
+        _node_sites(gfa, gfa.write()) if block_source == "flubble" else {}
+    )
     block_of: dict[str, int] = {}
     cur_block = 0
     cur_bp = 0
+    prev_site: int | None = None
     for sid in gfa.segments:
         node_bp = len(gfa.segments[sid])
-        if cur_bp > 0 and cur_bp + node_bp > block_len:
+        site = site_of.get(sid, -1)
+        same_site = site != -1 and site == prev_site
+        if cur_bp > 0 and cur_bp + node_bp > block_len and not same_site:
             cur_block += 1
             cur_bp = 0
         block_of[sid] = cur_block
         cur_bp += node_bp
+        prev_site = site
     n_blocks = cur_block + 1
 
     # Per block: list of (path_name, start_bp, sequence bytes).

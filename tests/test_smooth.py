@@ -1,0 +1,56 @@
+"""Flubble-aware smoothing block source (reference: smooth.rs POVU-flubble
+block source — block boundaries never split a variation site)."""
+
+from impg_tpu.graph.gfa import Gfa, topological_sort
+from impg_tpu.graph.smooth import _node_sites, smooth_gfa
+from impg_tpu.io.fasta import reverse_complement
+
+BUBBLE_GFA = (
+    "H\tVN:Z:1.0\n"
+    "S\tm\tACGTACGTAC\nS\tu\tGTT\nS\tv\tTAA\nS\tz\tCCGGCCGGCC\n"
+    "L\tm\t+\tu\t+\t0M\nL\tm\t+\tv\t+\t0M\n"
+    "L\tu\t+\tz\t+\t0M\nL\tv\t+\tz\t+\t0M\n"
+    "P\tp1\tm+,u+,z+\t*\nP\tp2\tm+,v+,z+\t*\n"
+)
+
+
+def _spell(g: Gfa) -> dict:
+    from impg_tpu.graph.lace import split_path_name
+
+    out = {}
+    for name, steps in g.paths:
+        parsed = split_path_name(name)
+        key = parsed[0] if parsed else name
+        s = b""
+        for sid, rev in steps:
+            t = g.segments[sid].encode()
+            s += reverse_complement(t) if rev else t
+        out[key] = s
+    return out
+
+
+def test_flubble_block_source_keeps_sites_whole():
+    """With block_source='flubble' a tiny block_len cannot split a bubble:
+    the bubble's nodes land in one site; spellings stay exact either way."""
+    g = topological_sort(Gfa.parse(BUBBLE_GFA))
+    sites = _node_sites(g, g.write())
+    # The bubble site m..z covers all four nodes.
+    assert len({sites[sid] for sid in sites}) == 1
+    assert len(sites) == 4
+
+    for source in ("fixed", "flubble"):
+        out = smooth_gfa(BUBBLE_GFA, block_len=8, block_source=source)
+        assert _spell(Gfa.parse(out)) == _spell(Gfa.parse(BUBBLE_GFA)), source
+
+
+def test_cli_smooth_flubble_source(tmp_path):
+    from tests.test_cli import run_cli
+
+    p = tmp_path / "g.gfa"
+    p.write_text(BUBBLE_GFA)
+    r = run_cli(
+        "smooth", str(p), "--block-source", "flubble", "--block-len", "8"
+    )
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.startswith("H\t")
+    assert _spell(Gfa.parse(r.stdout)) == _spell(Gfa.parse(BUBBLE_GFA))
