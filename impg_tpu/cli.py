@@ -988,6 +988,47 @@ def cmd_render(args) -> int:
             lo, hi = sorted((r.q_first, r.q_last))
             strand = "+" if r.q_first <= r.q_last else "-"
             fh.write(f"{src_name}:{lo}-{hi}\t{src_name}\t{lo}\t{hi}\t{strand}\n")
+    # Structured namespace records (sequence_namespace.rs:21
+    # SourceSequenceRecord + SourceInterval; PanSN parsed as
+    # sample#haplotype#contig, exactly three non-empty fields).
+    def _pansn(nm: str):
+        parts = nm.split("#")
+        if len(parts) == 3 and all(parts):
+            return dict(
+                sample=parts[0], haplotype=parts[1], contig=parts[2]
+            )
+        return None
+
+    src_ids: dict[int, int] = {}
+    seq_records = []
+    intervals = []
+    for r in results:
+        if r.q_id not in src_ids:
+            src_ids[r.q_id] = len(src_ids)
+            nm = index.seq_index.get_name(r.q_id)
+            seq_records.append(
+                dict(
+                    id=src_ids[r.q_id],
+                    name=nm,
+                    length=int(index.seq_index.get_len_from_id(r.q_id)),
+                    identity=dict(full_name=nm, pansn=_pansn(nm)),
+                )
+            )
+        lo, hi = sorted((r.q_first, r.q_last))
+        intervals.append(
+            dict(
+                source_sequence_id=src_ids[r.q_id],
+                start=int(lo),
+                end=int(hi),
+                strand="+" if r.q_first <= r.q_last else "-",
+            )
+        )
+    with open(
+        os.path.join(args.output_prefix, "namespace.json"), "w"
+    ) as fh:
+        json.dump(
+            dict(sequences=seq_records, intervals=intervals), fh, indent=2
+        )
     with open(os.path.join(args.output_prefix, "manifest.json"), "w") as fh:
         json.dump(
             dict(
@@ -1000,6 +1041,7 @@ def cmd_render(args) -> int:
                     fasta="render.fa",
                     gfa="render.gfa",
                     namespace="namespace.tsv",
+                    namespace_json="namespace.json",
                 ),
             ),
             fh,

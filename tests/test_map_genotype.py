@@ -275,3 +275,39 @@ def test_read_syncmer_index(panel, tmp_path):
     r = run_cli("read-index", "-q", fastq, "-O", str(tmp_path / "cli_reads"))
     assert r.returncode == 0, r.stderr
     assert "800 reads" in r.stderr
+
+
+def test_render_bundle_namespace_json(panel, tmp_path):
+    """namespace.json carries SourceSequenceRecord-style entries with PanSN
+    identities (reference: sequence_namespace.rs:21)."""
+    import json
+    import random as _r
+
+    from tests import datagen as _dg
+
+    tmp, fa, idx, seq_data, fastq = panel
+    rng = _r.Random(123)
+    text, seqs, alns, sd = _dg.mutate_chain_paf(
+        rng, n_seqs=4, seq_len=12_000, return_sequences=True
+    )
+    paf = tmp_path / "panel.paf"
+    paf.write_text(text)
+    rb = str(tmp_path / "nsbundle")
+    r = run_cli(
+        "render", "-a", str(paf), "-r", "ref:1000-6000", "-d", "100",
+        "--sequence-files", fa, "-O", rb, "-x",
+    )
+    assert r.returncode == 0, r.stderr
+    ns = json.load(open(rb + "/namespace.json"))
+    assert ns["sequences"] and ns["intervals"]
+    by_name = {s["name"]: s for s in ns["sequences"]}
+    assert "ref" in by_name
+    assert by_name["ref"]["identity"]["pansn"] is None  # not PanSN-named
+    assert by_name["ref"]["length"] > 0
+    ids = {s["id"] for s in ns["sequences"]}
+    for iv in ns["intervals"]:
+        assert iv["source_sequence_id"] in ids
+        assert iv["end"] >= iv["start"]
+        assert iv["strand"] in "+-"
+    m = json.load(open(rb + "/manifest.json"))
+    assert m["files"]["namespace_json"] == "namespace.json"
