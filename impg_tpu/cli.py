@@ -903,6 +903,49 @@ def cmd_genotype(args) -> int:
     from impg_tpu.syng.index import SyngIndex
     from impg_tpu.syng.pack import Pack
 
+    if args.graph:
+        # gfa-segment feature space (genotype.rs:1563).
+        from impg_tpu.genotype import graph as gt_graph
+
+        if not args.reads:
+            print(
+                "error: --graph genotyping needs -q/--reads", file=sys.stderr
+            )
+            return 2
+        reads = [x for e in args.reads for x in e.split(",") if x]
+        with open(args.graph) as fh:
+            gfa_text = fh.read()
+        candidates, results, region = gt_graph.genotype_graph(
+            gfa_text,
+            reads,
+            target_path=args.target_path,
+            ploidy=args.ploidy,
+            contribution_model=args.contribution_model,
+        )
+        if not results:
+            print("error: no graph candidates found", file=sys.stderr)
+            return 1
+        print("#sample\tregion\trank\tcombination\tsimilarity\tqv")
+        from impg_tpu.genotype.core import qv_from_similarity
+
+        for rank, r in enumerate(results[: args.top_n], 1):
+            combo = ";".join(
+                f"{candidates[i].path_name}:{candidates[i].start}-"
+                f"{candidates[i].end}"
+                for i in r.combination
+            )
+            print(
+                f"{args.sample_name}\t{region}\t{rank}\t{combo}\t"
+                f"{r.similarity:.6f}\t{qv_from_similarity(r.similarity):.1f}"
+            )
+        return 0
+
+    if not (args.alignment and args.pack and args.target_range):
+        print(
+            "error: genotype needs -a, -p and -r (or --graph with -q)",
+            file=sys.stderr,
+        )
+        return 2
     index = SyngIndex.load(args.alignment)
     pack = Pack.load(args.pack)
     target_name, (start, end), region = bed_mod.parse_target_range(
@@ -1558,10 +1601,26 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_gt.add_argument("method", choices=["cos", "cosigt"],
                       help="Scoring method")
-    p_gt.add_argument("-a", "--alignment", required=True,
+    p_gt.add_argument("-a", "--alignment",
                       help="syng index prefix (or .syngt path)")
-    p_gt.add_argument("-p", "--pack", required=True)
-    p_gt.add_argument("-r", "--target-range", required=True)
+    p_gt.add_argument("-p", "--pack")
+    p_gt.add_argument("-r", "--target-range")
+    p_gt.add_argument(
+        "--graph",
+        help="Genotype with gfa-segment features against this GFA "
+        "(candidates = graph paths)",
+    )
+    p_gt.add_argument("-q", "--reads", action="append",
+                      help="Read files for --graph mode")
+    p_gt.add_argument(
+        "--target-path",
+        help="Graph path (name[:start-end]) bounding --graph candidates",
+    )
+    p_gt.add_argument(
+        "--contribution-model",
+        choices=["raw", "length-normalized"],
+        default="length-normalized",
+    )
     p_gt.add_argument("--ploidy", type=int, default=2)
     p_gt.add_argument("--top-n", type=int, default=10)
     p_gt.add_argument("--max-combinations", type=int, default=1_000_000)

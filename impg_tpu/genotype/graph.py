@@ -1,0 +1,213 @@
+"""GFA-segment genotyping (reference: commands/genotype.rs:1510
+build_graph_candidate_for_path / :1563 collect_graph_candidates / :1625
+sample_weights_for_graph — feature space 'gfa-segment': features are graph
+segments, candidates are path walks, the sample vector is per-segment read
+coverage).
+
+Sample coverage comes from syncmer-mapping reads against segment sequences
+(the gafpack/graph-pack role): each read votes once per distinct segment
+its syncmers land in.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from impg_tpu.genotype import core
+from impg_tpu.graph.gfa import Gfa
+
+
+@dataclass
+class GraphCandidate:
+    path_name: str
+    start: int
+    end: int
+    anchors: int  # steps overlapping the interval
+    span_fraction: float
+    features: list[tuple[int, float]]  # (segment ordinal, weight)
+
+
+def segment_ordinals(gfa: Gfa) -> dict[str, int]:
+    return {sid: i for i, sid in enumerate(gfa.segments)}
+
+
+def map_reads_to_graph(
+    gfa: Gfa, read_files: list[str]
+) -> tuple[dict[int, float], int, int]:
+    """Per-segment coverage (covered bp) from syncmer-mapping reads against
+    PATH walk sequences, projected onto the segments the mapped span
+    overlaps — small variant nodes (SNP-sized, too short to carry syncmers
+    themselves) still accrue coverage through their enclosing walk
+    (the gafpack per-node-coverage role)."""
+    from impg_tpu.io.fasta import reverse_complement
+    from impg_tpu.ops import syncmer as sm
+    from impg_tpu.syng.index import SyngIndex
+    from impg_tpu.syng.pack import read_sequences
+
+    ords = segment_ordinals(gfa)
+    walks: dict[str, bytes] = {}
+    step_tables: dict[str, list[tuple[int, int, int]]] = {}  # (s, e, fid)
+    for name, steps in gfa.paths:
+        at = 0
+        seq_parts = []
+        table = []
+        for sid, rev in steps:
+            s = gfa.segments[sid].encode()
+            seq_parts.append(reverse_complement(s) if rev else s)
+            table.append((at, at + len(s), ords[sid]))
+            at += len(s)
+        walks[name] = b"".join(seq_parts)
+        step_tables[name] = table
+    idx = SyngIndex.build(list(walks.items()))
+
+    counts: dict[int, float] = {}
+    n_reads = 0
+    n_matched = 0
+    k = idx.syncmer_len
+    for path in read_files:
+        for _name, seq in read_sequences(path):
+            n_reads += 1
+            _pos, ids, _fwd = sm.extract_syncmers(seq, idx.k, idx.w, idx.seed)
+            if not ids.size:
+                continue
+            uniq = np.unique(ids)
+            lo = np.searchsorted(idx.occ_ids, uniq, side="left")
+            hi = np.searchsorted(idx.occ_ids, uniq, side="right")
+            # Best path = most matched seeds; span = matched extent there.
+            per_path: dict[int, list[int]] = {}
+            for a, b in zip(lo, hi):
+                for s, p in zip(idx.occ_seq[a:b], idx.occ_pos[a:b]):
+                    per_path.setdefault(int(s), []).append(int(p))
+            if not per_path:
+                continue
+            n_matched += 1
+            best = max(per_path, key=lambda s: len(per_path[s]))
+            positions = per_path[best]
+            span_s, span_e = min(positions), max(positions) + k
+            pname = idx.seq_index.get_name(best)
+            for s0, s1, fid in step_tables[pname]:
+                o = min(span_e, s1) - max(span_s, s0)
+                if o > 0:
+                    counts[fid] = counts.get(fid, 0.0) + float(o)
+    return counts, n_reads, n_matched
+
+
+def collect_graph_candidates(
+    gfa: Gfa,
+    target_path: str | None = None,
+    contribution_model: str = "length-normalized",
+) -> tuple[list[GraphCandidate], str]:
+    """One candidate per path over the target interval (whole paths when no
+    target is given).  Weights: raw step counts, or overlap_bp/segment_len
+    (genotype.rs GraphContributionModel)."""
+    ords = segment_ordinals(gfa)
+    seg_len = {sid: max(len(s), 1) for sid, s in gfa.segments.items()}
+    path_lens = {
+        name: sum(seg_len.get(sid, 0) for sid, _ in steps)
+        for name, steps in gfa.paths
+    }
+    target_name = None
+    interval = None
+    if target_path:
+        if ":" in target_path and "-" in target_path.rsplit(":", 1)[1]:
+            target_name, rng = target_path.rsplit(":", 1)
+            s, e = rng.split("-")
+            interval = (int(s), int(e))
+        else:
+            target_name = target_path
+        if target_name not in path_lens:
+            raise ValueError(
+                f"target path '{target_name}' is not present in graph"
+            )
+        if interval and interval[1] > path_lens[target_name]:
+            raise ValueError(
+                f"target interval '{target_path}' exceeds path length "
+                f"{path_lens[target_name]}"
+            )
+    target_span = (interval[1] - interval[0]) if interval else 0
+
+    out: list[GraphCandidate] = []
+    for name, steps in gfa.paths:
+        start, end = (
+            (min(interval[0], path_lens[name]), min(interval[1], path_lens[name]))
+            if interval
+            else (0, path_lens[name])
+        )
+        if end <= start:
+            continue
+        raw: dict[int, float] = {}
+        scoring: dict[int, float] = {}
+        anchors = 0
+        covered = 0
+        at = 0
+        for sid, _ in steps:
+            L = seg_len.get(sid, 0)
+            s0, s1 = at, at + L
+            at += L
+            o0, o1 = max(start, s0), min(end, s1)
+            if o1 <= o0:
+                continue
+            anchors += 1
+            covered += o1 - o0
+            fid = ords[sid]
+            raw[fid] = raw.get(fid, 0.0) + 1.0
+            w = (
+                1.0
+                if contribution_model == "raw"
+                else (o1 - o0) / seg_len[sid]
+            )
+            scoring[fid] = scoring.get(fid, 0.0) + w
+        if not raw:
+            continue
+        span_fraction = (
+            1.0 if target_span == 0 else min(covered, target_span) / target_span
+        )
+        out.append(
+            GraphCandidate(
+                path_name=name,
+                start=start,
+                end=end,
+                anchors=anchors,
+                span_fraction=span_fraction,
+                features=sorted(scoring.items()),
+            )
+        )
+    out.sort(key=lambda c: (c.path_name, c.start, c.end))
+    region = (
+        f"{target_name}:{interval[0]}-{interval[1]}"
+        if target_name and interval
+        else (target_name or "all-graph-paths")
+    )
+    return out, region
+
+
+def genotype_graph(
+    gfa_text: str,
+    read_files: list[str],
+    target_path: str | None = None,
+    ploidy: int = 2,
+    contribution_model: str = "length-normalized",
+    sample_counts: dict[int, float] | None = None,
+) -> tuple[list[GraphCandidate], list, str]:
+    """(candidates, ranked combination scores, region label)."""
+    gfa = Gfa.parse(gfa_text)
+    candidates, region = collect_graph_candidates(
+        gfa, target_path, contribution_model
+    )
+    if sample_counts is None:
+        sample_counts, _, _ = map_reads_to_graph(gfa, read_files)
+    if contribution_model == "length-normalized":
+        ords = segment_ordinals(gfa)
+        lens = {ords[sid]: max(len(s), 1) for sid, s in gfa.segments.items()}
+        sample_counts = {
+            f: c / lens.get(f, 1) for f, c in sample_counts.items()
+        }
+    feats = [c.features for c in candidates]
+    universe = core.feature_universe(feats)
+    norm_sq = core.sample_norm_sq_for_features(sample_counts, universe)
+    results = core.run_cosine_combination_search(
+        feats, sample_counts, norm_sq, ploidy
+    )
+    return candidates, results, region

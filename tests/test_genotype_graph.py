@@ -1,0 +1,118 @@
+"""GFA-segment genotyping (reference: commands/genotype.rs:1510-1657 —
+candidates are graph paths, features are segments, sample vector is
+per-segment read coverage)."""
+
+import random
+
+import pytest
+
+from impg_tpu.genotype.graph import (
+    collect_graph_candidates,
+    genotype_graph,
+    map_reads_to_graph,
+)
+from impg_tpu.graph.gfa import Gfa
+from tests import datagen
+from tests.test_cli import run_cli
+
+
+@pytest.fixture(scope="module")
+def graph_panel(tmp_path_factory):
+    """A POA graph over 3 mutated haplotypes + reads drawn from one."""
+    tmp = tmp_path_factory.mktemp("gtgraph")
+    rng = random.Random(31)
+    text, seqs, alns, seq_data = datagen.mutate_chain_paf(
+        rng, n_seqs=3, seq_len=6000, return_sequences=True
+    )
+    fa = str(tmp / "p.fa")
+    paf = str(tmp / "p.paf")
+    datagen.write_fasta(fa, seq_data)
+    with open(paf, "w") as fh:
+        fh.write(text)
+    from impg_tpu.graph import region as region_mod
+    from impg_tpu.index.impg_index import load_or_build
+    from impg_tpu.io.fasta import UnifiedSequenceIndex
+    from impg_tpu.query import engine as engine_mod
+
+    index = load_or_build([paf])
+    useq = UnifiedSequenceIndex.from_files([fa])
+    qid = index.seq_index.get_id("ref")
+    rows = engine_mod.query(index, qid, 0, 6000)
+    gfa_text = region_mod.generate_gfa(index, rows, useq)
+    # Reads from s0 only -> homozygous s0 truth.
+    reads = []
+    src = seq_data["s0"]
+    for i in range(500):
+        s = rng.randint(0, len(src) - 150)
+        reads.append((f"r{i}", src[s : s + 150]))
+    fq = str(tmp / "reads.fastq")
+    with open(fq, "w") as fh:
+        for name, seq in reads:
+            fh.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
+    return tmp, gfa_text, fq, seq_data
+
+
+def test_collect_graph_candidates(graph_panel):
+    tmp, gfa_text, fq, seq_data = graph_panel
+    gfa = Gfa.parse(gfa_text)
+    cands, region = collect_graph_candidates(gfa)
+    assert region == "all-graph-paths"
+    assert len(cands) == len(gfa.paths)
+    for c in cands:
+        assert c.anchors > 0 and c.features
+        assert c.span_fraction == 1.0
+    # Interval-bounded candidates.
+    name = gfa.paths[0][0]
+    cands2, region2 = collect_graph_candidates(gfa, f"{name}:0-1000")
+    assert region2 == f"{name}:0-1000"
+    full = next(c for c in cands if c.path_name == name)
+    part = next(c for c in cands2 if c.path_name == name)
+    assert part.anchors <= full.anchors
+    with pytest.raises(ValueError, match="not present in graph"):
+        collect_graph_candidates(gfa, "nope")
+
+
+def test_map_reads_to_graph_counts(graph_panel):
+    tmp, gfa_text, fq, seq_data = graph_panel
+    counts, n_reads, n_matched = map_reads_to_graph(
+        Gfa.parse(gfa_text), [fq]
+    )
+    assert n_reads == 500
+    assert n_matched > 400
+    assert counts and all(v > 0 for v in counts.values())
+
+
+def test_genotype_graph_recovers_homozygous_truth(graph_panel):
+    tmp, gfa_text, fq, seq_data = graph_panel
+    candidates, results, region = genotype_graph(gfa_text, [fq], ploidy=2)
+    top = results[0]
+    top_paths = {candidates[i].path_name for i in top.combination}
+    assert len(top_paths) == 1
+    assert next(iter(top_paths)).startswith("s0:"), (
+        top_paths,
+        [
+            (
+                {candidates[i].path_name for i in r.combination},
+                round(r.similarity, 4),
+            )
+            for r in results[:4]
+        ],
+    )
+    assert top.similarity > 0.8
+
+
+def test_cli_genotype_graph(graph_panel, tmp_path):
+    tmp, gfa_text, fq, seq_data = graph_panel
+    g = tmp_path / "g.gfa"
+    g.write_text(gfa_text)
+    r = run_cli("genotype", "cos", "--graph", str(g), "-q", fq)
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert lines[0].startswith("#sample")
+    top = lines[1].split("\t")
+    assert top[2] == "1"
+    assert "s0:" in top[3]
+    # Missing reads: clean error.
+    r = run_cli("genotype", "cos", "--graph", str(g))
+    assert r.returncode == 2
+    assert "needs -q" in r.stderr
