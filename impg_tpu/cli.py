@@ -1288,7 +1288,10 @@ def cmd_gfa2vcf(args) -> int:
     else:
         with open(args.gfa) as fh:
             text = fh.read()
-    sys.stdout.write(vcf_mod.gfa_to_vcf(text, args.reference))
+    if args.sites == "flubbles":
+        sys.stdout.write(vcf_mod.gfa_to_vcf_flubbles(text, args.reference))
+    else:
+        sys.stdout.write(vcf_mod.gfa_to_vcf(text, args.reference))
     return 0
 
 
@@ -1750,6 +1753,11 @@ def build_parser() -> argparse.ArgumentParser:
     p_vcf.add_argument("gfa", help="GFA file (or - for stdin)")
     p_vcf.add_argument(
         "--reference", help="Reference path name or prefix (default: first path)"
+    )
+    p_vcf.add_argument(
+        "--sites", default="anchors", choices=["anchors", "flubbles"],
+        help="Site source: per-path anchor chains (biallelic records) or "
+        "the flubble decomposition (multi-allelic site records)",
     )
     p_vcf.set_defaults(func=cmd_gfa2vcf)
 

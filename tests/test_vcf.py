@@ -118,3 +118,73 @@ def test_cli_gfa2vcf(tmp_path):
     r = run_cli("gfa2vcf", str(p), "--reference", "ref")
     assert r.returncode == 0, r.stderr
     assert "##fileformat=VCFv4.2" in r.stdout
+
+
+def test_flubble_sites_multiallelic():
+    """Flubble-site calling emits ONE multi-allelic record where two alts
+    differ at the same site, with per-path GT allele indexes
+    (gfa_to_vcf_flubbles; reference POVU-site records)."""
+    from impg_tpu.graph.vcf import gfa_to_vcf_flubbles
+
+    gfa = (
+        "H\tVN:Z:1.0\n"
+        "S\tm\tACGTACGTAC\nS\tra\tG\nS\tx1\tT\nS\tx2\tC\nS\tz\tCCGGCCGG\n"
+        "L\tm\t+\tra\t+\t0M\nL\tm\t+\tx1\t+\t0M\nL\tm\t+\tx2\t+\t0M\n"
+        "L\tra\t+\tz\t+\t0M\nL\tx1\t+\tz\t+\t0M\nL\tx2\t+\tz\t+\t0M\n"
+        "P\tref\tm+,ra+,z+\t*\n"
+        "P\ts1\tm+,x1+,z+\t*\n"
+        "P\ts2\tm+,x2+,z+\t*\n"
+        "P\ts3\tm+,x1+,z+\t*\n"
+    )
+    vcf = gfa_to_vcf_flubbles(gfa, "ref")
+    rows = [l.split("\t") for l in vcf.splitlines() if not l.startswith("#")]
+    assert len(rows) == 1, vcf
+    r = rows[0]
+    assert int(r[1]) == 11  # SNP right after the 10bp anchor
+    assert r[3] == "G" and set(r[4].split(",")) == {"T", "C"}
+    # GT columns: s1/s3 share one alt, s2 the other.
+    header = [
+        l for l in vcf.splitlines() if l.startswith("#CHROM")
+    ][0].split("\t")
+    samples = header[9:]
+    gts = dict(zip(samples, r[9:]))
+    assert gts["s1"] == gts["s3"] != gts["s2"]
+    assert {gts["s1"], gts["s2"]} == {"1", "2"}
+    assert r[7].startswith("AC=") and "AN=3" in r[7]
+
+
+def test_flubble_sites_on_aligned_sequences():
+    """On a seqwish graph from real mutated sequences, flubble-site REF
+    alleles must match the reference sequence at their positions."""
+    from impg_tpu.graph.vcf import gfa_to_vcf_flubbles
+
+    rng = random.Random(19)
+    ref = "".join(rng.choice("ACGT") for _ in range(3000))
+    alt = list(ref)
+    alt[900] = {"A": "C", "C": "A", "G": "T", "T": "G"}[alt[900]]
+    gfa = build_gfa_for({"ref": ref, "alt": "".join(alt)})
+    vcf = gfa_to_vcf_flubbles(gfa, "ref")
+    rows = [l.split("\t") for l in vcf.splitlines() if not l.startswith("#")]
+    assert rows
+    assert any(int(r[1]) == 901 for r in rows), [r[1] for r in rows]
+    for r in rows:
+        pos = int(r[1]) - 1
+        assert ref[pos : pos + len(r[3])] == r[3], r
+
+
+def test_cli_gfa2vcf_flubble_sites(tmp_path):
+    from impg_tpu.graph.vcf import gfa_to_vcf_flubbles  # noqa: F401
+
+    gfa = (
+        "H\tVN:Z:1.0\n"
+        "S\tm\tACGTACGTAC\nS\tra\tG\nS\tx1\tT\nS\tz\tCCGGCCGG\n"
+        "L\tm\t+\tra\t+\t0M\nL\tm\t+\tx1\t+\t0M\n"
+        "L\tra\t+\tz\t+\t0M\nL\tx1\t+\tz\t+\t0M\n"
+        "P\tref\tm+,ra+,z+\t*\nP\ts1\tm+,x1+,z+\t*\n"
+    )
+    p = tmp_path / "g.gfa"
+    p.write_text(gfa)
+    r = run_cli("gfa2vcf", str(p), "--reference", "ref",
+                "--sites", "flubbles")
+    assert r.returncode == 0, r.stderr
+    assert "\t11\t" in r.stdout
