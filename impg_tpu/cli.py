@@ -855,10 +855,51 @@ def cmd_map(args) -> int:
     from impg_tpu.syng.index import SyngIndex
     from impg_tpu.syng.pack import map_reads
 
-    index = SyngIndex.load(args.alignment)
     reads = []
     for entry in args.reads:
         reads.extend(x for x in entry.split(",") if x)
+    if args.output_format in ("gaf", "graph-pack-tsv") or args.graph:
+        if not args.graph:
+            print(
+                "error: -o gaf/graph-pack-tsv needs --graph", file=sys.stderr
+            )
+            return 2
+        from impg_tpu.genotype import graph as graph_mod
+        from impg_tpu.graph.gfa import Gfa
+
+        with open(args.graph) as fh:
+            gfa = Gfa.parse(fh.read())
+        out = open(args.output, "w") if args.output else sys.stdout
+        try:
+            if args.output_format == "gaf":
+                n = 0
+                for line in graph_mod.map_reads_gaf(gfa, reads):
+                    out.write(line + "\n")
+                    n += 1
+                print(f"Mapped {n} reads -> GAF", file=sys.stderr)
+            else:
+                counts, n_reads, n_matched = graph_mod.map_reads_to_graph(
+                    gfa, reads
+                )
+                ords = graph_mod.segment_ordinals(gfa)
+                names = {v: k for k, v in ords.items()}
+                out.write("#feature_space\tgfa-segment\n")
+                out.write("segment\tcovered_bp\n")
+                for fid in sorted(counts):
+                    out.write(f"{names[fid]}\t{counts[fid]:.0f}\n")
+                print(
+                    f"Mapped {n_matched}/{n_reads} reads over "
+                    f"{len(counts)} segments",
+                    file=sys.stderr,
+                )
+        finally:
+            if out is not sys.stdout:
+                out.close()
+        return 0
+    if not (args.alignment and args.output):
+        print("error: map needs -a and -O (or --graph)", file=sys.stderr)
+        return 2
+    index = SyngIndex.load(args.alignment)
     pack, n_reads, n_matched = map_reads(index, reads)
     if args.output_format == "pack-tsv":
         with open(args.output, "w") as fh:
@@ -1585,18 +1626,23 @@ def build_parser() -> argparse.ArgumentParser:
     p_map = sub.add_parser(
         "map", help="Map reads against a syng index into a pack"
     )
-    p_map.add_argument("-a", "--alignment", required=True,
+    p_map.add_argument("-a", "--alignment",
                        help="syng index prefix (or .syngt path)")
+    p_map.add_argument(
+        "--graph",
+        help="Map against this GFA's path walks instead of a syng index "
+        "(gaf/graph-pack outputs)",
+    )
     p_map.add_argument(
         "-q", "--reads", required=True, action="append",
         help="FASTA/FASTQ read file(s), optionally gzipped",
     )
     p_map.add_argument(
         "-o", "--output-format", default="pack",
-        choices=["pack", "pack-tsv", "proj"],
+        choices=["pack", "pack-tsv", "proj", "gaf", "graph-pack-tsv"],
     )
-    p_map.add_argument("-O", "--output", required=True,
-                       help="Output pack path (or TSV path)")
+    p_map.add_argument("-O", "--output",
+                       help="Output path (default stdout for gaf)")
     p_map.set_defaults(func=cmd_map)
 
     p_gt = sub.add_parser(

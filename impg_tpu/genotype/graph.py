@@ -211,3 +211,76 @@ def genotype_graph(
         feats, sample_counts, norm_sq, ploidy
     )
     return candidates, results, region
+
+
+def map_reads_gaf(gfa: Gfa, read_files: list[str]):
+    """Yield GAF rows for reads mapped onto graph path walks
+    (projection/converter.rs gaf-to-gfa contract: standard GAF columns,
+    `>seg<seg` walk syntax).  Mapping = syncmer anchors on path walk
+    sequences; the walk column lists the steps the mapped span overlaps."""
+    from impg_tpu.io.fasta import reverse_complement
+    from impg_tpu.ops import syncmer as sm
+    from impg_tpu.syng.index import SyngIndex
+    from impg_tpu.syng.pack import read_sequences
+
+    walks: dict[str, bytes] = {}
+    step_tables: dict[str, list[tuple[int, int, str, bool]]] = {}
+    path_lens: dict[str, int] = {}
+    for name, steps in gfa.paths:
+        at = 0
+        seq_parts = []
+        table = []
+        for sid, rev in steps:
+            s = gfa.segments[sid].encode()
+            seq_parts.append(reverse_complement(s) if rev else s)
+            table.append((at, at + len(s), sid, rev))
+            at += len(s)
+        walks[name] = b"".join(seq_parts)
+        step_tables[name] = table
+        path_lens[name] = at
+    idx = SyngIndex.build(list(walks.items()))
+    k = idx.syncmer_len
+
+    for path in read_files:
+        for rname, seq in read_sequences(path):
+            _pos, ids, fwd = sm.extract_syncmers(seq, idx.k, idx.w, idx.seed)
+            if not ids.size:
+                continue
+            uniq, inv = np.unique(ids, return_inverse=True)
+            lo = np.searchsorted(idx.occ_ids, uniq, side="left")
+            hi = np.searchsorted(idx.occ_ids, uniq, side="right")
+            per_path: dict[int, list[tuple[int, int, bool]]] = {}
+            for ui in range(uniq.size):
+                read_hits = np.nonzero(inv == ui)[0]
+                for a in range(int(lo[ui]), int(hi[ui])):
+                    s = int(idx.occ_seq[a])
+                    for ri in read_hits:
+                        per_path.setdefault(s, []).append(
+                            (
+                                int(idx.occ_pos[a]),
+                                int(_pos[ri]),
+                                bool(idx.occ_fwd[a]) == bool(fwd[ri]),
+                            )
+                        )
+            if not per_path:
+                continue
+            best = max(per_path, key=lambda s: len(per_path[s]))
+            anchors = per_path[best]
+            t_pos = [a[0] for a in anchors]
+            q_pos = [a[1] for a in anchors]
+            same = sum(1 for a in anchors if a[2])
+            rel_fwd = same * 2 >= len(anchors)
+            span_s, span_e = min(t_pos), max(t_pos) + k
+            q_s, q_e = min(q_pos), max(q_pos) + k
+            pname = idx.seq_index.get_name(best)
+            walk_col = ""
+            for s0, s1, sid, rev in step_tables[pname]:
+                if min(span_e, s1) - max(span_s, s0) > 0:
+                    walk_col += ("<" if rev else ">") + sid
+            matches = min(len(anchors) * k, span_e - span_s)
+            yield (
+                f"{rname}\t{len(seq)}\t{q_s}\t{q_e}\t"
+                f"{'+' if rel_fwd else '-'}\t{walk_col}\t"
+                f"{path_lens[pname]}\t{span_s}\t{span_e}\t"
+                f"{matches}\t{span_e - span_s}\t60"
+            )

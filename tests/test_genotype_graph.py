@@ -116,3 +116,52 @@ def test_cli_genotype_graph(graph_panel, tmp_path):
     r = run_cli("genotype", "cos", "--graph", str(g))
     assert r.returncode == 2
     assert "needs -q" in r.stderr
+
+
+def test_map_reads_gaf(graph_panel):
+    """GAF rows reference real segments in walk order with sane coords."""
+    from impg_tpu.genotype.graph import map_reads_gaf
+
+    tmp, gfa_text, fq, seq_data = graph_panel
+    gfa = Gfa.parse(gfa_text)
+    import re
+
+    rows = list(map_reads_gaf(gfa, [fq]))
+    assert len(rows) > 400
+    path_names = {n for n, _ in gfa.paths}
+    for line in rows[:50]:
+        f = line.split("\t")
+        assert len(f) == 12
+        qlen, qs, qe = int(f[1]), int(f[2]), int(f[3])
+        assert 0 <= qs < qe <= qlen == 150
+        assert f[4] in "+-"
+        steps = re.findall(r"[<>][^<>]+", f[5])
+        assert steps
+        for st in steps:
+            assert st[1:] in gfa.segments, st
+        plen, ps, pe = int(f[6]), int(f[7]), int(f[8])
+        assert 0 <= ps < pe <= plen
+        matches, block = int(f[9]), int(f[10])
+        assert 0 < matches <= block == pe - ps
+
+
+def test_cli_map_gaf_and_graph_pack(graph_panel, tmp_path):
+    tmp, gfa_text, fq, seq_data = graph_panel
+    g = tmp_path / "g.gfa"
+    g.write_text(gfa_text)
+    r = run_cli("map", "--graph", str(g), "-q", fq, "-o", "gaf")
+    assert r.returncode == 0, r.stderr
+    assert "Mapped" in r.stderr
+    assert r.stdout.count("\n") > 400
+    tsv = tmp_path / "cov.tsv"
+    r = run_cli(
+        "map", "--graph", str(g), "-q", fq, "-o", "graph-pack-tsv",
+        "-O", str(tsv),
+    )
+    assert r.returncode == 0, r.stderr
+    lines = tsv.read_text().splitlines()
+    assert lines[0] == "#feature_space\tgfa-segment"
+    assert len(lines) > 3
+    # Missing --graph: clean error.
+    r = run_cli("map", "-q", fq, "-o", "gaf")
+    assert r.returncode == 2
