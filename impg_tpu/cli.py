@@ -743,9 +743,50 @@ def cmd_align(args) -> int:
         mash_k=args.mash_k,
         sketch_size=args.sketch_size,
     )
+    pairs = None
+    if args.pair:
+        pairs = []
+        for spec in args.pair:
+            q, _, t = spec.partition(":")
+            if not q or not t:
+                print(
+                    f"error: --pair needs QUERY:TARGET, got '{spec}'",
+                    file=sys.stderr,
+                )
+                return 2
+            pairs.append((q, t))
+    if args.job_list:
+        # Job-list output (align.rs AlignOutputFormat::JobList): one
+        # self-contained command per selected pair for cluster execution.
+        from impg_tpu.io.fasta import FastaIndex
+
+        fa = FastaIndex.build_from_files(files)
+        names = list(fa.sequence_names())
+        seqs = {
+            n: fa.fetch_sequence(n, 0, fa.get_sequence_length(n))
+            for n in names
+        }
+        if pairs is None:
+            pairs = align_mod.select_pairs(
+                names, seqs, config.sparsify,
+                mash_k=config.mash_k, sketch_size=config.sketch_size,
+            )
+        out = open(args.output, "w") if args.output else sys.stdout
+        try:
+            file_args = ",".join(files)
+            for i, (q, t) in enumerate(pairs):
+                out.write(
+                    f"python -m impg_tpu.cli align -f {file_args} "
+                    f"--pair {q}:{t} -o pair_{i:05d}.paf\n"
+                )
+        finally:
+            if out is not sys.stdout:
+                out.close()
+        print(f"Wrote {len(pairs)} alignment jobs", file=sys.stderr)
+        return 0
     out = open(args.output, "w") if args.output else sys.stdout
     try:
-        n = align_mod.run_align(files, out, config)
+        n = align_mod.run_align(files, out, config, pairs=pairs)
     finally:
         if out is not sys.stdout:
             out.close()
@@ -1606,6 +1647,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_aln.add_argument("--mash-k", type=int, default=15)
     p_aln.add_argument("--sketch-size", type=int, default=1000)
+    p_aln.add_argument(
+        "--pair", action="append",
+        help="Align only QUERY:TARGET (repeatable; job-list workers)",
+    )
+    p_aln.add_argument(
+        "--job-list", action="store_true",
+        help="Emit one alignment command per selected pair instead of "
+        "aligning (cluster execution)",
+    )
     p_aln.add_argument("--scoring", default="1,4,6,2",
                        help="match,mismatch,gap_open,gap_ext")
     p_aln.set_defaults(func=cmd_align)

@@ -478,6 +478,57 @@ class DeviceEngine:
             chunks.append((off, cnt, tuple(cols)))
         return chunks
 
+    def query_batch_stream(
+        self,
+        q_tid: np.ndarray,
+        q_s: np.ndarray,
+        q_e: np.ndarray,
+        clip_overlap: bool = False,
+        approximate: bool = False,
+    ):
+        """Generator over one batch's chunks: dispatch ALL chunks up front,
+        then yield each compacted chunk dict as its fetch lands (pair_q
+        already offset into the batch).  The caller's host bookkeeping for
+        chunk i overlaps the device compute/transfer of chunks i+1.."""
+        chunks = self._chunk_batch((q_tid, q_s, q_e))
+
+        def dispatch(cols, k_max):
+            return query_step(
+                self.dindex, *cols,
+                k_max=k_max, clip_overlap=clip_overlap,
+                approximate=approximate,
+            )
+
+        k_max0 = self.k_max
+        inflight = [
+            (off, cols, k_max0, dispatch(cols, k_max0))
+            for off, _cnt, cols in chunks
+        ]
+        # Start all result transfers eagerly: the relay link moves data
+        # during fetches, so without this the host bookkeeping between
+        # fetches would sit on the transfer critical path.
+        for _off, _cols, _k, mat in inflight:
+            try:
+                mat.copy_to_host_async()
+            except AttributeError:
+                pass
+        for off, cols, k_used, mat in inflight:
+            m_host = np.asarray(mat)
+            k_needed = int(m_host[-1, 0])
+            while k_needed > k_used:
+                while self.k_max < k_needed:
+                    self.k_max *= 2
+                k_used = self.k_max
+                m_host = np.asarray(dispatch(cols, k_used))
+                k_needed = int(m_host[-1, 0])
+            out = unpack_result(m_host)
+            keep = out["valid"]
+            out = {
+                k: (v[keep] if np.ndim(v) else v) for k, v in out.items()
+            }
+            out["pair_q"] = out["pair_q"] + off
+            yield out
+
     def query_batches(
         self, batches: list, clip_overlap: bool = False,
         approximate: bool = False,
@@ -510,6 +561,11 @@ class DeviceEngine:
                 )
                 for fi in pending
             ]
+            for _fi, mat in inflight:
+                try:
+                    mat.copy_to_host_async()
+                except AttributeError:
+                    pass
             retry = []
             for fi, mat in inflight:
                 m_host = np.asarray(mat)

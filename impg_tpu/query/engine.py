@@ -282,6 +282,49 @@ def _step_cigar(index: ImpgIndex, step: dict, i: int, k: int):
     )
 
 
+def _filter_step(out: dict, min_identity, approximate: bool):
+    """Shared per-chunk identity filtering/renaming (exact host-f64
+    semantics); returns None when nothing survives."""
+    if approximate:
+        out["approx_matches"] = out.pop("matches")
+        out["approx_mismatches"] = out.pop("mismatches")
+        if min_identity is not None:
+            m = out["approx_matches"].astype(np.float64)
+            total = m + out["approx_mismatches"].astype(np.float64)
+            gci = np.where(total > 0, m / np.maximum(total, 1.0), 0.0)
+            keep = gci >= min_identity
+            out = {k: (v[keep] if np.ndim(v) else v) for k, v in out.items()}
+        return out if out["pair_q"].size else None
+    if out["pair_q"].size == 0:
+        return None
+    if min_identity is not None:
+        m = out["matches"].astype(np.float64)
+        total = (
+            out["matches"] + out["mismatches"] + out["i_count"] + out["d_count"]
+        ).astype(np.float64)
+        gci = np.where(total > 0, m / np.maximum(total, 1.0), 0.0)
+        keep = gci >= min_identity
+        out = {k: (v[keep] if np.ndim(v) else v) for k, v in out.items()}
+    return out
+
+
+def _depth_step_device_stream(
+    device_engine, current: list[tuple[int, int, int]],
+    min_identity, approximate: bool = False,
+):
+    """Yield filtered per-chunk step dicts for a whole BFS depth; the
+    caller's bookkeeping on chunk i overlaps later chunks' device work."""
+    q_tid = np.asarray([c[0] for c in current], np.int32)
+    q_s = np.asarray([c[1] for c in current], np.int32)
+    q_e = np.asarray([c[2] for c in current], np.int32)
+    for out in device_engine.query_batch_stream(
+        q_tid, q_s, q_e, clip_overlap=True, approximate=approximate
+    ):
+        step = _filter_step(out, min_identity, approximate)
+        if step is not None:
+            yield step
+
+
 def _depth_step_device(
     device_engine, index: ImpgIndex, current: list[tuple[int, int, int]],
     min_identity, approximate: bool = False,
@@ -466,63 +509,69 @@ def query_transitive_bfs_many(
         use_device = device_engine is not None and (
             not approximate or device_engine.dindex.tp is not None
         )
-        step = (
-            _depth_step_device(
-                device_engine, index, flat, min_identity, approximate
+        if use_device:
+            # Streaming: each chunk's bookkeeping overlaps the device
+            # compute/transfer of the depth's remaining chunks.
+            step_iter = _depth_step_device_stream(
+                device_engine, flat, min_identity, approximate
             )
-            if use_device
-            else _depth_step_host(index, flat, min_identity, approximate)
-        )
-        if step is None:
-            break
+        else:
+            one = _depth_step_host(index, flat, min_identity, approximate)
+            step_iter = iter([one] if one is not None else [])
 
         next_per_walk: list[list[tuple[int, int, int]]] = [
             [] for _ in range(n_walks)
         ]
-        # Batch-convert device arrays to Python lists once — per-element
-        # numpy scalar indexing dominates this loop otherwise.
-        pq_l = step["pair_q"].tolist()
-        qid_l = step["query_id"].tolist()
-        aqs_l = step["pq_start"].tolist()
-        aqe_l = step["pq_end"].tolist()
-        pts_l = step["pt_start"].tolist()
-        pte_l = step["pt_end"].tolist()
-        for i in range(len(pq_l)):
-            fi = pq_l[i]
-            w, cur_tid, _, _ = current[fi]
-            target_id = targets[w][0]
-            q_id = qid_l[i]
-            if subset_match is not None and q_id != target_id:
-                name = index.seq_index.get_name(q_id)
-                if name is None or not subset_match(name):
-                    continue
-            aq_s = aqs_l[i]
-            aq_e = aqe_l[i]
-            length = abs(aq_e - aq_s)
-            if min_output_length is None or length >= min_output_length:
-                runs = None
-                if store_cigar:
-                    k = int(step["pair_rec"][i])
-                    runs = _step_cigar(index, step, i, k)
-                results[w].append(
-                    Row(
-                        q_id=q_id,
-                        q_first=aq_s,
-                        q_last=aq_e,
-                        cigar=runs,
-                        t_id=cur_tid,
-                        t_first=pts_l[i],
-                        t_last=pte_l[i],
+        for step in step_iter:
+            # Batch-convert device arrays to Python lists once —
+            # per-element numpy scalar indexing dominates this loop
+            # otherwise.
+            pq_l = step["pair_q"].tolist()
+            qid_l = step["query_id"].tolist()
+            aqs_l = step["pq_start"].tolist()
+            aqe_l = step["pq_end"].tolist()
+            pts_l = step["pt_start"].tolist()
+            pte_l = step["pt_end"].tolist()
+            for i in range(len(pq_l)):
+                fi = pq_l[i]
+                w, cur_tid, _, _ = current[fi]
+                target_id = targets[w][0]
+                q_id = qid_l[i]
+                if subset_match is not None and q_id != target_id:
+                    name = index.seq_index.get_name(q_id)
+                    if name is None or not subset_match(name):
+                        continue
+                aq_s = aqs_l[i]
+                aq_e = aqe_l[i]
+                length = abs(aq_e - aq_s)
+                if min_output_length is None or length >= min_output_length:
+                    runs = None
+                    if store_cigar:
+                        k = int(step["pair_rec"][i])
+                        runs = _step_cigar(index, step, i, k)
+                    results[w].append(
+                        Row(
+                            q_id=q_id,
+                            q_first=aq_s,
+                            q_last=aq_e,
+                            cigar=runs,
+                            t_id=cur_tid,
+                            t_first=pts_l[i],
+                            t_last=pte_l[i],
+                        )
                     )
-                )
-            if q_id != cur_tid:
-                ranges = _visited_entry(visited[w], index, q_id, masked_none)
-                lo, hi = (aq_s, aq_e) if aq_s <= aq_e else (aq_e, aq_s)
-                if _too_close(ranges, lo, hi, min_distance_between_ranges):
-                    continue
-                for ns, ne in ranges.insert((aq_s, aq_e)):
-                    if abs(ne - ns) >= min_transitive_len:
-                        next_per_walk[w].append((q_id, ns, ne))
+                if q_id != cur_tid:
+                    ranges = _visited_entry(
+                        visited[w], index, q_id, masked_none
+                    )
+                    lo, hi = (aq_s, aq_e) if aq_s <= aq_e else (aq_e, aq_s)
+                    if _too_close(
+                        ranges, lo, hi, min_distance_between_ranges
+                    ):
+                        continue
+                    for ns, ne in ranges.insert((aq_s, aq_e)):
+                        if abs(ne - ns) >= min_transitive_len:
+                            next_per_walk[w].append((q_id, ns, ne))
 
         depth += 1
         current = []

@@ -202,3 +202,32 @@ def test_cli_align_sparsify(tmp_path):
     assert "Wrote" in r.stderr
     rows = [l for l in r.stdout.splitlines() if l]
     assert rows and all("cg:Z:" in l for l in rows)
+
+
+def test_cli_align_pair_and_job_list(tmp_path):
+    """--job-list emits one command per pair; running one of those
+    commands (--pair) produces exactly that pair's PAF rows."""
+    import subprocess
+    import sys as _sys
+
+    rng = random.Random(21)
+    text, seqs, alns, seq_data = datagen.mutate_chain_paf(
+        rng, n_seqs=3, seq_len=2000, return_sequences=True
+    )
+    fa = str(tmp_path / "p.fa")
+    datagen.write_fasta(fa, seq_data)
+    from tests.test_cli import run_cli
+
+    r = run_cli("align", "-f", fa, "--job-list")
+    assert r.returncode == 0, r.stderr
+    jobs = r.stdout.splitlines()
+    assert len(jobs) == 6  # 3 seqs, all ordered pairs
+    assert all("--pair" in j and "impg_tpu.cli align" in j for j in jobs)
+    # Run one job's pair directly.
+    r = run_cli("align", "-f", fa, "--pair", "ref:s0")
+    assert r.returncode == 0, r.stderr
+    rows = [l.split("\t") for l in r.stdout.splitlines() if l]
+    assert rows
+    assert all(x[0] == "ref" and x[5] == "s0" for x in rows)
+    r = run_cli("align", "-f", fa, "--pair", "nope")
+    assert r.returncode == 2
