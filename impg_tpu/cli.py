@@ -1270,6 +1270,11 @@ def cmd_infer(args) -> int:
     index = SyngIndex.load(args.alignment)
     pack = Pack.load(args.pack)
     chrom, (start, end), _ = bed_mod.parse_target_range(args.target_range)
+    read_index = None
+    if args.read_index:
+        from impg_tpu.syng.read_index import ReadSyncmerIndex
+
+        read_index = ReadSyncmerIndex.load(args.read_index)
     windows, path, segments = infer_mod.run_infer(
         index, pack, chrom, start, end,
         window=args.window,
@@ -1277,6 +1282,9 @@ def cmd_infer(args) -> int:
         top_n=args.top_n,
         switch_penalty=args.switch_penalty,
         candidate_mode=args.candidate_mode,
+        read_index=read_index,
+        read_link_weight=args.read_link_weight,
+        min_read_link_anchors=args.min_read_link_anchors,
     )
     if not windows:
         print("error: no calls produced for region", file=sys.stderr)
@@ -1805,6 +1813,12 @@ def build_parser() -> argparse.ArgumentParser:
         default="overlapping",
     )
     p_inf.add_argument("--sample-name", default="sample")
+    p_inf.add_argument(
+        "--read-index",
+        help=".readidx read-syncmer index for read-link rewards",
+    )
+    p_inf.add_argument("--read-link-weight", type=float, default=0.0)
+    p_inf.add_argument("--min-read-link-anchors", type=int, default=3)
     p_inf.set_defaults(func=cmd_infer)
 
     p_sm = sub.add_parser(

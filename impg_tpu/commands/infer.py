@@ -28,6 +28,7 @@ class WindowCall:
     end: int
     combos: list  # top-N CombinationScore
     candidates: list  # Candidate list for this window
+    rewards: Optional[dict] = None  # candidate idx -> read-link reward
 
 
 @dataclass
@@ -78,7 +79,14 @@ def stitch(
             genomes = tuple(
                 w.candidates[i].genome for i in score.combination
             )
-            options.append((genomes, score.similarity))
+            emission = score.similarity
+            if w.rewards:
+                # Read-link reward per UNIQUE rewarded candidate
+                # (infer.rs:602-620 candidate_read_emission aggregation).
+                emission += sum(
+                    w.rewards.get(i, 0.0) for i in set(score.combination)
+                )
+            options.append((genomes, emission))
         nxt_beams = []
         for acc, path in beams:
             prev = path[-1] if path else None
@@ -126,6 +134,50 @@ def mosaic_segments(
     return out
 
 
+def _read_link_rewards(
+    index: SyngIndex,
+    read_index,
+    w: "WindowCall",
+    weight: float,
+    min_anchors: int,
+) -> dict:
+    """Per-candidate read-link rewards (reference: infer.rs:775-830 read
+    walk evidence + :1094 read_link_reward): each read's anchor count per
+    candidate, normalized by how many candidates the read supports;
+    reward = weight * 10 * log10(1 + anchor_weight)."""
+    import math
+
+    import numpy as np
+
+    # Anchor counts per (read ordinal, candidate idx).
+    per_read: dict[int, dict[int, int]] = {}
+    for ci, cand in enumerate(w.candidates):
+        _pos, ids, _f = index.region_syncmers(
+            cand.genome, cand.start, cand.end
+        )
+        if not ids.size:
+            continue
+        for sid in np.unique(ids):
+            for r in read_index.reads_with(int(sid)):
+                per_read.setdefault(int(r), {}).setdefault(ci, 0)
+                per_read[int(r)][ci] += 1
+    anchor_weight: dict[int, float] = {}
+    for counts in per_read.values():
+        supported = {
+            ci: c for ci, c in counts.items() if c >= min_anchors
+        }
+        if not supported:
+            continue
+        denom = float(len(supported))
+        for ci, c in supported.items():
+            anchor_weight[ci] = anchor_weight.get(ci, 0.0) + c / denom
+    return {
+        ci: weight * 10.0 * math.log10(1.0 + aw)
+        for ci, aw in anchor_weight.items()
+        if aw > 0.0
+    }
+
+
 def run_infer(
     index: SyngIndex,
     pack: Pack,
@@ -137,6 +189,9 @@ def run_infer(
     top_n: int = 5,
     switch_penalty: float = 0.1,
     candidate_mode: str = "overlapping",
+    read_index=None,
+    read_link_weight: float = 0.0,
+    min_read_link_anchors: int = 3,
 ) -> tuple[list[WindowCall], list[tuple], list[MosaicSegment]]:
     windows: list[WindowCall] = []
     pos = start
@@ -159,6 +214,12 @@ def run_infer(
         if results:
             windows.append(WindowCall(chrom, pos, w_end, results, candidates))
         pos = w_end
+    if read_index is not None and read_link_weight > 0.0:
+        for w in windows:
+            w.rewards = _read_link_rewards(
+                index, read_index, w, read_link_weight,
+                min_read_link_anchors,
+            )
     path, _score = stitch(windows, switch_penalty)
     segments = mosaic_segments(windows, path)
     return windows, path, segments

@@ -526,39 +526,32 @@ def query_transitive_bfs_many(
             # Batch-convert device arrays to Python lists once —
             # per-element numpy scalar indexing dominates this loop
             # otherwise.
-            pq_l = step["pair_q"].tolist()
-            qid_l = step["query_id"].tolist()
-            aqs_l = step["pq_start"].tolist()
-            aqe_l = step["pq_end"].tolist()
-            pts_l = step["pt_start"].tolist()
-            pte_l = step["pt_end"].tolist()
-            for i in range(len(pq_l)):
-                fi = pq_l[i]
+            rows_iter = enumerate(
+                zip(
+                    step["pair_q"].tolist(),
+                    step["query_id"].tolist(),
+                    step["pq_start"].tolist(),
+                    step["pq_end"].tolist(),
+                    step["pt_start"].tolist(),
+                    step["pt_end"].tolist(),
+                )
+            )
+            for i, (fi, q_id, aq_s, aq_e, pt_s, pt_e) in rows_iter:
                 w, cur_tid, _, _ = current[fi]
-                target_id = targets[w][0]
-                q_id = qid_l[i]
-                if subset_match is not None and q_id != target_id:
+                if subset_match is not None and q_id != targets[w][0]:
                     name = index.seq_index.get_name(q_id)
                     if name is None or not subset_match(name):
                         continue
-                aq_s = aqs_l[i]
-                aq_e = aqe_l[i]
-                length = abs(aq_e - aq_s)
-                if min_output_length is None or length >= min_output_length:
+                if (
+                    min_output_length is None
+                    or abs(aq_e - aq_s) >= min_output_length
+                ):
                     runs = None
                     if store_cigar:
                         k = int(step["pair_rec"][i])
                         runs = _step_cigar(index, step, i, k)
                     results[w].append(
-                        Row(
-                            q_id=q_id,
-                            q_first=aq_s,
-                            q_last=aq_e,
-                            cigar=runs,
-                            t_id=cur_tid,
-                            t_first=pts_l[i],
-                            t_last=pte_l[i],
-                        )
+                        Row(q_id, aq_s, aq_e, runs, cur_tid, pt_s, pt_e)
                     )
                 if q_id != cur_tid:
                     ranges = _visited_entry(

@@ -311,3 +311,48 @@ def test_render_bundle_namespace_json(panel, tmp_path):
         assert iv["strand"] in "+-"
     m = json.load(open(rb + "/manifest.json"))
     assert m["files"]["namespace_json"] == "namespace.json"
+
+
+def test_infer_read_link_rewards(panel, tmp_path):
+    """Read-link rewards boost candidates actually supported by reads:
+    with a decisive weight, the diploid truth (ref + s1) keeps winning and
+    rewarded windows report finite rewards for truth candidates."""
+    from impg_tpu.commands import infer as infer_mod
+    from impg_tpu.syng.pack import map_reads
+    from impg_tpu.syng.read_index import ReadSyncmerIndex
+
+    tmp, fa, idx, seq_data, fastq = panel
+    pack, _, _ = map_reads(idx, [fastq])
+    ridx = ReadSyncmerIndex.build([fastq])
+    L = len(seq_data["ref"])
+    base_w, base_path, _ = infer_mod.run_infer(
+        idx, pack, "ref", 0, L, window=4000, ploidy=2
+    )
+    rw_w, rw_path, _ = infer_mod.run_infer(
+        idx, pack, "ref", 0, L, window=4000, ploidy=2,
+        read_index=ridx, read_link_weight=0.5,
+    )
+    assert rw_w and rw_path
+    # Rewards computed and positive for at least one candidate per window.
+    assert all(w.rewards for w in rw_w)
+    assert all(max(w.rewards.values()) > 0 for w in rw_w)
+    # The truth call is stable under rewards (reads ARE from ref+s1).
+    hit = sum(1 for combo in rw_path if set(combo) == {"ref", "s1"})
+    assert hit >= len(rw_path) // 2, rw_path
+    # CLI flags work end-to-end.
+    prefix = str(tmp_path / "rl")
+    r = run_cli("syng", "-f", fa, "-o", prefix)
+    assert r.returncode == 0, r.stderr
+    pk = str(tmp_path / "rl.packt")
+    r = run_cli("map", "-a", prefix + ".syngt", "-q", fastq, "-O", pk)
+    assert r.returncode == 0, r.stderr
+    ri = str(tmp_path / "rl_reads")
+    r = run_cli("read-index", "-q", fastq, "-O", ri)
+    assert r.returncode == 0, r.stderr
+    r = run_cli(
+        "infer", "-a", prefix + ".syngt", "-p", pk, "-r", f"ref:0-{L}",
+        "-w", "4000", "--read-index", ri + ".readidx",
+        "--read-link-weight", "0.5",
+    )
+    assert r.returncode == 0, r.stderr
+    assert any(l.startswith("window") for l in r.stdout.splitlines())
