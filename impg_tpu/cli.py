@@ -994,8 +994,22 @@ def cmd_genotype(args) -> int:
                 "error: --graph genotyping needs -q/--reads", file=sys.stderr
             )
             return 2
+        import os
+
         reads = [x for e in args.reads for x in e.split(",") if x]
-        with open(args.graph) as fh:
+        graph_path = args.graph
+        if os.path.isdir(graph_path):
+            # Render bundle: use its regional graph (genotype.rs:1016
+            # GraphSource::RenderBundle).
+            import json as _json
+
+            man = _json.load(
+                open(os.path.join(graph_path, "manifest.json"))
+            )
+            graph_path = os.path.join(
+                graph_path, man.get("files", {}).get("gfa", "render.gfa")
+            )
+        with open(graph_path) as fh:
             gfa_text = fh.read()
         candidates, results, region = gt_graph.genotype_graph(
             gfa_text,

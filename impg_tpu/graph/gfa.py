@@ -160,6 +160,51 @@ def report(gfa: Gfa) -> dict:
     )
     merging = sum(1 for sid in gfa.segments if degree_in.get(sid, 0) > 1)
 
+    # Rare repeated local contexts (graph_report.rs:2058
+    # local_repeat_contexts): nodes whose (left, right) step context is
+    # dominated by one pattern with only a few minor occurrences — likely
+    # collapse artifacts worth inspecting.
+    max_minor, min_dominance = 2, 0.80
+    ctx_counts: dict[str, dict[tuple[str, str], int]] = {}
+
+    def lbl(st):
+        return st[0] + ("-" if st[1] else "+")
+
+    for _, steps in gfa.paths:
+        for i, st in enumerate(steps):
+            left = lbl(steps[i - 1]) if i > 0 else "^"
+            right = lbl(steps[i + 1]) if i + 1 < len(steps) else "$"
+            ctx_counts.setdefault(lbl(st), {}).setdefault(
+                (left, right), 0
+            )
+            ctx_counts[lbl(st)][(left, right)] += 1
+    repeat_contexts = []
+    for node, counts in ctx_counts.items():
+        if len(counts) <= 1:
+            continue
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if len(ranked) > 1 and ranked[0][1] == ranked[1][1]:
+            continue
+        total = sum(c for _, c in ranked)
+        (dl, dr), dom = ranked[0]
+        minor = total - dom
+        if minor <= max_minor and dom / total >= min_dominance:
+            repeat_contexts.append(
+                dict(
+                    node=node,
+                    total_occurrences=total,
+                    dominant_count=dom,
+                    minor_occurrences=minor,
+                    dominant_fraction=round(dom / total, 4),
+                    dominant_left=dl,
+                    dominant_right=dr,
+                )
+            )
+    repeat_contexts.sort(
+        key=lambda c: (-c["minor_occurrences"], -c["total_occurrences"])
+    )
+    repeat_contexts = repeat_contexts[:5]
+
     return {
         "nodes": n_nodes,
         "edges": len(gfa.links),
@@ -171,6 +216,7 @@ def report(gfa: Gfa) -> dict:
         "depth_buckets": buckets,
         "branching_nodes": branching,
         "merging_nodes": merging,
+        "repeat_contexts": repeat_contexts,
         "mean_depth": round(
             sum(d * len(gfa.segments.get(s, "")) for s, d in depth.items())
             / total_len,
@@ -191,6 +237,8 @@ def report_text(rep: dict, fmt: str = "md") -> str:
             for k, v in obj.items():
                 if isinstance(v, dict):
                     flat(f"{prefix}{k}.", v)
+                elif isinstance(v, list):
+                    lines.append(f"{prefix}{k}\t{json.dumps(v)}")
                 else:
                     lines.append(f"{prefix}{k}\t{v}")
 
@@ -214,4 +262,13 @@ def report_text(rep: dict, fmt: str = "md") -> str:
     out.append("- depth buckets: " + ", ".join(
         f"{k}: {v}" for k, v in rep["depth_buckets"].items()
     ))
+    if rep.get("repeat_contexts"):
+        out.append("- rare repeated-context nodes:")
+        for c in rep["repeat_contexts"]:
+            out.append(
+                f"  - {c['node']}: {c['total_occurrences']} occurrences, "
+                f"dominant {c['dominant_left']} .. {c['dominant_right']} "
+                f"({c['dominant_fraction']:.0%}), "
+                f"{c['minor_occurrences']} minor"
+            )
     return "\n".join(out) + "\n"

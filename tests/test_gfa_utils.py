@@ -255,3 +255,32 @@ def test_render_svg(tmp_path):
     c = run_cli("render-graph", str(g), "--output", str(out))
     assert c.returncode == 0, c.stderr
     assert out.read_text().startswith("<svg")
+
+
+def test_repeat_contexts_in_report():
+    """A node appearing many times in one dominant (left,right) context
+    plus a rare minor context is flagged (graph_report.rs:2058 role)."""
+    from impg_tpu.graph.gfa import Gfa, report
+
+    # r appears 6x: 5x in context a..b, once in context c..b.
+    steps_main = "a+,r+,b+," * 5
+    lines = ["H\tVN:Z:1.0"]
+    for sid in ("a", "r", "b", "c"):
+        lines.append(f"S\t{sid}\tAC")
+    lines.append(f"P\tp1\t{steps_main}c+,r+,b+\t*")
+    gfa = Gfa.parse("\n".join(lines) + "\n")
+    rep = report(gfa)
+    ctxs = rep["repeat_contexts"]
+    assert ctxs, rep
+    hit = [c for c in ctxs if c["node"] == "r+"]
+    assert hit
+    c = hit[0]
+    assert c["total_occurrences"] == 6
+    assert c["dominant_left"] == "a+" and c["dominant_right"] == "b+"
+    assert c["minor_occurrences"] == 1
+    # md text mentions it; tsv stays machine-parseable.
+    from impg_tpu.graph.gfa import report_text
+
+    assert "rare repeated-context nodes" in report_text(rep, "md")
+    tsv = report_text(rep, "tsv")
+    assert "repeat_contexts\t[" in tsv
