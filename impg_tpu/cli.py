@@ -1306,6 +1306,26 @@ def cmd_infer(args) -> int:
     infer_mod.write_infer_report(
         sys.stdout, windows, path, segments, args.sample_name
     )
+    if args.write_haplotypes:
+        if not args.sequence_files:
+            print(
+                "error: --write-haplotypes needs --sequence-files",
+                file=sys.stderr,
+            )
+            return 2
+        from impg_tpu.io.fasta import UnifiedSequenceIndex
+
+        files = []
+        for entry in args.sequence_files:
+            files.extend(x for x in entry.split(",") if x)
+        seq_idx = UnifiedSequenceIndex.from_files(files)
+        paths = infer_mod.write_haplotype_fastas(
+            windows, path, seq_idx, args.write_haplotypes,
+            args.sample_name,
+        )
+        print(
+            "Wrote haplotype FASTAs: " + ", ".join(paths), file=sys.stderr
+        )
     return 0
 
 
@@ -1833,6 +1853,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_inf.add_argument("--read-link-weight", type=float, default=0.0)
     p_inf.add_argument("--min-read-link-anchors", type=int, default=3)
+    p_inf.add_argument(
+        "--write-haplotypes", metavar="PREFIX",
+        help="Write PREFIX_hapN.fa spelling the stitched mosaic "
+        "(needs --sequence-files)",
+    )
+    p_inf.add_argument("--sequence-files", action="append")
     p_inf.set_defaults(func=cmd_infer)
 
     p_sm = sub.add_parser(

@@ -246,3 +246,48 @@ def write_infer_report(out, windows, path, segments, sample="sample") -> None:
             f"mosaic\t{sample}\t{seg.chrom}\t{seg.start}\t{seg.end}"
             f"\thap{seg.hap_slot}={seg.source}\t.\t.\n"
         )
+
+
+def write_haplotype_fastas(
+    windows: list[WindowCall],
+    path: list[tuple],
+    seq_idx,
+    prefix: str,
+    sample: str = "sample",
+) -> list[str]:
+    """Write one FASTA per haplotype slot spelling the stitched mosaic:
+    per slot, consecutive same-source windows merge and the source
+    genome's candidate-interval union is fetched (window-granular
+    diplotype sequence output; infer.rs diplotype emission role)."""
+    if not windows or not path:
+        return []
+    ploidy = len(path[0])
+    out_paths = []
+    for slot in range(ploidy):
+        pieces: list[tuple[str, int, int]] = []  # (genome, lo, hi)
+        for w, genomes in zip(windows, path):
+            src = genomes[slot]
+            ivs = [
+                (c.start, c.end)
+                for c in w.candidates
+                if c.genome == src
+            ]
+            if not ivs:
+                continue
+            lo = min(s for s, _ in ivs)
+            hi = max(e for _, e in ivs)
+            if pieces and pieces[-1][0] == src and lo < pieces[-1][2]:
+                pieces[-1] = (src, pieces[-1][1], max(pieces[-1][2], hi))
+            else:
+                pieces.append((src, lo, hi))
+        p = f"{prefix}_hap{slot}.fa"
+        with open(p, "w") as fh:
+            for gi, (genome, lo, hi) in enumerate(pieces):
+                seq = seq_idx.fetch_sequence(genome, lo, hi)
+                fh.write(
+                    f">{sample}#hap{slot}#{gi} {genome}:{lo}-{hi}\n"
+                )
+                for i in range(0, len(seq), 80):
+                    fh.write(seq[i : i + 80].decode() + "\n")
+        out_paths.append(p)
+    return out_paths

@@ -356,3 +356,48 @@ def test_infer_read_link_rewards(panel, tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert any(l.startswith("window") for l in r.stdout.splitlines())
+
+
+def test_infer_write_haplotypes(panel, tmp_path):
+    """Diplotype FASTA output: each hap slot's mosaic spells sequence that
+    is a real substring of its source genome."""
+    tmp, fa, idx, seq_data, fastq = panel
+    prefix = str(tmp_path / "hp")
+    r = run_cli("syng", "-f", fa, "-o", prefix)
+    assert r.returncode == 0, r.stderr
+    pk = str(tmp_path / "hp.packt")
+    r = run_cli("map", "-a", prefix + ".syngt", "-q", fastq, "-O", pk)
+    assert r.returncode == 0, r.stderr
+    L = len(seq_data["ref"])
+    out_prefix = str(tmp_path / "dip")
+    r = run_cli(
+        "infer", "-a", prefix + ".syngt", "-p", pk, "-r", f"ref:0-{L}",
+        "-w", "4000", "--write-haplotypes", out_prefix,
+        "--sequence-files", fa,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "Wrote haplotype FASTAs" in r.stderr
+    import os
+
+    for slot in range(2):
+        p = f"{out_prefix}_hap{slot}.fa"
+        assert os.path.exists(p)
+        recs = {}
+        name = None
+        src = None
+        for line in open(p):
+            if line.startswith(">"):
+                name = line[1:].split()[0]
+                src = line.split()[1].rsplit(":", 1)[0]
+                recs[name] = [src, ""]
+            else:
+                recs[name][1] += line.strip()
+        assert recs
+        for src, seq in recs.values():
+            assert seq and seq in seq_data[src]
+    # Missing sequence files: clean error.
+    r = run_cli(
+        "infer", "-a", prefix + ".syngt", "-p", pk, "-r", f"ref:0-{L}",
+        "-w", "4000", "--write-haplotypes", out_prefix,
+    )
+    assert r.returncode == 2
