@@ -382,7 +382,7 @@ def cmd_query(args) -> int:
                     )
                     build_fmt = "gfa" if fmt == "vcf" else fmt
                     if build_fmt == "gfa" and args.gfa_engine in (
-                        "seqwish", "pggb"
+                        "seqwish", "pggb", "syng-native"
                     ):
                         text = region_mod.generate_gfa_seqwish(
                             index, results, seq_idx,
@@ -918,6 +918,18 @@ def cmd_map(args) -> int:
                     out.write(line + "\n")
                     n += 1
                 print(f"Mapped {n} reads -> GAF", file=sys.stderr)
+            elif args.output_format == "paf":
+                n = 0
+                for line in graph_mod.surject_gaf_to_paf(
+                    gfa, graph_mod.map_reads_gaf(gfa, reads)
+                ):
+                    out.write(line + "\n")
+                    n += 1
+                print(
+                    f"Mapped {n} reads -> PAF (surjected onto source "
+                    "coordinates)",
+                    file=sys.stderr,
+                )
             else:
                 counts, n_reads, n_matched = graph_mod.map_reads_to_graph(
                     gfa, reads
@@ -1109,7 +1121,7 @@ def cmd_render(args) -> int:
         outputs.write_fasta(
             index.seq_index, fasta_rows, fh, seq_idx, -1, False, False
         )
-    if args.gfa_engine in ("seqwish", "pggb"):
+    if args.gfa_engine in ("seqwish", "pggb", "syng-native"):
         gfa_text = region_mod.generate_gfa_seqwish(
             index, results, seq_idx, sort_output=args.gfa_engine == "pggb"
         )
@@ -1512,7 +1524,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_query.add_argument("--poa-scoring", default="1,4,6,2,26,1")
     p_query.add_argument(
-        "--gfa-engine", choices=["poa", "seqwish", "pggb"], default="poa",
+        "--gfa-engine", choices=["poa", "seqwish", "pggb", "syng-native"], default="poa",
         help="Graph engine for -o gfa (pggb = seqwish + sort)",
     )
     p_query.add_argument(
@@ -1731,7 +1743,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_map.add_argument(
         "-o", "--output-format", default="pack",
-        choices=["pack", "pack-tsv", "proj", "gaf", "graph-pack-tsv"],
+        choices=["pack", "pack-tsv", "proj", "gaf", "graph-pack-tsv", "paf"],
     )
     p_map.add_argument("-O", "--output",
                        help="Output path (default stdout for gaf)")
@@ -1782,7 +1794,7 @@ def build_parser() -> argparse.ArgumentParser:
     p_rnd.add_argument("-O", "--output-prefix", required=True,
                        help="Bundle directory")
     p_rnd.add_argument(
-        "--gfa-engine", choices=["poa", "seqwish", "pggb"], default="poa"
+        "--gfa-engine", choices=["poa", "seqwish", "pggb", "syng-native"], default="poa"
     )
     p_rnd.add_argument("-x", "--transitive", action="store_true")
     p_rnd.add_argument("-m", "--max-depth", type=int, default=2)

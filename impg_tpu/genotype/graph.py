@@ -284,3 +284,50 @@ def map_reads_gaf(gfa: Gfa, read_files: list[str]):
                 f"{path_lens[pname]}\t{span_s}\t{span_e}\t"
                 f"{matches}\t{span_e - span_s}\t60"
             )
+
+
+def surject_gaf_to_paf(gfa: Gfa, gaf_rows):
+    """Surject graph-mapping GAF rows onto source sequence coordinates
+    (reference: the GAF->reference projection role).  Path names of the
+    form `name:start-end` (region graphs, render bundles) carry their
+    source frame; path-frame positions shift by `start`.  Rows whose path
+    name has no source range surject onto the path name at offset 0."""
+    from impg_tpu.graph.lace import split_path_name
+
+    path_lens = {}
+    for name, steps in gfa.paths:
+        path_lens[name] = sum(
+            len(gfa.segments[sid]) for sid, _ in steps
+        )
+    # Reconstruct each GAF row's path name from its walk (first step's
+    # containing path is ambiguous) — instead carry it via the plen field
+    # match; simplest robust source: recompute per-row from the walk
+    # column's first segment by scanning paths that contain it.
+    seg_paths: dict[str, list[str]] = {}
+    for name, steps in gfa.paths:
+        for sid, _ in steps:
+            seg_paths.setdefault(sid, []).append(name)
+    for row in gaf_rows:
+        f = row.split("\t")
+        walk = f[5]
+        first_seg = walk[1:].split(">")[0].split("<")[0]
+        candidates = seg_paths.get(first_seg, [])
+        plen = int(f[6])
+        pname = next(
+            (n for n in candidates if path_lens[n] == plen),
+            candidates[0] if candidates else None,
+        )
+        if pname is None:
+            continue
+        parsed = split_path_name(pname)
+        if parsed:
+            src, base, src_end = parsed
+            tlen = src_end  # lower bound; true source length is unknown here
+        else:
+            src, base, tlen = pname, 0, plen
+        ps, pe = int(f[7]), int(f[8])
+        yield (
+            f"{f[0]}\t{f[1]}\t{f[2]}\t{f[3]}\t{f[4]}\t"
+            f"{src}\t{tlen}\t{base + ps}\t{base + pe}\t"
+            f"{f[9]}\t{f[10]}\t{f[11]}"
+        )

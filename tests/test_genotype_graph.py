@@ -165,3 +165,33 @@ def test_cli_map_gaf_and_graph_pack(graph_panel, tmp_path):
     # Missing --graph: clean error.
     r = run_cli("map", "-q", fq, "-o", "gaf")
     assert r.returncode == 2
+
+
+def test_surject_gaf_to_paf(graph_panel, tmp_path):
+    """PAF surjection: region-graph path names carry their source frame;
+    surjected target coordinates land inside the source interval."""
+    from impg_tpu.genotype.graph import map_reads_gaf, surject_gaf_to_paf
+    from impg_tpu.graph.lace import split_path_name
+
+    tmp, gfa_text, fq, seq_data = graph_panel
+    gfa = Gfa.parse(gfa_text)
+    sources = {}
+    for name, _ in gfa.paths:
+        p = split_path_name(name)
+        assert p, name  # region graphs name paths src:start-end
+        sources[p[0]] = (p[1], p[2])
+    rows = list(surject_gaf_to_paf(gfa, map_reads_gaf(gfa, [fq])))
+    assert len(rows) > 400
+    for line in rows[:50]:
+        f = line.split("\t")
+        assert len(f) == 12
+        assert f[5] in sources, f[5]
+        base, end = sources[f[5]]
+        ts, te = int(f[7]), int(f[8])
+        assert base <= ts < te <= end + 1, (f[5], ts, te, base, end)
+    g = tmp_path / "g.gfa"
+    g.write_text(gfa_text)
+    r = run_cli("map", "--graph", str(g), "-q", fq, "-o", "paf")
+    assert r.returncode == 0, r.stderr
+    assert "surjected" in r.stderr
+    assert r.stdout.count("\n") > 400
