@@ -1363,6 +1363,29 @@ def cmd_smooth(args) -> int:
     return 0
 
 
+def cmd_syng2gfa(args) -> int:
+    from impg_tpu.io.fasta import UnifiedSequenceIndex
+    from impg_tpu.syng.index import SyngIndex
+    from impg_tpu.syng.syng2gfa import syng_to_gfa
+
+    syng = SyngIndex.load(args.alignment)
+    files = []
+    for entry in args.sequence_files:
+        files.extend(x for x in entry.split(",") if x)
+    seq_idx = UnifiedSequenceIndex.from_files(files)
+    text = syng_to_gfa(
+        syng, seq_idx,
+        drop_top_fraction=args.drop_top_fraction,
+        max_occurrences=args.max_occurrences,
+    )
+    if args.output:
+        with open(args.output, "w") as fh:
+            fh.write(text)
+    else:
+        sys.stdout.write(text)
+    return 0
+
+
 def cmd_sort(args) -> int:
     from impg_tpu.graph import sortgfa as sortgfa_mod
 
@@ -1886,6 +1909,22 @@ def build_parser() -> argparse.ArgumentParser:
     p_sm.add_argument("--poa-scoring", default="1,4,6,2,26,1")
     p_sm.add_argument("--output", help="Output GFA (default stdout)")
     p_sm.set_defaults(func=cmd_smooth)
+
+    p_s2g = sub.add_parser(
+        "syng2gfa",
+        help="Dump a syng index as a blunt syncmer graph GFA "
+        "(exact source-spelling paths)",
+    )
+    p_s2g.add_argument("-a", "--alignment", required=True,
+                       help="syng index prefix (or .syngt path)")
+    p_s2g.add_argument("--sequence-files", action="append", required=True)
+    p_s2g.add_argument(
+        "--drop-top-fraction", type=float, default=0.0005,
+        help="Privatize this fraction of highest-frequency syncmers",
+    )
+    p_s2g.add_argument("--max-occurrences", type=int)
+    p_s2g.add_argument("-o", "--output", help="Output GFA (default stdout)")
+    p_s2g.set_defaults(func=cmd_syng2gfa)
 
     p_srt = sub.add_parser(
         "sort",

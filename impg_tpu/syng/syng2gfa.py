@@ -1,0 +1,126 @@
+"""Dump a SyngIndex as a GFA syncmer graph (reference:
+commands/syng2gfa.rs — blunt mode: one segment per syncmer occurrence
+class, one per inter-syncmer/terminal gap, exact source-spelling 0M
+paths; high-frequency syncmers privatized per occurrence).
+
+Blunt construction: each sequence cuts at its syncmer start positions; a
+syncmer piece spans [p_i, min(p_i + syncmer_len, p_{i+1})) (truncated when
+the next syncmer overlaps), gap/terminal pieces cover the rest.  Pieces
+intern by (kind key, forward-frame sequence): shared syncmers collapse
+across genomes only when they spell identical DNA, gap pieces additionally
+carry their signed-syncmer context so unrelated repeats stay separate.
+Reverse-strand occurrences store the canonical forward sequence and step
+with '-'.  Path spellings reproduce the sources exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from impg_tpu.io.fasta import reverse_complement
+from impg_tpu.syng.index import SyngIndex
+
+DEFAULT_DROP_TOP_FRACTION = 0.0005
+
+
+def syng_to_gfa(
+    syng: SyngIndex,
+    seq_idx,
+    drop_top_fraction: float = DEFAULT_DROP_TOP_FRACTION,
+    max_occurrences: int | None = None,
+) -> str:
+    """GFA 1.0 text for the whole index; `seq_idx` provides source bases."""
+    k = syng.syncmer_len
+    # Frequency mask: the most frequent ids become PRIVATE (one node per
+    # occurrence) instead of shared glue (syng2gfa.rs frequency mask role).
+    ids_all = syng.occ_ids
+    uniq, counts = np.unique(ids_all, return_counts=True)
+    private: set[int] = set()
+    if uniq.size and drop_top_fraction > 0:
+        n_drop = int(np.ceil(uniq.size * drop_top_fraction))
+        if n_drop > 0:
+            order = np.argsort(counts)
+            for i in order[-n_drop:]:
+                if counts[i] > 1:
+                    private.add(int(uniq[i]))
+    if max_occurrences is not None:
+        for i in range(uniq.size):
+            if counts[i] > max_occurrences:
+                private.add(int(uniq[i]))
+
+    segments: list[str] = []  # node id -> sequence (1-based ids)
+    intern: dict[tuple, int] = {}
+
+    def node_for(key: tuple, fwd_seq: bytes) -> int:
+        nid = intern.get(key)
+        if nid is None:
+            segments.append(fwd_seq.decode())
+            nid = len(segments)
+            intern[key] = nid
+        return nid
+
+    paths: list[tuple[str, list[tuple[int, bool]]]] = []
+    links: set[tuple[int, bool, int, bool]] = set()
+    private_counter = 0
+
+    for sid in range(len(syng.seq_index)):
+        name = syng.seq_index.get_name(sid)
+        L = syng.seq_index.get_len_from_id(sid)
+        seq = seq_idx.fetch_sequence(name, 0, L)
+        pos, ids, fwd = syng.region_syncmers(name, 0, L)
+        order = np.argsort(pos)
+        pos, ids, fwd = pos[order], ids[order], fwd[order]
+        steps: list[tuple[int, bool]] = []
+        signed = [
+            (int(i) if bool(f) else -int(i)) for i, f in zip(ids, fwd)
+        ]
+
+        def add_gap(lo: int, hi: int, left_ctx, right_ctx):
+            if hi <= lo:
+                return
+            piece = seq[lo:hi]
+            key = ("gap", left_ctx, right_ctx, piece)
+            steps.append((node_for(key, piece), False))
+
+        prev_end = 0
+        for i in range(pos.size):
+            p = int(pos[i])
+            nxt = int(pos[i + 1]) if i + 1 < pos.size else None
+            end = min(p + k, nxt) if nxt is not None else p + k
+            end = min(end, L)
+            add_gap(
+                prev_end, p,
+                signed[i - 1] if i > 0 else None,
+                signed[i],
+            )
+            piece = seq[p:end]
+            rev = not bool(fwd[i])
+            fwd_seq = reverse_complement(piece) if rev else piece
+            sig = int(ids[i])
+            if sig in private:
+                private_counter += 1
+                key = ("priv", private_counter)
+            else:
+                key = ("syn", sig, fwd_seq)
+            steps.append((node_for(key, fwd_seq), rev))
+            prev_end = end
+        add_gap(
+            prev_end, L, signed[-1] if signed else None, None
+        )
+        for a, b in zip(steps, steps[1:]):
+            links.add((a[0], a[1], b[0], b[1]))
+        paths.append((name, steps))
+
+    lines = ["H\tVN:Z:1.0"]
+    for i, s in enumerate(segments):
+        lines.append(f"S\t{i + 1}\t{s}")
+    for a, ar, b, br in sorted(links):
+        lines.append(
+            f"L\t{a}\t{'-' if ar else '+'}\t{b}\t{'-' if br else '+'}\t0M"
+        )
+    for name, steps in paths:
+        walk = ",".join(
+            f"{nid}{'-' if rev else '+'}" for nid, rev in steps
+        )
+        lines.append(f"P\t{name}\t{walk}\t*")
+    return "\n".join(lines) + "\n"
