@@ -175,8 +175,17 @@ def _shared_prefix_split(gfa: Gfa, next_id: list[int]) -> bool:
     return changed
 
 
-def normalize_gfa(gfa_text: str, max_rounds: int = 50) -> str:
+def normalize_gfa(
+    gfa_text: str, max_rounds: int = 50, pre_groom: bool = True
+) -> str:
     gfa = Gfa.parse(gfa_text)
+    if pre_groom:
+        # Groom first (spelling-preserving majority-orientation flips):
+        # many mixed-orientation links become forward-forward, extending
+        # the reach of the forward-only affix collapse below.
+        from impg_tpu.graph.sortgfa import groom
+
+        gfa = groom(gfa)
     next_id = [
         max(
             (int(s[1:]) for s in gfa.segments if s.startswith("n") and s[1:].isdigit()),

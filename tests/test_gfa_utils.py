@@ -284,3 +284,42 @@ def test_repeat_contexts_in_report():
     assert "rare repeated-context nodes" in report_text(rep, "md")
     tsv = report_text(rep, "tsv")
     assert "repeat_contexts\t[" in tsv
+
+
+def test_normalize_grooms_reverse_duplicates():
+    """A duplicate sibling reachable only through reverse orientation
+    normalizes after the pre-groom pass (spelling preserved)."""
+    from impg_tpu.graph.gfa import Gfa
+    from impg_tpu.graph.normalize import normalize_gfa
+    from impg_tpu.io.fasta import reverse_complement
+
+    # Paths traverse b and c reverse-majority; b and c spell the same
+    # sequence in path frame, so after grooming they are duplicate
+    # forward siblings of a and must merge.
+    gfa = (
+        "H\tVN:Z:1.0\n"
+        "S\ta\tACGTAC\nS\tb\tCCAA\nS\tc\tCCAA\nS\tz\tGGTT\n"
+        "L\ta\t+\tb\t-\t0M\nL\ta\t+\tc\t-\t0M\n"
+        "L\tb\t-\tz\t+\t0M\nL\tc\t-\tz\t+\t0M\n"
+        "P\tp1\ta+,b-,z+\t*\nP\tp2\ta+,c-,z+\t*\n"
+    )
+
+    def spell(text):
+        g = Gfa.parse(text)
+        out = {}
+        for name, steps in g.paths:
+            s = b""
+            for sid, rev in steps:
+                t = g.segments[sid].encode()
+                s += reverse_complement(t) if rev else t
+            out[name] = s
+        return out
+
+    before = spell(gfa)
+    out = normalize_gfa(gfa)
+    assert spell(out) == before
+    g = Gfa.parse(out)
+    assert len(g.segments) == 3, out  # b and c merged
+    # Without grooming the reverse-orientation pair stays untouched.
+    out2 = normalize_gfa(gfa, pre_groom=False)
+    assert len(Gfa.parse(out2).segments) == 4
