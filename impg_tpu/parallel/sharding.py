@@ -195,7 +195,50 @@ class ShardedEngine:
             k: jax.device_put(v, shard0) for k, v in self.sharded.arena.items()
         }
 
-    def query_batch(self, q_tid, q_s, q_e, clip_overlap: bool = False) -> dict:
+    def query_batch_stream(
+        self,
+        q_tid,
+        q_s,
+        q_e,
+        clip_overlap: bool = False,
+        approximate: bool = False,
+        chunk: int = 1024,
+    ):
+        """Fixed-chunk streaming API matching DeviceEngine's, so the
+        transitive BFS walkers (`query_transitive_bfs_many`) run their
+        per-depth batched step over the device MESH.  Queries pad/split to
+        `chunk` (one compiled executable per shape); `pair_q` is offset
+        into the full batch.  Approximate (tracepoint) mode is
+        single-chip-only for now."""
+        if approximate:
+            raise NotImplementedError(
+                "approximate mode is not sharded yet; use DeviceEngine"
+            )
+        q_tid = np.asarray(q_tid, np.int32)
+        q_s = np.asarray(q_s, np.int32)
+        q_e = np.asarray(q_e, np.int32)
+        n = q_tid.size
+        for off in range(0, max(n, 1), chunk):
+            end = min(off + chunk, n)
+            cnt = end - off
+            pad_t = np.full(chunk, -1, np.int32)
+            pad_s = np.zeros(chunk, np.int32)
+            pad_e = np.zeros(chunk, np.int32)
+            pad_t[:cnt] = q_tid[off:end]
+            pad_s[:cnt] = q_s[off:end]
+            pad_e[:cnt] = q_e[off:end]
+            out = self.query_batch(pad_t, pad_s, pad_e, clip_overlap)
+            out["pair_q"] = out["pair_q"] + off
+            yield out
+
+    def query_batch(
+        self, q_tid, q_s, q_e, clip_overlap: bool = False,
+        approximate: bool = False,
+    ) -> dict:
+        if approximate:
+            raise NotImplementedError(
+                "approximate mode is not sharded yet; use DeviceEngine"
+            )
         q_tid = jnp.asarray(q_tid, jnp.int32)
         q_s = jnp.asarray(q_s, jnp.int32)
         q_e = jnp.asarray(q_e, jnp.int32)

@@ -402,7 +402,11 @@ def query_transitive_bfs(
     while current and (max_depth == 0 or depth < max_depth):
         # ── batched stab + projection over the whole depth ──
         use_device = device_engine is not None and (
-            not approximate or device_engine.dindex.tp is not None
+            not approximate
+            or getattr(
+                getattr(device_engine, "dindex", None), "tp", None
+            )
+            is not None
         )
         step = (
             _depth_step_device(
@@ -507,7 +511,11 @@ def query_transitive_bfs_many(
     while current and (max_depth == 0 or depth < max_depth):
         flat = [(tid, s, e) for (_, tid, s, e) in current]
         use_device = device_engine is not None and (
-            not approximate or device_engine.dindex.tp is not None
+            not approximate
+            or getattr(
+                getattr(device_engine, "dindex", None), "tp", None
+            )
+            is not None
         )
         if use_device:
             # Streaming: each chunk's bookkeeping overlaps the device

@@ -94,3 +94,37 @@ def test_sharded_capacity_retry(setup):
         )
     )
     assert got == exp
+
+
+def test_transitive_bfs_over_sharded_engine():
+    """query_transitive_bfs_many runs its per-depth batched step over the
+    8-device mesh and matches the host walk exactly."""
+    import random
+
+    from impg_tpu.parallel.sharding import ShardedEngine
+    from impg_tpu.query import engine
+    from tests import datagen
+    from tests.test_query import index_from_text
+
+    rng = random.Random(17)
+    text, seqs, alns = datagen.random_paf(rng, n_seqs=6, n_alns=40, n_ops=8)
+    index = index_from_text(text)
+    sh = ShardedEngine(index)
+    walks = []
+    for name, L in list(seqs.items())[:4]:
+        sid = index.seq_index.get_id(name)
+        walks.append((sid, 0, L))
+        walks.append((sid, L // 3, 2 * L // 3))
+    got = engine.query_transitive_bfs_many(
+        index, walks, max_depth=2, device_engine=sh
+    )
+    want = engine.query_transitive_bfs_many(index, walks, max_depth=2)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert [
+            (r.q_id, r.q_first, r.q_last, r.t_id, r.t_first, r.t_last)
+            for r in g
+        ] == [
+            (r.q_id, r.q_first, r.q_last, r.t_id, r.t_first, r.t_last)
+            for r in w
+        ]
