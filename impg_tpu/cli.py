@@ -52,10 +52,26 @@ def _load_index(args):
     from impg_tpu.index import impg_index
 
     files = _alignment_files(args)
+    seq_fetch = None
+    if any(f.endswith(".1aln") for f in files) and getattr(
+        args, "sequence_files", None
+    ):
+        # .1aln tracepoint ingest: sequences enable exact per-segment
+        # CIGAR reconstruction with the native aligner.
+        from impg_tpu.io.fasta import UnifiedSequenceIndex
+
+        sf = []
+        for entry in args.sequence_files:
+            sf.extend(x for x in entry.split(",") if x)
+        seq_fetch = UnifiedSequenceIndex.from_files(sf).fetch_sequence
     if args.no_bidirectional:
         # Bypass cache for non-default build flavor.
-        return impg_index.ImpgIndex.from_paf_files(files, bidirectional=False)
-    return impg_index.load_or_build(files, args.index, force=args.force_reindex)
+        return impg_index.ImpgIndex.from_paf_files(
+            files, bidirectional=False, seq_fetch=seq_fetch
+        )
+    return impg_index.load_or_build(
+        files, args.index, force=args.force_reindex, seq_fetch=seq_fetch
+    )
 
 
 def cmd_index(args) -> int:
@@ -1363,6 +1379,18 @@ def cmd_smooth(args) -> int:
     return 0
 
 
+def cmd_export_1aln(args) -> int:
+    from impg_tpu.io import onealn as onealn_mod
+
+    index = _load_index(args)
+    tp = index.ensure_tracepoints(args.spacing)
+    n = onealn_mod.write_1aln(
+        args.output, index.seq_index, index.records, index.arena, tp
+    )
+    print(f"Wrote {n} alignments -> {args.output}", file=sys.stderr)
+    return 0
+
+
 def cmd_syng2gfa(args) -> int:
     from impg_tpu.io.fasta import UnifiedSequenceIndex
     from impg_tpu.syng.index import SyngIndex
@@ -1909,6 +1937,15 @@ def build_parser() -> argparse.ArgumentParser:
     p_sm.add_argument("--poa-scoring", default="1,4,6,2,26,1")
     p_sm.add_argument("--output", help="Output GFA (default stdout)")
     p_sm.set_defaults(func=cmd_smooth)
+
+    p_1a = sub.add_parser(
+        "export-1aln",
+        help="Export the alignment index as ASCII 1aln tracepoints",
+    )
+    _add_common_query_opts(p_1a)
+    p_1a.add_argument("--spacing", type=int, default=100)
+    p_1a.add_argument("-o", "--output", required=True)
+    p_1a.set_defaults(func=cmd_export_1aln)
 
     p_s2g = sub.add_parser(
         "syng2gfa",

@@ -48,10 +48,20 @@ class ImpgIndex:
     # ── construction ─────────────────────────────────────────────────
     @classmethod
     def from_paf_files(
-        cls, paths: list[str], bidirectional: bool = True
+        cls, paths: list[str], bidirectional: bool = True, seq_fetch=None
     ) -> "ImpgIndex":
         seq_index = SequenceIndex()
-        parts = [paf_mod.parse_paf_file(p, seq_index) for p in paths]
+        parts = []
+        for p in paths:
+            if p.endswith(".1aln"):
+                from impg_tpu.io import onealn as onealn_mod
+
+                recs, _spacing = onealn_mod.parse_1aln(
+                    p, seq_index, seq_fetch
+                )
+                parts.append(recs)
+            else:
+                parts.append(paf_mod.parse_paf_file(p, seq_index))
         if parts:
             run_off_parts = []
             base = 0
@@ -237,7 +247,8 @@ def index_path_for(paf_paths: list[str]) -> str:
 
 
 def load_or_build(
-    paf_paths: list[str], index_path: str | None = None, force: bool = False
+    paf_paths: list[str], index_path: str | None = None, force: bool = False,
+    seq_fetch=None,
 ) -> ImpgIndex:
     """Load a cached index if fresh, else build from the PAFs and save.
 
@@ -249,7 +260,10 @@ def load_or_build(
         # Per-file artifact caching (reference: multi_impg.rs): each file
         # keeps its own `<file>.impgt`, so growing a file set only builds
         # the new files; the union merges in memory.
-        parts = [load_or_build([p], force=force) for p in paf_paths]
+        parts = [
+            load_or_build([p], force=force, seq_fetch=seq_fetch)
+            for p in paf_paths
+        ]
         return ImpgIndex.merge(parts, list(paf_paths))
     path = index_path or index_path_for(paf_paths)
     if not force and os.path.exists(path):
@@ -261,7 +275,7 @@ def load_or_build(
                 return ImpgIndex.load(path)
             except Exception:
                 pass  # fall through to rebuild
-    idx = ImpgIndex.from_paf_files(paf_paths)
+    idx = ImpgIndex.from_paf_files(paf_paths, seq_fetch=seq_fetch)
     try:
         idx.save(path)
     except OSError:

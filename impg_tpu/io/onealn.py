@@ -1,0 +1,257 @@
+"""ASCII 1aln (ONEcode-style) tracepoint alignments: reader + writer.
+
+Record lines mirror what the reference's onealn.rs consumes (onealn.rs:551
+parse_single_alignment): `A qid qs qe tid ts te` coordinates, `R` for
+reverse strand (target coords stored in the flipped frame, onealn.rs:654),
+`T`/`X` integer lists (query-bp advance and differences per target trace
+segment, count-prefixed like ONEcode ASCII lists), `D` total differences,
+and a `t <spacing>` header (onealn.rs:54).  The binary ONEcode container
+and external GDB skeletons need the onecode spec and are deferred
+(ROADMAP.md); sequence metadata here is an embedded name table of
+`N <id> <length> <name>` lines (the role of the reference's embedded GDB
+skeleton groups).
+
+Ingest reconstructs CIGAR runs per trace segment:
+  - without sequences: a valid approximate CIGAR per segment —
+    min(dq,dt)-x matches, x mismatches, |dq-dt| indel — exact interval
+    endpoints, approximate interior (the reference's fast-mode contract,
+    notes/FAST_MODE_IMPLEMENTATION.md);
+  - with sequences: the native Gotoh aligner rebuilds each segment's exact
+    runs (the tracepoints_to_cigar_with_aligner role, impg.rs:873).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from impg_tpu.core import cigar
+from impg_tpu.core.seqidx import SequenceIndex
+
+ONEALN_SUFFIX = ".1aln"
+
+
+def write_1aln(
+    path: str,
+    seq_index: SequenceIndex,
+    records,
+    arena,
+    tp,
+    out_spacing: int | None = None,
+) -> int:
+    """Write the non-reversed directed records as ASCII 1aln using the
+    tracepoint arena `tp` (TracepointArena over the same records)."""
+    spacing = tp.spacing if out_spacing is None else out_spacing
+    n_written = 0
+    with open(path, "w") as fh:
+        fh.write("1 3 aln 1 1\n")
+        fh.write(f"t {spacing}\n")
+        for i in range(len(seq_index)):
+            fh.write(
+                f"N {i} {seq_index.get_len_from_id(i)} "
+                f"{seq_index.get_name(i)}\n"
+            )
+        for r in range(len(records)):
+            if bool(records.is_reversed[r]):
+                continue
+            qid = int(records.query_id[r])
+            tid = int(records.target_id[r])
+            qs, qe = int(records.q_start[r]), int(records.q_end[r])
+            ts, te = int(records.t_start[r]), int(records.t_end[r])
+            rev = int(records.strand[r]) == 1
+            if rev:
+                tlen = seq_index.get_len_from_id(tid)
+                ts_f, te_f = tlen - te, tlen - ts
+            else:
+                ts_f, te_f = ts, te
+            off = int(tp.seg_off[r])
+            nseg = int(tp.n_seg[r])
+            qb = tp.q_bound[off : off + nseg + 1].astype(np.int64)
+            pd = tp.pre_diffs[off : off + nseg + 1].astype(np.int64)
+            advances = np.abs(np.diff(qb))
+            diffs = np.diff(pd)
+            fh.write(f"A {qid} {qs} {qe} {tid} {ts_f} {te_f}\n")
+            if rev:
+                fh.write("R\n")
+            fh.write(
+                f"T {advances.size} "
+                + " ".join(str(int(x)) for x in advances)
+                + "\n"
+            )
+            fh.write(
+                f"X {diffs.size} "
+                + " ".join(str(int(x)) for x in diffs)
+                + "\n"
+            )
+            fh.write(f"D {int(pd[-1])}\n")
+            n_written += 1
+    return n_written
+
+
+def _segment_runs_approx(dq: int, dt: int, x: int) -> list[tuple[int, int]]:
+    """(length, op) runs for one trace segment without sequences."""
+    aligned = min(dq, dt)
+    x = min(x, aligned)
+    out = []
+    m = aligned - x
+    if m > 0:
+        out.append((m, cigar.OP_EQ))
+    if x > 0:
+        out.append((x, cigar.OP_X))
+    if dq > dt:
+        out.append((dq - dt, cigar.OP_I))
+    elif dt > dq:
+        out.append((dt - dq, cigar.OP_D))
+    return out
+
+
+def parse_1aln(
+    path: str,
+    seq_index: SequenceIndex,
+    seq_fetch=None,
+):
+    """Parse into PAF-shaped SoA columns (io/paf.py PafRecords layout).
+
+    `seq_fetch(name, start, end) -> bytes` enables exact per-segment
+    CIGAR reconstruction with the native aligner; without it, segments
+    materialize approximate runs.
+    """
+    from impg_tpu.io.paf import PafRecords
+
+    spacing = 100
+    name_of: dict[int, int] = {}  # file id -> seq_index id
+    cols = dict(
+        query_id=[], q_start=[], q_end=[],
+        target_id=[], t_start=[], t_end=[], strand=[],
+    )
+    runs_parts: list[np.ndarray] = []
+    run_offsets = [0]
+
+    cur = None  # (qid, qs, qe, tid, ts, te)
+    cur_rev = False
+    cur_T: list[int] | None = None
+    cur_X: list[int] | None = None
+
+    def flush():
+        nonlocal cur, cur_rev, cur_T, cur_X
+        if cur is None:
+            return
+        qid_f, qs, qe, tid_f, ts, te = cur
+        qid = name_of[qid_f]
+        tid = name_of[tid_f]
+        if cur_rev:
+            tlen = seq_index.get_len_from_id(tid)
+            ts, te = tlen - te, tlen - ts
+        advances = cur_T or []
+        diffs = cur_X or [0] * len(advances)
+        if len(diffs) < len(advances):
+            diffs = diffs + [0] * (len(advances) - len(diffs))
+        # Target segment lengths on the forward target grid.
+        n_seg = max(len(advances), 1)
+        bounds = [ts + i * spacing for i in range(n_seg)] + [te]
+        bounds = [min(b, te) for b in bounds]
+        if not advances:
+            advances = [abs(qe - qs)]
+            diffs = [0]
+        seg_runs: list[tuple[int, int]] = []
+        q_walk = 0
+        exact_ok = seq_fetch is not None
+        for i, (dq, x) in enumerate(zip(advances, diffs)):
+            dt = bounds[i + 1] - bounds[i]
+            if dt <= 0 and dq <= 0:
+                continue
+            if exact_ok and dq > 0 and dt > 0:
+                t_sub = seq_fetch(
+                    seq_index.get_name(tid), bounds[i], bounds[i + 1]
+                )
+                # Query walk position: forward strand walks qs..qe; the
+                # reverse-strand query sub-span mirrors from qe.
+                if cur_rev:
+                    q_hi = qe - q_walk
+                    q_sub = seq_fetch(
+                        seq_index.get_name(qid), q_hi - dq, q_hi
+                    )
+                    from impg_tpu.io.fasta import reverse_complement
+
+                    q_sub = reverse_complement(q_sub)
+                else:
+                    q_lo = qs + q_walk
+                    q_sub = seq_fetch(
+                        seq_index.get_name(qid), q_lo, q_lo + dq
+                    )
+                from impg_tpu.ops.align import align_pair
+
+                packed = align_pair(q_sub, t_sub)
+                seg_runs.extend(
+                    (int(l), int(o))
+                    for l, o in zip(
+                        cigar.run_len(packed), cigar.run_op(packed)
+                    )
+                )
+            else:
+                seg_runs.extend(_segment_runs_approx(dq, dt, x))
+            q_walk += dq
+        # Merge adjacent same-op runs.
+        merged: list[tuple[int, int]] = []
+        for ln, op in seg_runs:
+            if merged and merged[-1][1] == op:
+                merged[-1] = (merged[-1][0] + ln, op)
+            else:
+                merged.append((ln, op))
+        packed = cigar.pack(
+            np.asarray([l for l, _ in merged], np.int64),
+            np.asarray([o for _, o in merged], np.uint32),
+        )
+        runs_parts.append(packed)
+        run_offsets.append(run_offsets[-1] + packed.size)
+        cols["query_id"].append(qid)
+        cols["q_start"].append(qs)
+        cols["q_end"].append(qe)
+        cols["target_id"].append(tid)
+        cols["t_start"].append(ts)
+        cols["t_end"].append(te)
+        cols["strand"].append(1 if cur_rev else 0)
+        cur, cur_rev, cur_T, cur_X = None, False, None, None
+
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            tag = parts[0]
+            if tag == "t":
+                spacing = int(parts[1])
+            elif tag == "N":
+                fid = int(parts[1])
+                length = int(parts[2])
+                name = line.split(None, 3)[3].rstrip("\n")
+                name_of[fid] = seq_index.get_or_insert_id(name, length)
+            elif tag == "A":
+                flush()
+                cur = tuple(int(x) for x in parts[1:7])
+            elif tag == "R":
+                cur_rev = True
+            elif tag == "T":
+                n = int(parts[1])
+                cur_T = [int(x) for x in parts[2 : 2 + n]]
+            elif tag == "X":
+                n = int(parts[1])
+                cur_X = [int(x) for x in parts[2 : 2 + n]]
+            # 'D' totals and unknown types are skipped (onealn.rs skips
+            # unhandled associated lines too).
+    flush()
+
+    return PafRecords(
+        query_id=np.asarray(cols["query_id"], np.int32),
+        q_start=np.asarray(cols["q_start"], np.int32),
+        q_end=np.asarray(cols["q_end"], np.int32),
+        target_id=np.asarray(cols["target_id"], np.int32),
+        t_start=np.asarray(cols["t_start"], np.int32),
+        t_end=np.asarray(cols["t_end"], np.int32),
+        strand=np.asarray(cols["strand"], np.int8),
+        runs=(
+            np.concatenate(runs_parts)
+            if runs_parts
+            else np.zeros(0, np.uint32)
+        ),
+        run_offsets=np.asarray(run_offsets, np.int64),
+    ), spacing
