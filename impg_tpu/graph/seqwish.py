@@ -79,8 +79,14 @@ def induce_graph(
     for n in names:
         offsets[n] = total
         total += len(seqs[n])
-    uf = _BidirectedUF(total)
-
+    # Collect match runs as (query start, query direction, target start,
+    # length, parity) tuples; the per-base unions run in one native batch
+    # (native/seqwish_uf.cpp) with a pure-Python fallback.
+    run_a: list[int] = []
+    run_dir: list[int] = []
+    run_b: list[int] = []
+    run_len_l: list[int] = []
+    run_flip: list[int] = []
     for row in paf_rows:
         q_off = offsets[row["qname"]]
         t_off = offsets[row["tname"]]
@@ -95,10 +101,11 @@ def induce_graph(
         q_dir = 1 if strand == "+" else -1
         for length, op in zip(lens.tolist(), ops.tolist()):
             if op == cigar.OP_EQ:
-                for i in range(length):
-                    qa = q_off + q_pos + q_dir * i
-                    tb = t_off + t_pos + i
-                    uf.union(qa, tb, 0 if strand == "+" else 1)
+                run_a.append(q_off + q_pos)
+                run_dir.append(q_dir)
+                run_b.append(t_off + t_pos)
+                run_len_l.append(length)
+                run_flip.append(0 if strand == "+" else 1)
                 q_pos += q_dir * length
                 t_pos += length
             elif op == cigar.OP_X or op == cigar.OP_M:
@@ -109,23 +116,54 @@ def induce_graph(
             elif op == cigar.OP_D:
                 t_pos += length
 
-    # Resolve every base to (class root, orientation).
     roots = np.empty(total, np.int64)
     orient = np.empty(total, np.uint8)
-    for i in range(total):
-        r, p = uf.find_oriented(i)
-        roots[i] = r
-        orient[i] = p
+    from impg_tpu.io import native as native_mod
+
+    lib = native_mod.load()
+    if lib is not None and hasattr(lib, "uf_union_runs"):
+        h = lib.uf_create(total)
+        try:
+            lib.uf_union_runs(
+                h,
+                np.asarray(run_a, np.int64),
+                np.asarray(run_dir, np.int8),
+                np.asarray(run_b, np.int64),
+                np.asarray(run_len_l, np.int64),
+                np.asarray(run_flip, np.uint8),
+                len(run_a),
+            )
+            lib.uf_find_all(h, roots, orient, total)
+        finally:
+            lib.uf_destroy(h)
+    else:
+        uf = _BidirectedUF(total)
+        for a, d, b, ln, fl in zip(
+            run_a, run_dir, run_b, run_len_l, run_flip
+        ):
+            for i in range(ln):
+                uf.union(a + d * i, b + i, fl)
+        for i in range(total):
+            r, p = uf.find_oriented(i)
+            roots[i] = r
+            orient[i] = p
 
     # Class -> node id; node base = root's base (canonical orientation = the
-    # root's own orientation).
-    all_bases = b"".join(seqs[n] for n in names)
-    class_ids: dict[int, int] = {}
-    node_base: list[int] = []
-    for r in roots:
-        if int(r) not in class_ids:
-            class_ids[int(r)] = len(node_base)
-            node_base.append(all_bases[int(r)])
+    # root's own orientation).  Vectorized: classes in first-occurrence
+    # order (matching the previous per-base scan), bases gathered by root.
+    all_bases = np.frombuffer(
+        b"".join(seqs[n] for n in names), np.uint8
+    )
+    uniq_roots, first_idx, inverse = np.unique(
+        roots, return_index=True, return_inverse=True
+    )
+    order = np.argsort(first_idx)  # first-occurrence order
+    rank_of_sorted = np.empty(uniq_roots.size, np.int64)
+    rank_of_sorted[order] = np.arange(uniq_roots.size)
+    cls = rank_of_sorted[inverse]  # class id per base
+    node_base_arr = np.empty(uniq_roots.size, np.uint8)
+    node_base_arr[rank_of_sorted] = all_bases[uniq_roots]
+    node_base = node_base_arr.tolist()
     n_nodes = len(node_base)
 
     # Per-sequence walks: (node, orientation) per base.
@@ -133,13 +171,16 @@ def induce_graph(
     edges: set[tuple[int, int, int, int]] = set()
     for n in names:
         off = offsets[n]
-        walk = []
-        for i in range(len(seqs[n])):
-            g = off + i
-            walk.append((class_ids[int(roots[g])], int(orient[g])))
-        walks[n] = walk
-        for (a, ao), (b, bo) in zip(walk, walk[1:]):
-            edges.add((a, ao, b, bo))
+        L = len(seqs[n])
+        wc = cls[off : off + L]
+        wo = orient[off : off + L].astype(np.int64)
+        walks[n] = list(zip(wc.tolist(), wo.tolist()))
+        if L > 1:
+            quad = np.stack(
+                [wc[:-1], wo[:-1], wc[1:], wo[1:]], axis=1
+            )
+            for a, ao, b, bo in np.unique(quad, axis=0).tolist():
+                edges.add((int(a), int(ao), int(b), int(bo)))
 
     # Unchop: merge chains of single-base nodes where the edge is the unique
     # continuation in both directions (same logic as graph/poa.py, on the

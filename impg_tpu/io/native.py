@@ -21,7 +21,7 @@ _load_attempted = False
 
 
 def _build() -> bool:
-    srcs = [os.path.join(_NATIVE_DIR, f) for f in ("paf_parser.cpp", "poa.cpp", "align.cpp")]
+    srcs = [os.path.join(_NATIVE_DIR, f) for f in ("paf_parser.cpp", "poa.cpp", "align.cpp", "seqwish_uf.cpp")]
     if not all(os.path.exists(s) for s in srcs):
         return False
     try:
@@ -47,7 +47,7 @@ def load():
     if not os.path.exists(_SO_PATH) or (
         os.path.exists(os.path.join(_NATIVE_DIR, "paf_parser.cpp"))
         and os.path.getmtime(_SO_PATH)
-        < max(os.path.getmtime(os.path.join(_NATIVE_DIR, f)) for f in ("paf_parser.cpp", "poa.cpp", "align.cpp"))
+        < max(os.path.getmtime(os.path.join(_NATIVE_DIR, f)) for f in ("paf_parser.cpp", "poa.cpp", "align.cpp", "seqwish_uf.cpp"))
     ):
         if not _build():
             return None
@@ -94,6 +94,20 @@ def load():
     lib.impg_paf_names_buf.argtypes = [ctypes.c_void_p]
     lib.impg_paf_free.restype = None
     lib.impg_paf_free.argtypes = [ctypes.c_void_p]
+
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.uf_create.restype = ctypes.c_void_p
+    lib.uf_create.argtypes = [ctypes.c_int64]
+    lib.uf_destroy.restype = None
+    lib.uf_destroy.argtypes = [ctypes.c_void_p]
+    lib.uf_union_runs.restype = None
+    lib.uf_union_runs.argtypes = [
+        ctypes.c_void_p, i64p, i8p, i64p, i64p, u8p, ctypes.c_int64,
+    ]
+    lib.uf_find_all.restype = None
+    lib.uf_find_all.argtypes = [ctypes.c_void_p, i64p, u8p, ctypes.c_int64]
 
     _lib = lib
     return _lib
