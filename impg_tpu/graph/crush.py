@@ -101,6 +101,13 @@ def crush_gfa(
     g0 = Gfa.parse(gfa_text)
     stats.nodes_before = len(g0.segments)
     stats.bp_before = sum(len(s) for s in g0.segments.values())
+    # Pre-groom (spelling-preserving majority-orientation flips): paths
+    # that traverse the shared backbone reverse-complemented become
+    # forward walks, so they can participate in anchor slicing instead of
+    # forcing the do-no-harm no-op below.
+    from impg_tpu.graph.sortgfa import groom
+
+    gfa_text = groom(g0).write()
 
     def spell_all(g: Gfa):
         return {
