@@ -45,9 +45,13 @@ class ShardedIndex:
     window_iters: int
     rec_base: np.ndarray  # int64 [n_shards] — global record offset per shard
     r_pad: int
+    tp: dict | None = None  # per-shard tracepoint arrays (approximate mode)
+    tp_spacing: int = 0
 
     @classmethod
-    def build(cls, index: ImpgIndex, n_shards: int) -> "ShardedIndex":
+    def build(
+        cls, index: ImpgIndex, n_shards: int, with_tracepoints: bool = False
+    ) -> "ShardedIndex":
         n = len(index.records)
         n_seqs = len(index.seq_index)
         max_ops = int(index.records.op_cnt.max()) if n else 1
@@ -113,6 +117,63 @@ class ShardedIndex:
                 padded[: part.size] = part
                 shard_arena[k].append(padded)
 
+        tp_dict = None
+        tp_spacing = 0
+        if with_tracepoints:
+            # Shard the tracepoint arena exactly like the run arena:
+            # per-record boundary slices gathered contiguously with
+            # shard-local seg offsets (query/device.py DeviceIndex tp).
+            tpa = index.ensure_tracepoints()
+            tp_spacing = tpa.spacing
+            tp_cols = {
+                k: [] for k in (
+                    "seg_off", "n_seg", "q_bound", "pre_diffs",
+                    "pre_aligned", "q_start", "q_end",
+                )
+            }
+            bound_parts = []
+            for sh in range(n_shards):
+                lo, hi = int(bounds[sh]), int(bounds[sh + 1])
+                cnt = hi - lo
+                n_seg = tpa.n_seg[lo:hi].astype(np.int64)
+                n_bound = n_seg + 1
+                local_off = np.concatenate(
+                    [np.zeros(1, np.int64), np.cumsum(n_bound)]
+                )
+                gather = np.concatenate(
+                    [
+                        np.arange(o, o + c, dtype=np.int64)
+                        for o, c in zip(tpa.seg_off[lo:hi], n_bound)
+                    ]
+                    or [np.zeros(0, np.int64)]
+                )
+                bound_parts.append(gather)
+                col = np.zeros(r_pad, np.int32)
+                col[:cnt] = local_off[:-1].astype(np.int32)
+                tp_cols["seg_off"].append(col)
+                col = np.zeros(r_pad, np.int32)
+                col[:cnt] = n_seg.astype(np.int32)
+                tp_cols["n_seg"].append(col)
+                for key, arr in (
+                    ("q_start", index.records.q_start),
+                    ("q_end", index.records.q_end),
+                ):
+                    col = np.zeros(r_pad, np.int32)
+                    col[:cnt] = arr[lo:hi].astype(np.int32)
+                    tp_cols[key].append(col)
+            b_pad = max(1, max(g.size for g in bound_parts))
+            for gather in bound_parts:
+                for key, arr in (
+                    ("q_bound", tpa.q_bound),
+                    ("pre_diffs", tpa.pre_diffs),
+                    ("pre_aligned", tpa.pre_aligned),
+                ):
+                    part = arr[gather].astype(np.int32)
+                    padded = np.zeros(b_pad, np.int32)
+                    padded[: part.size] = part
+                    tp_cols[key].append(padded)
+            tp_dict = {k: np.stack(v) for k, v in tp_cols.items()}
+
         return cls(
             rec={k: np.stack(v) for k, v in shard_rec.items()},
             arena={k: np.stack(v) for k, v in shard_arena.items()},
@@ -121,6 +182,8 @@ class ShardedIndex:
             window_iters=device_mod._iters_for(max_tree),
             rec_base=bounds[:-1],
             r_pad=r_pad,
+            tp=tp_dict,
+            tp_spacing=tp_spacing,
         )
 
 
@@ -132,11 +195,14 @@ def make_sharded_query_step(mesh: Mesh, axis: str = "shard"):
     arrays carry a leading shard axis (all-gathered, replicated).
     """
 
-    def step(rec, arena, q_tid, q_s, q_e, *, k_max, clip_overlap,
-             search_iters, window_iters, r_pad):
-        def local(rec_l, arena_l, q_tid_l, q_s_l, q_e_l):
+    def step(rec, arena, tp, q_tid, q_s, q_e, *, k_max, clip_overlap,
+             search_iters, window_iters, r_pad, tp_spacing):
+        def local(rec_l, arena_l, tp_l, q_tid_l, q_s_l, q_e_l):
             rec_l = {k: v[0] for k, v in rec_l.items()}
             arena_l = {k: v[0] for k, v in arena_l.items()}
+            tp_local = (
+                {k: v[0] for k, v in tp_l.items()} if tp_l else None
+            )
             tgt_offsets = rec_l.pop("tgt_offsets")
             out = device_mod._query_core(
                 rec=dict(rec_l, tgt_offsets=tgt_offsets),
@@ -149,6 +215,8 @@ def make_sharded_query_step(mesh: Mesh, axis: str = "shard"):
                 search_iters=search_iters,
                 window_iters=window_iters,
                 n_records=r_pad,
+                tp=tp_local,
+                tp_spacing=tp_spacing,
             )
             mat = device_mod.pack_result(out)
             return jax.lax.all_gather(mat, axis)
@@ -156,15 +224,16 @@ def make_sharded_query_step(mesh: Mesh, axis: str = "shard"):
         return jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(axis), P(axis), P(), P(), P()),
+            in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
             out_specs=P(),
             check_vma=False,
-        )(rec, arena, q_tid, q_s, q_e)
+        )(rec, arena, tp, q_tid, q_s, q_e)
 
     return jax.jit(
         step,
         static_argnames=(
-            "k_max", "clip_overlap", "search_iters", "window_iters", "r_pad"
+            "k_max", "clip_overlap", "search_iters", "window_iters",
+            "r_pad", "tp_spacing",
         ),
     )
 
@@ -177,13 +246,16 @@ class ShardedEngine:
         index: ImpgIndex,
         mesh: Mesh | None = None,
         initial_capacity: int = 32,
+        with_tracepoints: bool = False,
     ):
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), ("shard",))
         self.mesh = mesh
         self.index = index
         n_shards = int(np.prod(mesh.devices.shape))
-        self.sharded = ShardedIndex.build(index, n_shards)
+        self.sharded = ShardedIndex.build(
+            index, n_shards, with_tracepoints=with_tracepoints
+        )
         self.k_max = initial_capacity
         self._step = make_sharded_query_step(mesh)
         axis = mesh.axis_names[0]
@@ -194,6 +266,18 @@ class ShardedEngine:
         self.arena = {
             k: jax.device_put(v, shard0) for k, v in self.sharded.arena.items()
         }
+        self.tp = (
+            {
+                k: jax.device_put(v, shard0)
+                for k, v in self.sharded.tp.items()
+            }
+            if self.sharded.tp is not None
+            else None
+        )
+
+    @property
+    def supports_approximate(self) -> bool:
+        return self.tp is not None
 
     def query_batch_stream(
         self,
@@ -210,9 +294,9 @@ class ShardedEngine:
         `chunk` (one compiled executable per shape); `pair_q` is offset
         into the full batch.  Approximate (tracepoint) mode is
         single-chip-only for now."""
-        if approximate:
-            raise NotImplementedError(
-                "approximate mode is not sharded yet; use DeviceEngine"
+        if approximate and self.tp is None:
+            raise ValueError(
+                "approximate mode needs ShardedEngine(with_tracepoints=True)"
             )
         q_tid = np.asarray(q_tid, np.int32)
         q_s = np.asarray(q_s, np.int32)
@@ -227,7 +311,9 @@ class ShardedEngine:
             pad_t[:cnt] = q_tid[off:end]
             pad_s[:cnt] = q_s[off:end]
             pad_e[:cnt] = q_e[off:end]
-            out = self.query_batch(pad_t, pad_s, pad_e, clip_overlap)
+            out = self.query_batch(
+                pad_t, pad_s, pad_e, clip_overlap, approximate
+            )
             out["pair_q"] = out["pair_q"] + off
             yield out
 
@@ -235,21 +321,24 @@ class ShardedEngine:
         self, q_tid, q_s, q_e, clip_overlap: bool = False,
         approximate: bool = False,
     ) -> dict:
-        if approximate:
-            raise NotImplementedError(
-                "approximate mode is not sharded yet; use DeviceEngine"
+        if approximate and self.tp is None:
+            raise ValueError(
+                "approximate mode needs ShardedEngine(with_tracepoints=True)"
             )
         q_tid = jnp.asarray(q_tid, jnp.int32)
         q_s = jnp.asarray(q_s, jnp.int32)
         q_e = jnp.asarray(q_e, jnp.int32)
         while True:
             mat = self._step(
-                self.rec, self.arena, q_tid, q_s, q_e,
+                self.rec, self.arena,
+                (self.tp if approximate else {}),
+                q_tid, q_s, q_e,
                 k_max=self.k_max,
                 clip_overlap=clip_overlap,
                 search_iters=self.sharded.search_iters,
                 window_iters=self.sharded.window_iters,
                 r_pad=self.sharded.r_pad,
+                tp_spacing=self.sharded.tp_spacing,
             )
             mat_host = np.asarray(mat)  # [n_shards, n_fields + 1, B*K]
             k_needed = int(mat_host[:, -1, 0].max())
@@ -270,4 +359,8 @@ class ShardedEngine:
                     col = col + self.sharded.rec_base[s]
                 parts.append(col)
             out_flat[k] = np.concatenate(parts)
-        return out_flat
+        # Canonical single-chip hit order — (query, global record) — so the
+        # order-sensitive visited bookkeeping of the transitive walkers sees
+        # exactly the same sequence as DeviceEngine/host.
+        order = np.lexsort((out_flat["pair_rec"], out_flat["pair_q"]))
+        return {k: v[order] for k, v in out_flat.items()}

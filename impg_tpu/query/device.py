@@ -447,6 +447,10 @@ class DeviceEngine:
             initial_capacity = 1 << _iters_for(min(max_tree, 128))
         self.k_max = initial_capacity
 
+    @property
+    def supports_approximate(self) -> bool:
+        return self.dindex.tp is not None
+
     def query_batch(
         self,
         q_tid: np.ndarray,

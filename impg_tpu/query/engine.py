@@ -403,10 +403,7 @@ def query_transitive_bfs(
         # ── batched stab + projection over the whole depth ──
         use_device = device_engine is not None and (
             not approximate
-            or getattr(
-                getattr(device_engine, "dindex", None), "tp", None
-            )
-            is not None
+            or getattr(device_engine, "supports_approximate", False)
         )
         step = (
             _depth_step_device(
@@ -512,10 +509,7 @@ def query_transitive_bfs_many(
         flat = [(tid, s, e) for (_, tid, s, e) in current]
         use_device = device_engine is not None and (
             not approximate
-            or getattr(
-                getattr(device_engine, "dindex", None), "tp", None
-            )
-            is not None
+            or getattr(device_engine, "supports_approximate", False)
         )
         if use_device:
             # Streaming: each chunk's bookkeeping overlaps the device

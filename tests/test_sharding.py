@@ -128,3 +128,42 @@ def test_transitive_bfs_over_sharded_engine():
             (r.q_id, r.q_first, r.q_last, r.t_id, r.t_first, r.t_last)
             for r in w
         ]
+
+
+def test_sharded_approximate_mode():
+    """Approximate (tracepoint) projection over the mesh matches the
+    single-chip DeviceEngine's approximate results."""
+    import random
+
+    from impg_tpu.parallel.sharding import ShardedEngine
+    from impg_tpu.query import engine
+    from impg_tpu.query.device import DeviceEngine
+    from tests import datagen
+    from tests.test_query import index_from_text
+
+    rng = random.Random(23)
+    text, seqs, alns = datagen.random_paf(rng, n_seqs=5, n_alns=30, n_ops=10)
+    index = index_from_text(text)
+    index.ensure_tracepoints(100)
+    sh = ShardedEngine(index, with_tracepoints=True)
+    assert sh.supports_approximate
+    dev = DeviceEngine(index, with_tracepoints=True)
+    walks = []
+    for name, L in list(seqs.items())[:3]:
+        sid = index.seq_index.get_id(name)
+        walks.append((sid, L // 5, 4 * L // 5))
+    got = engine.query_transitive_bfs_many(
+        index, walks, max_depth=2, device_engine=sh, approximate=True
+    )
+    want = engine.query_transitive_bfs_many(
+        index, walks, max_depth=2, device_engine=dev, approximate=True
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert [
+            (r.q_id, r.q_first, r.q_last, r.t_id, r.t_first, r.t_last)
+            for r in g
+        ] == [
+            (r.q_id, r.q_first, r.q_last, r.t_id, r.t_first, r.t_last)
+            for r in w
+        ]
