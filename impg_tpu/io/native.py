@@ -21,7 +21,7 @@ _load_attempted = False
 
 
 def _build() -> bool:
-    srcs = [os.path.join(_NATIVE_DIR, f) for f in ("paf_parser.cpp", "poa.cpp", "align.cpp", "seqwish_uf.cpp")]
+    srcs = [os.path.join(_NATIVE_DIR, f) for f in ("paf_parser.cpp", "poa.cpp", "align.cpp", "seqwish_uf.cpp", "gbwt.cpp")]
     if not all(os.path.exists(s) for s in srcs):
         return False
     try:
@@ -47,7 +47,7 @@ def load():
     if not os.path.exists(_SO_PATH) or (
         os.path.exists(os.path.join(_NATIVE_DIR, "paf_parser.cpp"))
         and os.path.getmtime(_SO_PATH)
-        < max(os.path.getmtime(os.path.join(_NATIVE_DIR, f)) for f in ("paf_parser.cpp", "poa.cpp", "align.cpp", "seqwish_uf.cpp"))
+        < max(os.path.getmtime(os.path.join(_NATIVE_DIR, f)) for f in ("paf_parser.cpp", "poa.cpp", "align.cpp", "seqwish_uf.cpp", "gbwt.cpp"))
     ):
         if not _build():
             return None
@@ -108,6 +108,26 @@ def load():
     ]
     lib.uf_find_all.restype = None
     lib.uf_find_all.argtypes = [ctypes.c_void_p, i64p, u8p, ctypes.c_int64]
+
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    lib.impg_gbwt_build.restype = ctypes.c_void_p
+    lib.impg_gbwt_build.argtypes = [ctypes.c_int64, i64p, i32p, u64p, ctypes.c_int32]
+    lib.impg_gbwt_destroy.restype = None
+    lib.impg_gbwt_destroy.argtypes = [ctypes.c_void_p]
+    lib.impg_gbwt_num_steps.restype = ctypes.c_int64
+    lib.impg_gbwt_num_steps.argtypes = [ctypes.c_void_p]
+    lib.impg_gbwt_node_count.restype = ctypes.c_int64
+    lib.impg_gbwt_node_count.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.impg_gbwt_match_walk.restype = ctypes.c_int64
+    lib.impg_gbwt_match_walk.argtypes = [
+        ctypes.c_void_p, i32p, u64p, ctypes.c_int64, i64p, i64p, i64p,
+    ]
+    lib.impg_gbwt_locate_segment.restype = ctypes.c_int64
+    lib.impg_gbwt_locate_segment.argtypes = [
+        ctypes.c_void_p, i32p, u64p, ctypes.c_int64, ctypes.c_int64,
+        i32p, i64p, i8p, ctypes.c_int64,
+    ]
 
     _lib = lib
     return _lib
