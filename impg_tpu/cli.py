@@ -915,10 +915,42 @@ def cmd_map(args) -> int:
     reads = []
     for entry in args.reads:
         reads.extend(x for x in entry.split(",") if x)
+    if args.output_format in ("gaf", "paf") and args.alignment and not args.graph:
+        # Syng-index read mapping (reference main.rs:719 map -o gaf|paf):
+        # GAF rows carry the signed syncmer-node walk (syng-gaf-walk read
+        # space); PAF rows are anchor-chained projections onto indexed paths.
+        from impg_tpu.syng import map as syng_map
+
+        index = SyngIndex.load(args.alignment)
+        out = open(args.output, "w") if args.output else sys.stdout
+        try:
+            n = 0
+            if args.output_format == "gaf":
+                rows = syng_map.map_reads_gaf(
+                    index, reads, min_anchors=args.min_anchors
+                )
+            else:
+                rows = syng_map.map_reads_paf(
+                    index, reads,
+                    min_anchors=args.min_anchors,
+                    chain_budget=args.chain_budget,
+                )
+            for line in rows:
+                out.write(line + "\n")
+                n += 1
+            print(
+                f"Mapped reads -> {n} {args.output_format.upper()} row(s)",
+                file=sys.stderr,
+            )
+        finally:
+            if out is not sys.stdout:
+                out.close()
+        return 0
     if args.output_format in ("gaf", "graph-pack-tsv") or args.graph:
         if not args.graph:
             print(
-                "error: -o gaf/graph-pack-tsv needs --graph", file=sys.stderr
+                "error: -o gaf/graph-pack-tsv needs --graph or -a",
+                file=sys.stderr,
             )
             return 2
         from impg_tpu.genotype import graph as graph_mod
@@ -1798,6 +1830,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_map.add_argument("-O", "--output",
                        help="Output path (default stdout for gaf)")
+    p_map.add_argument(
+        "--min-anchors", type=int, default=1,
+        help="Minimum matched syncmer anchors to emit a mapping",
+    )
+    p_map.add_argument(
+        "--chain-budget", type=int, default=10_000,
+        help="Anchor chaining gap budget for -o paf",
+    )
     p_map.set_defaults(func=cmd_map)
 
     p_gt = sub.add_parser(

@@ -235,6 +235,26 @@ class SyngIndex:
         per occurrence — the shared front half of raw-mode and chained
         transitive queries (syng.rs:4301/4494 anchor collection)."""
         positions, ids, fwd = self.region_syncmers(name, start, end)
+        return self.occurrences_for_syncmers(
+            positions, ids, fwd,
+            drop_top_fraction=drop_top_fraction,
+            max_occurrences=max_occurrences,
+            exclude_self=None if include_self else (name, True),
+        )
+
+    def occurrences_for_syncmers(
+        self,
+        positions: np.ndarray,
+        ids: np.ndarray,
+        fwd: np.ndarray,
+        drop_top_fraction: float = 0.0005,
+        max_occurrences: int | None = None,
+        exclude_self: tuple[str, bool] | None = None,
+    ):
+        """Seed-filtered occurrences for an arbitrary query syncmer set —
+        the read-mapping primitive (syng.rs:4369
+        matched_syncmers_in_sequence feeding query_region_from_node
+        _positions): the query need not be an indexed path."""
         if ids.size == 0:
             z = np.zeros(0, np.int64)
             return z, z.astype(np.int32), z, np.zeros(0, bool)
@@ -282,8 +302,10 @@ class SyngIndex:
         rel_fwd = o_fwd == fwd[q_of_occ]
         q_abs = positions[q_of_occ]
 
-        qname_id = self.seq_index.get_id(name)
-        if not include_self and qname_id is not None:
+        qname_id = (
+            self.seq_index.get_id(exclude_self[0]) if exclude_self else None
+        )
+        if qname_id is not None:
             self_hit = (o_seq == qname_id) & (o_pos == q_abs)
             keep_occ = ~self_hit
             q_abs, o_seq, o_pos, rel_fwd = (

@@ -53,6 +53,28 @@ def chain_region(
         drop_top_fraction=drop_top_fraction,
         max_occurrences=max_occurrences,
     )
+    return chain_occurrences(
+        syng, q_abs, o_seq, o_pos, rel_fwd, start, end,
+        scaffold_gap=scaffold_gap,
+        min_anchors=min_anchors,
+        extend_budget=extend_budget,
+    )
+
+
+def chain_occurrences(
+    syng: SyngIndex,
+    q_abs: np.ndarray,
+    o_seq: np.ndarray,
+    o_pos: np.ndarray,
+    rel_fwd: np.ndarray,
+    start: int,
+    end: int,
+    scaffold_gap: int = 10_000,
+    min_anchors: int = 3,
+    extend_budget: int = 1_000,
+) -> list[SyngChain]:
+    """Chain pre-gathered anchor occurrences (query frame [start, end)) —
+    shared by indexed-region chains and external read mapping."""
     if o_seq.size == 0:
         return []
     k = syng.syncmer_len

@@ -401,3 +401,83 @@ def test_infer_write_haplotypes(panel, tmp_path):
         "-w", "4000", "--write-haplotypes", out_prefix,
     )
     assert r.returncode == 2
+
+
+def test_cli_syng_map_gaf(panel, tmp_path):
+    """map -o gaf on a syng index: syng-gaf-walk rows (main.rs:516)."""
+    tmp, fa, idx, seq_data, fastq = panel
+    prefix = str(tmp_path / "pan")
+    r = run_cli("syng", "-f", fa, "-o", prefix)
+    assert r.returncode == 0, r.stderr
+    # Long reads so each carries a real walk.
+    rng = random.Random(5)
+    reads_fa = tmp_path / "long.fa"
+    with open(reads_fa, "w") as fh:
+        for i in range(20):
+            s = rng.randint(0, len(seq_data["ref"]) - 800)
+            fh.write(f">lr{i}\n{seq_data['ref'][s:s+800]}\n")
+    gaf = tmp_path / "reads.gaf"
+    r = run_cli(
+        "map", "-a", prefix + ".syngt", "-q", str(reads_fa),
+        "-o", "gaf", "-O", str(gaf),
+    )
+    assert r.returncode == 0, r.stderr
+    rows = [l.split("\t") for l in gaf.read_text().splitlines()]
+    assert len(rows) >= 15
+    for f in rows:
+        assert f[4] == "+"
+        assert f[5][0] in "><"  # signed node walk
+        assert int(f[1]) == 800
+        assert 0 <= int(f[2]) < int(f[3]) <= 800
+        tags = {t.split(":")[0]: t for t in f[12:]}
+        assert "an" in tags and "sk" in tags and "qp" in tags
+        n_nodes = f[5].count(">") + f[5].count("<")
+        assert int(tags["an"].split(":")[2]) == n_nodes
+        # qp positions: one per walk node, increasing.
+        qp = [int(x) for x in tags["qp"].split(",")[1:]]
+        assert len(qp) == n_nodes
+        assert qp == sorted(qp)
+
+
+def test_cli_syng_map_paf(panel, tmp_path):
+    """map -o paf on a syng index: chained anchor projections."""
+    tmp, fa, idx, seq_data, fastq = panel
+    prefix = str(tmp_path / "pan2")
+    r = run_cli("syng", "-f", fa, "-o", prefix)
+    assert r.returncode == 0, r.stderr
+    rng = random.Random(6)
+    s = rng.randint(0, len(seq_data["ref"]) - 2000)
+    reads_fa = tmp_path / "frag.fa"
+    reads_fa.write_text(f">frag\n{seq_data['ref'][s:s+2000]}\n")
+    paf = tmp_path / "frag.paf"
+    r = run_cli(
+        "map", "-a", prefix + ".syngt", "-q", str(reads_fa),
+        "-o", "paf", "-O", str(paf), "--min-anchors", "3",
+    )
+    assert r.returncode == 0, r.stderr
+    rows = [l.split("\t") for l in paf.read_text().splitlines()]
+    assert rows, "expected at least one projection"
+    # The top hit must be the source locus on ref.
+    top = rows[0]
+    assert top[0] == "frag" and top[5] == "ref"
+    t0, t1 = int(top[7]), int(top[8])
+    assert abs(t0 - s) < 200 and abs(t1 - (s + 2000)) < 200
+    assert top[4] == "+"
+    # Rows are valid PAF: query/target spans positive, anchors tagged.
+    for f in rows:
+        assert int(f[2]) < int(f[3]) and int(f[7]) < int(f[8])
+        assert any(t.startswith("an:i:") for t in f[12:])
+
+
+def test_map_rc_read_projects_reverse(panel, tmp_path):
+    """An RC fragment maps to ref with '-' strand via chained anchors."""
+    from impg_tpu.io.fasta import reverse_complement
+    from impg_tpu.syng import map as syng_map
+
+    tmp, fa, idx, seq_data, fastq = panel
+    frag = reverse_complement(seq_data["ref"][3000:5000].encode())
+    rows = syng_map.map_read(idx, "rcread", frag, min_anchors=3)
+    assert rows
+    top = rows[0].split("\t")
+    assert top[5] == "ref" and top[4] == "-"
+    assert abs(int(top[7]) - 3000) < 200 and abs(int(top[8]) - 5000) < 200
