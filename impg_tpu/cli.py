@@ -1013,6 +1013,16 @@ def cmd_map(args) -> int:
 
         os.makedirs(args.output, exist_ok=True)
         pack.save(os.path.join(args.output, "sample.packt"))
+        # GAF walk payload (projection.rs:53 read_space "syng-gaf-walk"):
+        # the bundle carries each read's signed syncmer-node walk so infer
+        # can replay GBWT-MEM read evidence without the raw reads.
+        from impg_tpu.syng import map as syng_map
+
+        n_gaf = 0
+        with open(os.path.join(args.output, "sample.gaf"), "w") as fh:
+            for row in syng_map.map_reads_gaf(index, reads):
+                fh.write(row + "\n")
+                n_gaf += 1
         with open(os.path.join(args.output, "manifest.json"), "w") as fh:
             json.dump(
                 dict(
@@ -1025,7 +1035,9 @@ def cmd_map(args) -> int:
                     n_reads=n_reads,
                     n_matched_syncmers=n_matched,
                     n_features=int(pack.feature_ids.size),
-                    files=dict(pack="sample.packt"),
+                    read_space="syng-gaf-walk",
+                    n_gaf_records=n_gaf,
+                    files=dict(pack="sample.packt", gaf="sample.gaf"),
                 ),
                 fh,
                 indent=2,
@@ -1359,6 +1371,7 @@ def cmd_infer(args) -> int:
         read_index=read_index,
         read_link_weight=args.read_link_weight,
         min_read_link_anchors=args.min_read_link_anchors,
+        gaf_path=args.gaf,
     )
     if not windows:
         print("error: no calls produced for region", file=sys.stderr)
@@ -1956,6 +1969,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_inf.add_argument("--read-link-weight", type=float, default=0.0)
     p_inf.add_argument("--min-read-link-anchors", type=int, default=3)
+    p_inf.add_argument(
+        "--gaf",
+        help="syng-gaf-walk read GAF (from `map -o gaf`) for GBWT-MEM "
+        "read-walk rewards (scaled by --read-link-weight)",
+    )
     p_inf.add_argument(
         "--write-haplotypes", metavar="PREFIX",
         help="Write PREFIX_hapN.fa spelling the stitched mosaic "

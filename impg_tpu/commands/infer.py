@@ -178,6 +178,222 @@ def _read_link_rewards(
     }
 
 
+def _candidate_walk(index: SyngIndex, universe, genome: str, start: int, end: int):
+    """The candidate interval's signed dense-node walk + bp positions."""
+    import numpy as np
+
+    pos, ids, fwd = index.region_syncmers(genome, start, end)
+    if not ids.size:
+        return np.zeros(0, np.int32), pos
+    dense = (np.searchsorted(universe, ids) + 1).astype(np.int32)
+    return np.where(fwd, dense, -dense).astype(np.int32), pos
+
+
+def _overlap_len(
+    r_nodes, r_bpos, mem_start, mem_end, read_start, c_nodes, c_bpos, cand_start
+) -> int:
+    """Longest offset-consistent run around one matched node (infer.rs:886
+    candidate_mem_overlap_len): extend left/right while read and candidate
+    walks agree on node AND bp offset, within the MEM bounds."""
+    if (
+        read_start >= mem_end
+        or cand_start >= len(c_nodes)
+        or r_nodes[read_start] != c_nodes[cand_start]
+    ):
+        return 0
+    rl, cl = read_start, cand_start
+    while rl > mem_start and cl > 0:
+        if r_nodes[rl - 1] != c_nodes[cl - 1]:
+            break
+        if r_bpos[rl] - r_bpos[rl - 1] != c_bpos[cl] - c_bpos[cl - 1]:
+            break
+        rl -= 1
+        cl -= 1
+    rr, cr = read_start, cand_start
+    while rr + 1 < mem_end and cr + 1 < len(c_nodes):
+        if r_nodes[rr + 1] != c_nodes[cr + 1]:
+            break
+        if r_bpos[rr + 1] - r_bpos[rr] != c_bpos[cr + 1] - c_bpos[cr]:
+            break
+        rr += 1
+        cr += 1
+    return rr - rl + 1
+
+
+def _lis_len(values) -> int:
+    import bisect
+
+    tails: list = []
+    for v in values:
+        i = bisect.bisect_left(tails, v)
+        if i == len(tails):
+            tails.append(v)
+        else:
+            tails[i] = v
+    return len(tails)
+
+
+def gaf_read_walk_rewards(
+    index: SyngIndex,
+    gaf_path: str,
+    windows: list[WindowCall],
+    weight: float,
+    min_anchors: int = 3,
+) -> None:
+    """Per-candidate rewards from a syng-gaf-walk read GAF via GBWT MEMs
+    (infer.rs:996 build_read_walk_evidence).
+
+    Every GAF row's signed-node walk is MEM-matched against the index's
+    GBWT in both orientations; each MEM's steps are looked up in the
+    candidate walks, scored by the longest offset-consistent overlap run,
+    thresholded at `min_anchors`, normalized per read across supported
+    candidates, and folded into the reward formula
+    ``weight * 10 * log10(1 + anchor_weight)`` (infer.rs:1094).  Rows
+    without a ``qp:B:I`` tag fall back to orientation-aware LIS hits
+    (infer.rs:871 add_whole_walk_hits).
+    """
+    import gzip
+    import math
+
+    import numpy as np
+
+    from impg_tpu.syng.gbwt import gbwt_for_index
+    from impg_tpu.syng.map import index_universe
+
+    gbwt = gbwt_for_index(index)
+    universe = index_universe(index)
+    syncmer_len = index.syncmer_len
+
+    walk_index: dict[int, list[tuple[int, int, int]]] = {}
+    cand_walks: dict[tuple[int, int], tuple] = {}
+    for wi, w in enumerate(windows):
+        for ci, cand in enumerate(w.candidates):
+            nodes, bpos = _candidate_walk(
+                index, universe, cand.genome, cand.start, cand.end
+            )
+            cand_walks[(wi, ci)] = (nodes, bpos)
+            for p, n in enumerate(nodes.tolist()):
+                walk_index.setdefault(n, []).append((wi, ci, p))
+    if not walk_index:
+        return
+
+    def _mem_hits(counts, nodes, bpos, mems):
+        for mem in mems:
+            best: dict[tuple[int, int], int] = {}
+            for ri in range(mem.step_start, mem.step_end):
+                occs = walk_index.get(int(nodes[ri]))
+                if not occs:
+                    continue
+                for wi, ci, p in occs:
+                    c_nodes, c_bpos = cand_walks[(wi, ci)]
+                    ov = _overlap_len(
+                        nodes, bpos, mem.step_start, mem.step_end, ri,
+                        c_nodes, c_bpos, p,
+                    )
+                    key = (wi, ci)
+                    if ov > best.get(key, 0):
+                        best[key] = ov
+            for key, anchors in best.items():
+                if anchors > 0:
+                    counts[key] = counts.get(key, 0) + anchors
+
+    def _whole_walk_hits(counts, signed_nodes):
+        for oriented in (signed_nodes, [-n for n in reversed(signed_nodes)]):
+            per_cand: dict[tuple[int, int], list[int]] = {}
+            for n in oriented:
+                for wi, ci, p in walk_index.get(n, ()):
+                    per_cand.setdefault((wi, ci), []).append(p)
+            for key, positions in per_cand.items():
+                matched = _lis_len(positions)
+                if matched:
+                    counts[key] = max(counts.get(key, 0), matched)
+
+    anchor_weight: dict[tuple[int, int], float] = {}
+    opener = gzip.open if gaf_path.endswith(".gz") else open
+    with opener(gaf_path, "rt") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            fields = line.split("\t")
+            if len(fields) < 6:
+                raise ValueError("GAF line has fewer than 6 fields")
+            signed_nodes = _parse_gaf_path(fields[5])
+            qp = None
+            for f in fields[12:]:
+                if f.startswith("qp:B:I"):
+                    body = f[6:].lstrip(",")
+                    qp = [int(x) for x in body.split(",")] if body else []
+                    break
+            counts: dict[tuple[int, int], int] = {}
+            if qp is not None and len(qp) == len(signed_nodes):
+                order = sorted(
+                    range(len(qp)), key=lambda i: (qp[i], signed_nodes[i])
+                )
+                nodes = np.array(
+                    [signed_nodes[i] for i in order], np.int32
+                )
+                bpos = np.array([qp[i] for i in order], np.uint64)
+                _mem_hits(counts, nodes, bpos, gbwt.mems_for_walk(nodes, bpos))
+                qlen = int(fields[1])
+                rev_nodes = (-nodes[::-1]).copy()
+                rev_bpos = np.maximum(
+                    qlen - syncmer_len - bpos[::-1].astype(np.int64), 0
+                ).astype(np.uint64)
+                _mem_hits(
+                    counts, rev_nodes, rev_bpos,
+                    gbwt.mems_for_walk(rev_nodes, rev_bpos),
+                )
+            else:
+                _whole_walk_hits(counts, signed_nodes)
+            # Per-read normalization across supported candidates of a call.
+            by_call: dict[int, list[tuple[int, int]]] = {}
+            for (wi, ci), c in counts.items():
+                if c >= max(min_anchors, 1):
+                    by_call.setdefault(wi, []).append((ci, c))
+            for wi, hits in by_call.items():
+                denom = float(len(hits))
+                for ci, c in hits:
+                    anchor_weight[(wi, ci)] = (
+                        anchor_weight.get((wi, ci), 0.0) + c / denom
+                    )
+
+    for wi, w in enumerate(windows):
+        rewards = {
+            ci: weight * 10.0 * math.log10(1.0 + aw)
+            for (wj, ci), aw in anchor_weight.items()
+            if wj == wi and aw > 0.0
+        }
+        if rewards:
+            if w.rewards:
+                for ci, r in rewards.items():
+                    w.rewards[ci] = w.rewards.get(ci, 0.0) + r
+            else:
+                w.rewards = rewards
+
+
+def _parse_gaf_path(path: str) -> list[int]:
+    """Signed nodes from a '>12<34' GAF walk (infer.rs:642)."""
+    nodes: list[int] = []
+    i = 0
+    while i < len(path):
+        orient = path[i]
+        if orient not in "><":
+            raise ValueError(f"GAF path contains non-orientation byte: {path}")
+        i += 1
+        j = i
+        while j < len(path) and path[j].isdigit():
+            j += 1
+        if j == i:
+            raise ValueError(f"GAF path step missing numeric node: {path}")
+        n = int(path[i:j])
+        if n <= 0:
+            raise ValueError("GAF path node must be positive")
+        nodes.append(-n if orient == "<" else n)
+        i = j
+    return nodes
+
+
 def run_infer(
     index: SyngIndex,
     pack: Pack,
@@ -192,6 +408,7 @@ def run_infer(
     read_index=None,
     read_link_weight: float = 0.0,
     min_read_link_anchors: int = 3,
+    gaf_path: str | None = None,
 ) -> tuple[list[WindowCall], list[tuple], list[MosaicSegment]]:
     windows: list[WindowCall] = []
     pos = start
@@ -220,6 +437,11 @@ def run_infer(
                 index, read_index, w, read_link_weight,
                 min_read_link_anchors,
             )
+    if gaf_path is not None and read_link_weight > 0.0:
+        gaf_read_walk_rewards(
+            index, gaf_path, windows, read_link_weight,
+            min_read_link_anchors,
+        )
     path, _score = stitch(windows, switch_penalty)
     segments = mosaic_segments(windows, path)
     return windows, path, segments

@@ -481,3 +481,79 @@ def test_map_rc_read_projects_reverse(panel, tmp_path):
     top = rows[0].split("\t")
     assert top[5] == "ref" and top[4] == "-"
     assert abs(int(top[7]) - 3000) < 200 and abs(int(top[8]) - 5000) < 200
+
+
+def test_infer_gaf_read_walk_rewards(panel, tmp_path):
+    """--gaf read-walk evidence: GBWT MEMs reward the true sources
+    (infer.rs:996 build_read_walk_evidence)."""
+    from impg_tpu.commands import infer as infer_mod
+    from impg_tpu.syng import map as syng_map
+    from impg_tpu.syng.pack import map_reads
+
+    tmp, fa, idx, seq_data, fastq = panel
+    gaf = tmp_path / "reads.gaf"
+    with open(gaf, "w") as fh:
+        for row in syng_map.map_reads_gaf(idx, [fastq]):
+            fh.write(row + "\n")
+    assert gaf.read_text().strip()
+    pack, _, _ = map_reads(idx, [fastq])
+    windows, path, segments = infer_mod.run_infer(
+        idx, pack, "ref", 0, 12_000, window=4000,
+        read_link_weight=1.0, gaf_path=str(gaf),
+        min_read_link_anchors=1,
+    )
+    assert windows
+    rewarded = [w for w in windows if w.rewards]
+    assert rewarded, "GAF evidence must produce rewards"
+    # The sample is ref+s1; its sources must collect reward mass in some
+    # window ahead of the unrelated haplotypes.
+    total = {}
+    for w in rewarded:
+        for ci, r in w.rewards.items():
+            total[w.candidates[ci].genome] = (
+                total.get(w.candidates[ci].genome, 0.0) + r
+            )
+    assert total
+    best = max(total, key=total.get)
+    assert best in ("ref", "s1"), total
+
+
+def test_cli_infer_gaf(panel, tmp_path):
+    tmp, fa, idx, seq_data, fastq = panel
+    prefix = str(tmp_path / "ig")
+    r = run_cli("syng", "-f", fa, "-o", prefix)
+    assert r.returncode == 0, r.stderr
+    gaf = str(tmp_path / "r.gaf")
+    r = run_cli("map", "-a", prefix + ".syngt", "-q", fastq,
+                "-o", "gaf", "-O", gaf)
+    assert r.returncode == 0, r.stderr
+    packp = str(tmp_path / "s.packt")
+    r = run_cli("map", "-a", prefix + ".syngt", "-q", fastq,
+                "-o", "pack", "-O", packp)
+    assert r.returncode == 0, r.stderr
+    r = run_cli(
+        "infer", "-a", prefix + ".syngt", "-p", packp,
+        "-r", "ref:0-12000", "--gaf", gaf, "--read-link-weight", "0.5",
+        "--min-read-link-anchors", "1",
+    )
+    assert r.returncode == 0, r.stderr
+    lines = [l for l in r.stdout.splitlines() if l.startswith("window")]
+    assert lines
+
+
+def test_proj_bundle_carries_gaf(panel, tmp_path):
+    import json
+
+    tmp, fa, idx, seq_data, fastq = panel
+    prefix = str(tmp_path / "pg")
+    r = run_cli("syng", "-f", fa, "-o", prefix)
+    assert r.returncode == 0, r.stderr
+    bundle = str(tmp_path / "s.proj")
+    r = run_cli("map", "-a", prefix + ".syngt", "-q", fastq, "-o", "proj",
+                "-O", bundle)
+    assert r.returncode == 0, r.stderr
+    manifest = json.load(open(bundle + "/manifest.json"))
+    assert manifest["read_space"] == "syng-gaf-walk"
+    assert manifest["files"]["gaf"] == "sample.gaf"
+    gaf_lines = open(bundle + "/sample.gaf").read().splitlines()
+    assert len(gaf_lines) == manifest["n_gaf_records"] > 0
