@@ -142,7 +142,12 @@ def cmd_query(args) -> int:
     )
     subset_match = subset.matches if subset else None
 
-    out = open(args.output, "w") if args.output else sys.stdout
+    # -o gbwt treats -O as an artifact prefix, not a text stream.
+    out = (
+        open(args.output, "w")
+        if args.output and args.output_format != "gbwt"
+        else sys.stdout
+    )
     fmt = args.output_format
     gfa_stages = []
     if fmt.startswith("gfa:"):
@@ -166,7 +171,7 @@ def cmd_query(args) -> int:
             gfa_stages.append(stage)
     valid_formats = {
         "bed", "bedpe", "paf", "fasta", "fasta+paf", "gfa", "maf",
-        "fasta-aln", "vcf",
+        "fasta-aln", "vcf", "gbwt",
     }
     if fmt not in valid_formats:
         print(
@@ -175,6 +180,23 @@ def cmd_query(args) -> int:
             file=sys.stderr,
         )
         return 2
+    gbwt_sequences = None
+    if fmt == "gbwt":
+        # Region-specific syng index output (main.rs:4904: requires -O and
+        # sequence files); intervals accumulate across all targets.
+        if not args.sequence_files or not args.output:
+            print(
+                "error: -o gbwt requires --sequence-files and -O PREFIX",
+                file=sys.stderr,
+            )
+            return 2
+        from impg_tpu.io.fasta import UnifiedSequenceIndex
+
+        files = []
+        for entry in args.sequence_files:
+            files.extend(x for x in entry.split(",") if x)
+        gbwt_seq_idx = UnifiedSequenceIndex.from_files(files)
+        gbwt_sequences = []
     store_cigar = fmt in ("paf", "bedpe", "fasta+paf")
     if args.approximate and fmt not in ("bed", "bedpe"):
         print(
@@ -449,9 +471,22 @@ def cmd_query(args) -> int:
 
                                 text = norm_mod.normalize_gfa(text)
                     out.write(text)
+            elif fmt == "gbwt":
+                gbwt_sequences.extend(
+                    outputs.collect_region_sequences(
+                        index.seq_index, results, gbwt_seq_idx, merge_distance
+                    )
+                )
             else:
                 print(f"error: unsupported output format '{fmt}'", file=sys.stderr)
                 return 2
+        if gbwt_sequences is not None:
+            path = outputs.write_region_gbwt(gbwt_sequences, args.output)
+            print(
+                f"Wrote region syng index over {len(gbwt_sequences)} "
+                f"interval sequence(s): {path}",
+                file=sys.stderr,
+            )
     finally:
         if out is not sys.stdout:
             out.close()
@@ -835,18 +870,38 @@ def _syng_query(args, merge_distance: int) -> int:
     from impg_tpu.syng.index import SyngIndex
 
     fmt = args.output_format
-    if fmt not in ("bed", "bedpe"):
+    if fmt not in ("bed", "bedpe", "gbwt"):
         print(
-            "error: the syng backend currently supports bed/bedpe output",
+            "error: the syng backend currently supports bed/bedpe/gbwt output",
             file=sys.stderr,
         )
         return 2
+    gbwt_sequences = None
+    gbwt_seq_idx = None
+    if fmt == "gbwt":
+        if not args.sequence_files or not args.output:
+            print(
+                "error: -o gbwt requires --sequence-files and -O PREFIX",
+                file=sys.stderr,
+            )
+            return 2
+        from impg_tpu.io.fasta import UnifiedSequenceIndex
+
+        files = []
+        for entry in args.sequence_files:
+            files.extend(x for x in entry.split(",") if x)
+        gbwt_seq_idx = UnifiedSequenceIndex.from_files(files)
+        gbwt_sequences = []
     syng = SyngIndex.load(_alignment_files(args)[0])
     if args.target_bed:
         targets = bed_mod.parse_bed_file(args.target_bed)
     else:
         targets = [bed_mod.parse_target_range(args.target_range)]
-    out = open(args.output, "w") if args.output else sys.stdout
+    out = (
+        open(args.output, "w")
+        if args.output and fmt != "gbwt"
+        else sys.stdout
+    )
     try:
         for target_name, (start, end), name in targets:
             qid = syng.seq_index.get_id(target_name)
@@ -897,11 +952,29 @@ def _syng_query(args, merge_distance: int) -> int:
                     syng.seq_index, rows, out, name, merge_distance,
                     not args.consider_strandness,
                 )
+            elif fmt == "gbwt":
+                gbwt_sequences.extend(
+                    outputs.collect_region_sequences(
+                        syng.seq_index, rows, gbwt_seq_idx, merge_distance
+                    )
+                )
             else:
                 rows.pop(0)
                 outputs.write_bedpe(
                     syng.seq_index, rows, out, name, merge_distance
                 )
+        if gbwt_sequences is not None:
+            # Regional index keeps the parent's syncmer parameters
+            # (syng.rs:5263 "same syncmer parameters as this index").
+            path = outputs.write_region_gbwt(
+                gbwt_sequences, args.output,
+                k=syng.k, w=syng.w, seed=syng.seed,
+            )
+            print(
+                f"Wrote region syng index over {len(gbwt_sequences)} "
+                f"interval sequence(s): {path}",
+                file=sys.stderr,
+            )
     finally:
         if out is not sys.stdout:
             out.close()
@@ -1634,7 +1707,10 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="Reverse-complement reverse-strand sequences in FASTA output",
     )
-    p_query.add_argument("--output", help="Output file (default stdout)")
+    p_query.add_argument(
+        "-O", "--output",
+        help="Output file (default stdout); prefix for -o gbwt",
+    )
     p_query.add_argument("-x", "--transitive", action="store_true")
     p_query.add_argument("--transitive-dfs", action="store_true")
     p_query.add_argument("-m", "--max-depth", type=int, default=2)

@@ -135,3 +135,58 @@ def test_gbwt_cached_on_index(gbwt_fixture):
     g1 = gbwt_for_index(idx)
     g2 = gbwt_for_index(idx)
     assert g1 is g2
+
+
+def test_query_o_gbwt_regional_index(tmp_path):
+    """query -o gbwt writes a regional syng index over fetched intervals
+    (reference main.rs:7188 + syng.rs:5263 build_region_gbwt)."""
+    import random
+
+    from tests import datagen
+    from tests.test_cli import run_cli
+
+    rng = random.Random(77)
+    text, seqs, alns, seq_data = datagen.mutate_chain_paf(
+        rng, n_seqs=3, seq_len=9000, return_sequences=True
+    )
+    fa = str(tmp_path / "p.fa")
+    datagen.write_fasta(fa, seq_data)
+    paf = tmp_path / "p.paf"
+    paf.write_text(text)
+
+    # PAF-backed index route.
+    prefix = str(tmp_path / "region")
+    r = run_cli(
+        "query", "-a", str(paf), "-r", "ref:1000-5000", "-d", "100",
+        "-o", "gbwt", "--sequence-files", fa, "-O", prefix,
+    )
+    assert r.returncode == 0, r.stderr
+    regional = SyngIndex.load(prefix)
+    names = list(regional.seq_index.names())
+    assert any(n.startswith("ref:") for n in names)
+    assert len(names) >= 2  # homologs fetched too
+    # Regional walks are queryable through the GBWT-lite.
+    g = SyngGbwt(regional)
+    src = seq_data["ref"][1500:3000].encode()
+    nodes, bpos, _ = g.best_orientation_walk(src)
+    mems = g.mems_for_walk(nodes, bpos)
+    # The ref interval itself matches end-to-end; mutated homologs break
+    # long MEMs, so a single full-span occurrence is the exact answer.
+    assert mems and max(m.anchors for m in mems) == nodes.size
+
+    # Syng-backend route keeps the parent's syncmer parameters.
+    sprefix = str(tmp_path / "pan")
+    r = run_cli("syng", "-f", fa, "-o", sprefix)
+    assert r.returncode == 0, r.stderr
+    rprefix = str(tmp_path / "region2")
+    r = run_cli(
+        "query", "-a", sprefix + ".syngt", "-r", "ref:1000-5000",
+        "-d", "100", "-o", "gbwt", "--sequence-files", fa, "-O", rprefix,
+    )
+    assert r.returncode == 0, r.stderr
+    regional2 = SyngIndex.load(rprefix)
+    parent = SyngIndex.load(sprefix)
+    assert (regional2.k, regional2.w, regional2.seed) == (
+        parent.k, parent.w, parent.seed,
+    )
+    assert any(n.startswith("ref:") for n in regional2.seq_index.names())
