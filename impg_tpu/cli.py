@@ -53,10 +53,10 @@ def _load_index(args):
 
     files = _alignment_files(args)
     seq_fetch = None
-    if any(f.endswith(".1aln") for f in files) and getattr(
+    if any(f.endswith((".1aln", ".tpa")) for f in files) and getattr(
         args, "sequence_files", None
     ):
-        # .1aln tracepoint ingest: sequences enable exact per-segment
+        # .1aln/.tpa tracepoint ingest: sequences enable exact per-segment
         # CIGAR reconstruction with the native aligner.
         from impg_tpu.io.fasta import UnifiedSequenceIndex
 
@@ -1509,6 +1509,19 @@ def cmd_export_1aln(args) -> int:
     return 0
 
 
+def cmd_export_tpa(args) -> int:
+    from impg_tpu.io import tpa as tpa_mod
+
+    index = _load_index(args)
+    tp = index.ensure_tracepoints(args.spacing)
+    n = tpa_mod.write_tpa(
+        args.output, index.seq_index, index.records, index.arena, tp,
+        tp_type=args.tp_mode,
+    )
+    print(f"Wrote {n} alignments -> {args.output}", file=sys.stderr)
+    return 0
+
+
 def cmd_syng2gfa(args) -> int:
     from impg_tpu.io.fasta import UnifiedSequenceIndex
     from impg_tpu.syng.index import SyngIndex
@@ -2080,6 +2093,21 @@ def build_parser() -> argparse.ArgumentParser:
     p_1a.add_argument("--spacing", type=int, default=100)
     p_1a.add_argument("-o", "--output", required=True)
     p_1a.set_defaults(func=cmd_export_1aln)
+
+    p_tpa = sub.add_parser(
+        "export-tpa",
+        help="Export the alignment index as a binary TPA tracepoint "
+        "container",
+    )
+    _add_common_query_opts(p_tpa)
+    p_tpa.add_argument("--spacing", type=int, default=100)
+    p_tpa.add_argument(
+        "--tp-mode", choices=["fastga", "standard"], default="fastga",
+        help="fastga: fixed-query-spacing (diffs, target_delta) pairs; "
+        "standard: target-grid (query_delta, target_delta) pairs",
+    )
+    p_tpa.add_argument("-o", "--output", required=True)
+    p_tpa.set_defaults(func=cmd_export_tpa)
 
     p_s2g = sub.add_parser(
         "syng2gfa",

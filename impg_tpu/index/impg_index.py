@@ -60,6 +60,11 @@ class ImpgIndex:
                     p, seq_index, seq_fetch
                 )
                 parts.append(recs)
+            elif p.endswith(".tpa"):
+                from impg_tpu.io import tpa as tpa_mod
+
+                recs, _spacing = tpa_mod.parse_tpa(p, seq_index, seq_fetch)
+                parts.append(recs)
             else:
                 parts.append(paf_mod.parse_paf_file(p, seq_index))
         if parts:

@@ -104,6 +104,76 @@ def _segment_runs_approx(dq: int, dt: int, x: int) -> list[tuple[int, int]]:
     return out
 
 
+def reconstruct_runs(
+    seq_index: SequenceIndex,
+    qid: int,
+    qs: int,
+    qe: int,
+    tid: int,
+    rev: bool,
+    advances,
+    diffs,
+    bounds,
+    seq_fetch=None,
+    literal_runs=None,
+) -> np.ndarray:
+    """Packed CIGAR runs for one tracepoint record.
+
+    Segments walk the FORWARD target frame `bounds[i]..bounds[i+1]` in
+    alignment order; reverse-strand queries mirror down from `qe` and are
+    reverse-complemented for exact realignment (the
+    tracepoints_to_cigar_with_aligner role, impg.rs:873).  `literal_runs`
+    may carry per-segment pre-resolved (length, op) runs (the TPA mixed
+    encoding's CigarOp entries); such segments skip reconstruction.
+    """
+    seg_runs: list[tuple[int, int]] = []
+    q_walk = 0
+    exact_ok = seq_fetch is not None
+    for i, (dq, x) in enumerate(zip(advances, diffs)):
+        lit = literal_runs[i] if literal_runs is not None else None
+        if lit is not None:
+            seg_runs.extend(lit)
+            q_walk += dq
+            continue
+        dt = bounds[i + 1] - bounds[i]
+        if dt <= 0 and dq <= 0:
+            continue
+        if exact_ok and dq > 0 and dt > 0:
+            t_sub = seq_fetch(
+                seq_index.get_name(tid), bounds[i], bounds[i + 1]
+            )
+            if rev:
+                q_hi = qe - q_walk
+                q_sub = seq_fetch(seq_index.get_name(qid), q_hi - dq, q_hi)
+                from impg_tpu.io.fasta import reverse_complement
+
+                q_sub = reverse_complement(q_sub)
+            else:
+                q_lo = qs + q_walk
+                q_sub = seq_fetch(seq_index.get_name(qid), q_lo, q_lo + dq)
+            from impg_tpu.ops.align import align_pair
+
+            packed = align_pair(q_sub, t_sub)
+            seg_runs.extend(
+                (int(l), int(o))
+                for l, o in zip(cigar.run_len(packed), cigar.run_op(packed))
+            )
+        else:
+            seg_runs.extend(_segment_runs_approx(dq, dt, x))
+        q_walk += dq
+    # Merge adjacent same-op runs.
+    merged: list[tuple[int, int]] = []
+    for ln, op in seg_runs:
+        if merged and merged[-1][1] == op:
+            merged[-1] = (merged[-1][0] + ln, op)
+        else:
+            merged.append((ln, op))
+    return cigar.pack(
+        np.asarray([l for l, _ in merged], np.int64),
+        np.asarray([o for _, o in merged], np.uint32),
+    )
+
+
 def parse_1aln(
     path: str,
     seq_index: SequenceIndex,
@@ -152,54 +222,9 @@ def parse_1aln(
         if not advances:
             advances = [abs(qe - qs)]
             diffs = [0]
-        seg_runs: list[tuple[int, int]] = []
-        q_walk = 0
-        exact_ok = seq_fetch is not None
-        for i, (dq, x) in enumerate(zip(advances, diffs)):
-            dt = bounds[i + 1] - bounds[i]
-            if dt <= 0 and dq <= 0:
-                continue
-            if exact_ok and dq > 0 and dt > 0:
-                t_sub = seq_fetch(
-                    seq_index.get_name(tid), bounds[i], bounds[i + 1]
-                )
-                # Query walk position: forward strand walks qs..qe; the
-                # reverse-strand query sub-span mirrors from qe.
-                if cur_rev:
-                    q_hi = qe - q_walk
-                    q_sub = seq_fetch(
-                        seq_index.get_name(qid), q_hi - dq, q_hi
-                    )
-                    from impg_tpu.io.fasta import reverse_complement
-
-                    q_sub = reverse_complement(q_sub)
-                else:
-                    q_lo = qs + q_walk
-                    q_sub = seq_fetch(
-                        seq_index.get_name(qid), q_lo, q_lo + dq
-                    )
-                from impg_tpu.ops.align import align_pair
-
-                packed = align_pair(q_sub, t_sub)
-                seg_runs.extend(
-                    (int(l), int(o))
-                    for l, o in zip(
-                        cigar.run_len(packed), cigar.run_op(packed)
-                    )
-                )
-            else:
-                seg_runs.extend(_segment_runs_approx(dq, dt, x))
-            q_walk += dq
-        # Merge adjacent same-op runs.
-        merged: list[tuple[int, int]] = []
-        for ln, op in seg_runs:
-            if merged and merged[-1][1] == op:
-                merged[-1] = (merged[-1][0] + ln, op)
-            else:
-                merged.append((ln, op))
-        packed = cigar.pack(
-            np.asarray([l for l, _ in merged], np.int64),
-            np.asarray([o for _, o in merged], np.uint32),
+        packed = reconstruct_runs(
+            seq_index, qid, qs, qe, tid, cur_rev,
+            advances, diffs, bounds, seq_fetch,
         )
         runs_parts.append(packed)
         run_offsets.append(run_offsets[-1] + packed.size)
