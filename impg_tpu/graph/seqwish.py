@@ -25,6 +25,31 @@ from impg_tpu.core import cigar
 
 _COMP = {65: 84, 67: 71, 71: 67, 84: 65, 78: 78}  # A<->T, C<->G, N
 
+_emit_bound = False
+
+
+def _ensure_emit_binding(lib) -> bool:
+    """Declare the native emitter's ctypes signature once; False if the
+    loaded library predates it."""
+    global _emit_bound
+    if _emit_bound:
+        return True
+    if not hasattr(lib, "impg_seqwish_emit"):
+        return False
+    import ctypes
+
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.impg_seqwish_emit.restype = ctypes.c_void_p
+    lib.impg_seqwish_emit.argtypes = [
+        ctypes.c_int64, i64p, i64p, u8p, ctypes.c_int64, u8p,
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.impg_seqwish_emit_free.restype = None
+    lib.impg_seqwish_emit_free.argtypes = [ctypes.c_void_p]
+    _emit_bound = True
+    return True
+
 
 class _BidirectedUF:
     """Union-find with parity: find returns (root, orientation-to-root)."""
@@ -66,7 +91,8 @@ class _BidirectedUF:
 
 
 def induce_graph(
-    seqs: dict[str, bytes], paf_rows: list[dict]
+    seqs: dict[str, bytes], paf_rows: list[dict],
+    force_python_emit: bool = False,
 ) -> str:
     """Build an unchopped GFA from sequences + PAF rows (with packed runs).
 
@@ -165,6 +191,29 @@ def induce_graph(
     node_base_arr[rank_of_sorted] = all_bases[uniq_roots]
     node_base = node_base_arr.tolist()
     n_nodes = len(node_base)
+
+    # Native chain compaction + emission (native/seqwish_emit.cpp); the
+    # Python tail below is the fallback and the semantics oracle.
+    if not force_python_emit and lib is not None and _ensure_emit_binding(lib):
+        import ctypes
+
+        seq_offsets = np.asarray(
+            [offsets[n] for n in names] + [total], np.int64
+        )
+        labels = "\n".join(
+            f"{n}:0-{len(seqs[n])}" for n in names
+        ).encode()
+        out_len = ctypes.c_int64(0)
+        ptr = lib.impg_seqwish_emit(
+            len(names), seq_offsets, np.ascontiguousarray(cls, np.int64),
+            np.ascontiguousarray(orient, np.uint8), n_nodes,
+            np.ascontiguousarray(node_base_arr, np.uint8), labels,
+            ctypes.byref(out_len),
+        )
+        try:
+            return ctypes.string_at(ptr, out_len.value).decode()
+        finally:
+            lib.impg_seqwish_emit_free(ptr)
 
     # Per-sequence walks: (node, orientation) per base.
     walks: dict[str, list[tuple[int, int]]] = {}

@@ -97,3 +97,45 @@ def test_cli_crush(tmp_path):
     assert "bubbles resolved" in r.stderr
     crushed = out_path.read_text()
     assert _spell(crushed) == _spell(gfa_path.read_text())
+
+
+def test_seqwish_native_emit_parity():
+    """Native chain compaction + emission (seqwish_emit.cpp) produces
+    byte-identical GFA to the Python tail."""
+    import random
+
+    from impg_tpu.graph import seqwish
+    from impg_tpu.io import native as native_mod
+    from tests import datagen
+
+    if native_mod.load() is None:
+        return
+    rng = random.Random(31)
+    text, seqs, alns, seq_data = datagen.mutate_chain_paf(
+        rng, n_seqs=4, seq_len=3000, return_sequences=True
+    )
+    from impg_tpu.core.seqidx import SequenceIndex
+    from impg_tpu.io.paf import parse_paf_bytes
+
+    si = SequenceIndex()
+    recs = parse_paf_bytes(text.encode(), si)
+    rows = []
+    for i in range(len(recs.query_id)):
+        rows.append(
+            dict(
+                qname=si.get_name(int(recs.query_id[i])),
+                qstart=int(recs.q_start[i]),
+                qend=int(recs.q_end[i]),
+                strand="-" if recs.strand[i] else "+",
+                tname=si.get_name(int(recs.target_id[i])),
+                tstart=int(recs.t_start[i]),
+                tend=int(recs.t_end[i]),
+                runs=recs.runs[
+                    recs.run_offsets[i] : recs.run_offsets[i + 1]
+                ],
+            )
+        )
+    sdata = {k: v.encode() for k, v in seq_data.items()}
+    native = seqwish.induce_graph(sdata, rows)
+    python = seqwish.induce_graph(sdata, rows, force_python_emit=True)
+    assert native == python
