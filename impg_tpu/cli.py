@@ -103,6 +103,91 @@ def cmd_index(args) -> int:
     return 0
 
 
+def _emit_region_format(
+    index, results, out, fmt, args, seq_idx, gfa_stages, target_id,
+    merge_distance,
+) -> None:
+    """Sequence-backed region outputs (fasta/gfa/maf/fasta-aln/vcf) shared
+    by the PAF-index and syng query routes (the reference routes both
+    through the same realignment path, main.rs:6668)."""
+    from impg_tpu.query import outputs
+
+    if fmt == "fasta":
+        # FASTA keeps strands separate (main.rs:4395 default, and
+        # --consider-strandness also keeps them separate).
+        outputs.write_fasta(
+            index.seq_index,
+            results,
+            out,
+            seq_idx,
+            merge_distance,
+            False,
+            args.reverse_complement,
+        )
+        return
+    from impg_tpu.graph import region as region_mod
+    from impg_tpu.query import merge as merge_mod
+
+    scoring = tuple(
+        int(x) for x in args.poa_scoring.replace("/", ",").split(",")
+    )
+    # gfa/maf merge strands by default; fasta-aln keeps them separate
+    # (main.rs:4395-4399).
+    ms = (
+        False
+        if (fmt == "fasta-aln" or args.consider_strandness)
+        else True
+    )
+    merge_mod.merge_query_adjusted_intervals(results, merge_distance, ms)
+    build_fmt = "gfa" if fmt == "vcf" else fmt
+    if build_fmt == "gfa" and args.gfa_engine in (
+        "seqwish", "pggb", "syng-native"
+    ):
+        text = region_mod.generate_gfa_seqwish(
+            index, results, seq_idx,
+            sort_output=args.gfa_engine == "pggb",
+        )
+    else:
+        gen = {
+            "gfa": region_mod.generate_gfa,
+            "maf": region_mod.generate_maf,
+            "fasta-aln": region_mod.generate_fasta_aln,
+        }[build_fmt]
+        text = gen(index, results, seq_idx, scoring)
+    if fmt == "vcf":
+        from impg_tpu.graph import vcf as vcf_mod
+
+        target_name = index.seq_index.get_name(target_id)
+        text = vcf_mod.gfa_to_vcf(text, target_name)
+    if gfa_stages:
+        from impg_tpu.graph import gfa as gfa_mod
+
+        for stage in gfa_stages:
+            if stage.name == "sort":
+                text = gfa_mod.topological_sort(
+                    gfa_mod.Gfa.parse(text)
+                ).write()
+            elif stage.name == "sgd":
+                from impg_tpu.graph import sortgfa as sortgfa_mod
+
+                text = sortgfa_mod.sort_pipeline(
+                    text, stage.param("pipeline") or "Ygs"
+                )
+            elif stage.name == "smooth":
+                from impg_tpu.graph import smooth as smooth_mod
+
+                bl = int(stage.param("block-len") or 1100)
+                text = smooth_mod.smooth_gfa(
+                    text, bl,
+                    block_source=stage.param("block-source") or "fixed",
+                )
+            elif stage.name == "normalize":
+                from impg_tpu.graph import normalize as norm_mod
+
+                text = norm_mod.normalize_gfa(text)
+    out.write(text)
+
+
 def cmd_query(args) -> int:
     from impg_tpu.query import engine, outputs
     from impg_tpu.query.subset import SubsetFilter
@@ -388,89 +473,10 @@ def cmd_query(args) -> int:
                 for entry in args.sequence_files:
                     files.extend(x for x in entry.split(",") if x)
                 seq_idx = UnifiedSequenceIndex.from_files(files)
-                if fmt == "fasta":
-                    # FASTA keeps strands separate (main.rs:4395 default, and
-                    # --consider-strandness also keeps them separate).
-                    outputs.write_fasta(
-                        index.seq_index,
-                        results,
-                        out,
-                        seq_idx,
-                        merge_distance,
-                        False,
-                        args.reverse_complement,
-                    )
-                else:
-                    from impg_tpu.graph import region as region_mod
-                    from impg_tpu.query import merge as merge_mod
-
-                    scoring = tuple(
-                        int(x)
-                        for x in args.poa_scoring.replace("/", ",").split(",")
-                    )
-                    # gfa/maf merge strands by default; fasta-aln keeps them
-                    # separate (main.rs:4395-4399).
-                    ms = (
-                        False
-                        if (fmt == "fasta-aln" or args.consider_strandness)
-                        else True
-                    )
-                    merge_mod.merge_query_adjusted_intervals(
-                        results, merge_distance, ms
-                    )
-                    build_fmt = "gfa" if fmt == "vcf" else fmt
-                    if build_fmt == "gfa" and args.gfa_engine in (
-                        "seqwish", "pggb", "syng-native"
-                    ):
-                        text = region_mod.generate_gfa_seqwish(
-                            index, results, seq_idx,
-                            sort_output=args.gfa_engine == "pggb",
-                        )
-                    else:
-                        gen = {
-                            "gfa": region_mod.generate_gfa,
-                            "maf": region_mod.generate_maf,
-                            "fasta-aln": region_mod.generate_fasta_aln,
-                        }[build_fmt]
-                        text = gen(index, results, seq_idx, scoring)
-                    if fmt == "vcf":
-                        from impg_tpu.graph import vcf as vcf_mod
-
-                        target_name = index.seq_index.get_name(target_id)
-                        text = vcf_mod.gfa_to_vcf(text, target_name)
-                    if gfa_stages:
-                        from impg_tpu.graph import gfa as gfa_mod
-
-                        for stage in gfa_stages:
-                            if stage.name == "sort":
-                                text = gfa_mod.topological_sort(
-                                    gfa_mod.Gfa.parse(text)
-                                ).write()
-                            elif stage.name == "sgd":
-                                from impg_tpu.graph import (
-                                    sortgfa as sortgfa_mod,
-                                )
-
-                                text = sortgfa_mod.sort_pipeline(
-                                    text,
-                                    stage.param("pipeline") or "Ygs",
-                                )
-                            elif stage.name == "smooth":
-                                from impg_tpu.graph import smooth as smooth_mod
-
-                                bl = int(stage.param("block-len") or 1100)
-                                text = smooth_mod.smooth_gfa(
-                                    text, bl,
-                                    block_source=stage.param("block-source")
-                                    or "fixed",
-                                )
-                            elif stage.name == "normalize":
-                                from impg_tpu.graph import (
-                                    normalize as norm_mod,
-                                )
-
-                                text = norm_mod.normalize_gfa(text)
-                    out.write(text)
+                _emit_region_format(
+                    index, results, out, fmt, args, seq_idx, gfa_stages,
+                    target_id, merge_distance,
+                )
             elif fmt == "gbwt":
                 gbwt_sequences.extend(
                     outputs.collect_region_sequences(
@@ -870,12 +876,40 @@ def _syng_query(args, merge_distance: int) -> int:
     from impg_tpu.syng.index import SyngIndex
 
     fmt = args.output_format
-    if fmt not in ("bed", "bedpe", "gbwt"):
+    gfa_stages = []
+    if fmt.startswith("gfa:"):
+        from impg_tpu.graph.pipeline import GraphPipelineSpec
+
+        try:
+            spec = GraphPipelineSpec.parse(fmt)
+        except ValueError as e:
+            print(f"error: invalid -o pipeline spec: {e}", file=sys.stderr)
+            return 2
+        fmt = "gfa"
+        gfa_stages = list(spec.stages[1:])
+    region_formats = ("fasta", "gfa", "maf", "fasta-aln", "vcf")
+    if fmt not in ("bed", "bedpe", "gbwt") + region_formats:
         print(
-            "error: the syng backend currently supports bed/bedpe/gbwt output",
+            "error: syng index queries support bed, bedpe, gfa, vcf, "
+            "fasta, and gbwt output (main.rs:6602 contract)",
             file=sys.stderr,
         )
         return 2
+    region_seq_idx = None
+    if fmt in region_formats:
+        # Realignment-backed outputs need the sequences (main.rs:6668).
+        if not args.sequence_files:
+            print(
+                f"error: -o {fmt} requires --sequence-files",
+                file=sys.stderr,
+            )
+            return 2
+        from impg_tpu.io.fasta import UnifiedSequenceIndex
+
+        files = []
+        for entry in args.sequence_files:
+            files.extend(x for x in entry.split(",") if x)
+        region_seq_idx = UnifiedSequenceIndex.from_files(files)
     gbwt_sequences = None
     gbwt_seq_idx = None
     if fmt == "gbwt":
@@ -957,6 +991,11 @@ def _syng_query(args, merge_distance: int) -> int:
                     outputs.collect_region_sequences(
                         syng.seq_index, rows, gbwt_seq_idx, merge_distance
                     )
+                )
+            elif fmt in region_formats:
+                _emit_region_format(
+                    syng, rows, out, fmt, args, region_seq_idx,
+                    gfa_stages, qid, merge_distance,
                 )
             else:
                 rows.pop(0)

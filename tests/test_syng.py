@@ -128,3 +128,34 @@ def test_syng_reverse_strand_homolog(tmp_path):
     # Mirrored locus on the RC sequence.
     assert abs(best.start - (6000 - 5000)) < 200
     assert abs(best.end - (6000 - 1000)) < 200
+
+
+def test_syng_query_region_formats(chain_fixture, tmp_path):
+    """Syng queries route fasta/gfa/vcf through realignment
+    (main.rs:6602/6668 contract)."""
+    fa, seqs, seq_data = chain_fixture
+    prefix = str(tmp_path / "rf")
+    r = run_cli("syng", "-f", fa, "-o", prefix)
+    assert r.returncode == 0, r.stderr
+    args = ["-a", prefix + ".syngt", "-r", "ref:1000-4000", "-d", "100",
+            "--sequence-files", fa]
+    # FASTA: the query region itself plus homologous intervals.
+    r = run_cli("query", *args, "-o", "fasta")
+    assert r.returncode == 0, r.stderr
+    headers = [l for l in r.stdout.splitlines() if l.startswith(">")]
+    assert any(h.startswith(">ref:1000-4000") for h in headers)
+    assert len(headers) >= 2
+    # GFA: POA region graph with one path per interval.
+    r = run_cli("query", *args, "-o", "gfa")
+    assert r.returncode == 0, r.stderr
+    assert any(l.startswith("S\t") for l in r.stdout.splitlines())
+    p_lines = [l for l in r.stdout.splitlines() if l.startswith("P\t")]
+    assert len(p_lines) >= 2
+    # VCF against the target path.
+    r = run_cli("query", *args, "-o", "vcf")
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.startswith("##fileformat=VCF")
+    # Unsupported format errors cleanly.
+    r = run_cli("query", "-a", prefix + ".syngt", "-r", "ref:1000-4000",
+                "-d", "100", "-o", "paf")
+    assert r.returncode == 2
