@@ -1525,9 +1525,23 @@ def cmd_smooth(args) -> int:
     scoring = tuple(
         int(x) for x in args.poa_scoring.replace("/", ",").split(",")
     )
-    out_text = smooth_mod.smooth_gfa(
-        text, args.block_len, scoring, block_source=args.block_source
-    )
+    if args.poa_length:
+        targets = [
+            int(x) for x in args.poa_length.replace("/", ",").split(",") if x
+        ]
+        out_text = smooth_mod.smooth_gfa_passes(
+            text, targets, scoring,
+            block_source=args.block_source,
+            n_haps=args.n_haps,
+            max_node_length=args.max_node_length,
+        )
+    else:
+        out_text = smooth_mod.smooth_gfa(
+            text, args.block_len, scoring,
+            block_source=args.block_source,
+            n_haps=args.n_haps,
+            max_node_length=args.max_node_length,
+        )
     if args.output:
         with open(args.output, "w") as fh:
             fh.write(out_text)
@@ -2115,6 +2129,21 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_sm.add_argument("gfa", help="GFA file (or - for stdin)")
     p_sm.add_argument("--block-len", type=int, default=1100)
+    p_sm.add_argument(
+        "-G", "--poa-length",
+        help="Comma-separated multi-pass target POA lengths (pggb's "
+        "-G 700,1100); overrides --block-len",
+    )
+    p_sm.add_argument(
+        "--n-haps", type=int,
+        help="Haplotype count for the block weight budget "
+        "(max_block_weight = target * n_haps; default: path count)",
+    )
+    p_sm.add_argument(
+        "--max-node-length", type=int, default=0,
+        help="Chop nodes to this length before block decomposition "
+        "(reference default 100; 0 = no chop)",
+    )
     p_sm.add_argument(
         "--block-source", default="fixed", choices=["fixed", "flubble"],
         help="Block boundaries: fixed bp, or flubble-aware (never split "

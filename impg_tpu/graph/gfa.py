@@ -272,3 +272,38 @@ def report_text(rep: dict, fmt: str = "md") -> str:
                 f"{c['minor_occurrences']} minor"
             )
     return "\n".join(out) + "\n"
+
+
+def chop_gfa(gfa: Gfa, max_len: int) -> Gfa:
+    """Split segments longer than `max_len` into consecutive pieces
+    (smooth.rs:332 chop_graph role; odgi-chop semantics).  Path steps
+    expand in walk order — reverse steps traverse the pieces backwards
+    with flipped orientation — and links regenerate from the paths, so
+    every path spells exactly the same bases."""
+    if max_len <= 0:
+        return gfa
+    out = Gfa(header=gfa.header)
+    pieces: dict[str, list[str]] = {}
+    next_id = 1
+    for sid, seq in gfa.segments.items():
+        ids = []
+        for off in range(0, max(len(seq), 1), max_len):
+            nid = str(next_id)
+            next_id += 1
+            out.segments[nid] = seq[off : off + max_len]
+            ids.append(nid)
+        pieces[sid] = ids
+    link_set: set[tuple[str, bool, str, bool]] = set()
+    for name, steps in gfa.paths:
+        new_steps: list[tuple[str, bool]] = []
+        for sid, rev in steps:
+            ids = pieces[sid]
+            new_steps.extend(
+                (p, rev) for p in (reversed(ids) if rev else ids)
+            )
+        out.paths.append((name, new_steps))
+        for (a, ar), (b, br) in zip(new_steps, new_steps[1:]):
+            link_set.add((a, ar, b, br))
+    out.links = sorted(link_set, key=lambda l: (_numeric_key(l[0]), l[1],
+                                                _numeric_key(l[2]), l[3]))
+    return out

@@ -64,30 +64,49 @@ def smooth_gfa(
     block_len: int = 1100,
     scoring=poa_mod.DEFAULT_SCORING,
     block_source: str = "fixed",
+    n_haps: int | None = None,
+    max_node_length: int = 0,
 ) -> str:
-    gfa = topological_sort(Gfa.parse(gfa_text))
+    gfa = Gfa.parse(gfa_text)
+    if max_node_length > 0:
+        # Chop long nodes first so block boundaries can land anywhere
+        # (smooth.rs:332 chop_graph, default 100 bp).
+        from impg_tpu.graph.gfa import chop_gfa
+
+        gfa = chop_gfa(gfa, max_node_length)
+    gfa = topological_sort(gfa)
     if not gfa.paths or not gfa.segments:
         return gfa.write()
 
-    # Block id per node: consecutive ranks, bounded by block_len bp.  With
-    # the flubble source, a block never ends inside a variation site —
-    # POA always sees whole bubbles.
+    # Block id per node: consecutive ranks, bounded by the block WEIGHT
+    # budget block_len * n_haps, where a node's weight is its bp times its
+    # path-step depth (smooth.rs:305 max_block_weight = target * n_haps) —
+    # deep regions get proportionally shorter blocks so every POA sees a
+    # bounded amount of sequence.  With the flubble source, a block never
+    # ends inside a variation site — POA always sees whole bubbles.
+    if n_haps is None:
+        n_haps = max(len(gfa.paths), 1)
+    max_block_weight = block_len * max(n_haps, 1)
+    depth: dict[str, int] = {sid: 0 for sid in gfa.segments}
+    for _name, steps in gfa.paths:
+        for sid, _rev in steps:
+            depth[sid] += 1
     site_of = (
         _node_sites(gfa, gfa.write()) if block_source == "flubble" else {}
     )
     block_of: dict[str, int] = {}
     cur_block = 0
-    cur_bp = 0
+    cur_w = 0
     prev_site: int | None = None
     for sid in gfa.segments:
-        node_bp = len(gfa.segments[sid])
+        node_w = len(gfa.segments[sid]) * max(depth[sid], 1)
         site = site_of.get(sid, -1)
         same_site = site != -1 and site == prev_site
-        if cur_bp > 0 and cur_bp + node_bp > block_len and not same_site:
+        if cur_w > 0 and cur_w + node_w > max_block_weight and not same_site:
             cur_block += 1
-            cur_bp = 0
+            cur_w = 0
         block_of[sid] = cur_block
-        cur_bp += node_bp
+        cur_w += node_w
         prev_site = site
     n_blocks = cur_block + 1
 
@@ -145,3 +164,27 @@ def smooth_gfa(
         block_gfas.append(poa_mod.poa_to_gfa(result, names))
 
     return lace_mod.lace_gfas(block_gfas)
+
+
+def smooth_gfa_passes(
+    gfa_text: str,
+    target_poa_lengths=(700, 1100),
+    scoring=poa_mod.DEFAULT_SCORING,
+    block_source: str = "fixed",
+    n_haps: int | None = None,
+    max_node_length: int = 100,
+) -> str:
+    """Multi-pass smoothing (smooth.rs SmoothConfig.target_poa_lengths,
+    pggb's `-G 700,1100` default): each pass re-decomposes with its target
+    length and feeds the next."""
+    text = gfa_text
+    for i, target in enumerate(target_poa_lengths):
+        text = smooth_gfa(
+            text, int(target), scoring,
+            block_source=block_source,
+            n_haps=n_haps,
+            # Chop only on the first pass; later passes inherit the
+            # granularity of the previous lace.
+            max_node_length=max_node_length if i == 0 else 0,
+        )
+    return text
