@@ -1352,6 +1352,28 @@ def cmd_render(args) -> int:
         json.dump(
             dict(sequences=seq_records, intervals=intervals), fh, indent=2
         )
+    # Step-translation tables (render_bundle.rs:40 StepTranslationRecord):
+    # map every rendered path's graph steps back to source coordinates.
+    from impg_tpu.commands import render_translation as rt_mod
+
+    rendered_paths = []
+    for pid, (r, iv) in enumerate(zip(results, intervals)):
+        src_name = index.seq_index.get_name(r.q_id)
+        rendered_paths.append(
+            rt_mod.RenderedPath(
+                rendered_path_id=pid,
+                rendered_name=f"{src_name}:{iv['start']}-{iv['end']}",
+                source_name=src_name,
+                source_sequence_id=iv["source_sequence_id"],
+                start=iv["start"],
+                end=iv["end"],
+                strand=iv["strand"],
+            )
+        )
+    step_samples = rt_mod.collect_gfa_step_samples(gfa_text, rendered_paths)
+    rt_mod.write_translation(
+        args.output_prefix, rendered_paths, step_samples
+    )
     with open(os.path.join(args.output_prefix, "manifest.json"), "w") as fh:
         json.dump(
             dict(
@@ -1360,11 +1382,15 @@ def cmd_render(args) -> int:
                 region=name,
                 engine=args.gfa_engine,
                 n_paths=len(results),
+                rendered_paths=len(rendered_paths),
+                step_samples=len(step_samples),
                 files=dict(
                     fasta="render.fa",
                     gfa="render.gfa",
                     namespace="namespace.tsv",
                     namespace_json="namespace.json",
+                    translation="translation.npz",
+                    translation_tsv="translation.tsv",
                 ),
             ),
             fh,

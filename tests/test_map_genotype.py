@@ -557,3 +557,59 @@ def test_proj_bundle_carries_gaf(panel, tmp_path):
     assert manifest["files"]["gaf"] == "sample.gaf"
     gaf_lines = open(bundle + "/sample.gaf").read().splitlines()
     assert len(gaf_lines) == manifest["n_gaf_records"] > 0
+
+
+def test_render_bundle_translation_tables(panel, tmp_path):
+    """Render bundles carry step-translation tables mapping graph steps
+    back to source coordinates (render_bundle.rs:40)."""
+    import json
+
+    from impg_tpu.commands import render_translation as rt_mod
+
+    tmp, fa, idx, seq_data, fastq = panel
+    import random as _r
+
+    from tests import datagen as _dg
+
+    rng = _r.Random(123)
+    text, seqs, alns, sd = _dg.mutate_chain_paf(
+        rng, n_seqs=4, seq_len=12_000, return_sequences=True
+    )
+    paf = tmp_path / "t.paf"
+    paf.write_text(text)
+    rb = str(tmp_path / "tb")
+    r = run_cli(
+        "render", "-a", str(paf), "-r", "ref:2000-7000", "-d", "100",
+        "--sequence-files", fa, "-O", rb, "-x",
+    )
+    assert r.returncode == 0, r.stderr
+    m = json.load(open(rb + "/manifest.json"))
+    assert m["files"]["translation"] == "translation.npz"
+    assert m["step_samples"] > 0
+    rendered, steps = rt_mod.load_translation(rb)
+    assert len(rendered) == m["rendered_paths"]
+    assert len(steps) == m["step_samples"]
+    # Every step's source_bp must lie inside its path's source interval,
+    # and per '+' path the offsets are non-decreasing.
+    by_id = {rp.rendered_path_id: rp for rp in rendered}
+    prev: dict[int, int] = {}
+    covered = set()
+    for pid, sidx, bp, fid, orient in steps:
+        rp = by_id[pid]
+        covered.add(pid)
+        assert rp.start <= bp < max(rp.end, rp.start + 1), (bp, rp)
+        if rp.strand == "+":
+            assert bp >= prev.get(pid, -1)
+            prev[pid] = bp
+    # The ref path itself is rendered and covered end-to-end at step 0.
+    ref_paths = [rp for rp in rendered if rp.source_name == "ref"]
+    assert ref_paths and ref_paths[0].rendered_path_id in covered
+    first_ref = [
+        bp for pid, sidx, bp, _, _ in steps
+        if pid == ref_paths[0].rendered_path_id and sidx == 0
+    ]
+    assert first_ref and first_ref[0] == ref_paths[0].start
+    # TSV mirror exists with both row types.
+    tsv = open(rb + "/translation.tsv").read().splitlines()
+    assert any(l.startswith("path\t") for l in tsv)
+    assert any(l.startswith("step\t") for l in tsv)
