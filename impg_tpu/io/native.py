@@ -21,7 +21,7 @@ _load_attempted = False
 
 
 def _build() -> bool:
-    srcs = [os.path.join(_NATIVE_DIR, f) for f in ("paf_parser.cpp", "poa.cpp", "align.cpp", "seqwish_uf.cpp", "gbwt.cpp", "seqwish_emit.cpp")]
+    srcs = [os.path.join(_NATIVE_DIR, f) for f in ("paf_parser.cpp", "poa.cpp", "align.cpp", "seqwish_uf.cpp", "gbwt.cpp", "seqwish_emit.cpp", "visited.cpp")]
     if not all(os.path.exists(s) for s in srcs):
         return False
     try:
@@ -47,7 +47,7 @@ def load():
     if not os.path.exists(_SO_PATH) or (
         os.path.exists(os.path.join(_NATIVE_DIR, "paf_parser.cpp"))
         and os.path.getmtime(_SO_PATH)
-        < max(os.path.getmtime(os.path.join(_NATIVE_DIR, f)) for f in ("paf_parser.cpp", "poa.cpp", "align.cpp", "seqwish_uf.cpp", "gbwt.cpp", "seqwish_emit.cpp"))
+        < max(os.path.getmtime(os.path.join(_NATIVE_DIR, f)) for f in ("paf_parser.cpp", "poa.cpp", "align.cpp", "seqwish_uf.cpp", "gbwt.cpp", "seqwish_emit.cpp", "visited.cpp"))
     ):
         if not _build():
             return None

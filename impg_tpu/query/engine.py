@@ -196,6 +196,54 @@ def _too_close(ranges: SortedRanges, lo: int, hi: int, min_distance: int) -> boo
     return False
 
 
+_vb_bound = False
+
+
+def _vb_lib():
+    """The native visited-book (native/visited.cpp), or None.
+
+    Binds the ctypes signatures on first use; the Python SortedRanges path
+    below stays as the fallback and semantics oracle.
+    """
+    global _vb_bound
+    from impg_tpu.io import native as native_mod
+
+    lib = native_mod.load()
+    if lib is None or not hasattr(lib, "vb_create"):
+        return None
+    if not _vb_bound:
+        import ctypes
+
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.vb_create.restype = ctypes.c_void_p
+        lib.vb_create.argtypes = []
+        lib.vb_destroy.restype = None
+        lib.vb_destroy.argtypes = [ctypes.c_void_p]
+        lib.vb_preload.restype = None
+        lib.vb_preload.argtypes = [ctypes.c_void_p] + [ctypes.c_int64] * 4
+        lib.vb_seed.restype = ctypes.c_int64
+        lib.vb_seed.argtypes = (
+            [ctypes.c_void_p] + [ctypes.c_int64] * 4 + [i64p, i64p,
+                                                        ctypes.c_int64]
+        )
+        lib.vb_process.restype = None
+        lib.vb_process.argtypes = [
+            ctypes.c_void_p, i64p, i64p, i64p, i64p, u8p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.vb_frontier_size.restype = ctypes.c_int64
+        lib.vb_frontier_size.argtypes = [ctypes.c_void_p]
+        lib.vb_frontier_fetch.restype = None
+        lib.vb_frontier_fetch.argtypes = [
+            ctypes.c_void_p, i64p, i64p, i64p, i64p,
+        ]
+        lib.vb_frontier_clear.restype = None
+        lib.vb_frontier_clear.argtypes = [ctypes.c_void_p]
+        _vb_bound = True
+    return lib
+
+
 def _merge_frontier(ranges: list[tuple[int, int, int]]) -> list[tuple[int, int, int]]:
     """Sort by (id, start) and merge overlapping/contiguous same-id ranges."""
     if not ranges:
@@ -479,6 +527,14 @@ def query_transitive_bfs_many(
     round-trip is amortized across walks.  This is the batched `-b BED -x`
     hot path; the reference processes BED rows serially (main.rs:7435).
     """
+    lib = _vb_lib()
+    if lib is not None:
+        return _bfs_many_native(
+            lib, index, targets, masked_regions, max_depth,
+            min_transitive_len, min_distance_between_ranges,
+            min_output_length, store_cigar, min_identity, subset_match,
+            device_engine, approximate,
+        )
     masked_none = masked_regions is None
     n_walks = len(targets)
     visited: list[dict[int, SortedRanges]] = [
@@ -575,6 +631,180 @@ def query_transitive_bfs_many(
                 current.append((w, tid, s, e))
 
     return results
+
+
+def _bfs_many_native(
+    lib,
+    index: ImpgIndex,
+    targets: list[tuple[int, int, int]],
+    masked_regions,
+    max_depth: int,
+    min_transitive_len: int,
+    min_distance_between_ranges: int,
+    min_output_length: Optional[int],
+    store_cigar: bool,
+    min_identity: Optional[float],
+    subset_match,
+    device_engine,
+    approximate: bool,
+) -> list[list[Row]]:
+    """query_transitive_bfs_many with the order-dependent visited
+    bookkeeping in C++ (native/visited.cpp): per step chunk, ONE native
+    call replaces the per-hit too-close/insert Python loop; frontier
+    entries come back as flat arrays.  Row emission semantics unchanged."""
+    n_walks = len(targets)
+    h = lib.vb_create()
+    try:
+        results: list[list[Row]] = [[] for _ in range(n_walks)]
+        current: list[tuple[int, int, int, int]] = []
+        if masked_regions:
+            for w in range(n_walks):
+                for sid, sr in masked_regions.items():
+                    for ms, me in sr.ranges:
+                        lib.vb_preload(h, w, int(sid), int(ms), int(me))
+        for w, (target_id, range_start, range_end) in enumerate(targets):
+            cap = 2 + (
+                len(masked_regions[target_id].ranges)
+                if masked_regions and target_id in masked_regions
+                else 0
+            )
+            ss = np.zeros(cap, np.int64)
+            se = np.zeros(cap, np.int64)
+            n_seed = int(
+                lib.vb_seed(
+                    h, w, int(target_id), int(range_start), int(range_end),
+                    ss, se, cap,
+                )
+            )
+            for i in range(min(n_seed, cap)):
+                s, e = int(ss[i]), int(se[i])
+                runs = (
+                    cigar.pack(
+                        np.array([e - s], np.int64),
+                        np.array([cigar.OP_EQ], np.uint32),
+                    )
+                    if store_cigar
+                    else None
+                )
+                results[w].append(Row(target_id, s, e, runs, target_id, s, e))
+                if abs(s - e) >= min_transitive_len:
+                    current.append((w, target_id, s, e))
+
+        depth = 0
+        while current and (max_depth == 0 or depth < max_depth):
+            flat = [(tid, s, e) for (_, tid, s, e) in current]
+            use_device = device_engine is not None and (
+                not approximate
+                or getattr(device_engine, "supports_approximate", False)
+            )
+            if use_device:
+                step_iter = _depth_step_device_stream(
+                    device_engine, flat, min_identity, approximate
+                )
+            else:
+                one = _depth_step_host(index, flat, min_identity, approximate)
+                step_iter = iter([one] if one is not None else [])
+
+            walk_np = np.asarray([c[0] for c in current], np.int64)
+            tid_np = np.asarray([c[1] for c in current], np.int64)
+            lib.vb_frontier_clear(h)
+            for step in step_iter:
+                pair_q = np.ascontiguousarray(step["pair_q"], np.int64)
+                qid = np.ascontiguousarray(step["query_id"], np.int64)
+                aqs = np.ascontiguousarray(step["pq_start"], np.int64)
+                aqe = np.ascontiguousarray(step["pq_end"], np.int64)
+                w_arr = walk_np[pair_q]
+                cur_tid_arr = tid_np[pair_q]
+                hit_idx = None
+                if subset_match is not None:
+                    ok_of: dict[int, bool] = {}
+                    for u in np.unique(qid).tolist():
+                        name = index.seq_index.get_name(int(u))
+                        ok_of[int(u)] = bool(name) and subset_match(name)
+                    keep = np.fromiter(
+                        (
+                            ok_of[int(q)] or int(q) == targets[int(w)][0]
+                            for q, w in zip(qid.tolist(), w_arr.tolist())
+                        ),
+                        bool,
+                        count=qid.size,
+                    )
+                    hit_idx = np.nonzero(keep)[0]
+                    pair_q, qid, aqs, aqe, w_arr, cur_tid_arr = (
+                        pair_q[hit_idx], qid[hit_idx], aqs[hit_idx],
+                        aqe[hit_idx], w_arr[hit_idx], cur_tid_arr[hit_idx],
+                    )
+                book = np.ascontiguousarray(
+                    qid != cur_tid_arr, np.uint8
+                )
+                lib.vb_process(
+                    h,
+                    np.ascontiguousarray(w_arr),
+                    np.ascontiguousarray(qid),
+                    np.ascontiguousarray(aqs),
+                    np.ascontiguousarray(aqe),
+                    book,
+                    qid.size,
+                    min_distance_between_ranges,
+                    min_transitive_len,
+                )
+                # Row emission (bookkeeping-free).
+                pts = np.asarray(step["pt_start"])
+                pte = np.asarray(step["pt_end"])
+                if hit_idx is not None:
+                    pts, pte = pts[hit_idx], pte[hit_idx]
+                if store_cigar or min_output_length is not None:
+                    src = (
+                        hit_idx.tolist()
+                        if hit_idx is not None
+                        else range(qid.size)
+                    )
+                    for j, i in enumerate(src):
+                        a, b = int(aqs[j]), int(aqe[j])
+                        if (
+                            min_output_length is not None
+                            and abs(b - a) < min_output_length
+                        ):
+                            continue
+                        runs = None
+                        if store_cigar:
+                            k = int(step["pair_rec"][i])
+                            runs = _step_cigar(index, step, i, k)
+                        results[int(w_arr[j])].append(
+                            Row(
+                                int(qid[j]), a, b, runs,
+                                int(cur_tid_arr[j]), int(pts[j]),
+                                int(pte[j]),
+                            )
+                        )
+                else:
+                    for w, q, a, b, ct, ts, te in zip(
+                        w_arr.tolist(), qid.tolist(), aqs.tolist(),
+                        aqe.tolist(), cur_tid_arr.tolist(), pts.tolist(),
+                        pte.tolist(),
+                    ):
+                        results[w].append(Row(q, a, b, None, ct, ts, te))
+
+            m = int(lib.vb_frontier_size(h))
+            depth += 1
+            current = []
+            if m:
+                fw = np.zeros(m, np.int64)
+                fq = np.zeros(m, np.int64)
+                fs = np.zeros(m, np.int64)
+                fe = np.zeros(m, np.int64)
+                lib.vb_frontier_fetch(h, fw, fq, fs, fe)
+                per: dict[int, list[tuple[int, int, int]]] = {}
+                for w, q, s, e in zip(
+                    fw.tolist(), fq.tolist(), fs.tolist(), fe.tolist()
+                ):
+                    per.setdefault(w, []).append((q, s, e))
+                for w in sorted(per):
+                    for tid, s, e in _merge_frontier(per[w]):
+                        current.append((w, tid, s, e))
+        return results
+    finally:
+        lib.vb_destroy(h)
 
 
 def query_transitive_dfs(

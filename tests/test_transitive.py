@@ -144,3 +144,65 @@ def test_masked_regions_suppress_results():
     # but must never seed deeper exploration -> s1 unreachable.
     names = {index.seq_index.get_name(r.q_id) for r in res}
     assert "s1" not in names
+
+
+def test_bfs_many_native_bookkeeping_parity(monkeypatch):
+    """The native visited-book path (native/visited.cpp) returns exactly
+    the Python SortedRanges rows, frontier merges included."""
+    import random
+
+    from impg_tpu.index.impg_index import load_or_build
+    from impg_tpu.query import engine
+    from tests import datagen
+
+    rng = random.Random(17)
+    text, seqs, alns = datagen.pangenome_paf(rng, n_seqs=8, seq_len=30_000)
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        paf = os.path.join(td, "p.paf")
+        with open(paf, "w") as fh:
+            fh.write(text)
+        index = load_or_build([paf])
+        names = list(seqs)
+        qrng = random.Random(5)
+        targets = []
+        for _ in range(40):
+            nm = names[qrng.randrange(len(names))]
+            L = seqs[nm]
+            s = qrng.randrange(0, max(1, L - 5000))
+            targets.append((index.seq_index.get_id(nm), s, s + 5000))
+
+        def rows_key(res):
+            return [
+                sorted(
+                    (r.q_id, r.q_first, r.q_last, r.t_id, r.t_first, r.t_last)
+                    for r in rows
+                )
+                for rows in res
+            ]
+
+        for kwargs in (
+            dict(),
+            dict(min_output_length=300),
+            dict(store_cigar=True),
+            dict(max_depth=3, min_distance_between_ranges=50),
+        ):
+            native = engine.query_transitive_bfs_many(
+                index, targets, **kwargs
+            )
+            monkeypatch.setattr(engine, "_vb_lib", lambda: None)
+            python = engine.query_transitive_bfs_many(
+                index, targets, **kwargs
+            )
+            monkeypatch.undo()
+            assert rows_key(native) == rows_key(python), kwargs
+            if kwargs.get("store_cigar"):
+                for rn, rp in zip(native, python):
+                    for a, b in zip(rn, rp):
+                        if a.cigar is None:
+                            assert b.cigar is None
+                        else:
+                            import numpy as np
+
+                            assert np.array_equal(a.cigar, b.cigar)
