@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_SEQS = 40
 SEQ_LEN = 400_000
+CROSS_LINKS = 8  # denser interval fan-out (closer to an all-vs-all pangenome PAF)
 BATCH = 1024
 N_BATCHES_TIMED = 5
 RANGE_MIN, RANGE_MAX = 10_000, 100_000
@@ -48,12 +49,12 @@ def build_workload():
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_cache")
     os.makedirs(cache_dir, exist_ok=True)
-    tag = f"pangenome_{N_SEQS}x{SEQ_LEN}"
+    tag = f"pangenome_{N_SEQS}x{SEQ_LEN}x{CROSS_LINKS}"
     paf_path = os.path.join(cache_dir, tag + ".paf")
     if not os.path.exists(paf_path):
         rng = random.Random(20260817)
         text, seqs, alns = datagen.pangenome_paf(
-            rng, n_seqs=N_SEQS, seq_len=SEQ_LEN
+            rng, n_seqs=N_SEQS, seq_len=SEQ_LEN, cross_links=CROSS_LINKS
         )
         with open(paf_path, "w") as fh:
             fh.write(text)
@@ -92,16 +93,18 @@ def bench_device(index, batches, approximate=False):
     walks = [q for walk in batches[1:] for q in walk]
     engine.query_transitive_bfs_many(
         index, batches[0], max_depth=MAX_DEPTH, device_engine=dev,
-        approximate=approximate,
+        approximate=approximate, columnar=True,
     )
     engine.query_transitive_bfs_many(
         index, walks, max_depth=MAX_DEPTH, device_engine=dev,
-        approximate=approximate,
+        approximate=approximate, columnar=True,
     )
     t0 = time.perf_counter()
+    # Columnar result blocks: rows stay flat arrays (the engine's native
+    # currency); Row objects only materialize in writers that need them.
     res = engine.query_transitive_bfs_many(
         index, walks, max_depth=MAX_DEPTH, device_engine=dev,
-        approximate=approximate,
+        approximate=approximate, columnar=True,
     )
     rows = sum(len(r) for r in res)
     dt = time.perf_counter() - t0

@@ -1588,6 +1588,32 @@ def cmd_export_1aln(args) -> int:
     return 0
 
 
+def cmd_agz(args) -> int:
+    from impg_tpu.io import agz as agz_mod
+
+    if args.action == "create":
+        if not args.output:
+            print("error: agz create needs -o OUTPUT", file=sys.stderr)
+            return 2
+        stats = agz_mod.create_agz(args.output, args.files)
+        print(
+            f"Archived {stats['contigs']} contig(s) from "
+            f"{stats['samples']} sample(s) -> {args.output}",
+            file=sys.stderr,
+        )
+        return 0
+    for f in args.files:
+        arc = agz_mod.AgzArchive(f)
+        try:
+            for sample in arc.list_samples():
+                for contig in arc.list_contigs(sample):
+                    L = arc.get_sequence_length(f"{contig}@{sample}")
+                    print(f"{sample}\t{contig}\t{L}")
+        finally:
+            arc.close()
+    return 0
+
+
 def cmd_export_tpa(args) -> int:
     from impg_tpu.io import tpa as tpa_mod
 
@@ -2202,6 +2228,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_tpa.add_argument("-o", "--output", required=True)
     p_tpa.set_defaults(func=cmd_export_tpa)
+
+    p_agz = sub.add_parser(
+        "agz",
+        help="AGC-role compressed sequence archives (create from FASTA, "
+        "list; usable wherever --sequence-files takes FASTA)",
+    )
+    p_agz.add_argument("action", choices=["create", "list"])
+    p_agz.add_argument("files", nargs="+")
+    p_agz.add_argument("-o", "--output")
+    p_agz.set_defaults(func=cmd_agz)
 
     p_s2g = sub.add_parser(
         "syng2gfa",

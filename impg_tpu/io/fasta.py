@@ -182,23 +182,48 @@ class FastaIndex:
 
 
 class UnifiedSequenceIndex:
-    """Sequence access over FASTA files (reference: sequence_index.rs; the
-    AGC backend is not yet implemented)."""
+    """Sequence access over FASTA files or .agz archives (reference:
+    sequence_index.rs UnifiedSequenceIndex over faidx/AGC backends; mixed
+    file types are rejected like sequence_index.rs:56)."""
 
-    def __init__(self, fasta: FastaIndex) -> None:
-        self._fasta = fasta
+    def __init__(self, backends: list) -> None:
+        self._backends = backends
 
     @classmethod
     def from_files(cls, files: list[str]) -> "UnifiedSequenceIndex":
+        is_agz = [f.endswith(".agz") for f in files]
         if any(f.endswith(".agc") for f in files):
-            raise ValueError("AGC archives are not supported yet; use FASTA")
-        return cls(FastaIndex.build_from_files(files))
+            raise ValueError(
+                "upstream .agc archives need the unpublished ragc codec; "
+                "repackage with `impg-tpu agz create` (.agz)"
+            )
+        if any(is_agz) and not all(is_agz):
+            raise ValueError(
+                "Mixed file types not supported. All files must be either "
+                "FASTA or .agz"
+            )
+        if all(is_agz) and files:
+            from impg_tpu.io.agz import AgzArchive
+
+            return cls([AgzArchive(f) for f in files])
+        return cls([FastaIndex.build_from_files(files)])
+
+    def _first_with(self, name: str):
+        err = None
+        for b in self._backends:
+            try:
+                b.get_sequence_length(name)
+                return b
+            except KeyError as e:
+                err = e
+        raise err if err else KeyError(name)
 
     def fetch_sequence(self, name: str, start: int, end: int) -> bytes:
-        return self._fasta.fetch_sequence(name, start, end)
+        return self._first_with(name).fetch_sequence(name, start, end)
 
     def get_sequence_length(self, name: str) -> int:
-        return self._fasta.get_sequence_length(name)
+        return self._first_with(name).get_sequence_length(name)
 
     def sequence_names(self):
-        return self._fasta.sequence_names()
+        for b in self._backends:
+            yield from b.sequence_names()

@@ -196,6 +196,51 @@ def _too_close(ranges: SortedRanges, lo: int, hi: int, min_distance: int) -> boo
     return False
 
 
+@dataclass(slots=True)
+class RowBlock:
+    """Columnar result block: one walk's rows as flat arrays.
+
+    The engine's native result currency — rows stay tensors end to end
+    (the reference materializes Vec<AdjustedInterval>; here the SoA block
+    is the equivalent).  `to_rows()` materializes Row objects for
+    consumers that need them.
+    """
+
+    q_id: np.ndarray
+    q_first: np.ndarray
+    q_last: np.ndarray
+    t_id: np.ndarray
+    t_first: np.ndarray
+    t_last: np.ndarray
+
+    def __len__(self) -> int:
+        return int(self.q_id.size)
+
+    def to_rows(self) -> list[Row]:
+        return [
+            Row(q, a, b, None, t, ts, te)
+            for q, a, b, t, ts, te in zip(
+                self.q_id.tolist(), self.q_first.tolist(),
+                self.q_last.tolist(), self.t_id.tolist(),
+                self.t_first.tolist(), self.t_last.tolist(),
+            )
+        ]
+
+    def __iter__(self):
+        return iter(self.to_rows())
+
+
+def _rows_to_block(rows: list[Row]) -> RowBlock:
+    return RowBlock(
+        q_id=np.asarray([r.q_id for r in rows], np.int64),
+        q_first=np.asarray([r.q_first for r in rows], np.int64),
+        q_last=np.asarray([r.q_last for r in rows], np.int64),
+        t_id=np.asarray([r.t_id for r in rows], np.int64),
+        t_first=np.asarray([r.t_first for r in rows], np.int64),
+        t_last=np.asarray([r.t_last for r in rows], np.int64),
+    )
+
+
 _vb_bound = False
 
 
@@ -518,6 +563,7 @@ def query_transitive_bfs_many(
     subset_match: Optional[Callable[[str], bool]] = None,
     device_engine=None,
     approximate: bool = False,
+    columnar: bool = False,
 ) -> list[list[Row]]:
     """Run many independent transitive BFS walks, batched per depth.
 
@@ -526,14 +572,20 @@ def query_transitive_bfs_many(
     stab+projection for ALL walks runs as one batched step — the device
     round-trip is amortized across walks.  This is the batched `-b BED -x`
     hot path; the reference processes BED rows serially (main.rs:7435).
+
+    `columnar=True` (CIGAR-less walks only) returns one RowBlock per walk
+    instead of Row lists — results stay flat arrays with no per-row Python
+    object construction.
     """
+    if columnar and store_cigar:
+        raise ValueError("columnar results do not carry CIGARs")
     lib = _vb_lib()
     if lib is not None:
         return _bfs_many_native(
             lib, index, targets, masked_regions, max_depth,
             min_transitive_len, min_distance_between_ranges,
             min_output_length, store_cigar, min_identity, subset_match,
-            device_engine, approximate,
+            device_engine, approximate, columnar,
         )
     masked_none = masked_regions is None
     n_walks = len(targets)
@@ -630,6 +682,8 @@ def query_transitive_bfs_many(
             for tid, s, e in _merge_frontier(next_per_walk[w]):
                 current.append((w, tid, s, e))
 
+    if columnar:
+        return [_rows_to_block(rows) for rows in results]
     return results
 
 
@@ -647,16 +701,40 @@ def _bfs_many_native(
     subset_match,
     device_engine,
     approximate: bool,
-) -> list[list[Row]]:
+    columnar: bool = False,
+) -> list:
     """query_transitive_bfs_many with the order-dependent visited
     bookkeeping in C++ (native/visited.cpp): per step chunk, ONE native
     call replaces the per-hit too-close/insert Python loop; frontier
-    entries come back as flat arrays.  Row emission semantics unchanged."""
+    entries come back as flat arrays and merge vectorized.  With
+    `columnar` the per-hit Row loop disappears too — result columns
+    accumulate as arrays and partition per walk at the end (RowBlock)."""
     n_walks = len(targets)
     h = lib.vb_create()
     try:
         results: list[list[Row]] = [[] for _ in range(n_walks)]
-        current: list[tuple[int, int, int, int]] = []
+        seed_cols: list[tuple[int, int, int]] = []  # (walk, s, e)
+        cw: list[np.ndarray] = []
+        cq: list[np.ndarray] = []
+        cas: list[np.ndarray] = []
+        cae: list[np.ndarray] = []
+        cct: list[np.ndarray] = []
+        cts: list[np.ndarray] = []
+        cte: list[np.ndarray] = []
+        # Per-sequence subset pass/fail, computed once (vectorized gate).
+        subset_ok = None
+        if subset_match is not None:
+            subset_ok = np.zeros(len(index.seq_index), bool)
+            for sid in range(len(index.seq_index)):
+                name = index.seq_index.get_name(sid)
+                subset_ok[sid] = bool(name) and subset_match(name)
+        target_of_walk = np.asarray([t[0] for t in targets], np.int64)
+
+        cur_w = np.zeros(0, np.int64)
+        cur_t = np.zeros(0, np.int64)
+        cur_s = np.zeros(0, np.int64)
+        cur_e = np.zeros(0, np.int64)
+        seeds_w, seeds_t, seeds_s, seeds_e = [], [], [], []
         if masked_regions:
             for w in range(n_walks):
                 for sid, sr in masked_regions.items():
@@ -678,21 +756,33 @@ def _bfs_many_native(
             )
             for i in range(min(n_seed, cap)):
                 s, e = int(ss[i]), int(se[i])
-                runs = (
-                    cigar.pack(
-                        np.array([e - s], np.int64),
-                        np.array([cigar.OP_EQ], np.uint32),
+                if columnar:
+                    seed_cols.append((w, s, e))
+                else:
+                    runs = (
+                        cigar.pack(
+                            np.array([e - s], np.int64),
+                            np.array([cigar.OP_EQ], np.uint32),
+                        )
+                        if store_cigar
+                        else None
                     )
-                    if store_cigar
-                    else None
-                )
-                results[w].append(Row(target_id, s, e, runs, target_id, s, e))
+                    results[w].append(
+                        Row(target_id, s, e, runs, target_id, s, e)
+                    )
                 if abs(s - e) >= min_transitive_len:
-                    current.append((w, target_id, s, e))
+                    seeds_w.append(w)
+                    seeds_t.append(target_id)
+                    seeds_s.append(s)
+                    seeds_e.append(e)
+        cur_w = np.asarray(seeds_w, np.int64)
+        cur_t = np.asarray(seeds_t, np.int64)
+        cur_s = np.asarray(seeds_s, np.int64)
+        cur_e = np.asarray(seeds_e, np.int64)
 
         depth = 0
-        while current and (max_depth == 0 or depth < max_depth):
-            flat = [(tid, s, e) for (_, tid, s, e) in current]
+        while cur_w.size and (max_depth == 0 or depth < max_depth):
+            flat = list(zip(cur_t.tolist(), cur_s.tolist(), cur_e.tolist()))
             use_device = device_engine is not None and (
                 not approximate
                 or getattr(device_engine, "supports_approximate", False)
@@ -705,38 +795,23 @@ def _bfs_many_native(
                 one = _depth_step_host(index, flat, min_identity, approximate)
                 step_iter = iter([one] if one is not None else [])
 
-            walk_np = np.asarray([c[0] for c in current], np.int64)
-            tid_np = np.asarray([c[1] for c in current], np.int64)
             lib.vb_frontier_clear(h)
             for step in step_iter:
                 pair_q = np.ascontiguousarray(step["pair_q"], np.int64)
                 qid = np.ascontiguousarray(step["query_id"], np.int64)
                 aqs = np.ascontiguousarray(step["pq_start"], np.int64)
                 aqe = np.ascontiguousarray(step["pq_end"], np.int64)
-                w_arr = walk_np[pair_q]
-                cur_tid_arr = tid_np[pair_q]
+                w_arr = cur_w[pair_q]
+                cur_tid_arr = cur_t[pair_q]
                 hit_idx = None
-                if subset_match is not None:
-                    ok_of: dict[int, bool] = {}
-                    for u in np.unique(qid).tolist():
-                        name = index.seq_index.get_name(int(u))
-                        ok_of[int(u)] = bool(name) and subset_match(name)
-                    keep = np.fromiter(
-                        (
-                            ok_of[int(q)] or int(q) == targets[int(w)][0]
-                            for q, w in zip(qid.tolist(), w_arr.tolist())
-                        ),
-                        bool,
-                        count=qid.size,
-                    )
+                if subset_ok is not None:
+                    keep = subset_ok[qid] | (qid == target_of_walk[w_arr])
                     hit_idx = np.nonzero(keep)[0]
                     pair_q, qid, aqs, aqe, w_arr, cur_tid_arr = (
                         pair_q[hit_idx], qid[hit_idx], aqs[hit_idx],
                         aqe[hit_idx], w_arr[hit_idx], cur_tid_arr[hit_idx],
                     )
-                book = np.ascontiguousarray(
-                    qid != cur_tid_arr, np.uint8
-                )
+                book = np.ascontiguousarray(qid != cur_tid_arr, np.uint8)
                 lib.vb_process(
                     h,
                     np.ascontiguousarray(w_arr),
@@ -748,12 +823,30 @@ def _bfs_many_native(
                     min_distance_between_ranges,
                     min_transitive_len,
                 )
-                # Row emission (bookkeeping-free).
+                # Row emission.
                 pts = np.asarray(step["pt_start"])
                 pte = np.asarray(step["pt_end"])
                 if hit_idx is not None:
                     pts, pte = pts[hit_idx], pte[hit_idx]
-                if store_cigar or min_output_length is not None:
+                if columnar:
+                    if min_output_length is not None:
+                        m = np.abs(aqe - aqs) >= min_output_length
+                        cw.append(w_arr[m])
+                        cq.append(qid[m])
+                        cas.append(aqs[m])
+                        cae.append(aqe[m])
+                        cct.append(cur_tid_arr[m])
+                        cts.append(np.asarray(pts[m], np.int64))
+                        cte.append(np.asarray(pte[m], np.int64))
+                    else:
+                        cw.append(w_arr)
+                        cq.append(qid)
+                        cas.append(aqs)
+                        cae.append(aqe)
+                        cct.append(cur_tid_arr)
+                        cts.append(np.asarray(pts, np.int64))
+                        cte.append(np.asarray(pte, np.int64))
+                elif store_cigar or min_output_length is not None:
                     src = (
                         hit_idx.tolist()
                         if hit_idx is not None
@@ -785,26 +878,91 @@ def _bfs_many_native(
                     ):
                         results[w].append(Row(q, a, b, None, ct, ts, te))
 
+            # Vectorized frontier sort + merge: entries are disjoint per
+            # (walk, seq) book by construction (each uncovered sub-range is
+            # inserted before the next hit), so merging only joins touching
+            # neighbors (same contract as _merge_frontier).
             m = int(lib.vb_frontier_size(h))
             depth += 1
-            current = []
-            if m:
-                fw = np.zeros(m, np.int64)
-                fq = np.zeros(m, np.int64)
-                fs = np.zeros(m, np.int64)
-                fe = np.zeros(m, np.int64)
-                lib.vb_frontier_fetch(h, fw, fq, fs, fe)
-                per: dict[int, list[tuple[int, int, int]]] = {}
-                for w, q, s, e in zip(
-                    fw.tolist(), fq.tolist(), fs.tolist(), fe.tolist()
-                ):
-                    per.setdefault(w, []).append((q, s, e))
-                for w in sorted(per):
-                    for tid, s, e in _merge_frontier(per[w]):
-                        current.append((w, tid, s, e))
+            if not m:
+                cur_w = np.zeros(0, np.int64)
+                continue
+            fw = np.zeros(m, np.int64)
+            fq = np.zeros(m, np.int64)
+            fs = np.zeros(m, np.int64)
+            fe = np.zeros(m, np.int64)
+            lib.vb_frontier_fetch(h, fw, fq, fs, fe)
+            order = np.lexsort((fs, fq, fw))
+            fw, fq, fs, fe = fw[order], fq[order], fs[order], fe[order]
+            same = (fw[1:] == fw[:-1]) & (fq[1:] == fq[:-1])
+            new = np.concatenate([[True], (~same) | (fs[1:] > fe[:-1])])
+            last = np.concatenate([new[1:], [True]])
+            cur_w = fw[new]
+            cur_t = fq[new]
+            cur_s = fs[new]
+            cur_e = fe[last]
+
+        if columnar:
+            return _partition_columnar(
+                n_walks, targets, seed_cols, cw, cq, cas, cae, cct, cts, cte
+            )
         return results
     finally:
         lib.vb_destroy(h)
+
+
+def _partition_columnar(
+    n_walks, targets, seed_cols, cw, cq, cas, cae, cct, cts, cte
+) -> list[RowBlock]:
+    """Split accumulated result columns into per-walk RowBlocks (seed rows
+    first, then hits in emission order — matching the Row-list layout)."""
+    if cw:
+        w_all = np.concatenate(cw)
+        order = np.argsort(w_all, kind="stable")
+        w_sorted = w_all[order]
+        bounds = np.searchsorted(w_sorted, np.arange(n_walks + 1))
+        q_all = np.concatenate(cq)[order]
+        as_all = np.concatenate(cas)[order]
+        ae_all = np.concatenate(cae)[order]
+        ct_all = np.concatenate(cct)[order]
+        ts_all = np.concatenate(cts)[order]
+        te_all = np.concatenate(cte)[order]
+    else:
+        bounds = np.zeros(n_walks + 1, np.int64)
+        q_all = as_all = ae_all = ct_all = ts_all = te_all = np.zeros(
+            0, np.int64
+        )
+    seeds_by_walk: dict[int, list[tuple[int, int]]] = {}
+    for w, s, e in seed_cols:
+        seeds_by_walk.setdefault(w, []).append((s, e))
+    out: list[RowBlock] = []
+    for w in range(n_walks):
+        lo, hi = int(bounds[w]), int(bounds[w + 1])
+        seeds = seeds_by_walk.get(w, [])
+        tid = targets[w][0]
+        if seeds:
+            s_arr = np.asarray([s for s, _ in seeds], np.int64)
+            e_arr = np.asarray([e for _, e in seeds], np.int64)
+            t_arr = np.full(len(seeds), tid, np.int64)
+            out.append(
+                RowBlock(
+                    q_id=np.concatenate([t_arr, q_all[lo:hi]]),
+                    q_first=np.concatenate([s_arr, as_all[lo:hi]]),
+                    q_last=np.concatenate([e_arr, ae_all[lo:hi]]),
+                    t_id=np.concatenate([t_arr, ct_all[lo:hi]]),
+                    t_first=np.concatenate([s_arr, ts_all[lo:hi]]),
+                    t_last=np.concatenate([e_arr, te_all[lo:hi]]),
+                )
+            )
+        else:
+            out.append(
+                RowBlock(
+                    q_id=q_all[lo:hi], q_first=as_all[lo:hi],
+                    q_last=ae_all[lo:hi], t_id=ct_all[lo:hi],
+                    t_first=ts_all[lo:hi], t_last=te_all[lo:hi],
+                )
+            )
+    return out
 
 
 def query_transitive_dfs(

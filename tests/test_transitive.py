@@ -206,3 +206,46 @@ def test_bfs_many_native_bookkeeping_parity(monkeypatch):
                             import numpy as np
 
                             assert np.array_equal(a.cigar, b.cigar)
+
+
+def test_bfs_many_columnar_parity():
+    """Columnar RowBlocks carry exactly the same rows as the Row lists."""
+    import os
+    import random
+    import tempfile
+
+    from impg_tpu.index.impg_index import load_or_build
+    from impg_tpu.query import engine
+    from tests import datagen
+
+    rng = random.Random(23)
+    text, seqs, alns = datagen.pangenome_paf(rng, n_seqs=6, seq_len=25_000)
+    with tempfile.TemporaryDirectory() as td:
+        paf = os.path.join(td, "p.paf")
+        with open(paf, "w") as fh:
+            fh.write(text)
+        index = load_or_build([paf])
+        names = list(seqs)
+        qrng = random.Random(3)
+        targets = []
+        for _ in range(25):
+            nm = names[qrng.randrange(len(names))]
+            L = seqs[nm]
+            s = qrng.randrange(0, max(1, L - 4000))
+            targets.append((index.seq_index.get_id(nm), s, s + 4000))
+        for kwargs in (dict(), dict(min_output_length=250)):
+            rows = engine.query_transitive_bfs_many(index, targets, **kwargs)
+            blocks = engine.query_transitive_bfs_many(
+                index, targets, columnar=True, **kwargs
+            )
+            assert [len(b) for b in blocks] == [len(r) for r in rows]
+            for rlist, block in zip(rows, blocks):
+                got = [
+                    (r.q_id, r.q_first, r.q_last, r.t_id, r.t_first, r.t_last)
+                    for r in block.to_rows()
+                ]
+                want = [
+                    (r.q_id, r.q_first, r.q_last, r.t_id, r.t_first, r.t_last)
+                    for r in rlist
+                ]
+                assert got == want
