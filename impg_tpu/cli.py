@@ -1641,6 +1641,7 @@ def cmd_syng2gfa(args) -> int:
         syng, seq_idx,
         drop_top_fraction=args.drop_top_fraction,
         max_occurrences=args.max_occurrences,
+        mode=args.mode,
     )
     if args.output:
         with open(args.output, "w") as fh:
@@ -2252,6 +2253,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="Privatize this fraction of highest-frequency syncmers",
     )
     p_s2g.add_argument("--max-occurrences", type=int)
+    p_s2g.add_argument(
+        "--mode", choices=["blunt", "raw"], default="blunt",
+        help="blunt: 0M links with truncated pieces; raw: native syng "
+        "overlap graph (full RC-shared syncmer nodes, (k-offset)M links)",
+    )
     p_s2g.add_argument("-o", "--output", help="Output GFA (default stdout)")
     p_s2g.set_defaults(func=cmd_syng2gfa)
 

@@ -183,11 +183,25 @@ RESULT_FIELDS = (
 )
 
 
-def pack_result(out: dict):
-    """One matrix [n_fields + 1, B*K]: the extra last row carries the
+def pack_result(out: dict, cap: int | None = None):
+    """One matrix [n_fields + 1, C]: the extra last row carries the
     (k_needed, n_hits) scalars in its first two slots, so each chunk costs
-    exactly ONE device->host fetch (the relay link is latency-bound)."""
-    mat = jnp.stack([out[f].astype(jnp.int32) for f in RESULT_FIELDS])
+    exactly ONE device->host fetch (the relay link is latency-bound).
+
+    With `cap`, results are COMPACTED on device first: a stable argsort
+    moves valid hits to the front (preserving pair order) and only the
+    first `cap` lanes ship — the transfer scales with actual hits instead
+    of the padded B*k_max grid.  n_hits > cap signals truncation; the host
+    refetches with a doubled cap (one extra compile, then cached)."""
+    valid = out["valid"]
+    if cap is not None and cap < valid.size:
+        order = jnp.argsort(jnp.logical_not(valid), stable=True)
+        sel = order[:cap]
+        mat = jnp.stack(
+            [jnp.take(out[f].astype(jnp.int32), sel) for f in RESULT_FIELDS]
+        )
+    else:
+        mat = jnp.stack([out[f].astype(jnp.int32) for f in RESULT_FIELDS])
     scalars = jnp.stack(
         [out["k_needed"].astype(jnp.int32), out["n_hits"].astype(jnp.int32)]
     )
@@ -204,7 +218,7 @@ def unpack_result(mat: np.ndarray) -> dict:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_max", "clip_overlap", "approximate")
+    jax.jit, static_argnames=("k_max", "cap", "clip_overlap", "approximate")
 )
 def query_step(
     dindex: DeviceIndex,
@@ -213,10 +227,12 @@ def query_step(
     q_e,
     *,
     k_max: int,
+    cap: int | None = None,
     clip_overlap: bool = False,
     approximate: bool = False,
 ):
-    """Batched stab + projection. Inputs int32 [B]; outputs [B * k_max]."""
+    """Batched stab + projection. Inputs int32 [B]; outputs [B * k_max]
+    (or [cap] device-compacted lanes when `cap` is set)."""
     out = _query_core(
         rec=dict(
             target_id=dindex.target_id,
@@ -241,7 +257,7 @@ def query_step(
         tp=dindex.tp if approximate else None,
         tp_spacing=dindex.tp_spacing,
     )
-    return pack_result(out)
+    return pack_result(out, cap)
 
 
 
@@ -446,6 +462,10 @@ class DeviceEngine:
             max_tree = int(tree_sizes.max()) if tree_sizes.size else 1
             initial_capacity = 1 << _iters_for(min(max_tree, 128))
         self.k_max = initial_capacity
+        # Device-compacted result lanes per chunk (pack_result cap): the
+        # transfer scales with hits, not the B*k_max grid; grows by
+        # doubling on truncation.
+        self.cap = chunk * 16
 
     @property
     def supports_approximate(self) -> bool:
@@ -496,35 +516,41 @@ class DeviceEngine:
         chunk i overlaps the device compute/transfer of chunks i+1.."""
         chunks = self._chunk_batch((q_tid, q_s, q_e))
 
-        def dispatch(cols, k_max):
+        def dispatch(cols, k_max, cap):
             return query_step(
                 self.dindex, *cols,
-                k_max=k_max, clip_overlap=clip_overlap,
+                k_max=k_max, cap=cap, clip_overlap=clip_overlap,
                 approximate=approximate,
             )
 
         k_max0 = self.k_max
+        cap0 = self.cap
         inflight = [
-            (off, cols, k_max0, dispatch(cols, k_max0))
+            (off, cols, k_max0, cap0, dispatch(cols, k_max0, cap0))
             for off, _cnt, cols in chunks
         ]
         # Start all result transfers eagerly: the relay link moves data
         # during fetches, so without this the host bookkeeping between
         # fetches would sit on the transfer critical path.
-        for _off, _cols, _k, mat in inflight:
+        for *_rest, mat in inflight:
             try:
                 mat.copy_to_host_async()
             except AttributeError:
                 pass
-        for off, cols, k_used, mat in inflight:
+        for off, cols, k_used, cap_used, mat in inflight:
             m_host = np.asarray(mat)
             k_needed = int(m_host[-1, 0])
-            while k_needed > k_used:
+            n_hits = int(m_host[-1, 1])
+            while k_needed > k_used or n_hits > cap_used:
                 while self.k_max < k_needed:
                     self.k_max *= 2
+                while self.cap < n_hits:
+                    self.cap *= 2
                 k_used = self.k_max
-                m_host = np.asarray(dispatch(cols, k_used))
+                cap_used = self.cap
+                m_host = np.asarray(dispatch(cols, k_used, cap_used))
                 k_needed = int(m_host[-1, 0])
+                n_hits = int(m_host[-1, 1])
             out = unpack_result(m_host)
             keep = out["valid"]
             out = {
@@ -552,6 +578,7 @@ class DeviceEngine:
         pending = list(range(len(flat)))
         while pending:
             k_max = self.k_max
+            cap = self.cap
             inflight = [
                 (
                     fi,
@@ -559,6 +586,7 @@ class DeviceEngine:
                         self.dindex,
                         *flat[fi][3],
                         k_max=k_max,
+                        cap=cap,
                         clip_overlap=clip_overlap,
                         approximate=approximate,
                     ),
@@ -574,10 +602,13 @@ class DeviceEngine:
             for fi, mat in inflight:
                 m_host = np.asarray(mat)
                 k_needed = int(m_host[-1, 0])
-                if k_needed > k_max:
+                n_hits = int(m_host[-1, 1])
+                if k_needed > k_max or n_hits > cap:
                     retry.append(fi)
                     while self.k_max < k_needed:
                         self.k_max *= 2
+                    while self.cap < n_hits:
+                        self.cap *= 2
                     continue
                 out = unpack_result(m_host)
                 keep = out["valid"]

@@ -28,8 +28,22 @@ def syng_to_gfa(
     seq_idx,
     drop_top_fraction: float = DEFAULT_DROP_TOP_FRACTION,
     max_occurrences: int | None = None,
+    mode: str = "blunt",
 ) -> str:
-    """GFA 1.0 text for the whole index; `seq_idx` provides source bases."""
+    """GFA 1.0 text for the whole index; `seq_idx` provides source bases.
+
+    `mode="raw"` emits the explicit syng-native OVERLAP graph
+    (syng2gfa.rs:171 SyngGfaMode::Raw): every syncmer keeps its full
+    k-length canonical segment shared across both orientations
+    (RC-sharing), directly-adjacent syncmers link with
+    `(k - offset)M` overlaps (syng2gfa.rs:815), and only
+    beyond-k gaps materialize gap segments.  Blunt mode (default)
+    truncates overlapping pieces so all links are 0M.
+    """
+    if mode == "raw":
+        return _syng_to_gfa_raw(
+            syng, seq_idx, drop_top_fraction, max_occurrences
+        )
     k = syng.syncmer_len
     # Frequency mask: the most frequent ids become PRIVATE (one node per
     # occurrence) instead of shared glue (syng2gfa.rs frequency mask role).
@@ -117,6 +131,115 @@ def syng_to_gfa(
     for a, ar, b, br in sorted(links):
         lines.append(
             f"L\t{a}\t{'-' if ar else '+'}\t{b}\t{'-' if br else '+'}\t0M"
+        )
+    for name, steps in paths:
+        walk = ",".join(
+            f"{nid}{'-' if rev else '+'}" for nid, rev in steps
+        )
+        lines.append(f"P\t{name}\t{walk}\t*")
+    return "\n".join(lines) + "\n"
+
+
+def _private_ids(
+    syng: SyngIndex, drop_top_fraction: float, max_occurrences: int | None
+) -> set[int]:
+    """Ids too frequent to act as shared glue (one node per occurrence)."""
+    uniq, counts = np.unique(syng.occ_ids, return_counts=True)
+    private: set[int] = set()
+    if uniq.size and drop_top_fraction > 0:
+        n_drop = int(np.ceil(uniq.size * drop_top_fraction))
+        if n_drop > 0:
+            order = np.argsort(counts)
+            for i in order[-n_drop:]:
+                if counts[i] > 1:
+                    private.add(int(uniq[i]))
+    if max_occurrences is not None:
+        for i in range(uniq.size):
+            if counts[i] > max_occurrences:
+                private.add(int(uniq[i]))
+    return private
+
+
+def _syng_to_gfa_raw(
+    syng: SyngIndex,
+    seq_idx,
+    drop_top_fraction: float,
+    max_occurrences: int | None,
+) -> str:
+    k = syng.syncmer_len
+    private = _private_ids(syng, drop_top_fraction, max_occurrences)
+    segments: list[str] = []
+    intern: dict[tuple, int] = {}
+
+    def node_for(key: tuple, fwd_seq: bytes) -> int:
+        nid = intern.get(key)
+        if nid is None:
+            segments.append(fwd_seq.decode())
+            nid = len(segments)
+            intern[key] = nid
+        return nid
+
+    paths: list[tuple[str, list[tuple[int, bool]]]] = []
+    links: set[tuple[int, bool, int, bool, int]] = set()
+    private_counter = 0
+
+    for sid in range(len(syng.seq_index)):
+        name = syng.seq_index.get_name(sid)
+        L = syng.seq_index.get_len_from_id(sid)
+        seq = seq_idx.fetch_sequence(name, 0, L)
+        pos, ids, fwd = syng.region_syncmers(name, 0, L)
+        order = np.argsort(pos)
+        pos, ids, fwd = pos[order], ids[order], fwd[order]
+        steps: list[tuple[int, bool]] = []
+        step_overlaps: list[int] = []  # incoming overlap per step
+
+        def add_gap(lo: int, hi: int) -> None:
+            if hi <= lo:
+                return
+            piece = seq[lo:hi]
+            steps.append((node_for(("gap", piece), piece), False))
+            step_overlaps.append(0)
+
+        prev_p = None
+        for i in range(pos.size):
+            p = int(pos[i])
+            if prev_p is None:
+                add_gap(0, p)
+                incoming = 0
+            else:
+                offset = p - prev_p
+                if offset < k:
+                    incoming = k - offset  # direct adjacency overlap
+                else:
+                    add_gap(prev_p + k, p)
+                    incoming = 0
+            end = min(p + k, L)
+            piece = seq[p:end]
+            rev = not bool(fwd[i])
+            fwd_seq = reverse_complement(piece) if rev else piece
+            sig = int(ids[i])
+            if sig in private:
+                private_counter += 1
+                key = ("priv", private_counter)
+            else:
+                key = ("syn", sig, fwd_seq)
+            steps.append((node_for(key, fwd_seq), rev))
+            step_overlaps.append(incoming)
+            prev_p = p
+        if prev_p is not None:
+            add_gap(prev_p + k, L)
+        else:
+            add_gap(0, L)
+        for (a, b), ov in zip(zip(steps, steps[1:]), step_overlaps[1:]):
+            links.add((a[0], a[1], b[0], b[1], ov))
+        paths.append((name, steps))
+
+    lines = ["H\tVN:Z:1.0"]
+    for i, s in enumerate(segments):
+        lines.append(f"S\t{i + 1}\t{s}")
+    for a, ar, b, br, ov in sorted(links):
+        lines.append(
+            f"L\t{a}\t{'-' if ar else '+'}\t{b}\t{'-' if br else '+'}\t{ov}M"
         )
     for name, steps in paths:
         walk = ",".join(

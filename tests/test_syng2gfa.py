@@ -90,3 +90,92 @@ def test_cli_syng2gfa(tmp_path):
     assert r.returncode == 0, r.stderr
     g = Gfa.parse(open(out).read())
     assert _spell(g) == {n: s.encode() for n, s in seq_data.items()}
+
+
+def test_raw_overlap_mode(tmp_path):
+    """Raw mode: full RC-shared syncmer nodes with (k-offset)M overlap
+    links; walks spell the sources after overlap trimming
+    (syng2gfa.rs:171 SyngGfaMode::Raw)."""
+    import random
+
+    from impg_tpu.io.fasta import UnifiedSequenceIndex, reverse_complement
+    from tests import datagen
+
+    rng = random.Random(19)
+    a = "".join(rng.choice("ACGT") for _ in range(6000))
+    shared = a[2000:4000]
+    b = (
+        "".join(rng.choice("ACGT") for _ in range(1000))
+        + reverse_complement(shared.encode()).decode()
+        + "".join(rng.choice("ACGT") for _ in range(1000))
+    )
+    fa = str(tmp_path / "r.fa")
+    datagen.write_fasta(fa, {"A": a, "B": b})
+    syng = SyngIndex.build_from_fasta([fa])
+    seq_idx = UnifiedSequenceIndex.from_files([fa])
+    text = syng_to_gfa(syng, seq_idx, mode="raw")
+
+    segs = {}
+    links = {}
+    paths = {}
+    for line in text.splitlines():
+        f = line.split("\t")
+        if f[0] == "S":
+            segs[f[1]] = f[2]
+        elif f[0] == "L":
+            ov = int(f[5][:-1])
+            links[(f[1], f[2] == "-", f[3], f[4] == "-")] = ov
+        elif f[0] == "P":
+            paths[f[1]] = [(s[:-1], s.endswith("-")) for s in f[2].split(",")]
+    # Some overlap links must exist (syncmers overlap on dense sequence).
+    assert any(ov > 0 for ov in links.values())
+    k = syng.syncmer_len
+    # Full-length syncmer nodes (k bp) appear.
+    assert any(len(s) == k for s in segs.values())
+
+    # Spelling: concatenate oriented steps trimming each link's overlap.
+    def spell(steps):
+        out = b""
+        prev = None
+        for sid, rev in steps:
+            piece = segs[sid].encode()
+            if rev:
+                piece = reverse_complement(piece)
+            ov = links.get((prev[0], prev[1], sid, rev), 0) if prev else 0
+            out += piece[ov:]
+            prev = (sid, rev)
+        return out
+
+    assert spell(paths["A"]) == a.encode()
+    assert spell(paths["B"]) == b.encode()
+
+    # RC-sharing: the shared (reverse-complemented) region reuses A's
+    # syncmer nodes with flipped orientation in B's walk.
+    a_nodes = {sid for sid, _ in paths["A"]}
+    b_rev_nodes = {sid for sid, rev in paths["B"] if rev}
+    assert len(a_nodes & b_rev_nodes) > 5
+
+
+def test_cli_raw_mode(tmp_path):
+    import random
+
+    from tests import datagen
+    from tests.test_cli import run_cli
+
+    rng = random.Random(21)
+    seqs = {"x": "".join(rng.choice("ACGT") for _ in range(4000))}
+    fa = str(tmp_path / "x.fa")
+    datagen.write_fasta(fa, seqs)
+    prefix = str(tmp_path / "x")
+    r = run_cli("syng", "-f", fa, "-o", prefix)
+    assert r.returncode == 0, r.stderr
+    r = run_cli(
+        "syng2gfa", "-a", prefix + ".syngt", "--sequence-files", fa,
+        "--mode", "raw",
+    )
+    assert r.returncode == 0, r.stderr
+    assert any(
+        l.split("\t")[5] != "0M"
+        for l in r.stdout.splitlines()
+        if l.startswith("L\t")
+    )
