@@ -946,9 +946,19 @@ def _syng_query(args, merge_distance: int) -> int:
                 )
                 return 1
             if args.transitive:
-                # Chained multihop homology walk (syng_transitive.rs role).
+                # Chained multihop homology walk (syng_transitive.rs role);
+                # with --sequence-files, chain ends refine by native
+                # ends-free alignment (refine_ends_only role).
                 from impg_tpu.syng import transitive as syng_transitive
 
+                refine_seq_idx = region_seq_idx
+                if refine_seq_idx is None and args.sequence_files:
+                    from impg_tpu.io.fasta import UnifiedSequenceIndex
+
+                    sf = []
+                    for entry in args.sequence_files:
+                        sf.extend(x for x in entry.split(",") if x)
+                    refine_seq_idx = UnifiedSequenceIndex.from_files(sf)
                 rows = syng_transitive.query_transitive(
                     syng, target_name, start, end,
                     max_depth=args.max_depth,
@@ -956,6 +966,7 @@ def _syng_query(args, merge_distance: int) -> int:
                     min_distance_between_ranges=(
                         args.min_distance_between_ranges
                     ),
+                    seq_idx=refine_seq_idx,
                 )
             else:
                 intervals = syng.query_region(target_name, start, end)

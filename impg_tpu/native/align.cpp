@@ -33,16 +33,19 @@ inline void push_run(std::vector<uint32_t>* out, uint32_t op, uint32_t len) {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Align query a[0..alen) against target b[0..blen); writes packed runs into
-// out (capacity out_cap).  Returns the number of runs, or -1 if the problem
-// is too large / capacity too small.  Scores: positive penalties.
-int64_t impg_align_pair(const uint8_t* a, int64_t alen, const uint8_t* b,
-                        int64_t blen, int match, int mismatch, int gap_open,
-                        int gap_ext, uint32_t* out, int64_t out_cap) {
+// Shared Gotoh DP.  With free_b_end, the alignment is anchored at (0,0) but
+// the target end is FREE: traceback starts from the best column of the last
+// row (the ends-free extension mode of the reference's BiWFA boundary
+// refinement, syng_transitive.rs:436 set_alignment_free_ends).
+int64_t align_impl(const uint8_t* a, int64_t alen, const uint8_t* b,
+                   int64_t blen, int match, int mismatch, int gap_open,
+                   int gap_ext, uint32_t* out, int64_t out_cap,
+                   bool free_b_end) {
   if (alen == 0 && blen == 0) return 0;
   if (alen == 0) {
+    if (free_b_end) return 0;  // best prefix of b is empty
     if (out_cap < 1) return -1;
     out[0] = (3u << 29) | (static_cast<uint32_t>(blen) & kLenMask);
     return 1;
@@ -110,10 +113,22 @@ int64_t impg_align_pair(const uint8_t* a, int64_t alen, const uint8_t* b,
     std::swap(Fup, Frow);
   }
 
-  // Traceback from (alen, blen).
+  // Traceback from (alen, blen) — or the best last-row column when the
+  // target end is free.
+  int64_t j_final = blen;
+  if (free_b_end) {
+    int32_t best = Hup[0];
+    j_final = 0;
+    for (int64_t j = 1; j <= blen; ++j) {
+      if (Hup[j] > best) {
+        best = Hup[j];
+        j_final = j;
+      }
+    }
+  }
   std::vector<uint32_t> rev;
   rev.reserve(static_cast<size_t>((alen + blen) / 16 + 4));
-  int64_t i = alen, j = blen;
+  int64_t i = alen, j = j_final;
   int state = 0;  // 0 = H, 1 = E chain, 2 = F chain
   while (i > 0 || j > 0) {
     uint8_t cell = TB(i, j);
@@ -160,6 +175,28 @@ int64_t impg_align_pair(const uint8_t* a, int64_t alen, const uint8_t* b,
     }
   }
   return n == 0 ? 0 : w + 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Align query a[0..alen) against target b[0..blen); writes packed runs into
+// out (capacity out_cap).  Returns the number of runs, or -1 if the problem
+// is too large / capacity too small.  Scores: positive penalties.
+int64_t impg_align_pair(const uint8_t* a, int64_t alen, const uint8_t* b,
+                        int64_t blen, int match, int mismatch, int gap_open,
+                        int gap_ext, uint32_t* out, int64_t out_cap) {
+  return align_impl(a, alen, b, blen, match, mismatch, gap_open, gap_ext,
+                    out, out_cap, false);
+}
+
+// Ends-free extension: align ALL of a against the best-scoring PREFIX of b.
+int64_t impg_align_prefix(const uint8_t* a, int64_t alen, const uint8_t* b,
+                          int64_t blen, int match, int mismatch, int gap_open,
+                          int gap_ext, uint32_t* out, int64_t out_cap) {
+  return align_impl(a, alen, b, blen, match, mismatch, gap_open, gap_ext,
+                    out, out_cap, true);
 }
 
 }  // extern "C"

@@ -55,3 +55,35 @@ def align_pair(
             f"alignment failed (segment too large: {len(query)}x{len(target)})"
         )
     return np.frombuffer(out, np.uint32, int(n)).copy()
+
+
+def align_extend(
+    query: bytes, target: bytes, scoring=DEFAULT_SCORING
+) -> tuple[int, int]:
+    """Ends-free extension: align ALL of `query` against the best-scoring
+    PREFIX of `target` (the reference's BiWFA boundary-refinement mode,
+    syng_transitive.rs:436).  Returns (target bp consumed, matched bp)."""
+    lib = native.load()
+    if lib is None:
+        raise RuntimeError("native alignment library unavailable")
+    _bind(lib)
+    if not hasattr(lib, "_prefix_bound"):
+        lib.impg_align_prefix.restype = ctypes.c_int64
+        lib.impg_align_prefix.argtypes = lib.impg_align_pair.argtypes
+        lib._prefix_bound = True
+    m, x, go, ge = scoring
+    cap = len(query) + len(target) + 4
+    out = (ctypes.c_uint32 * cap)()
+    n = lib.impg_align_prefix(
+        query, len(query), target, len(target), m, x, go, ge, out, cap
+    )
+    if n < 0:
+        raise ValueError(
+            f"extension failed (segment too large: {len(query)}x{len(target)})"
+        )
+    runs = np.frombuffer(out, np.uint32, int(n))
+    ops = runs >> np.uint32(29)
+    lens = (runs & np.uint32((1 << 29) - 1)).astype(np.int64)
+    consumed = int(lens[(ops == 0) | (ops == 1) | (ops == 3)].sum())
+    matches = int(lens[ops == 0].sum())
+    return consumed, matches

@@ -25,7 +25,10 @@ from impg_tpu.syng.index import SyngIndex
 
 @dataclass
 class SyngChain:
-    """One collinear homology chain: query span -> target span."""
+    """One collinear homology chain: query span -> target span.
+
+    Anchor endpoints (syncmer start positions of the first/last chained
+    anchor, pre-extension) feed the ends-only boundary refinement."""
 
     genome: str
     t_start: int
@@ -34,6 +37,10 @@ class SyngChain:
     q_end: int
     strand: str
     n_anchors: int
+    first_q: int = -1
+    first_t: int = -1
+    last_q: int = -1
+    last_t: int = -1
 
 
 def chain_region(
@@ -146,9 +153,94 @@ def chain_occurrences(
                     q_end=q1,
                     strand="-" if rev else "+",
                     n_anchors=n,
+                    first_q=int(cq[ps]),
+                    first_t=int(ct[ps]),
+                    last_q=int(cq[pe - 1]),
+                    last_t=int(ct[pe - 1]),
                 )
             )
     return out
+
+
+def refine_chain_ends(
+    syng: SyngIndex,
+    chains: list[SyngChain],
+    seq_idx,
+    qname: str,
+    start: int,
+    end: int,
+    extend_budget: int = 1_000,
+    min_alignment_identity: float = 0.3,
+) -> None:
+    """Ends-only boundary refinement (syng_transitive.rs:485
+    refine_ends_only): per chain, two ends-free extensions with the native
+    aligner — from the first anchor backward to the query region start and
+    from the last anchor forward to the region end — replace the padded
+    linear extrapolation of the chain's target bounds.  The chained
+    interior is trusted (every interior anchor is a syncmer match).
+    Refinements whose matched fraction falls below
+    `min_alignment_identity` keep the padded bounds (the reference's
+    syncmer-noise fallback).  Gaps under 64 bp skip alignment — linear
+    drift over that span is negligible (SKIP_BIWFA_MIN_GAP)."""
+    from impg_tpu.io.fasta import reverse_complement
+    from impg_tpu.ops.align import align_extend
+
+    SKIP_MIN_GAP = 64
+    k = syng.syncmer_len
+    qseq = seq_idx.fetch_sequence(qname, start, end)
+
+    def window(gap: int) -> int:
+        slop = min(max(gap // 20, 32), extend_budget)
+        return max(min(gap + slop, 2 * extend_budget), k)
+
+    for c in chains:
+        if c.first_q < 0:
+            continue
+        t_len = syng.seq_index.get_len_from_id(
+            syng.seq_index.get_id(c.genome)
+        )
+        # --- query-left gap: region start .. first anchor ---
+        gap_l = c.first_q - start
+        if gap_l >= SKIP_MIN_GAP:
+            q_seg = qseq[: c.first_q - start]
+            w = window(gap_l)
+            if c.strand == "+":
+                lo = max(c.first_t - w, 0)
+                tgt = seq_idx.fetch_sequence(c.genome, lo, c.first_t)
+                consumed, matches = align_extend(
+                    q_seg[::-1], tgt[::-1]
+                )
+                if matches / max(len(q_seg), 1) >= min_alignment_identity:
+                    c.t_start = c.first_t - consumed
+            else:
+                hi = min(c.first_t + k + w, t_len)
+                tgt = seq_idx.fetch_sequence(c.genome, c.first_t + k, hi)
+                consumed, matches = align_extend(
+                    reverse_complement(q_seg), tgt
+                )
+                if matches / max(len(q_seg), 1) >= min_alignment_identity:
+                    c.t_end = c.first_t + k + consumed
+        # --- query-right gap: last anchor end .. region end ---
+        gap_r = end - (c.last_q + k)
+        if gap_r >= SKIP_MIN_GAP:
+            q_seg = qseq[c.last_q + k - start :]
+            w = window(gap_r)
+            if c.strand == "+":
+                hi = min(c.last_t + k + w, t_len)
+                tgt = seq_idx.fetch_sequence(c.genome, c.last_t + k, hi)
+                consumed, matches = align_extend(q_seg, tgt)
+                if matches / max(len(q_seg), 1) >= min_alignment_identity:
+                    c.t_end = c.last_t + k + consumed
+            else:
+                lo = max(c.last_t - w, 0)
+                tgt = seq_idx.fetch_sequence(c.genome, lo, c.last_t)
+                consumed, matches = align_extend(
+                    reverse_complement(q_seg)[::-1], tgt[::-1]
+                )
+                if matches / max(len(q_seg), 1) >= min_alignment_identity:
+                    c.t_start = c.last_t - consumed
+        c.t_start = max(c.t_start, 0)
+        c.t_end = min(c.t_end, t_len)
 
 
 def _entry(
@@ -175,10 +267,15 @@ def query_transitive(
     scaffold_gap: int = 10_000,
     min_anchors: int = 3,
     extend_budget: int = 1_000,
+    seq_idx=None,
 ) -> list[Row]:
     """Multihop homology walk with visited-range bookkeeping mirroring the
     alignment-backed `query_transitive_bfs` semantics (same
-    min-transitive-length and min-distance snapping rules)."""
+    min-transitive-length and min-distance snapping rules).
+
+    With `seq_idx` (sequence access), every hop's chains get ends-only
+    boundary refinement with the native aligner instead of padded linear
+    extrapolation (syng_transitive.rs:485 refine_ends_only role)."""
     qid = syng.seq_index.get_id(name)
     if qid is None:
         raise KeyError(f"Sequence '{name}' not found in syng index")
@@ -195,12 +292,18 @@ def query_transitive(
         nxt: list[tuple[int, int, int]] = []
         for tid, s, e in current:
             tname = syng.seq_index.get_name(tid)
-            for ch in chain_region(
+            hop_chains = chain_region(
                 syng, tname, s, e,
                 scaffold_gap=scaffold_gap,
                 min_anchors=min_anchors,
                 extend_budget=extend_budget,
-            ):
+            )
+            if seq_idx is not None:
+                refine_chain_ends(
+                    syng, hop_chains, seq_idx, tname, s, e,
+                    extend_budget=extend_budget,
+                )
+            for ch in hop_chains:
                 hid = syng.seq_index.get_id(ch.genome)
                 if hid is None:
                     continue

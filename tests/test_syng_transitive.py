@@ -107,3 +107,75 @@ def test_cli_syng_transitive(panel, tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert r.stdout.strip()
+
+
+def test_refine_chain_ends_recovers_exact_boundaries(tmp_path):
+    """Ends-only boundary refinement (syng_transitive.rs:485): with
+    sequences, chain target bounds snap to the true homology boundaries
+    instead of padded linear guesses."""
+    import random
+
+    from impg_tpu.io.fasta import UnifiedSequenceIndex, reverse_complement
+    from impg_tpu.syng.transitive import chain_region, refine_chain_ends
+
+    rng = random.Random(33)
+    core = "".join(rng.choice("ACGT") for _ in range(4000))
+    # B carries core exactly, embedded at a known offset.
+    b_pre = "".join(rng.choice("ACGT") for _ in range(1500))
+    b = b_pre + core + "".join(rng.choice("ACGT") for _ in range(1500))
+    # C carries the RC of core.
+    c_pre = "".join(rng.choice("ACGT") for _ in range(800))
+    c = (
+        c_pre
+        + reverse_complement(core.encode()).decode()
+        + "".join(rng.choice("ACGT") for _ in range(800))
+    )
+    a = "".join(rng.choice("ACGT") for _ in range(500)) + core + "".join(
+        rng.choice("ACGT") for _ in range(500)
+    )
+    fa = str(tmp_path / "r.fa")
+    datagen.write_fasta(fa, {"A": a, "B": b, "C": c})
+    syng = SyngIndex.build_from_fasta([fa])
+    seq_idx = UnifiedSequenceIndex.from_files([fa])
+
+    # Query the exact core interval on A.
+    start, end = 500, 500 + len(core)
+    chains = chain_region(syng, "A", start, end)
+    by_genome = {c2.genome: c2 for c2 in chains if c2.genome != "A"}
+    assert "B" in by_genome and "C" in by_genome
+    refine_chain_ends(syng, chains, seq_idx, "A", start, end)
+    bch = by_genome["B"]
+    # Exact homology: refined bounds within a few bp of the true interval.
+    assert abs(bch.t_start - 1500) <= 2, bch
+    assert abs(bch.t_end - (1500 + len(core))) <= 2, bch
+    cch = by_genome["C"]
+    assert cch.strand == "-"
+    assert abs(cch.t_start - 800) <= 2, cch
+    assert abs(cch.t_end - (800 + len(core))) <= 2, cch
+
+
+def test_cli_syng_transitive_with_refinement(tmp_path):
+    import random
+
+    from tests.test_cli import run_cli
+
+    rng = random.Random(34)
+    core = "".join(rng.choice("ACGT") for _ in range(3000))
+    a = "".join(rng.choice("ACGT") for _ in range(400)) + core
+    b = "".join(rng.choice("ACGT") for _ in range(900)) + core
+    fa = str(tmp_path / "p.fa")
+    datagen.write_fasta(fa, {"A": a, "B": b})
+    prefix = str(tmp_path / "p")
+    r = run_cli("syng", "-f", fa, "-o", prefix)
+    assert r.returncode == 0, r.stderr
+    r = run_cli(
+        "query", "-a", prefix + ".syngt", "-r", "A:400-3400", "-d", "100",
+        "-x", "-o", "bed", "--sequence-files", fa,
+    )
+    assert r.returncode == 0, r.stderr
+    rows = [l.split("\t") for l in r.stdout.splitlines()]
+    b_rows = [f for f in rows if f[0] == "B"]
+    assert b_rows
+    # Refined projection lands on B's true core interval.
+    s, e = int(b_rows[0][1]), int(b_rows[0][2])
+    assert abs(s - 900) <= 5 and abs(e - 3900) <= 5, (s, e)
