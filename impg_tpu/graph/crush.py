@@ -91,6 +91,38 @@ def _find_anchors(gfa: Gfa) -> tuple[list, set]:
     return [st for st in first if st in ok], names
 
 
+def _induce_block(names: list[str], seqs: list[bytes]) -> str:
+    """Pairwise-induction realignment of one oversized region: all-vs-all
+    syncmer-anchored native alignment + seqwish transitive closure (the
+    large-bubble tier of resolution.rs' POA/POASTA/pairwise dispatch)."""
+    from impg_tpu.commands import align as align_mod
+    from impg_tpu.graph import seqwish as seqwish_mod
+    from impg_tpu.syng.index import SyngIndex
+
+    sdict = dict(zip(names, seqs))
+    syng = SyngIndex.build(list(sdict.items()))
+    rows = []
+    keys = list(sdict)
+    for q in keys:
+        for t in keys:
+            if q != t:
+                rows.extend(align_mod.align_sequence_pair(syng, sdict, q, t))
+    gfa = seqwish_mod.induce_graph(sdict, rows)
+    # induce_graph names paths `key:0-len`; the keys already carry their
+    # lace ranges, so strip the redundant suffix.
+    fixed = []
+    for line in gfa.splitlines():
+        if line.startswith("P\t"):
+            parts = line.split("\t")
+            base, _, suffix = parts[1].rpartition(":")
+            if suffix.startswith("0-") and base in sdict:
+                parts[1] = base
+            fixed.append("\t".join(parts))
+        else:
+            fixed.append(line)
+    return "\n".join(fixed) + "\n"
+
+
 def crush_gfa(
     gfa_text: str,
     max_span: int = 10_000,
@@ -219,11 +251,20 @@ def crush_gfa(
                 stats.bubbles_seen += 1
                 if span <= max_span:
                     n_bubbles += 1
-            result = poa_mod.poa_align(seqs, scoring)
             names = [
                 f"{n}:{start}-{start + len(s)}" for n, start, s, _ in slices
             ]
-            block_gfas.append(poa_mod.poa_to_gfa(result, names))
+            if span > max_span and distinct_walks > 1:
+                # Large-bubble tier (resolution.rs 3-tier dispatch role:
+                # bubbles beyond the POA budget route to pairwise
+                # induction): syncmer-anchored native pairwise alignment of
+                # the slices, seqwish-induced into the block graph — scales
+                # far beyond O(n*m) POA.
+                block_gfas.append(_induce_block(names, seqs))
+                n_bubbles += 1
+            else:
+                result = poa_mod.poa_align(seqs, scoring)
+                block_gfas.append(poa_mod.poa_to_gfa(result, names))
         for name, start, seq in extra_blocks:
             if not seq:
                 continue

@@ -139,3 +139,55 @@ def test_seqwish_native_emit_parity():
     native = seqwish.induce_graph(sdata, rows)
     python = seqwish.induce_graph(sdata, rows, force_python_emit=True)
     assert native == python
+
+
+def test_crush_large_bubble_pairwise_tier():
+    """Oversized bubbles route to the pairwise-induction tier (the
+    resolution.rs 3-tier dispatch role) and still validate exactly."""
+    import random
+
+    from impg_tpu.graph.crush import crush_gfa
+    from impg_tpu.graph.gfa import Gfa
+    from impg_tpu.graph import seqwish
+    from impg_tpu.commands import align as align_mod
+    from impg_tpu.syng.index import SyngIndex
+
+    rng = random.Random(47)
+    # Two haplotypes sharing big flanks with a large divergent interior:
+    # the bubble interior exceeds max_span so POA would be skipped.
+    left = "".join(rng.choice("ACGT") for _ in range(3000))
+    right = "".join(rng.choice("ACGT") for _ in range(3000))
+    mid_a = "".join(rng.choice("ACGT") for _ in range(8000))
+    mid_b = list(mid_a)
+    for _ in range(200):
+        i = rng.randrange(len(mid_b))
+        mid_b[i] = rng.choice("ACGT")
+    seqs = {
+        "h1": (left + mid_a + right).encode(),
+        "h2": (left + "".join(mid_b) + right).encode(),
+    }
+    syng = SyngIndex.build(list(seqs.items()))
+    rows = []
+    for q in seqs:
+        for t in seqs:
+            if q != t:
+                rows.extend(align_mod.align_sequence_pair(syng, seqs, q, t))
+    gfa_text = seqwish.induce_graph(seqs, rows)
+
+    out, stats = crush_gfa(gfa_text, max_span=2000, max_rounds=2)
+    g_in, g_out = Gfa.parse(gfa_text), Gfa.parse(out)
+
+    def spell(g):
+        from impg_tpu.io.fasta import reverse_complement
+
+        res = {}
+        for name, steps in g.paths:
+            s = b""
+            for sid, rev in steps:
+                t = g.segments[sid].encode()
+                s += reverse_complement(t) if rev else t
+            res[name.split(":")[0]] = s
+        return res
+
+    assert spell(g_out) == spell(g_in)
+    assert stats.rounds >= 1
