@@ -205,6 +205,88 @@ def report(gfa: Gfa) -> dict:
     )
     repeat_contexts = repeat_contexts[:5]
 
+    # Connected components over the undirected link graph + tips
+    # (graph_report.rs components/tips metrics).
+    parent: dict[str, str] = {sid: sid for sid in gfa.segments}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, _, b, _ in gfa.links:
+        if a in parent and b in parent:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+    comp_sizes: dict[str, int] = {}
+    for sid in gfa.segments:
+        r = find(sid)
+        comp_sizes[r] = comp_sizes.get(r, 0) + 1
+    largest = max(comp_sizes.values()) if comp_sizes else 0
+    tips = sum(
+        1
+        for sid in gfa.segments
+        if degree_in.get(sid, 0) == 0 or degree_out.get(sid, 0) == 0
+    )
+
+    # Duplicate-sequence groups (graph_report.rs duplicate_sequence_*):
+    # identical node DNA (strand-canonical) occurring in >1 node.
+    from impg_tpu.io.fasta import reverse_complement
+
+    by_seq: dict[bytes, int] = {}
+    for s in gfa.segments.values():
+        b = s.encode()
+        canon = min(b, reverse_complement(b))
+        by_seq[canon] = by_seq.get(canon, 0) + 1
+    dup_groups = sum(1 for c in by_seq.values() if c > 1)
+    dup_nodes = sum(c for c in by_seq.values() if c > 1)
+
+    # Coverage shape: percentiles, singleton/high-coverage mass
+    # (graph_report.rs node_coverage_* / singleton_* / high_coverage_*).
+    def pctl(sv, q):
+        if not sv:
+            return 0
+        return sv[min(int(q * (len(sv) - 1)), len(sv) - 1)]
+
+    dv_sorted = sorted(depth_values)
+    n_paths = max(len(gfa.paths), 1)
+    high_thr = max(2 * n_paths, 10)
+    singleton_nodes = sum(1 for d in depth_values if d == 1)
+    singleton_bp = sum(
+        len(s)
+        for sid, s in gfa.segments.items()
+        if depth.get(sid, 0) == 1
+    )
+    high_nodes = sum(1 for d in depth_values if d >= high_thr)
+    high_bp = sum(
+        len(s)
+        for sid, s in gfa.segments.items()
+        if depth.get(sid, 0) >= high_thr
+    )
+
+    # 1D jump profiles over numeric node ids (graph_report.rs link_jump_* /
+    # path_jump_*): long jumps flag poor sorts / distant tangles.
+    def _nid(s: str):
+        try:
+            return int(s)
+        except ValueError:
+            return None
+
+    link_jumps = sorted(
+        abs(_nid(a) - _nid(b))
+        for a, _, b, _ in gfa.links
+        if _nid(a) is not None and _nid(b) is not None
+    )
+    path_jumps = []
+    for _, steps in gfa.paths:
+        for (a, _), (b, _) in zip(steps, steps[1:]):
+            na, nb = _nid(a), _nid(b)
+            if na is not None and nb is not None:
+                path_jumps.append(abs(nb - na))
+    path_jumps.sort()
+
     return {
         "nodes": n_nodes,
         "edges": len(gfa.links),
@@ -217,6 +299,24 @@ def report(gfa: Gfa) -> dict:
         "branching_nodes": branching,
         "merging_nodes": merging,
         "repeat_contexts": repeat_contexts,
+        "components": len(comp_sizes),
+        "largest_component_nodes": largest,
+        "largest_component_frac": round(largest / max(n_nodes, 1), 4),
+        "tips": tips,
+        "duplicate_sequence_groups": dup_groups,
+        "duplicate_sequence_nodes": dup_nodes,
+        "coverage_p10": pctl(dv_sorted, 0.10),
+        "coverage_median": pctl(dv_sorted, 0.50),
+        "coverage_p90": pctl(dv_sorted, 0.90),
+        "singleton_nodes": singleton_nodes,
+        "singleton_bp": singleton_bp,
+        "high_coverage_threshold": high_thr,
+        "high_coverage_nodes": high_nodes,
+        "high_coverage_bp": high_bp,
+        "link_jump_p95": pctl(link_jumps, 0.95),
+        "link_jump_max": link_jumps[-1] if link_jumps else 0,
+        "path_jump_p95": pctl(path_jumps, 0.95),
+        "path_jump_max": path_jumps[-1] if path_jumps else 0,
         "mean_depth": round(
             sum(d * len(gfa.segments.get(s, "")) for s, d in depth.items())
             / total_len,

@@ -323,3 +323,28 @@ def test_normalize_grooms_reverse_duplicates():
     # Without grooming the reverse-orientation pair stays untouched.
     out2 = normalize_gfa(gfa, pre_groom=False)
     assert len(Gfa.parse(out2).segments) == 4
+
+
+def test_report_extended_metrics():
+    """Component/tip/duplicate/jump metrics (graph_report.rs roles)."""
+    from impg_tpu.graph.gfa import Gfa, report
+
+    text = (
+        "H\tVN:Z:1.0\n"
+        "S\t1\tACGT\nS\t2\tTTTT\nS\t3\tACGT\nS\t4\tGGGG\nS\t9\tCACA\n"
+        "L\t1\t+\t2\t+\t0M\nL\t2\t+\t3\t+\t0M\n"
+        "P\tp\t1+,2+,3+\t*\nP\tq\t1+,2+,3+\t*\n"
+    )
+    rep = report(Gfa.parse(text))
+    # Two components: {1,2,3} linked, {4}, {9} isolated -> 3 components.
+    assert rep["components"] == 3
+    assert rep["largest_component_nodes"] == 3
+    # Node 1 (no in) + node 3 (no out) + isolated 4 and 9 are tips.
+    assert rep["tips"] == 4
+    # Nodes 1 and 3 spell the same DNA -> one duplicate group of 2.
+    assert rep["duplicate_sequence_groups"] == 1
+    assert rep["duplicate_sequence_nodes"] == 2
+    assert rep["coverage_median"] >= 0
+    assert rep["link_jump_max"] == 1
+    assert rep["path_jump_max"] == 1
+    assert rep["singleton_nodes"] == 0  # visited nodes have depth 2
