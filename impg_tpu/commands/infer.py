@@ -60,20 +60,37 @@ def _best_perm(prev: tuple, nxt: tuple) -> tuple:
     return best
 
 
+def _best_perm_order(prev: tuple, nxt: tuple) -> tuple:
+    """Index permutation ordering `nxt` to minimize switches vs `prev`."""
+    idxs = tuple(range(len(nxt)))
+    best, best_cost = idxs, len(nxt)
+    for perm in permutations(idxs):
+        cost = sum(1 for a, j in zip(prev, perm) if a != nxt[j])
+        if cost < best_cost:
+            best, best_cost = perm, cost
+    return best
+
+
 def stitch(
     windows: list[WindowCall],
     switch_penalty: float = 0.1,
     beam_width: int = 8,
+    link_rewards: Optional[dict] = None,
 ) -> tuple[list[tuple], float]:
     """Beam search over per-window combinations.
+
+    `link_rewards` maps ((win_i, cand_i), (win_j, cand_j)) -> reward for
+    slot-aligned adjacent-window candidate pairs (infer.rs:1152 transition
+    read-link rewards): reads whose walks support both candidates pull the
+    stitching toward keeping them on the same haplotype slot.
 
     Returns (chosen combination of genome-name tuples per window, score).
     """
     if not windows:
         return [], 0.0
-    # States: genome-name tuples (slot-ordered).
-    beams: list[tuple[float, list[tuple]]] = [(0.0, [])]
-    for w in windows:
+    # States: (genome-name tuple, candidate-index tuple), slot-ordered.
+    beams: list[tuple[float, list[tuple], tuple | None]] = [(0.0, [], None)]
+    for wi, w in enumerate(windows):
         options = []
         for score in w.combos:
             genomes = tuple(
@@ -86,23 +103,37 @@ def stitch(
                 emission += sum(
                     w.rewards.get(i, 0.0) for i in set(score.combination)
                 )
-            options.append((genomes, emission))
+            options.append((genomes, emission, tuple(score.combination)))
         nxt_beams = []
-        for acc, path in beams:
+        for acc, path, prev_idx in beams:
             prev = path[-1] if path else None
-            for genomes, sim in options:
+            for genomes, sim, combo in options:
                 if prev is None:
                     cost = 0
                     ordered = genomes
+                    ordered_idx = combo
+                    link_rw = 0.0
                 else:
-                    ordered = _best_perm(prev, genomes)
+                    order = _best_perm_order(prev, genomes)
+                    ordered = tuple(genomes[j] for j in order)
+                    ordered_idx = tuple(combo[j] for j in order)
                     cost = sum(1 for a, b in zip(prev, ordered) if a != b)
+                    link_rw = 0.0
+                    if link_rewards and prev_idx is not None:
+                        for pc, cc in zip(prev_idx, ordered_idx):
+                            link_rw += link_rewards.get(
+                                ((wi - 1, pc), (wi, cc)), 0.0
+                            )
                 nxt_beams.append(
-                    (acc + sim - switch_penalty * cost, path + [ordered])
+                    (
+                        acc + sim - switch_penalty * cost + link_rw,
+                        path + [ordered],
+                        ordered_idx,
+                    )
                 )
         nxt_beams.sort(key=lambda x: -x[0])
         beams = nxt_beams[:beam_width]
-    best_score, best_path = beams[0]
+    best_score, best_path, _ = beams[0]
     return best_path, best_score
 
 
@@ -239,9 +270,11 @@ def gaf_read_walk_rewards(
     windows: list[WindowCall],
     weight: float,
     min_anchors: int = 3,
-) -> None:
+) -> dict:
     """Per-candidate rewards from a syng-gaf-walk read GAF via GBWT MEMs
-    (infer.rs:996 build_read_walk_evidence).
+    (infer.rs:996 build_read_walk_evidence).  Returns the transition
+    link-reward table for `stitch` (infer.rs:770 add_read_links: reads
+    supporting candidates in consecutive supported calls link them).
 
     Every GAF row's signed-node walk is MEM-matched against the index's
     GBWT in both orientations; each MEM's steps are looked up in the
@@ -309,6 +342,7 @@ def gaf_read_walk_rewards(
                     counts[key] = max(counts.get(key, 0), matched)
 
     anchor_weight: dict[tuple[int, int], float] = {}
+    link_anchor: dict[tuple, float] = {}
     opener = gzip.open if gaf_path.endswith(".gz") else open
     with opener(gaf_path, "rt") as fh:
         for line in fh:
@@ -357,6 +391,17 @@ def gaf_read_walk_rewards(
                     anchor_weight[(wi, ci)] = (
                         anchor_weight.get((wi, ci), 0.0) + c / denom
                     )
+            ordered_calls = sorted(by_call)
+            for wa, wb in zip(ordered_calls, ordered_calls[1:]):
+                prev_hits, curr_hits = by_call[wa], by_call[wb]
+                pair_denom = float(len(prev_hits) * len(curr_hits))
+                for ci, c1 in prev_hits:
+                    for cj, c2 in curr_hits:
+                        key = ((wa, ci), (wb, cj))
+                        link_anchor[key] = (
+                            link_anchor.get(key, 0.0)
+                            + min(c1, c2) / pair_denom
+                        )
 
     for wi, w in enumerate(windows):
         rewards = {
@@ -370,6 +415,11 @@ def gaf_read_walk_rewards(
                     w.rewards[ci] = w.rewards.get(ci, 0.0) + r
             else:
                 w.rewards = rewards
+    return {
+        key: weight * 10.0 * math.log10(1.0 + aw)
+        for key, aw in link_anchor.items()
+        if aw > 0.0
+    }
 
 
 def _parse_gaf_path(path: str) -> list[int]:
@@ -437,12 +487,13 @@ def run_infer(
                 index, read_index, w, read_link_weight,
                 min_read_link_anchors,
             )
+    link_rewards = None
     if gaf_path is not None and read_link_weight > 0.0:
-        gaf_read_walk_rewards(
+        link_rewards = gaf_read_walk_rewards(
             index, gaf_path, windows, read_link_weight,
             min_read_link_anchors,
         )
-    path, _score = stitch(windows, switch_penalty)
+    path, _score = stitch(windows, switch_penalty, link_rewards=link_rewards)
     segments = mosaic_segments(windows, path)
     return windows, path, segments
 

@@ -613,3 +613,53 @@ def test_render_bundle_translation_tables(panel, tmp_path):
     tsv = open(rb + "/translation.tsv").read().splitlines()
     assert any(l.startswith("path\t") for l in tsv)
     assert any(l.startswith("step\t") for l in tsv)
+
+
+def test_stitch_link_rewards_steer_phasing():
+    """Transition link rewards break emission ties toward linked
+    candidates (infer.rs:1152 transition read-link rewards)."""
+    from impg_tpu.commands.infer import WindowCall, stitch
+
+    class Cand:
+        def __init__(self, genome):
+            self.genome = genome
+
+    class Score:
+        def __init__(self, combination, similarity):
+            self.combination = combination
+            self.similarity = similarity
+            self.qv = 10.0
+
+    cands = [Cand("A"), Cand("B")]
+    # Two windows; both orders equally likely by emission.
+    w0 = WindowCall("c", 0, 100, [Score((0, 1), 1.0)], cands)
+    w1 = WindowCall("c", 100, 200, [Score((0, 1), 1.0), Score((1, 0), 1.0)], cands)
+    # Without links: first option order wins (A,B)->(A,B).
+    path, _ = stitch([w0, w1], switch_penalty=0.0)
+    assert path[1] == ("A", "B")
+    # Links rewarding (w0 cand0 -> w1 cand0) keep A on slot 0 regardless;
+    # reward a cross pairing instead and the stitch must still align
+    # slots to collect it.
+    links = {((0, 0), (1, 0)): 5.0, ((0, 1), (1, 1)): 5.0}
+    path, score = stitch([w0, w1], switch_penalty=0.0, link_rewards=links)
+    assert path[1] == ("A", "B")
+    assert score > 2.0  # collected the link rewards
+
+
+def test_infer_gaf_returns_link_rewards(panel, tmp_path):
+    from impg_tpu.commands import infer as infer_mod
+    from impg_tpu.syng import map as syng_map
+    from impg_tpu.syng.pack import map_reads
+
+    tmp, fa, idx, seq_data, fastq = panel
+    gaf = tmp_path / "lr.gaf"
+    with open(gaf, "w") as fh:
+        for row in syng_map.map_reads_gaf(idx, [fastq]):
+            fh.write(row + "\n")
+    pack, _, _ = map_reads(idx, [fastq])
+    windows, path, segments = infer_mod.run_infer(
+        idx, pack, "ref", 0, 12_000, window=3000,
+        read_link_weight=1.0, gaf_path=str(gaf),
+        min_read_link_anchors=1,
+    )
+    assert windows and path
