@@ -13,6 +13,7 @@ Example:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from impg_tpu.io import bed as bed_mod
@@ -783,6 +784,39 @@ def cmd_lace(args) -> int:
 
 def cmd_align(args) -> int:
     from impg_tpu.commands import align as align_mod
+
+    if args.run_joblist:
+        # Execute an existing joblist (one shell command per line) with
+        # parallel slots + progress (align.rs --run-joblist role).
+        import concurrent.futures
+        import subprocess
+        import time as time_mod
+
+        with open(args.run_joblist) as fh:
+            cmds = [l.strip() for l in fh if l.strip() and not l.startswith("#")]
+        jobs = args.jobs or os.cpu_count() or 4
+        t0 = time_mod.perf_counter()
+        failed = 0
+        done = 0
+
+        def run_one(cmd: str) -> int:
+            return subprocess.run(cmd, shell=True).returncode
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=jobs) as ex:
+            for rc in ex.map(run_one, cmds):
+                done += 1
+                if rc != 0:
+                    failed += 1
+                if done % max(len(cmds) // 20, 1) == 0 or done == len(cmds):
+                    dt = time_mod.perf_counter() - t0
+                    eta = dt / done * (len(cmds) - done)
+                    print(
+                        f"[joblist] {done}/{len(cmds)} "
+                        f"({failed} failed) elapsed {dt:.0f}s eta {eta:.0f}s",
+                        file=sys.stderr,
+                    )
+        return 1 if failed else 0
+
 
     files = []
     for entry in args.fasta_files:
@@ -2006,6 +2040,15 @@ def build_parser() -> argparse.ArgumentParser:
     p_aln.add_argument(
         "--pair", action="append",
         help="Align only QUERY:TARGET (repeatable; job-list workers)",
+    )
+    p_aln.add_argument(
+        "--run-joblist", metavar="FILE",
+        help="Execute an existing joblist (one shell command per line) "
+        "with parallel slots + progress",
+    )
+    p_aln.add_argument(
+        "--jobs", type=int,
+        help="Parallel slots for --run-joblist (default: CPU count)",
     )
     p_aln.add_argument(
         "--job-list", action="store_true",

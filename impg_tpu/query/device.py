@@ -517,6 +517,10 @@ class DeviceEngine:
         chunks = self._chunk_batch((q_tid, q_s, q_e))
 
         def dispatch(cols, k_max, cap):
+            # Compaction is a no-op once cap covers the whole grid; clamp
+            # to ONE full-matrix executable instead of a ladder of caps.
+            if cap is not None and cap >= self.chunk * k_max:
+                cap = None
             return query_step(
                 self.dindex, *cols,
                 k_max=k_max, cap=cap, clip_overlap=clip_overlap,
@@ -541,10 +545,16 @@ class DeviceEngine:
             m_host = np.asarray(mat)
             k_needed = int(m_host[-1, 0])
             n_hits = int(m_host[-1, 1])
-            while k_needed > k_used or n_hits > cap_used:
+            while k_needed > k_used or (
+                cap_used is not None
+                and cap_used < self.chunk * k_used
+                and n_hits > cap_used
+            ):
                 while self.k_max < k_needed:
                     self.k_max *= 2
-                while self.cap < n_hits:
+                # One aggressive jump (2x margin): at most one extra
+                # compacted executable before the full-matrix clamp.
+                while self.cap < 2 * n_hits:
                     self.cap *= 2
                 k_used = self.k_max
                 cap_used = self.cap
@@ -579,6 +589,8 @@ class DeviceEngine:
         while pending:
             k_max = self.k_max
             cap = self.cap
+            if cap is not None and cap >= self.chunk * k_max:
+                cap = None
             inflight = [
                 (
                     fi,
@@ -603,11 +615,11 @@ class DeviceEngine:
                 m_host = np.asarray(mat)
                 k_needed = int(m_host[-1, 0])
                 n_hits = int(m_host[-1, 1])
-                if k_needed > k_max or n_hits > cap:
+                if k_needed > k_max or (cap is not None and n_hits > cap):
                     retry.append(fi)
                     while self.k_max < k_needed:
                         self.k_max *= 2
-                    while self.cap < n_hits:
+                    while self.cap < 2 * n_hits:
                         self.cap *= 2
                     continue
                 out = unpack_result(m_host)

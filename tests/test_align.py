@@ -231,3 +231,44 @@ def test_cli_align_pair_and_job_list(tmp_path):
     assert all(x[0] == "ref" and x[5] == "s0" for x in rows)
     r = run_cli("align", "-f", fa, "--pair", "nope")
     assert r.returncode == 2
+
+
+def test_align_run_joblist(tmp_path):
+    """--run-joblist executes the emitted jobs in parallel slots
+    (align.rs --run-joblist role)."""
+    import random
+
+    from tests import datagen
+    from tests.test_cli import run_cli
+
+    rng = random.Random(71)
+    base = "".join(rng.choice("ACGT") for _ in range(4000))
+    seqs = {}
+    for i in range(3):
+        s = list(base)
+        for _ in range(20):
+            j = rng.randrange(len(s))
+            s[j] = rng.choice("ACGT")
+        seqs[f"g{i}"] = "".join(s)
+    fa = str(tmp_path / "g.fa")
+    datagen.write_fasta(fa, seqs)
+    jl = str(tmp_path / "jobs.txt")
+    r = run_cli("align", "-f", fa, "--job-list", "-o", jl)
+    assert r.returncode == 0, r.stderr
+    jobs = open(jl).read().splitlines()
+    assert jobs
+    # Rewrite outputs into tmp_path and execute.
+    rewritten = str(tmp_path / "jobs2.txt")
+    with open(rewritten, "w") as fh:
+        for i, line in enumerate(jobs):
+            fh.write(
+                line.replace(
+                    f"pair_{i:05d}.paf", str(tmp_path / f"pair_{i:05d}.paf")
+                )
+                + "\n"
+            )
+    r = run_cli("align", "-f", fa, "--run-joblist", rewritten, "--jobs", "2")
+    assert r.returncode == 0, r.stderr
+    outs = sorted(tmp_path.glob("pair_*.paf"))
+    assert len(outs) == len(jobs)
+    assert any(o.read_text().strip() for o in outs)
