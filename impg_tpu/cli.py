@@ -1757,10 +1757,24 @@ def cmd_gfa2vcf(args) -> int:
     else:
         with open(args.gfa) as fh:
             text = fh.read()
-    if args.sites == "flubbles":
-        sys.stdout.write(vcf_mod.gfa_to_vcf_flubbles(text, args.reference))
-    else:
-        sys.stdout.write(vcf_mod.gfa_to_vcf(text, args.reference))
+    refs = args.reference or [None]
+    gen = (
+        vcf_mod.gfa_to_vcf_flubbles
+        if args.sites == "flubbles"
+        else vcf_mod.gfa_to_vcf
+    )
+    # Multiple -r/--reference values call against each reference path in
+    # turn (main.rs:5811 repeatable reference-name hints); records after
+    # the first block reuse its header.
+    for i, ref in enumerate(refs):
+        out_text = gen(text, ref)
+        if i > 0:
+            out_text = "\n".join(
+                l for l in out_text.splitlines() if not l.startswith("#")
+            )
+            if out_text:
+                out_text += "\n"
+        sys.stdout.write(out_text)
     return 0
 
 
@@ -2342,7 +2356,9 @@ def build_parser() -> argparse.ArgumentParser:
     p_vcf = sub.add_parser("gfa2vcf", help="Call variants from a GFA")
     p_vcf.add_argument("gfa", help="GFA file (or - for stdin)")
     p_vcf.add_argument(
-        "--reference", help="Reference path name or prefix (default: first path)"
+        "-r", "--reference", action="append",
+        help="Reference path name or prefix (repeatable; default: "
+        "first path)",
     )
     p_vcf.add_argument(
         "--sites", default="anchors", choices=["anchors", "flubbles"],

@@ -188,3 +188,26 @@ def test_cli_gfa2vcf_flubble_sites(tmp_path):
                 "--sites", "flubbles")
     assert r.returncode == 0, r.stderr
     assert "\t11\t" in r.stdout
+
+
+def test_cli_gfa2vcf_multiple_references(tmp_path):
+    """Repeatable -r calls against each reference path (main.rs:5811)."""
+    from tests.test_cli import run_cli
+
+    gfa = (
+        "H\tVN:Z:1.0\n"
+        "S\t1\tACGTACGTAC\nS\t2\tGTT\nS\t3\tTAA\nS\t4\tCCGGCCGGCC\n"
+        "L\t1\t+\t2\t+\t0M\nL\t1\t+\t3\t+\t0M\n"
+        "L\t2\t+\t4\t+\t0M\nL\t3\t+\t4\t+\t0M\n"
+        "P\tp1\t1+,2+,4+\t*\nP\tp2\t1+,3+,4+\t*\n"
+    )
+    p = tmp_path / "g.gfa"
+    p.write_text(gfa)
+    r = run_cli("gfa2vcf", str(p), "-r", "p1", "-r", "p2")
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert lines[0].startswith("##fileformat")
+    # Exactly one header block; records for both reference frames.
+    assert sum(1 for l in lines if l.startswith("##fileformat")) == 1
+    chroms = {l.split("\t")[0] for l in lines if l and not l.startswith("#")}
+    assert chroms == {"p1", "p2"}
