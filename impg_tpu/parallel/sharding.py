@@ -287,7 +287,12 @@ class ShardedEngine:
         clip_overlap: bool = False,
         approximate: bool = False,
         chunk: int = 1024,
+        fields: tuple | None = None,
     ):
+        # `fields` is accepted for engine-API parity; the mesh kernel
+        # always ships the full field set (its transfer is a gathered
+        # all-device matrix either way).
+        del fields
         """Fixed-chunk streaming API matching DeviceEngine's, so the
         transitive BFS walkers (`query_transitive_bfs_many`) run their
         per-depth batched step over the device MESH.  Queries pad/split to

@@ -183,7 +183,7 @@ RESULT_FIELDS = (
 )
 
 
-def pack_result(out: dict, cap: int | None = None):
+def pack_result(out: dict, cap: int | None = None, fields=None):
     """One matrix [n_fields + 1, C]: the extra last row carries the
     (k_needed, n_hits) scalars in its first two slots, so each chunk costs
     exactly ONE device->host fetch (the relay link is latency-bound).
@@ -193,15 +193,17 @@ def pack_result(out: dict, cap: int | None = None):
     first `cap` lanes ship — the transfer scales with actual hits instead
     of the padded B*k_max grid.  n_hits > cap signals truncation; the host
     refetches with a doubled cap (one extra compile, then cached)."""
+    if fields is None:
+        fields = RESULT_FIELDS
     valid = out["valid"]
     if cap is not None and cap < valid.size:
         order = jnp.argsort(jnp.logical_not(valid), stable=True)
         sel = order[:cap]
         mat = jnp.stack(
-            [jnp.take(out[f].astype(jnp.int32), sel) for f in RESULT_FIELDS]
+            [jnp.take(out[f].astype(jnp.int32), sel) for f in fields]
         )
     else:
-        mat = jnp.stack([out[f].astype(jnp.int32) for f in RESULT_FIELDS])
+        mat = jnp.stack([out[f].astype(jnp.int32) for f in fields])
     scalars = jnp.stack(
         [out["k_needed"].astype(jnp.int32), out["n_hits"].astype(jnp.int32)]
     )
@@ -209,8 +211,10 @@ def pack_result(out: dict, cap: int | None = None):
     return jnp.concatenate([mat, extra[None, :]], axis=0)
 
 
-def unpack_result(mat: np.ndarray) -> dict:
-    out = {f: mat[i] for i, f in enumerate(RESULT_FIELDS)}
+def unpack_result(mat: np.ndarray, fields=None) -> dict:
+    if fields is None:
+        fields = RESULT_FIELDS
+    out = {f: mat[i] for i, f in enumerate(fields)}
     out["valid"] = out["valid"].astype(bool)
     out["k_needed"] = mat[-1, 0]
     out["n_hits"] = mat[-1, 1]
@@ -218,7 +222,8 @@ def unpack_result(mat: np.ndarray) -> dict:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_max", "cap", "clip_overlap", "approximate")
+    jax.jit,
+    static_argnames=("k_max", "cap", "clip_overlap", "approximate", "fields"),
 )
 def query_step(
     dindex: DeviceIndex,
@@ -230,6 +235,7 @@ def query_step(
     cap: int | None = None,
     clip_overlap: bool = False,
     approximate: bool = False,
+    fields: tuple | None = None,
 ):
     """Batched stab + projection. Inputs int32 [B]; outputs [B * k_max]
     (or [cap] device-compacted lanes when `cap` is set)."""
@@ -257,7 +263,7 @@ def query_step(
         tp=dindex.tp if approximate else None,
         tp_spacing=dindex.tp_spacing,
     )
-    return pack_result(out, cap)
+    return pack_result(out, cap, fields)
 
 
 
@@ -509,6 +515,7 @@ class DeviceEngine:
         q_e: np.ndarray,
         clip_overlap: bool = False,
         approximate: bool = False,
+        fields: tuple | None = None,
     ):
         """Generator over one batch's chunks: dispatch ALL chunks up front,
         then yield each compacted chunk dict as its fetch lands (pair_q
@@ -524,7 +531,7 @@ class DeviceEngine:
             return query_step(
                 self.dindex, *cols,
                 k_max=k_max, cap=cap, clip_overlap=clip_overlap,
-                approximate=approximate,
+                approximate=approximate, fields=fields,
             )
 
         k_max0 = self.k_max
@@ -561,7 +568,7 @@ class DeviceEngine:
                 m_host = np.asarray(dispatch(cols, k_used, cap_used))
                 k_needed = int(m_host[-1, 0])
                 n_hits = int(m_host[-1, 1])
-            out = unpack_result(m_host)
+            out = unpack_result(m_host, fields)
             keep = out["valid"]
             out = {
                 k: (v[keep] if np.ndim(v) else v) for k, v in out.items()

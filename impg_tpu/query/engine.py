@@ -379,8 +379,9 @@ def _filter_step(out: dict, min_identity, approximate: bool):
     """Shared per-chunk identity filtering/renaming (exact host-f64
     semantics); returns None when nothing survives."""
     if approximate:
-        out["approx_matches"] = out.pop("matches")
-        out["approx_mismatches"] = out.pop("mismatches")
+        if "matches" in out:
+            out["approx_matches"] = out.pop("matches")
+            out["approx_mismatches"] = out.pop("mismatches")
         if min_identity is not None:
             m = out["approx_matches"].astype(np.float64)
             total = m + out["approx_mismatches"].astype(np.float64)
@@ -401,9 +402,19 @@ def _filter_step(out: dict, min_identity, approximate: bool):
     return out
 
 
+LEAN_FIELDS = (
+    "pair_q", "valid", "query_id", "pq_start", "pq_end",
+    "pt_start", "pt_end",
+)
+LEAN_STATS_FIELDS = LEAN_FIELDS + (
+    "matches", "mismatches", "i_count", "d_count",
+)
+
+
 def _depth_step_device_stream(
     device_engine, current: list[tuple[int, int, int]],
     min_identity, approximate: bool = False,
+    fields: tuple | None = None,
 ):
     """Yield filtered per-chunk step dicts for a whole BFS depth; the
     caller's bookkeeping on chunk i overlaps later chunks' device work."""
@@ -411,7 +422,8 @@ def _depth_step_device_stream(
     q_s = np.asarray([c[1] for c in current], np.int32)
     q_e = np.asarray([c[2] for c in current], np.int32)
     for out in device_engine.query_batch_stream(
-        q_tid, q_s, q_e, clip_overlap=True, approximate=approximate
+        q_tid, q_s, q_e, clip_overlap=True, approximate=approximate,
+        fields=fields,
     ):
         step = _filter_step(out, min_identity, approximate)
         if step is not None:
@@ -621,9 +633,16 @@ def query_transitive_bfs_many(
         )
         if use_device:
             # Streaming: each chunk's bookkeeping overlaps the device
-            # compute/transfer of the depth's remaining chunks.
+            # compute/transfer of the depth's remaining chunks.  Without
+            # CIGAR materialization the transfer drops run-slice
+            # descriptors (and identity stats when unfiltered).
             step_iter = _depth_step_device_stream(
-                device_engine, flat, min_identity, approximate
+                device_engine, flat, min_identity, approximate,
+                fields=None if store_cigar else (
+                    LEAN_STATS_FIELDS
+                    if min_identity is not None or approximate
+                    else LEAN_FIELDS
+                ),
             )
         else:
             one = _depth_step_host(index, flat, min_identity, approximate)
@@ -789,7 +808,12 @@ def _bfs_many_native(
             )
             if use_device:
                 step_iter = _depth_step_device_stream(
-                    device_engine, flat, min_identity, approximate
+                    device_engine, flat, min_identity, approximate,
+                    fields=None if store_cigar else (
+                        LEAN_STATS_FIELDS
+                        if min_identity is not None or approximate
+                        else LEAN_FIELDS
+                    ),
                 )
             else:
                 one = _depth_step_host(index, flat, min_identity, approximate)
