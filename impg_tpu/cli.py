@@ -1688,6 +1688,14 @@ def cmd_syng2gfa(args) -> int:
         max_occurrences=args.max_occurrences,
         mode=args.mode,
     )
+    if args.gfa_version == "1.1":
+        from impg_tpu.syng.syng2gfa import paths_to_walks
+
+        lengths = {
+            syng.seq_index.get_name(i): syng.seq_index.get_len_from_id(i)
+            for i in range(len(syng.seq_index))
+        }
+        text = paths_to_walks(text, lengths)
     if args.output:
         with open(args.output, "w") as fh:
             fh.write(text)
@@ -2321,6 +2329,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="Privatize this fraction of highest-frequency syncmers",
     )
     p_s2g.add_argument("--max-occurrences", type=int)
+    p_s2g.add_argument(
+        "--gfa-version", choices=["1.0", "1.1"], default="1.0",
+        help="1.1 emits W walk lines instead of P lines",
+    )
     p_s2g.add_argument(
         "--mode", choices=["blunt", "raw"], default="blunt",
         help="blunt: 0M links with truncated pieces; raw: native syng "

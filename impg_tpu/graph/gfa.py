@@ -22,6 +22,8 @@ class Gfa:
     links: list[tuple[str, bool, str, bool]] = field(default_factory=list)
     paths: list[tuple[str, list[tuple[str, bool]]]] = field(default_factory=list)
     header: str = "H\tVN:Z:1.0"
+    # Names of paths imported from GFA 1.1 W lines (re-emitted as W).
+    walk_names: set = field(default_factory=set)
 
     @classmethod
     def parse(cls, text: str) -> "Gfa":
@@ -39,6 +41,14 @@ class Gfa:
             elif f[0] == "P" and len(f) >= 3:
                 steps = [(s[:-1], s.endswith("-")) for s in f[2].split(",") if s]
                 g.paths.append((f[1], steps))
+            elif f[0] == "W" and len(f) >= 7:
+                # GFA 1.1 walk: W sample hap seq start end >1<2...
+                # Imported as a path named PanSN-style with the range
+                # (commands/render.rs:478 W-line handling convention).
+                name = f"{f[1]}#{f[2]}#{f[3]}:{f[4]}-{f[5]}"
+                steps = _parse_w_walk(f[6])
+                g.paths.append((name, steps))
+                g.walk_names.add(name)
         return g
 
     def write(self) -> str:
@@ -50,6 +60,17 @@ class Gfa:
                 f"L\t{a}\t{'-' if ar else '+'}\t{b}\t{'-' if br else '+'}\t0M"
             )
         for name, steps in self.paths:
+            if name in self.walk_names:
+                parsed = _split_walk_name(name)
+                if parsed is not None:
+                    sample, hap, seq, start, end = parsed
+                    walk = "".join(
+                        f"{'<' if r else '>'}{s}" for s, r in steps
+                    )
+                    lines.append(
+                        f"W\t{sample}\t{hap}\t{seq}\t{start}\t{end}\t{walk}"
+                    )
+                    continue
             walk = ",".join(f"{s}{'-' if r else '+'}" for s, r in steps)
             lines.append(f"P\t{name}\t{walk}\t*")
         return "\n".join(lines) + "\n"
@@ -88,7 +109,7 @@ def topological_sort(gfa: Gfa) -> Gfa:
             order.append(sid)
 
     rename = {old: str(i + 1) for i, old in enumerate(order)}
-    out = Gfa(header=gfa.header)
+    out = Gfa(header=gfa.header, walk_names=set(gfa.walk_names))
     for old in order:
         out.segments[rename[old]] = gfa.segments[old]
     out.links = [
@@ -382,7 +403,7 @@ def chop_gfa(gfa: Gfa, max_len: int) -> Gfa:
     every path spells exactly the same bases."""
     if max_len <= 0:
         return gfa
-    out = Gfa(header=gfa.header)
+    out = Gfa(header=gfa.header, walk_names=set(gfa.walk_names))
     pieces: dict[str, list[str]] = {}
     next_id = 1
     for sid, seq in gfa.segments.items():
@@ -407,3 +428,32 @@ def chop_gfa(gfa: Gfa, max_len: int) -> Gfa:
     out.links = sorted(link_set, key=lambda l: (_numeric_key(l[0]), l[1],
                                                 _numeric_key(l[2]), l[3]))
     return out
+
+
+def _parse_w_walk(walk: str) -> list[tuple[str, bool]]:
+    """'>1<2' oriented steps of a GFA 1.1 W line."""
+    steps: list[tuple[str, bool]] = []
+    i = 0
+    while i < len(walk):
+        orient = walk[i]
+        if orient not in "><":
+            raise ValueError(f"invalid W walk orientation at {i}: {walk}")
+        j = i + 1
+        while j < len(walk) and walk[j] not in "><":
+            j += 1
+        steps.append((walk[i + 1 : j], orient == "<"))
+        i = j
+    return steps
+
+
+def _split_walk_name(name: str):
+    """sample#hap#seq:start-end back into W-line fields, or None."""
+    base, _, rng = name.rpartition(":")
+    parts = base.split("#")
+    if len(parts) != 3 or "-" not in rng:
+        return None
+    s, _, e = rng.partition("-")
+    try:
+        return parts[0], parts[1], parts[2], int(s), int(e)
+    except ValueError:
+        return None

@@ -247,3 +247,34 @@ def _syng_to_gfa_raw(
         )
         lines.append(f"P\t{name}\t{walk}\t*")
     return "\n".join(lines) + "\n"
+
+
+def paths_to_walks(gfa_text: str, lengths: dict[str, int]) -> str:
+    """Rewrite P lines as GFA 1.1 W lines (syng2gfa.rs --gfa-version 1.1).
+
+    PanSN names (sample#hap#contig) map onto the W sample/hap/seq fields;
+    other names use (name, 0, name).  The header advertises VN:Z:1.1.
+    """
+    out = []
+    for line in gfa_text.splitlines():
+        f = line.split("\t")
+        if f[0] == "H":
+            out.append("H\tVN:Z:1.1")
+            continue
+        if f[0] == "P" and len(f) >= 3:
+            name = f[1]
+            parts = name.split("#")
+            if len(parts) == 3 and all(parts):
+                sample, hap, seq = parts
+            else:
+                sample, hap, seq = name, "0", name
+            walk = "".join(
+                ("<" if s.endswith("-") else ">") + s[:-1]
+                for s in f[2].split(",")
+                if s
+            )
+            end = lengths.get(name, 0)
+            out.append(f"W\t{sample}\t{hap}\t{seq}\t0\t{end}\t{walk}")
+            continue
+        out.append(line)
+    return "\n".join(out) + "\n"

@@ -348,3 +348,31 @@ def test_report_extended_metrics():
     assert rep["link_jump_max"] == 1
     assert rep["path_jump_max"] == 1
     assert rep["singleton_nodes"] == 0  # visited nodes have depth 2
+
+
+def test_w_line_parse_write_roundtrip():
+    """GFA 1.1 W lines import as PanSN-range paths and re-emit as W
+    (commands/render.rs:478 W handling convention)."""
+    from impg_tpu.graph.gfa import Gfa, topological_sort
+
+    text = (
+        "H\tVN:Z:1.1\n"
+        "S\t1\tACGT\nS\t2\tTT\n"
+        "L\t1\t+\t2\t+\t0M\n"
+        "W\thg002\t1\tchr1\t0\t6\t>1>2\n"
+        "W\thg003\t2\tchr1\t0\t4\t<2<1\n"
+        "P\tplain\t1+,2+\t*\n"
+    )
+    g = Gfa.parse(text)
+    names = [n for n, _ in g.paths]
+    assert "hg002#1#chr1:0-6" in names and "plain" in names
+    assert g.paths[1][1] == [("2", True), ("1", True)]
+    out = g.write()
+    assert "W\thg002\t1\tchr1\t0\t6\t>1>2" in out
+    assert "W\thg003\t2\tchr1\t0\t4\t<2<1" in out
+    assert "P\tplain\t1+,2+\t*" in out
+    # Transforms keep the W identity (renumbered nodes, same walk form).
+    sorted_g = topological_sort(g)
+    out2 = sorted_g.write()
+    assert sum(1 for l in out2.splitlines() if l.startswith("W\t")) == 2
+    assert Gfa.parse(out2).paths[0][0] == "hg002#1#chr1:0-6"

@@ -179,3 +179,42 @@ def test_cli_raw_mode(tmp_path):
         for l in r.stdout.splitlines()
         if l.startswith("L\t")
     )
+
+
+def test_cli_gfa_version_11(tmp_path):
+    import random
+
+    from tests import datagen
+    from tests.test_cli import run_cli
+
+    rng = random.Random(61)
+    seqs = {"hg#1#chrX": "".join(rng.choice("ACGT") for _ in range(3000))}
+    fa = str(tmp_path / "w.fa")
+    datagen.write_fasta(fa, seqs)
+    prefix = str(tmp_path / "w")
+    r = run_cli("syng", "-f", fa, "-o", prefix)
+    assert r.returncode == 0, r.stderr
+    r = run_cli(
+        "syng2gfa", "-a", prefix + ".syngt", "--sequence-files", fa,
+        "--gfa-version", "1.1",
+    )
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert lines[0] == "H\tVN:Z:1.1"
+    w = [l for l in lines if l.startswith("W\t")]
+    assert len(w) == 1
+    f = w[0].split("\t")
+    assert f[1:4] == ["hg", "1", "chrX"] and f[5] == "3000"
+    assert not any(l.startswith("P\t") for l in lines)
+    # The W graph parses back with the same spelling.
+    from impg_tpu.graph.gfa import Gfa
+    from impg_tpu.io.fasta import reverse_complement
+
+    g = Gfa.parse(r.stdout)
+    name, steps = g.paths[0]
+    spelled = b"".join(
+        reverse_complement(g.segments[s].encode()) if rev
+        else g.segments[s].encode()
+        for s, rev in steps
+    )
+    assert spelled == seqs["hg#1#chrX"].encode()
