@@ -68,6 +68,85 @@ def chain_region(
     )
 
 
+def _sweep_chains_group(
+    gq: np.ndarray,
+    gt: np.ndarray,
+    rev: bool,
+    scaffold_gap: int,
+    k: int,
+    overlap_threshold: float = 0.95,
+) -> list[np.ndarray]:
+    """SweepGA-style scaffold chaining of one (target, strand) anchor
+    group (syng_transitive.rs:113 chain_anchors_with_sweepga_scaffold
+    _mass role): greedy gap-bounded monotone chain assignment builds
+    MULTIPLE parallel chains per target (segmental duplications produce
+    one chain per copy — single-LIS keeps only the best copy), then a
+    query-axis plane sweep drops chains >= `overlap_threshold` covered by
+    a heavier chain.  Returns anchor index arrays, one per kept chain."""
+    order = np.lexsort((gt, gq))
+    gq, gt = gq[order], gt[order]
+    tdir = -1 if rev else 1
+    # Diagonal drift budget per step: far tighter than the scaffold gap so
+    # parallel duplicated copies stay separate chains (the role of
+    # sweepga's per-scaffold deviation bound).
+    max_dev = max(2 * k, scaffold_gap // 8)
+    chains: list[list[int]] = []
+    last_q: list[int] = []
+    last_t: list[int] = []
+    for i in range(gq.size):
+        q, t = int(gq[i]), int(gt[i])
+        best = -1
+        best_dev = None
+        for c in range(len(chains)):
+            dq = q - last_q[c]
+            dt = (t - last_t[c]) * tdir
+            if dq < 0 or dq > scaffold_gap or dt < 0 or dt > scaffold_gap:
+                continue
+            dev = abs(dq - dt)
+            if dev > max_dev:
+                continue
+            if best_dev is None or dev < best_dev:
+                best, best_dev = c, dev
+        if best < 0:
+            chains.append([i])
+            last_q.append(q)
+            last_t.append(t)
+        else:
+            chains[best].append(i)
+            last_q[best] = q
+            last_t[best] = t
+    # Two-axis plane sweep (ManyToMany): heavier chains win; a chain is
+    # redundant only when a kept chain covers >= threshold of BOTH its
+    # query span and its target span — duplicated copies at distinct
+    # target loci all survive.
+    spans = []
+    for c, idxs in enumerate(chains):
+        qs = int(gq[idxs[0]])
+        qe = int(gq[idxs[-1]]) + k
+        ts = int(gt[np.asarray(idxs)].min())
+        te = int(gt[np.asarray(idxs)].max()) + k
+        spans.append((len(idxs), qs, qe, ts, te, c))
+    spans.sort(key=lambda s: (-s[0], s[1]))
+    kept: list[tuple[int, int, int, int]] = []
+    out = []
+    for n, qs, qe, ts, te, c in spans:
+        redundant = False
+        for ks, ke, kts, kte in kept:
+            q_cov = min(qe, ke) - max(qs, ks)
+            t_cov = min(te, kte) - max(ts, kts)
+            if (
+                q_cov >= overlap_threshold * max(qe - qs, 1)
+                and t_cov >= overlap_threshold * max(te - ts, 1)
+            ):
+                redundant = True
+                break
+        if redundant:
+            continue
+        kept.append((qs, qe, ts, te))
+        out.append(order[np.asarray(chains[c], np.int64)])
+    return out
+
+
 def chain_occurrences(
     syng: SyngIndex,
     q_abs: np.ndarray,
@@ -101,32 +180,20 @@ def chain_occurrences(
         gq = q_abs[gs:ge]
         gt = o_pos[gs:ge]
         rev = bool(strand_code[gs])
-        # Patience-LIS over target positions in query order gives the
-        # longest collinear subset; '-' chains are anti-diagonal, so LIS
-        # runs on the negated target axis.
-        chain_idx = _lis_chain(gq, -gt if rev else gt)
-        if len(chain_idx) < min_anchors:
-            continue
-        cq = gq[chain_idx]
-        ct = gt[chain_idx]
-        # Split at gaps beyond the scaffold gap on either axis.
-        sub: list[int] = [0]
-        pieces: list[tuple[int, int]] = []
-        for i in range(1, len(chain_idx)):
-            if (
-                cq[i] - cq[i - 1] > scaffold_gap
-                or abs(int(ct[i]) - int(ct[i - 1])) > scaffold_gap
-            ):
-                pieces.append((sub[0], i))
-                sub = [i]
-        pieces.append((sub[0], len(chain_idx)))
         genome = syng.seq_index.get_name(int(o_seq[gs]))
         hid = int(o_seq[gs])
         seq_len = syng.seq_index.get_len_from_id(hid)
-        for ps, pe in pieces:
-            n = pe - ps
+        # SweepGA-style scaffold chaining: every gap-bounded monotone
+        # chain survives the plane sweep independently, so duplicated
+        # copies on the same target each produce a chain (the old
+        # single-LIS kept only the longest copy).
+        for idxs in _sweep_chains_group(gq, gt, rev, scaffold_gap, k):
+            n = len(idxs)
             if n < min_anchors:
                 continue
+            cq = gq[idxs]
+            ct = gt[idxs]
+            ps, pe = 0, n
             q0, q1 = int(cq[ps]), int(cq[pe - 1]) + k
             tmin = int(ct[ps:pe].min())
             tmax = int(ct[ps:pe].max()) + k

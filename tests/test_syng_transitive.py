@@ -179,3 +179,33 @@ def test_cli_syng_transitive_with_refinement(tmp_path):
     # Refined projection lands on B's true core interval.
     s, e = int(b_rows[0][1]), int(b_rows[0][2])
     assert abs(s - 900) <= 5 and abs(e - 3900) <= 5, (s, e)
+
+
+def test_sweep_chaining_reports_duplicated_copies(tmp_path):
+    """Segmental duplication: BOTH copies on the same target chain
+    (sweepga scaffold chaining role; single-LIS kept only one)."""
+    import random
+
+    rng = random.Random(91)
+    core = "".join(rng.choice("ACGT") for _ in range(2500))
+    # B carries TWO copies of core at different loci.
+    b = (
+        "".join(rng.choice("ACGT") for _ in range(1000))
+        + core
+        + "".join(rng.choice("ACGT") for _ in range(2000))
+        + core
+        + "".join(rng.choice("ACGT") for _ in range(1000))
+    )
+    a = "".join(rng.choice("ACGT") for _ in range(600)) + core + "".join(
+        rng.choice("ACGT") for _ in range(600)
+    )
+    fa = str(tmp_path / "dup.fa")
+    datagen.write_fasta(fa, {"A": a, "B": b})
+    syng = SyngIndex.build_from_fasta([fa])
+    chains = chain_region(syng, "A", 600, 600 + len(core))
+    b_chains = [c for c in chains if c.genome == "B"]
+    assert len(b_chains) >= 2, b_chains
+    starts = sorted(c.t_start for c in b_chains)
+    # One chain near each copy locus (1000 and 1000+2500+2000=5500).
+    assert abs(starts[0] - 1000) < 1200
+    assert abs(starts[-1] - 5500) < 1200
