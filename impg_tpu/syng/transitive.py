@@ -17,7 +17,6 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from impg_tpu.commands.align import _lis_chain
 from impg_tpu.core.intervals import SortedRanges
 from impg_tpu.query.engine import Row, _too_close
 from impg_tpu.syng.index import SyngIndex
