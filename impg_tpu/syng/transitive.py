@@ -4,10 +4,11 @@ limits -> padded end extension -> multihop BFS with visited-range
 bookkeeping matching the alignment-backed transitive walk).
 
 The reference delegates chaining to SweepGA's plane-sweep scaffold filter
-and refines chain ends with BiWFA; here chains come from a patience-LIS
-over (query, target) anchor pairs per (target sequence, strand) with the
-same gap and seed-mass bounds, and ends extend by the bounded padding the
-reference falls back to below its identity floor
+and refines chain ends with BiWFA; here `_sweep_chains_group` plays the
+SweepGA role (gap-bounded monotone multi-chain assignment + two-axis
+ManyToMany plane sweep) and `refine_chain_ends` plays the BiWFA role with
+the native ends-free aligner; without sequences, ends extend by the
+bounded padding the reference falls back to below its identity floor
 (syng_transitive.rs:44 MIN_ALIGNMENT_IDENTITY fallback).
 """
 
