@@ -1854,6 +1854,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="impg-tpu", description="TPU-native implicit pangenome query engine"
     )
+    ap.add_argument(
+        "-v", "--verbosity", type=int, default=0, choices=[0, 1, 2],
+        help="0 = errors, 1 = info (phase timings), 2 = debug "
+        "(reference CommonOpts main.rs:2029 role)",
+    )
     sub = ap.add_subparsers(dest="command", required=True)
 
     p_index = sub.add_parser("index", help="Build the alignment index")
@@ -2401,6 +2406,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    import logging
+
+    level = {0: logging.ERROR, 1: logging.INFO, 2: logging.DEBUG}[
+        getattr(args, "verbosity", 0)
+    ]
+    logging.basicConfig(
+        level=level, format="[%(levelname).1s %(name)s] %(message)s"
+    )
     try:
         return args.func(args)
     except (FileNotFoundError, ValueError) as e:

@@ -270,6 +270,10 @@ def load_or_build(
             for p in paf_paths
         ]
         return ImpgIndex.merge(parts, list(paf_paths))
+    import logging
+    import time
+
+    log = logging.getLogger("impg_tpu.index")
     path = index_path or index_path_for(paf_paths)
     if not force and os.path.exists(path):
         idx_mtime = os.path.getmtime(path)
@@ -277,10 +281,22 @@ def load_or_build(
             os.path.getmtime(p) <= idx_mtime for p in paf_paths if os.path.exists(p)
         ):
             try:
-                return ImpgIndex.load(path)
+                t0 = time.perf_counter()
+                idx = ImpgIndex.load(path)
+                log.info(
+                    "loaded index %s (%d records) in %.3fs",
+                    path, len(idx.records), time.perf_counter() - t0,
+                )
+                return idx
             except Exception:
                 pass  # fall through to rebuild
+    t0 = time.perf_counter()
     idx = ImpgIndex.from_paf_files(paf_paths, seq_fetch=seq_fetch)
+    log.info(
+        "built index from %d file(s): %d records, %d runs in %.3fs",
+        len(paf_paths), len(idx.records), int(idx.arena.n_ops),
+        time.perf_counter() - t0,
+    )
     try:
         idx.save(path)
     except OSError:

@@ -13,6 +13,8 @@ is order-dependent in the reference too.
 
 from __future__ import annotations
 
+import logging
+import time
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -799,8 +801,10 @@ def _bfs_many_native(
         cur_s = np.asarray(seeds_s, np.int64)
         cur_e = np.asarray(seeds_e, np.int64)
 
+        log = logging.getLogger("impg_tpu.engine")
         depth = 0
         while cur_w.size and (max_depth == 0 or depth < max_depth):
+            t_depth = time.perf_counter()
             flat = list(zip(cur_t.tolist(), cur_s.tolist(), cur_e.tolist()))
             use_device = device_engine is not None and (
                 not approximate
@@ -925,6 +929,10 @@ def _bfs_many_native(
             cur_t = fq[new]
             cur_s = fs[new]
             cur_e = fe[last]
+            log.debug(
+                "depth %d: %d ranges -> %d frontier in %.3fs",
+                depth, len(flat), cur_w.size, time.perf_counter() - t_depth,
+            )
 
         if columnar:
             return _partition_columnar(
