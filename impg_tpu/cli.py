@@ -1805,6 +1805,11 @@ def cmd_graph_report(args) -> int:
             else None
         )
         dec = bubbles_mod.decompose_flubbles(text, refs)
+        class_counts: dict[str, int] = {}
+        for site in dec.sites:
+            class_counts[site.site_class] = (
+                class_counts.get(site.site_class, 0) + 1
+            )
         rep["flubbles"] = {
             "reference_path": dec.reference_path,
             "sites": len(dec.sites),
@@ -1812,6 +1817,7 @@ def cmd_graph_report(args) -> int:
             "level_counts": {
                 str(k): v for k, v in dec.level_counts().items()
             },
+            "class_counts": class_counts,
         }
         sys.stdout.write(gfa_mod.report_text(rep, args.format))
         if args.format == "md":

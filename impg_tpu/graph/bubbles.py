@@ -29,6 +29,11 @@ class Site:
     reference_start_step: int  # step index in the reference path walk
     reference_end_step: int
     n_alleles: int  # distinct interior walks among the paths through it
+    # Site class (POVU flubble class role): "parallel" (same-orientation
+    # alternatives), "inversion" (an allele traverses reference-interior
+    # nodes flipped), "hairpin" (an allele folds back through the same
+    # node in both orientations).
+    site_class: str = "parallel"
 
     @property
     def reference_span_steps(self) -> int:
@@ -137,6 +142,7 @@ def _decompose_level(
             reference_start_step=rs,
             reference_end_step=re_,
             n_alleles=len(distinct),
+            site_class=_classify_site(interiors, a, b),
         )
         sites.append(site)
         # Recurse into the interiors.  Alleles that skip the interior
@@ -167,6 +173,30 @@ def _decompose_level(
             )
         if len(sites) > before:
             site.is_leaf = False
+
+
+def _classify_site(interiors: list[list], a, b) -> str:
+    """POVU flubble class role: hairpin > inversion > parallel.
+
+    Hairpin: an allele folds back through a node in both orientations —
+    inside the interior or back through a boundary anchor reversed.
+    Inversion: an allele traverses reference-interior nodes flipped."""
+    ref_orient: dict[str, bool] = {}
+    for sid_, rev_ in interiors[0] if interiors else []:
+        ref_orient.setdefault(sid_, rev_)
+    boundary = {a[0]: a[1], b[0]: b[1]}
+    cls = "parallel"
+    for w in interiors:
+        seen: dict[str, bool] = {}
+        for sid_, rev_ in w:
+            if sid_ in seen and seen[sid_] != rev_:
+                return "hairpin"
+            if sid_ in boundary and boundary[sid_] != rev_:
+                return "hairpin"
+            seen.setdefault(sid_, rev_)
+            if sid_ in ref_orient and ref_orient[sid_] != rev_:
+                cls = "inversion"
+    return cls
 
 
 def decompose_flubbles(
@@ -221,7 +251,8 @@ def architecture_text(
     for s in top:
         lines.append(
             f"  - {s.id} (level {s.level}"
-            f"{', leaf' if s.is_leaf else ''}): {s.start} .. {s.end}, "
+            f"{', leaf' if s.is_leaf else ''}, {s.site_class}): "
+            f"{s.start} .. {s.end}, "
             f"ref steps {s.reference_start_step}-{s.reference_end_step}, "
             f"{s.n_alleles} alleles"
         )

@@ -104,3 +104,35 @@ def test_cli_graph_report_flubbles(tmp_path):
     rep = json.loads(r.stdout)
     assert rep["flubbles"]["sites"] == 2
     assert rep["flubbles"]["leaf_sites"] == 1
+
+
+def test_site_classes_inversion_and_hairpin():
+    """POVU flubble class roles: parallel vs inversion vs hairpin."""
+    from impg_tpu.graph.bubbles import decompose_flubbles
+
+    # Parallel SNP bubble.
+    par = (
+        "H\tVN:Z:1.0\n"
+        "S\t1\tAAAA\nS\t2\tC\nS\t3\tG\nS\t4\tTTTT\n"
+        "P\tp1\t1+,2+,4+\t*\nP\tp2\t1+,3+,4+\t*\n"
+    )
+    dec = decompose_flubbles(par)
+    assert dec.sites and dec.sites[0].site_class == "parallel"
+
+    # Inversion: p2 traverses the interior segment flipped.
+    inv = (
+        "H\tVN:Z:1.0\n"
+        "S\t1\tAAAA\nS\t2\tCGCA\nS\t4\tTTTT\n"
+        "P\tp1\t1+,2+,4+\t*\nP\tp2\t1+,2-,4+\t*\n"
+    )
+    dec = decompose_flubbles(inv)
+    assert dec.sites and dec.sites[0].site_class == "inversion"
+
+    # Hairpin: p2 folds back through node 2 in both orientations.
+    hp = (
+        "H\tVN:Z:1.0\n"
+        "S\t1\tAAAA\nS\t2\tCGCA\nS\t3\tGG\nS\t4\tTTTT\n"
+        "P\tp1\t1+,2+,4+\t*\nP\tp2\t1+,2+,3+,2-,4+\t*\n"
+    )
+    dec = decompose_flubbles(hp)
+    assert dec.sites and dec.sites[0].site_class == "hairpin"
