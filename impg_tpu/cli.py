@@ -1536,33 +1536,81 @@ def cmd_infer(args) -> int:
     from impg_tpu.syng.index import SyngIndex
     from impg_tpu.syng.pack import Pack
 
+    if not args.target_range and not args.target_bed:
+        print(
+            "error: infer needs -r/--target-range or -b/--target-bed",
+            file=sys.stderr,
+        )
+        return 2
     index = SyngIndex.load(args.alignment)
     pack = Pack.load(args.pack)
-    chrom, (start, end), _ = bed_mod.parse_target_range(args.target_range)
+    if args.target_bed:
+        # Partition mode (infer.rs modes-from-inputs role): one windowed
+        # inference per BED row, all streamed into one report.
+        regions = [
+            (chrom, rng[0], rng[1])
+            for chrom, rng, _name in bed_mod.parse_bed_file(args.target_bed)
+        ]
+    else:
+        chrom, (start, end), _ = bed_mod.parse_target_range(
+            args.target_range
+        )
+        regions = [(chrom, start, end)]
     read_index = None
     if args.read_index:
         from impg_tpu.syng.read_index import ReadSyncmerIndex
 
         read_index = ReadSyncmerIndex.load(args.read_index)
-    windows, path, segments = infer_mod.run_infer(
-        index, pack, chrom, start, end,
-        window=args.window,
-        ploidy=args.ploidy,
-        top_n=args.top_n,
-        switch_penalty=args.switch_penalty,
-        candidate_mode=args.candidate_mode,
-        read_index=read_index,
-        read_link_weight=args.read_link_weight,
-        min_read_link_anchors=args.min_read_link_anchors,
-        gaf_path=args.gaf,
-    )
-    if not windows:
-        print("error: no calls produced for region", file=sys.stderr)
+    any_calls = False
+    windows = path = segments = None
+    for ri, (chrom, start, end) in enumerate(regions):
+        windows, path, segments = infer_mod.run_infer(
+            index, pack, chrom, start, end,
+            window=args.window,
+            ploidy=args.ploidy,
+            top_n=args.top_n,
+            switch_penalty=args.switch_penalty,
+            candidate_mode=args.candidate_mode,
+            read_index=read_index,
+            read_link_weight=args.read_link_weight,
+            min_read_link_anchors=args.min_read_link_anchors,
+            gaf_path=args.gaf,
+        )
+        if not windows:
+            print(
+                f"warning: no calls for {chrom}:{start}-{end}",
+                file=sys.stderr,
+            )
+            continue
+        any_calls = True
+        if ri == 0 or len(regions) == 1:
+            infer_mod.write_infer_report(
+                sys.stdout, windows, path, segments, args.sample_name
+            )
+        else:
+            import io as io_mod
+
+            buf = io_mod.StringIO()
+            infer_mod.write_infer_report(
+                buf, windows, path, segments, args.sample_name
+            )
+            sys.stdout.write(
+                "".join(
+                    l
+                    for l in buf.getvalue().splitlines(keepends=True)
+                    if not l.startswith("#")
+                )
+            )
+    if not any_calls:
+        print("error: no calls produced for any region", file=sys.stderr)
         return 1
-    infer_mod.write_infer_report(
-        sys.stdout, windows, path, segments, args.sample_name
-    )
     if args.write_haplotypes:
+        if len(regions) > 1:
+            print(
+                "error: --write-haplotypes supports a single -r region",
+                file=sys.stderr,
+            )
+            return 2
         if not args.sequence_files:
             print(
                 "error: --write-haplotypes needs --sequence-files",
@@ -2235,7 +2283,12 @@ def build_parser() -> argparse.ArgumentParser:
     p_inf.add_argument("-a", "--alignment", required=True,
                        help="syng index prefix (or .syngt path)")
     p_inf.add_argument("-p", "--pack", required=True)
-    p_inf.add_argument("-r", "--target-range", required=True)
+    p_inf.add_argument("-r", "--target-range")
+    p_inf.add_argument(
+        "-b", "--target-bed",
+        help="BED of regions/partitions: one windowed inference per row "
+        "(infer.rs partitions-mode role)",
+    )
     p_inf.add_argument("-w", "--window", type=int, default=5000)
     p_inf.add_argument("--ploidy", type=int, default=2)
     p_inf.add_argument("--top-n", type=int, default=5)

@@ -663,3 +663,28 @@ def test_infer_gaf_returns_link_rewards(panel, tmp_path):
         min_read_link_anchors=1,
     )
     assert windows and path
+
+
+def test_cli_infer_target_bed(panel, tmp_path):
+    """-b BED runs one windowed inference per row into one report."""
+    tmp, fa, idx, seq_data, fastq = panel
+    prefix = str(tmp_path / "tb")
+    r = run_cli("syng", "-f", fa, "-o", prefix)
+    assert r.returncode == 0, r.stderr
+    packp = str(tmp_path / "tb.packt")
+    r = run_cli("map", "-a", prefix + ".syngt", "-q", fastq,
+                "-o", "pack", "-O", packp)
+    assert r.returncode == 0, r.stderr
+    bed = tmp_path / "parts.bed"
+    bed.write_text("ref\t0\t6000\tp1\nref\t6000\t12000\tp2\n")
+    r = run_cli(
+        "infer", "-a", prefix + ".syngt", "-p", packp, "-b", str(bed),
+    )
+    assert r.returncode == 0, r.stderr
+    lines = r.stdout.splitlines()
+    assert lines[0].startswith("#type")
+    assert sum(1 for l in lines if l.startswith("#type")) == 1
+    win = [l.split("\t") for l in lines if l.startswith("window")]
+    # Rows from both partitions.
+    starts = {int(w[3]) for w in win}
+    assert any(s < 6000 for s in starts) and any(s >= 6000 for s in starts)
