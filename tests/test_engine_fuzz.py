@@ -1,0 +1,130 @@
+"""Randomized cross-engine exactness: host vs device(CPU-forced) vs
+columnar vs native-bookkeeping paths agree row-for-row across ingest
+formats (the BASELINE 'exact BED/BEDPE equality' contract, checked
+against our own engine matrix since the Rust binary cannot build here)."""
+
+import os
+import random
+import tempfile
+
+import numpy as np
+import pytest
+
+from impg_tpu.index.impg_index import ImpgIndex, load_or_build
+from impg_tpu.io import onealn, tpa
+from impg_tpu.query import engine
+from tests import datagen
+
+
+def _rows_key(index, rows):
+    return sorted(
+        (
+            index.seq_index.get_name(r.q_id), r.q_first, r.q_last,
+            index.seq_index.get_name(r.t_id), r.t_first, r.t_last,
+        )
+        for r in rows
+    )
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_cross_engine_exactness(seed, tmp_path):
+    rng = random.Random(seed)
+    text, seqs, alns = datagen.pangenome_paf(
+        rng, n_seqs=7, seq_len=40_000, cross_links=3
+    )
+    paf = str(tmp_path / "f.paf")
+    with open(paf, "w") as fh:
+        fh.write(text)
+    index = load_or_build([paf])
+
+    qrng = random.Random(seed + 1)
+    names = list(seqs)
+    targets = []
+    for _ in range(30):
+        nm = names[qrng.randrange(len(names))]
+        L = seqs[nm]
+        s = qrng.randrange(0, max(1, L - 6000))
+        targets.append((index.seq_index.get_id(nm), s, s + 6000))
+
+    # 1. Host Python bookkeeping (fallback oracle).
+    real_vb = engine._vb_lib
+    try:
+        engine._vb_lib = lambda: None
+        oracle = [
+            _rows_key(index, rows)
+            for rows in engine.query_transitive_bfs_many(
+                index, targets, max_depth=2
+            )
+        ]
+    finally:
+        engine._vb_lib = real_vb
+
+    # 2. Native bookkeeping, Row mode.
+    native = engine.query_transitive_bfs_many(index, targets, max_depth=2)
+    assert [_rows_key(index, r) for r in native] == oracle
+
+    # 3. Columnar mode.
+    blocks = engine.query_transitive_bfs_many(
+        index, targets, max_depth=2, columnar=True
+    )
+    assert [_rows_key(index, b.to_rows()) for b in blocks] == oracle
+
+    # 4. Device engine (CPU-forced by conftest), columnar, lean fields.
+    from impg_tpu.query.device import DeviceEngine
+
+    dev = DeviceEngine(index, chunk=64)
+    dev_blocks = engine.query_transitive_bfs_many(
+        index, targets, max_depth=2, device_engine=dev, columnar=True
+    )
+    assert [_rows_key(index, b.to_rows()) for b in dev_blocks] == oracle
+
+    # 5. Approximate mode is self-consistent across host and device.
+    index.ensure_tracepoints(100)
+    host_ap = engine.query_transitive_bfs_many(
+        index, targets, max_depth=2, approximate=True
+    )
+    dev_ap = engine.query_transitive_bfs_many(
+        index, targets, max_depth=2,
+        device_engine=DeviceEngine(index, chunk=64, with_tracepoints=True),
+        approximate=True, columnar=True,
+    )
+    assert [
+        _rows_key(index, b.to_rows()) for b in dev_ap
+    ] == [_rows_key(index, r) for r in host_ap]
+
+
+@pytest.mark.parametrize("fmt", ["1aln", "tpa"])
+def test_container_ingest_exactness(fmt, tmp_path):
+    """Container round-trips keep transitive BED results exact (interval
+    endpoints are exact in approximate reconstruction by contract)."""
+    rng = random.Random(77)
+    text, seqs, alns, seq_data = datagen.mutate_chain_paf(
+        rng, n_seqs=4, seq_len=8000, return_sequences=True
+    )
+    paf = str(tmp_path / "c.paf")
+    with open(paf, "w") as fh:
+        fh.write(text)
+    index = load_or_build([paf])
+    tp = index.ensure_tracepoints(100)
+    out = str(tmp_path / ("c." + fmt))
+    if fmt == "1aln":
+        onealn.write_1aln(out, index.seq_index, index.records, index.arena, tp)
+    else:
+        tpa.write_tpa(out, index.seq_index, index.records, index.arena, tp)
+    idx2 = ImpgIndex.from_paf_files([out])
+    for nm, L in seqs.items():
+        t1 = index.seq_index.get_id(nm)
+        t2 = idx2.seq_index.get_id(nm)
+        a = [
+            _rows_key(index, r)
+            for r in engine.query_transitive_bfs_many(
+                index, [(t1, 0, L)], max_depth=2
+            )
+        ]
+        b = [
+            _rows_key(idx2, r)
+            for r in engine.query_transitive_bfs_many(
+                idx2, [(t2, 0, L)], max_depth=2
+            )
+        ]
+        assert a == b, nm
