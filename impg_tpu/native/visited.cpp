@@ -4,8 +4,9 @@
 // per-hit visited bookkeeping of query_transitive_bfs (impg.rs:2505-2545
 // proximity check + insert-returning-uncovered).  The Python
 // core/intervals.py SortedRanges remains the semantics oracle; the engine
-// always uses min_distance=0 on insert (snapping disabled — proximity is
-// a separate pre-check), so this structure is a pure sorted interval book.
+// always uses min_distance=0 on insert, so of the snap rules only the
+// end-of-sequence clamp stays active (see insert_range), and proximity is
+// a separate pre-check.
 //
 // The batched API processes one depth's hits in order for MANY walks at
 // once: each hit optionally (book flag) runs the too-close pre-check and
@@ -24,9 +25,16 @@ namespace {
 using Range = std::pair<int64_t, int64_t>;
 using Book = std::vector<Range>;
 
+struct Entry {
+    Book ranges;
+    int64_t seq_len = 0;  // end-of-sequence clamp (SortedRanges snap)
+};
+
 struct VisitedBook {
     // key = walk * KEY_SHIFT + seq_id
-    std::unordered_map<int64_t, Book> books;
+    std::unordered_map<int64_t, Entry> books;
+    std::vector<int64_t> seq_lens;  // per seq id (real lengths)
+    bool masked_none = true;        // entry-creation length rule
     std::vector<int64_t> fw, fq, fs, fe;  // frontier accumulator
 };
 
@@ -39,12 +47,18 @@ inline size_t search_start(const Book& b, int64_t start) {
            b.begin();
 }
 
-// Mirror of SortedRanges.insert with min_distance == 0: returns the
-// sub-ranges of [start, end) not already covered, then merges the range in.
-void insert_range(Book& b, int64_t start, int64_t end,
+// Mirror of SortedRanges.insert with min_distance == 0: the END snaps to
+// the entry's sequence_length (impg.rs:294 `end > len - min_dist` clamp —
+// active even at min_distance 0, and the mechanism by which sequences
+// absent from a supplied mask dict are suppressed, since their entries
+// carry length 0 exactly like the reference, impg.rs:2047-2053); returns
+// the sub-ranges of [start, end) not already covered, then merges.
+void insert_range(Entry& e, int64_t start, int64_t end,
                   std::vector<Range>& uncovered) {
+    Book& b = e.ranges;
     uncovered.clear();
     if (start > end) std::swap(start, end);
+    if (end > e.seq_len) end = e.seq_len;
 
     int64_t current = start;
     size_t i = search_start(b, start);
@@ -92,14 +106,43 @@ bool too_close(const Book& b, int64_t lo, int64_t hi, int64_t min_dist) {
 
 extern "C" {
 
-void* vb_create() { return new VisitedBook(); }
+// seq_lens: real sequence lengths per id; masked_none selects the length
+// rule for lazily-created entries (real length when no mask dict was
+// supplied, 0 otherwise — the reference's visited_entry contract).
+void* vb_create(int64_t n_seqs, const int64_t* seq_lens,
+                int32_t masked_none) {
+    auto* v = new VisitedBook();
+    v->seq_lens.assign(seq_lens, seq_lens + n_seqs);
+    v->masked_none = masked_none != 0;
+    return v;
+}
+
+static Entry& get_entry(VisitedBook* v, int64_t walk, int64_t qid) {
+    int64_t key = walk * KEY_SHIFT + qid;
+    auto it = v->books.find(key);
+    if (it != v->books.end()) return it->second;
+    Entry& e = v->books[key];
+    e.seq_len = (v->masked_none && qid >= 0 &&
+                 qid < (int64_t)v->seq_lens.size())
+                    ? v->seq_lens[qid]
+                    : 0;
+    return e;
+}
 void vb_destroy(void* h) { delete (VisitedBook*)h; }
 
-// Masked-region preload: plain insert, result discarded.
-void vb_preload(void* h, int64_t walk, int64_t qid, int64_t s, int64_t e) {
+// Masked-region preload: plain insert, result discarded.  `seq_len` sets
+// the entry's clamp length (the mask entry's own sequence_length, as a
+// Python-side clone would keep it).
+void vb_preload(void* h, int64_t walk, int64_t qid, int64_t s, int64_t e,
+                int64_t seq_len) {
     auto* v = (VisitedBook*)h;
+    int64_t key = walk * KEY_SHIFT + qid;
+    auto it = v->books.find(key);
+    if (it == v->books.end()) {
+        v->books[key].seq_len = seq_len;
+    }
     std::vector<Range> scratch;
-    insert_range(v->books[walk * KEY_SHIFT + qid], s, e, scratch);
+    insert_range(v->books[key], s, e, scratch);
 }
 
 // Seed insert: returns the uncovered sub-ranges (capped at cap).
@@ -107,7 +150,7 @@ int64_t vb_seed(void* h, int64_t walk, int64_t qid, int64_t s, int64_t e,
                 int64_t* out_s, int64_t* out_e, int64_t cap) {
     auto* v = (VisitedBook*)h;
     std::vector<Range> uncovered;
-    insert_range(v->books[walk * KEY_SHIFT + qid], s, e, uncovered);
+    insert_range(get_entry(v, walk, qid), s, e, uncovered);
     int64_t n = (int64_t)uncovered.size();
     for (int64_t i = 0; i < n && i < cap; ++i) {
         out_s[i] = uncovered[i].first;
@@ -127,11 +170,11 @@ void vb_process(void* h, const int64_t* walk, const int64_t* qid,
     std::vector<Range> uncovered;
     for (int64_t i = 0; i < n; ++i) {
         if (!book[i]) continue;
-        Book& b = v->books[walk[i] * KEY_SHIFT + qid[i]];
+        Entry& e = get_entry(v, walk[i], qid[i]);
         int64_t lo = aq_s[i], hi = aq_e[i];
         if (lo > hi) std::swap(lo, hi);
-        if (too_close(b, lo, hi, min_dist)) continue;
-        insert_range(b, aq_s[i], aq_e[i], uncovered);
+        if (too_close(e.ranges, lo, hi, min_dist)) continue;
+        insert_range(e, aq_s[i], aq_e[i], uncovered);
         for (const Range& r : uncovered) {
             if (std::llabs(r.second - r.first) >= min_trans_len) {
                 v->fw.push_back(walk[i]);

@@ -264,11 +264,11 @@ def _vb_lib():
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         lib.vb_create.restype = ctypes.c_void_p
-        lib.vb_create.argtypes = []
+        lib.vb_create.argtypes = [ctypes.c_int64, i64p, ctypes.c_int32]
         lib.vb_destroy.restype = None
         lib.vb_destroy.argtypes = [ctypes.c_void_p]
         lib.vb_preload.restype = None
-        lib.vb_preload.argtypes = [ctypes.c_void_p] + [ctypes.c_int64] * 4
+        lib.vb_preload.argtypes = [ctypes.c_void_p] + [ctypes.c_int64] * 5
         lib.vb_seed.restype = ctypes.c_int64
         lib.vb_seed.argtypes = (
             [ctypes.c_void_p] + [ctypes.c_int64] * 4 + [i64p, i64p,
@@ -483,6 +483,42 @@ def query_transitive_bfs(
     device_engine=None,
     approximate: bool = False,
 ) -> list[Row]:
+    # Single walk = the many-walk engine with one target: shares the
+    # native bookkeeping and lean-transfer paths (partition/refine/render
+    # all funnel through here).
+    return query_transitive_bfs_many(
+        index,
+        [(target_id, range_start, range_end)],
+        masked_regions=masked_regions,
+        max_depth=max_depth,
+        min_transitive_len=min_transitive_len,
+        min_distance_between_ranges=min_distance_between_ranges,
+        min_output_length=min_output_length,
+        store_cigar=store_cigar,
+        min_identity=min_identity,
+        subset_match=subset_match,
+        device_engine=device_engine,
+        approximate=approximate,
+    )[0]
+
+
+def _query_transitive_bfs_legacy(
+    index: ImpgIndex,
+    target_id: int,
+    range_start: int,
+    range_end: int,
+    masked_regions: Optional[dict[int, SortedRanges]] = None,
+    max_depth: int = 2,
+    min_transitive_len: int = 101,
+    min_distance_between_ranges: int = 10,
+    min_output_length: Optional[int] = None,
+    store_cigar: bool = False,
+    min_identity: Optional[float] = None,
+    subset_match: Optional[Callable[[str], bool]] = None,
+    device_engine=None,
+    approximate: bool = False,
+) -> list[Row]:
+    """Retired standalone single-walk implementation (semantics oracle)."""
     masked_none = masked_regions is None
     visited: dict[int, SortedRanges] = (
         {k: v.clone() for k, v in masked_regions.items()} if masked_regions else {}
@@ -731,7 +767,12 @@ def _bfs_many_native(
     `columnar` the per-hit Row loop disappears too — result columns
     accumulate as arrays and partition per walk at the end (RowBlock)."""
     n_walks = len(targets)
-    h = lib.vb_create()
+    seq_lens = np.ascontiguousarray(
+        index.seq_index.lengths_array().astype(np.int64)
+    )
+    h = lib.vb_create(
+        len(index.seq_index), seq_lens, 1 if masked_regions is None else 0
+    )
     try:
         results: list[list[Row]] = [[] for _ in range(n_walks)]
         seed_cols: list[tuple[int, int, int]] = []  # (walk, s, e)
@@ -759,8 +800,16 @@ def _bfs_many_native(
         if masked_regions:
             for w in range(n_walks):
                 for sid, sr in masked_regions.items():
+                    slen = int(getattr(sr, "sequence_length", 0))
+                    if not sr.ranges:
+                        # Materialize the (possibly empty) mask entry so
+                        # its sequence_length governs later inserts, like a
+                        # Python-side clone would.
+                        lib.vb_preload(h, w, int(sid), 0, 0, slen)
                     for ms, me in sr.ranges:
-                        lib.vb_preload(h, w, int(sid), int(ms), int(me))
+                        lib.vb_preload(
+                            h, w, int(sid), int(ms), int(me), slen
+                        )
         for w, (target_id, range_start, range_end) in enumerate(targets):
             cap = 2 + (
                 len(masked_regions[target_id].ranges)

@@ -128,3 +128,38 @@ def test_container_ingest_exactness(fmt, tmp_path):
             )
         ]
         assert a == b, nm
+
+
+def test_single_walk_matches_legacy_oracle(tmp_path):
+    """query_transitive_bfs (now routed through the many-walk engine)
+    matches the retired standalone implementation, masked regions
+    included."""
+    from impg_tpu.core.intervals import SortedRanges
+
+    rng = random.Random(55)
+    text, seqs, alns = datagen.pangenome_paf(
+        rng, n_seqs=6, seq_len=20_000, cross_links=2
+    )
+    paf = str(tmp_path / "s.paf")
+    with open(paf, "w") as fh:
+        fh.write(text)
+    index = load_or_build([paf])
+    names = list(seqs)
+    qrng = random.Random(9)
+    for trial in range(8):
+        nm = names[qrng.randrange(len(names))]
+        L = seqs[nm]
+        s = qrng.randrange(0, max(1, L - 4000))
+        tid = index.seq_index.get_id(nm)
+        masked = None
+        if trial % 2:
+            sr = SortedRanges(L, 0)
+            sr.insert((s + 500, s + 1500))
+            masked = {tid: sr}
+        a = engine.query_transitive_bfs(
+            index, tid, s, s + 4000, masked_regions=masked, max_depth=2
+        )
+        b = engine._query_transitive_bfs_legacy(
+            index, tid, s, s + 4000, masked_regions=masked, max_depth=2
+        )
+        assert _rows_key(index, a) == _rows_key(index, b), trial
