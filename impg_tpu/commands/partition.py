@@ -19,10 +19,9 @@ from __future__ import annotations
 import logging
 import os
 from bisect import bisect_left
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
-import numpy as np
 
 from impg_tpu.core.intervals import SortedRanges
 from impg_tpu.index.impg_index import ImpgIndex

@@ -27,7 +27,7 @@ differences with boundary corrections — no per-op walk, no sequence I/O.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -17,7 +17,7 @@ Round-1 tier: anchor-bounded bubbles realigned with the native POA.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from impg_tpu.graph import lace as lace_mod
 from impg_tpu.graph import poa as poa_mod

@@ -11,7 +11,7 @@ unchanged (the reference errors on any difference; so do we).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from impg_tpu.graph.gfa import Gfa
 from impg_tpu.io.fasta import reverse_complement

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from impg_tpu.graph.gfa import Gfa, topological_sort
+from impg_tpu.graph.gfa import Gfa
 
 
 def _path_arrays(gfa: Gfa):

@@ -13,7 +13,6 @@ resident tensors there is no need for virtual-offset random access.
 from __future__ import annotations
 
 import gzip
-import io as _io
 from dataclasses import dataclass
 
 import numpy as np
