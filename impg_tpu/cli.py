@@ -1397,6 +1397,27 @@ def cmd_render(args) -> int:
         json.dump(
             dict(sequences=seq_records, intervals=intervals), fh, indent=2
         )
+    # Regional syng index over the rendered interval sequences
+    # (render_bundle.rs:24 syng_prefix — the bundle's "regional syng GBWT"
+    # element; our .syngt artifact carries the GBWT-derivable occurrence
+    # table).
+    from impg_tpu.syng.index import SyngIndex as _SyngIndex
+
+    region_seqs = []
+    for r in results:
+        src_name = index.seq_index.get_name(r.q_id)
+        lo, hi = sorted((r.q_first, r.q_last))
+        strand = "+" if r.q_first <= r.q_last else "-"
+        region_seqs.append(
+            (
+                f"{src_name}:{lo}-{hi}({strand})",
+                seq_idx.fetch_sequence(src_name, lo, hi),
+            )
+        )
+    _SyngIndex.build(region_seqs).save(
+        os.path.join(args.output_prefix, "region")
+    )
+
     # Step-translation tables (render_bundle.rs:40 StepTranslationRecord):
     # map every rendered path's graph steps back to source coordinates.
     from impg_tpu.commands import render_translation as rt_mod
@@ -1429,6 +1450,7 @@ def cmd_render(args) -> int:
                 n_paths=len(results),
                 rendered_paths=len(rendered_paths),
                 step_samples=len(step_samples),
+                syng_prefix="region",
                 files=dict(
                     fasta="render.fa",
                     gfa="render.gfa",
@@ -1436,6 +1458,7 @@ def cmd_render(args) -> int:
                     namespace_json="namespace.json",
                     translation="translation.npz",
                     translation_tsv="translation.tsv",
+                    syng="region.syngt",
                 ),
             ),
             fh,

@@ -688,3 +688,40 @@ def test_cli_infer_target_bed(panel, tmp_path):
     # Rows from both partitions.
     starts = {int(w[3]) for w in win}
     assert any(s < 6000 for s in starts) and any(s >= 6000 for s in starts)
+
+
+def test_render_bundle_regional_syng(panel, tmp_path):
+    """Render bundles carry a regional syng index (render_bundle.rs:24
+    syng_prefix element), queryable through the GBWT-lite."""
+    import json
+
+    from impg_tpu.syng.gbwt import SyngGbwt
+    from impg_tpu.syng.index import SyngIndex
+
+    import random as _r
+
+    from tests import datagen as _dg
+
+    tmp, fa, idx, seq_data, fastq = panel
+    rng = _r.Random(123)
+    text, seqs, alns, sd = _dg.mutate_chain_paf(
+        rng, n_seqs=4, seq_len=12_000, return_sequences=True
+    )
+    paf = tmp_path / "rs.paf"
+    paf.write_text(text)
+    rb = str(tmp_path / "rsb")
+    r = run_cli(
+        "render", "-a", str(paf), "-r", "ref:3000-8000", "-d", "100",
+        "--sequence-files", fa, "-O", rb, "-x",
+    )
+    assert r.returncode == 0, r.stderr
+    m = json.load(open(rb + "/manifest.json"))
+    assert m["syng_prefix"] == "region"
+    regional = SyngIndex.load(rb + "/region")
+    names = list(regional.seq_index.names())
+    assert any(n.startswith("ref:") for n in names)
+    g = SyngGbwt(regional)
+    frag = seq_data["ref"][4000:5500].encode()
+    nodes, bpos, _ = g.best_orientation_walk(frag)
+    mems = g.mems_for_walk(nodes, bpos)
+    assert mems and max(me.anchors for me in mems) == nodes.size
