@@ -1091,6 +1091,7 @@ def cmd_map(args) -> int:
                     index, reads,
                     min_anchors=args.min_anchors,
                     chain_budget=args.chain_budget,
+                    max_hits=args.max_hits,
                 )
             for line in rows:
                 out.write(line + "\n")
@@ -2203,6 +2204,10 @@ def build_parser() -> argparse.ArgumentParser:
     p_map.add_argument(
         "--chain-budget", type=int, default=10_000,
         help="Anchor chaining gap budget for -o paf",
+    )
+    p_map.add_argument(
+        "--max-hits", type=int, default=0,
+        help="Maximum PAF hits per query (0 = no limit)",
     )
     p_map.set_defaults(func=cmd_map)
 

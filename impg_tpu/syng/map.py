@@ -157,14 +157,19 @@ def map_reads_paf(
     read_files: list[str],
     min_anchors: int = 1,
     chain_budget: int = 10_000,
+    max_hits: int = 0,
 ):
-    """PAF rows for every read's chained projections."""
+    """PAF rows for every read's chained projections; `max_hits` caps the
+    (anchor-ranked) rows per read (main.rs map --max-hits role, 0 = all)."""
     from impg_tpu.syng.pack import read_sequences
 
     for path in read_files:
         for name, seq in read_sequences(path):
-            yield from map_read(
+            rows = map_read(
                 index, name, seq,
                 min_anchors=min_anchors,
                 chain_budget=chain_budget,
             )
+            if max_hits > 0:
+                rows = rows[:max_hits]
+            yield from rows
