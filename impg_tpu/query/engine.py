@@ -678,7 +678,7 @@ def query_transitive_bfs_many(
                 device_engine, flat, min_identity, approximate,
                 fields=None if store_cigar else (
                     LEAN_STATS_FIELDS
-                    if min_identity is not None or approximate
+                    if min_identity is not None
                     else LEAN_FIELDS
                 ),
             )
@@ -864,7 +864,7 @@ def _bfs_many_native(
                     device_engine, flat, min_identity, approximate,
                     fields=None if store_cigar else (
                         LEAN_STATS_FIELDS
-                        if min_identity is not None or approximate
+                        if min_identity is not None
                         else LEAN_FIELDS
                     ),
                 )
