@@ -518,7 +518,7 @@ def cmd_partition(args) -> int:
         )
         return 2
     sequence_index = None
-    if args.output_format in ("fasta", "gfa", "maf"):
+    if args.output_format in ("fasta", "gfa", "maf", "vcf"):
         if not args.sequence_files:
             print(
                 f"error: -o {args.output_format} requires --sequence-files",
@@ -2034,7 +2034,7 @@ def build_parser() -> argparse.ArgumentParser:
     p_part.add_argument("--min-distance-between-ranges", type=int, default=10)
     p_part.add_argument(
         "-o", "--output-format", default="bed",
-        choices=["bed", "fasta", "gfa", "maf"],
+        choices=["bed", "fasta", "gfa", "maf", "vcf"],
     )
     p_part.add_argument("--sequence-files", action="append")
     p_part.add_argument("--output-folder")

@@ -539,7 +539,7 @@ def partition_alignments(
                         output_folder,
                         sequence_index,
                     )
-                elif separate_files and output_format in ("gfa", "maf"):
+                elif separate_files and output_format in ("gfa", "maf", "vcf"):
                     _write_partition_graph(
                         partition_num,
                         intervals,
@@ -660,8 +660,15 @@ def _write_partition_graph(
     gen = {
         "gfa": region_mod.generate_gfa,
         "maf": region_mod.generate_maf,
+        "vcf": region_mod.generate_gfa,
     }[fmt]
     text = gen(index, rows, sequence_index)
+    if fmt == "vcf":
+        # Per-partition variant calls against the partition's first path
+        # (partition.rs:1573 write_partition_vcf: GFA -> VCF).
+        from impg_tpu.graph import vcf as vcf_mod
+
+        text = vcf_mod.gfa_to_vcf(text, None)
     path = _output_path(output_folder, f"partition{partition_num}.{fmt}")
     with open(path, "w") as fh:
         fh.write(text)

@@ -158,3 +158,31 @@ def test_rehome_singleton_slivers():
     sizes = {p: len(ivs) for p, ivs in collected}
     assert 1 not in sizes  # singleton absorbed
     assert sum(sizes.values()) == 5
+
+
+def test_partition_vcf_output(tmp_path):
+    """Per-partition VCF (partition.rs:1573 write_partition_vcf role)."""
+    import random
+
+    from tests import datagen
+    from tests.test_cli import run_cli
+
+    rng = random.Random(13)
+    text, seqs, alns, seq_data = datagen.mutate_chain_paf(
+        rng, n_seqs=3, seq_len=6000, return_sequences=True
+    )
+    paf = tmp_path / "p.paf"
+    paf.write_text(text)
+    fa = str(tmp_path / "p.fa")
+    datagen.write_fasta(fa, seq_data)
+    out = tmp_path / "parts"
+    r = run_cli(
+        "partition", "-a", str(paf), "-w", "3k", "-d", "100",
+        "-o", "vcf", "--separate-files", "--sequence-files", fa,
+        "--output-folder", str(out),
+    )
+    assert r.returncode == 0, r.stderr
+    vcfs = sorted(out.glob("partition*.vcf"))
+    assert vcfs
+    head = vcfs[0].read_text()
+    assert head.startswith("##fileformat=VCF")
