@@ -510,9 +510,9 @@ def cmd_partition(args) -> int:
         )
         return 2
     merge_distance = -1 if args.no_merge else bed_mod.parse_size(args.merge_distance)
-    if args.output_format not in ("bed", "gfa") and not args.separate_files:
+    if args.output_format not in ("bed", "gfa", "vcf") and not args.separate_files:
         print(
-            "error: single-file output is only supported for BED and GFA "
+            "error: single-file output is only supported for BED, GFA, VCF "
             f"formats; use --separate-files for {args.output_format.upper()}",
             file=sys.stderr,
         )

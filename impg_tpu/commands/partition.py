@@ -567,14 +567,14 @@ def partition_alignments(
 
     if not separate_files and collected and output_format == "bed":
         _write_single_partition_file(collected, index, output_folder)
-    elif not separate_files and collected and output_format == "gfa":
+    elif not separate_files and collected and output_format in ("gfa", "vcf"):
         # Partitioned single-file GFA: per-partition POA graphs laced into
         # one (reference: partitioned_gfa_pipeline, lib.rs:1204).
         from impg_tpu.graph import lace as lace_mod
         from impg_tpu.graph import region as region_mod
 
         if sequence_index is None:
-            raise ValueError("GFA partition output requires --sequence-files")
+            raise ValueError(f"{output_format.upper()} partition output requires --sequence-files")
         gfas = []
         for pnum, intervals in collected:
             rows = [
@@ -585,10 +585,20 @@ def partition_alignments(
         laced = lace_mod.lace_gfas(
             gfas, fill_gaps=True, sequence_index=sequence_index
         )
-        path = _output_path(output_folder, "partitions.gfa")
-        with open(path, "w") as fh:
-            fh.write(laced)
-        log.info("Wrote partitioned GFA to %s", path)
+        if output_format == "vcf":
+            # One combined VCF over the laced whole (partition.rs:670
+            # partitions.vcf from the final laced GFA).
+            from impg_tpu.graph import vcf as vcf_mod
+
+            path = _output_path(output_folder, "partitions.vcf")
+            with open(path, "w") as fh:
+                fh.write(vcf_mod.gfa_to_vcf(laced, None))
+            log.info("Wrote partitioned VCF to %s", path)
+        else:
+            path = _output_path(output_folder, "partitions.gfa")
+            with open(path, "w") as fh:
+                fh.write(laced)
+            log.info("Wrote partitioned GFA to %s", path)
 
     log.info(
         "Partitioned into %d regions: %d bp / %d bp total",

@@ -186,3 +186,27 @@ def test_partition_vcf_output(tmp_path):
     assert vcfs
     head = vcfs[0].read_text()
     assert head.startswith("##fileformat=VCF")
+
+
+def test_partition_combined_vcf(tmp_path):
+    """Single-file partitions.vcf from the laced whole (partition.rs:670)."""
+    import random
+
+    from tests import datagen
+    from tests.test_cli import run_cli
+
+    rng = random.Random(14)
+    text, seqs, alns, seq_data = datagen.mutate_chain_paf(
+        rng, n_seqs=3, seq_len=6000, return_sequences=True
+    )
+    paf = tmp_path / "p.paf"
+    paf.write_text(text)
+    fa = str(tmp_path / "p.fa")
+    datagen.write_fasta(fa, seq_data)
+    out = tmp_path / "parts"
+    r = run_cli(
+        "partition", "-a", str(paf), "-w", "3k", "-d", "100",
+        "-o", "vcf", "--sequence-files", fa, "--output-folder", str(out),
+    )
+    assert r.returncode == 0, r.stderr
+    assert (out / "partitions.vcf").read_text().startswith("##fileformat")
