@@ -167,3 +167,31 @@ def test_sharded_approximate_mode():
             (r.q_id, r.q_first, r.q_last, r.t_id, r.t_first, r.t_last)
             for r in w
         ]
+
+
+def test_transitive_columnar_over_sharded_engine():
+    """Columnar RowBlocks over the mesh engine match host Row lists."""
+    rng = random.Random(71)
+    text, seqs, alns = datagen.pangenome_paf(rng, n_seqs=6, seq_len=15_000)
+    index = index_from_text(text)
+    se = ShardedEngine(index, initial_capacity=256)
+    names = list(seqs)
+    targets = []
+    qrng = random.Random(5)
+    for _ in range(12):
+        nm = names[qrng.randrange(len(names))]
+        L = seqs[nm]
+        s = qrng.randrange(0, max(1, L - 3000))
+        targets.append((index.seq_index.get_id(nm), s, s + 3000))
+    host = engine.query_transitive_bfs_many(index, targets, max_depth=2)
+    mesh = engine.query_transitive_bfs_many(
+        index, targets, max_depth=2, device_engine=se, columnar=True
+    )
+
+    def key(rows):
+        return sorted(
+            (r.q_id, r.q_first, r.q_last, r.t_id, r.t_first, r.t_last)
+            for r in rows
+        )
+
+    assert [key(b.to_rows()) for b in mesh] == [key(r) for r in host]
