@@ -1492,6 +1492,33 @@ def cmd_read_index(args) -> int:
     return 0
 
 
+def cmd_project(args) -> int:
+    from impg_tpu.commands.project import run_project
+
+    try:
+        summary = run_project(
+            gfa_path=args.gfa,
+            gaf_path=args.gaf,
+            output=args.output,
+            output_format=args.output_format,
+            feature_id_mode=args.graph_feature_id_mode,
+            contribution_model=args.graph_contribution_model,
+            read_contributions=args.read_contributions,
+        )
+    except (ValueError, OSError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(
+        f"Projected {summary['retained_records']}/{summary['total_records']} "
+        f"GAF record(s), {summary['contributed_steps']} step(s) over "
+        f"{summary['nonzero_features']} feature(s) "
+        f"[graph {summary['graph_id']}, {summary['feature_id_mode']} ids] "
+        f"-> {summary['output_path']}",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def cmd_render_graph(args) -> int:
     from impg_tpu.graph.render_svg import render_svg
 
@@ -2278,6 +2305,44 @@ def build_parser() -> argparse.ArgumentParser:
     p_ri.add_argument("--syncmer-w", type=int, default=55)
     p_ri.add_argument("--syncmer-seed", type=int, default=7)
     p_ri.set_defaults(func=cmd_read_index)
+
+    p_prj = sub.add_parser(
+        "project",
+        help="Project a GAF onto a GFA's segment feature space "
+        "(pack TSV or projection bundle)",
+    )
+    p_prj.add_argument(
+        "--gfa", "--graph", dest="gfa", required=True,
+        help="GFA whose S-line names appear in the GAF walks",
+    )
+    p_prj.add_argument(
+        "--gaf", required=True,
+        help="GAF alignments with >segA<segB (or segA+,segB-) walks",
+    )
+    p_prj.add_argument(
+        "-o", "--output-format", default="proj",
+        help="proj (projection bundle) or pack-tsv",
+    )
+    p_prj.add_argument(
+        "-O", "--output", required=True,
+        help="Projection directory or pack TSV path",
+    )
+    p_prj.add_argument(
+        "--read-contributions",
+        help="Read-contribution table path for -o pack-tsv "
+        "(bundles always include one)",
+    )
+    p_prj.add_argument(
+        "--graph-feature-id-mode",
+        choices=["auto", "dense", "segment-name"], default="auto",
+        help="How S-line names map to integer pack feature IDs",
+    )
+    p_prj.add_argument(
+        "--graph-contribution-model",
+        choices=["raw", "length-normalized"], default="raw",
+        help="Contribution model declared for graph-node evidence",
+    )
+    p_prj.set_defaults(func=cmd_project)
 
     p_rg = sub.add_parser(
         "render-graph", help="Render a GFA as SVG (depth-colored 1D layout)"

@@ -273,15 +273,25 @@ def map_reads_gaf(gfa: Gfa, read_files: list[str]):
             span_s, span_e = min(t_pos), max(t_pos) + k
             q_s, q_e = min(q_pos), max(q_pos) + k
             pname = idx.seq_index.get_name(best)
+            # GAF cols 7-9 are relative to the path in col 6 — the listed
+            # walk, not the containing P line (GAF spec; the reference's
+            # converter.rs:330 enforces path_end <= walk length).
             walk_col = ""
+            walk0 = None
+            walk1 = 0
             for s0, s1, sid, rev in step_tables[pname]:
                 if min(span_e, s1) - max(span_s, s0) > 0:
                     walk_col += ("<" if rev else ">") + sid
+                    if walk0 is None:
+                        walk0 = s0
+                    walk1 = s1
+            if walk0 is None:
+                continue
             matches = min(len(anchors) * k, span_e - span_s)
             yield (
                 f"{rname}\t{len(seq)}\t{q_s}\t{q_e}\t"
                 f"{'+' if rel_fwd else '-'}\t{walk_col}\t"
-                f"{path_lens[pname]}\t{span_s}\t{span_e}\t"
+                f"{walk1 - walk0}\t{span_s - walk0}\t{span_e - walk0}\t"
                 f"{matches}\t{span_e - span_s}\t60"
             )
 
@@ -292,42 +302,63 @@ def surject_gaf_to_paf(gfa: Gfa, gaf_rows):
     form `name:start-end` (region graphs, render bundles) carry their
     source frame; path-frame positions shift by `start`.  Rows whose path
     name has no source range surject onto the path name at offset 0."""
+    import re
+
     from impg_tpu.graph.lace import split_path_name
 
-    path_lens = {}
-    for name, steps in gfa.paths:
-        path_lens[name] = sum(
-            len(gfa.segments[sid]) for sid, _ in steps
-        )
-    # Reconstruct each GAF row's path name from its walk (first step's
-    # containing path is ambiguous) — instead carry it via the plen field
-    # match; simplest robust source: recompute per-row from the walk
-    # column's first segment by scanning paths that contain it.
+    # Per path: ordered steps with their start offsets, so a GAF row's
+    # listed walk (GAF cols 7-9 are walk-relative) can be located as a
+    # contiguous step run and shifted back into the path frame.
+    path_steps: dict[str, list[tuple[str, bool, int]]] = {}
+    path_lens: dict[str, int] = {}
     seg_paths: dict[str, list[str]] = {}
     for name, steps in gfa.paths:
+        at = 0
+        table = []
+        for sid, rev in steps:
+            table.append((sid, rev, at))
+            at += len(gfa.segments[sid])
+        path_steps[name] = table
+        path_lens[name] = at
         for sid, _ in steps:
             seg_paths.setdefault(sid, []).append(name)
+
+    def locate_walk(walk: list[tuple[str, bool]]) -> tuple[str, int] | None:
+        """(path name, walk start offset in path) for the first path whose
+        step list contains the walk as a contiguous run."""
+        for pname in seg_paths.get(walk[0][0], []):
+            table = path_steps[pname]
+            n = len(walk)
+            for i in range(len(table) - n + 1):
+                if all(
+                    table[i + j][0] == walk[j][0]
+                    and table[i + j][1] == walk[j][1]
+                    for j in range(n)
+                ):
+                    return pname, table[i][2]
+        return None
+
     for row in gaf_rows:
         f = row.split("\t")
-        walk = f[5]
-        first_seg = walk[1:].split(">")[0].split("<")[0]
-        candidates = seg_paths.get(first_seg, [])
-        plen = int(f[6])
-        pname = next(
-            (n for n in candidates if path_lens[n] == plen),
-            candidates[0] if candidates else None,
-        )
-        if pname is None:
+        walk = [
+            (tok[1:], tok[0] == "<")
+            for tok in re.findall(r"[<>][^<>]+", f[5])
+        ]
+        if not walk:
             continue
+        hit = locate_walk(walk)
+        if hit is None:
+            continue
+        pname, walk0 = hit
         parsed = split_path_name(pname)
         if parsed:
             src, base, src_end = parsed
             tlen = src_end  # lower bound; true source length is unknown here
         else:
-            src, base, tlen = pname, 0, plen
+            src, base, tlen = pname, 0, path_lens[pname]
         ps, pe = int(f[7]), int(f[8])
         yield (
             f"{f[0]}\t{f[1]}\t{f[2]}\t{f[3]}\t{f[4]}\t"
-            f"{src}\t{tlen}\t{base + ps}\t{base + pe}\t"
+            f"{src}\t{tlen}\t{base + walk0 + ps}\t{base + walk0 + pe}\t"
             f"{f[9]}\t{f[10]}\t{f[11]}"
         )
