@@ -1726,9 +1726,11 @@ def cmd_export_1aln(args) -> int:
     index = _load_index(args)
     tp = index.ensure_tracepoints(args.spacing)
     n = onealn_mod.write_1aln(
-        args.output, index.seq_index, index.records, index.arena, tp
+        args.output, index.seq_index, index.records, index.arena, tp,
+        binary=args.binary,
     )
-    print(f"Wrote {n} alignments -> {args.output}", file=sys.stderr)
+    form = "binary" if args.binary else "ASCII"
+    print(f"Wrote {n} alignments ({form}) -> {args.output}", file=sys.stderr)
     return 0
 
 
@@ -2441,10 +2443,16 @@ def build_parser() -> argparse.ArgumentParser:
 
     p_1a = sub.add_parser(
         "export-1aln",
-        help="Export the alignment index as ASCII 1aln tracepoints",
+        help="Export the alignment index as 1aln tracepoints "
+        "(ASCII, or ONEcode binary container with --binary)",
     )
     _add_common_query_opts(p_1a)
     p_1a.add_argument("--spacing", type=int, default=100)
+    p_1a.add_argument(
+        "--binary", action="store_true",
+        help="Write the ONEcode binary container ('A' records "
+        "footer-indexed for O(1) fetch)",
+    )
     p_1a.add_argument("-o", "--output", required=True)
     p_1a.set_defaults(func=cmd_export_1aln)
 

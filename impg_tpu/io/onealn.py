@@ -1,15 +1,19 @@
-"""ASCII 1aln (ONEcode-style) tracepoint alignments: reader + writer.
+"""1aln (ONEcode) tracepoint alignments: ASCII + binary reader/writer.
 
 Record lines mirror what the reference's onealn.rs consumes (onealn.rs:551
 parse_single_alignment): `A qid qs qe tid ts te` coordinates, `R` for
 reverse strand (target coords stored in the flipped frame, onealn.rs:654),
 `T`/`X` integer lists (query-bp advance and differences per target trace
 segment, count-prefixed like ONEcode ASCII lists), `D` total differences,
-and a `t <spacing>` header (onealn.rs:54).  The binary ONEcode container
-and external GDB skeletons need the onecode spec and are deferred
-(ROADMAP.md); sequence metadata here is an embedded name table of
-`N <id> <length> <name>` lines (the role of the reference's embedded GDB
-skeleton groups).
+and a `t <spacing>` header (onealn.rs:54).  The binary form uses the
+ONEcode-structured container in `io/onecode.py` (ASCII header + embedded
+schema, varint line stream, footer object index) giving O(1) per-record
+seek like the reference's `file.goto('A', i+1)` fetch path
+(onealn.rs:93-101); `OneAlnReader` below exposes that fetch API.
+Sequence metadata is an embedded name table of `N <id> <length> <name>`
+lines (the role of the reference's embedded GDB skeleton groups;
+external .1gdb skeleton resolution, onealn.rs:230-320, does not apply to
+self-contained exports).
 
 Ingest reconstructs CIGAR runs per trace segment:
   - without sequences: a valid approximate CIGAR per segment —
@@ -26,8 +30,53 @@ import numpy as np
 
 from impg_tpu.core import cigar
 from impg_tpu.core.seqidx import SequenceIndex
+from impg_tpu.io import onecode
 
 ONEALN_SUFFIX = ".1aln"
+
+# Embedded schema for the binary container (io/onecode.py); field layout
+# matches the ASCII line grammar above.
+ALN_SCHEMA = {
+    "t": (onecode.T_INT,),
+    "N": (onecode.T_INT, onecode.T_INT, onecode.T_STRING),
+    "A": (onecode.T_INT,) * 6,
+    "R": (),
+    "T": (onecode.T_INT_LIST,),
+    "X": (onecode.T_INT_LIST,),
+    "D": (onecode.T_INT,),
+}
+
+
+def _emit_lines(seq_index: SequenceIndex, records, tp, spacing: int):
+    """Yield the 1aln line stream as (linetype, fields) tuples."""
+    yield "t", (spacing,)
+    for i in range(len(seq_index)):
+        yield "N", (i, seq_index.get_len_from_id(i), seq_index.get_name(i))
+    for r in range(len(records)):
+        if bool(records.is_reversed[r]):
+            continue
+        qid = int(records.query_id[r])
+        tid = int(records.target_id[r])
+        qs, qe = int(records.q_start[r]), int(records.q_end[r])
+        ts, te = int(records.t_start[r]), int(records.t_end[r])
+        rev = int(records.strand[r]) == 1
+        if rev:
+            tlen = seq_index.get_len_from_id(tid)
+            ts_f, te_f = tlen - te, tlen - ts
+        else:
+            ts_f, te_f = ts, te
+        off = int(tp.seg_off[r])
+        nseg = int(tp.n_seg[r])
+        qb = tp.q_bound[off : off + nseg + 1].astype(np.int64)
+        pd = tp.pre_diffs[off : off + nseg + 1].astype(np.int64)
+        advances = np.abs(np.diff(qb))
+        diffs = np.diff(pd)
+        yield "A", (qid, qs, qe, tid, ts_f, te_f)
+        if rev:
+            yield "R", ()
+        yield "T", ([int(x) for x in advances],)
+        yield "X", ([int(x) for x in diffs],)
+        yield "D", (int(pd[-1]),)
 
 
 def write_1aln(
@@ -37,53 +86,39 @@ def write_1aln(
     arena,
     tp,
     out_spacing: int | None = None,
+    binary: bool = False,
 ) -> int:
-    """Write the non-reversed directed records as ASCII 1aln using the
-    tracepoint arena `tp` (TracepointArena over the same records)."""
+    """Write the non-reversed directed records as 1aln using the
+    tracepoint arena `tp` (TracepointArena over the same records).
+
+    `binary=True` writes the ONEcode binary container ('A' lines
+    footer-indexed for O(1) fetch); otherwise ASCII."""
     spacing = tp.spacing if out_spacing is None else out_spacing
     n_written = 0
+    if binary:
+        with onecode.OneBinaryWriter(
+            path, "aln", 1, 1,
+            schema=ALN_SCHEMA, indexed=("A",), provenance="impg_tpu",
+        ) as w:
+            for lt, fields in _emit_lines(seq_index, records, tp, spacing):
+                w.write(lt, *fields)
+                n_written += lt == "A"
+        return n_written
     with open(path, "w") as fh:
         fh.write("1 3 aln 1 1\n")
-        fh.write(f"t {spacing}\n")
-        for i in range(len(seq_index)):
-            fh.write(
-                f"N {i} {seq_index.get_len_from_id(i)} "
-                f"{seq_index.get_name(i)}\n"
-            )
-        for r in range(len(records)):
-            if bool(records.is_reversed[r]):
-                continue
-            qid = int(records.query_id[r])
-            tid = int(records.target_id[r])
-            qs, qe = int(records.q_start[r]), int(records.q_end[r])
-            ts, te = int(records.t_start[r]), int(records.t_end[r])
-            rev = int(records.strand[r]) == 1
-            if rev:
-                tlen = seq_index.get_len_from_id(tid)
-                ts_f, te_f = tlen - te, tlen - ts
-            else:
-                ts_f, te_f = ts, te
-            off = int(tp.seg_off[r])
-            nseg = int(tp.n_seg[r])
-            qb = tp.q_bound[off : off + nseg + 1].astype(np.int64)
-            pd = tp.pre_diffs[off : off + nseg + 1].astype(np.int64)
-            advances = np.abs(np.diff(qb))
-            diffs = np.diff(pd)
-            fh.write(f"A {qid} {qs} {qe} {tid} {ts_f} {te_f}\n")
-            if rev:
+        for lt, fields in _emit_lines(seq_index, records, tp, spacing):
+            if lt in ("T", "X"):
+                vals = fields[0]
+                fh.write(
+                    f"{lt} {len(vals)} "
+                    + " ".join(str(int(x)) for x in vals)
+                    + "\n"
+                )
+            elif lt == "R":
                 fh.write("R\n")
-            fh.write(
-                f"T {advances.size} "
-                + " ".join(str(int(x)) for x in advances)
-                + "\n"
-            )
-            fh.write(
-                f"X {diffs.size} "
-                + " ".join(str(int(x)) for x in diffs)
-                + "\n"
-            )
-            fh.write(f"D {int(pd[-1])}\n")
-            n_written += 1
+            else:
+                fh.write(lt + " " + " ".join(str(x) for x in fields) + "\n")
+            n_written += lt == "A"
     return n_written
 
 
@@ -237,32 +272,23 @@ def parse_1aln(
         cols["strand"].append(1 if cur_rev else 0)
         cur, cur_rev, cur_T, cur_X = None, False, None, None
 
-    with open(path) as fh:
-        for line in fh:
-            parts = line.split()
-            if not parts:
-                continue
-            tag = parts[0]
-            if tag == "t":
-                spacing = int(parts[1])
-            elif tag == "N":
-                fid = int(parts[1])
-                length = int(parts[2])
-                name = line.split(None, 3)[3].rstrip("\n")
-                name_of[fid] = seq_index.get_or_insert_id(name, length)
-            elif tag == "A":
-                flush()
-                cur = tuple(int(x) for x in parts[1:7])
-            elif tag == "R":
-                cur_rev = True
-            elif tag == "T":
-                n = int(parts[1])
-                cur_T = [int(x) for x in parts[2 : 2 + n]]
-            elif tag == "X":
-                n = int(parts[1])
-                cur_X = [int(x) for x in parts[2 : 2 + n]]
-            # 'D' totals and unknown types are skipped (onealn.rs skips
-            # unhandled associated lines too).
+    for tag, fields in iter_1aln_lines(path):
+        if tag == "t":
+            spacing = int(fields[0])
+        elif tag == "N":
+            fid, length, name = int(fields[0]), int(fields[1]), fields[2]
+            name_of[fid] = seq_index.get_or_insert_id(name, length)
+        elif tag == "A":
+            flush()
+            cur = tuple(int(x) for x in fields[:6])
+        elif tag == "R":
+            cur_rev = True
+        elif tag == "T":
+            cur_T = [int(x) for x in fields[0]]
+        elif tag == "X":
+            cur_X = [int(x) for x in fields[0]]
+        # 'D' totals and unknown types are skipped (onealn.rs skips
+        # unhandled associated lines too).
     flush()
 
     return PafRecords(
@@ -280,3 +306,97 @@ def parse_1aln(
         ),
         run_offsets=np.asarray(run_offsets, np.int64),
     ), spacing
+
+
+def iter_1aln_lines(path: str):
+    """Yield (linetype, fields) from an ASCII or binary 1aln file.
+
+    Binary files (io/onecode.py container) yield typed fields directly;
+    ASCII lines are tokenized to the same shapes: T/X yield one int list,
+    N yields (id, length, name), A yields six ints.
+    """
+    if onecode.is_onecode_binary(path):
+        yield from onecode.OneBinaryReader(path)
+        return
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            tag = parts[0]
+            if tag in ("T", "X"):
+                n = int(parts[1])
+                yield tag, ([int(x) for x in parts[2 : 2 + n]],)
+            elif tag == "N":
+                yield tag, (
+                    int(parts[1]),
+                    int(parts[2]),
+                    line.split(None, 3)[3].rstrip("\n"),
+                )
+            elif tag == "A":
+                yield tag, tuple(int(x) for x in parts[1:7])
+            elif tag == "R":
+                yield tag, ()
+            elif tag in ("t", "D"):
+                yield tag, (int(parts[1]),)
+            # header/unknown lines are not part of the record stream
+
+
+class OneAlnReader:
+    """O(1) per-alignment access to a binary 1aln container.
+
+    The onealn.rs:80-155 fetch path: open once, ``goto('A', i)``, read
+    the A line and its associated R/D/T/X lines.  ASCII files raise —
+    O(1) seek needs the binary footer index (the reference's ASCII
+    ONEcode files likewise lack the object index)."""
+
+    def __init__(self, path: str):
+        if not onecode.is_onecode_binary(path):
+            raise ValueError(
+                f"{path}: O(1) fetch needs the binary 1aln container"
+            )
+        self._reader = onecode.OneBinaryReader(path)
+        self.n_alignments = len(self._reader.index.get("A", []))
+        self.trace_spacing = 100
+        for lt, fields in self._reader:
+            if lt == "t":
+                self.trace_spacing = int(fields[0])
+                break
+            if lt == "A":
+                break
+
+    def fetch_alignment(self, i: int) -> dict:
+        """Fetch alignment `i` (0-based): coordinates in the file frame
+        (reverse-strand targets flipped, onealn.rs:654), strand, T/X
+        tracepoint lists, and total differences."""
+        r = self._reader
+        r.goto("A", i)
+        lt, fields = r.read_line()
+        out = {
+            "query_id": fields[0],
+            "q_start": fields[1],
+            "q_end": fields[2],
+            "target_id": fields[3],
+            "t_start": fields[4],
+            "t_end": fields[5],
+            "strand": "+",
+            "tracepoints": [],
+            "diffs": [],
+            "differences": 0,
+        }
+        while True:
+            line = r.read_line()
+            if line is None:
+                break
+            lt, fields = line
+            if lt == "A":
+                break
+            if lt == "R":
+                out["strand"] = "-"
+            elif lt == "T":
+                out["tracepoints"] = fields[0]
+            elif lt == "X":
+                out["diffs"] = fields[0]
+            elif lt == "D":
+                out["differences"] = int(fields[0])
+        return out

@@ -125,3 +125,111 @@ def test_cli_export_and_query_1aln(roundtrip, tmp_path):
     assert r.returncode == 0, r.stderr
     names = {l.split("\t")[0] for l in r.stdout.splitlines() if l}
     assert "ref" in names and names & {"s0", "s1"}, names
+
+
+def test_binary_roundtrip_equivalence(roundtrip, tmp_path):
+    """Binary container parses to the exact same SoA columns + runs as
+    the ASCII form of the same index."""
+    tmp, paf, fa, out, index, seqs, seq_data = roundtrip
+    from impg_tpu.core.seqidx import SequenceIndex
+
+    bout = str(tmp_path / "p.bin.1aln")
+    tp = index.ensure_tracepoints(100)
+    n = onealn.write_1aln(
+        bout, index.seq_index, index.records, index.arena, tp, binary=True
+    )
+    assert n > 0
+    recs_a, sp_a = onealn.parse_1aln(out, SequenceIndex())
+    recs_b, sp_b = onealn.parse_1aln(bout, SequenceIndex())
+    assert sp_a == sp_b == 100
+    for col in (
+        "query_id", "q_start", "q_end", "target_id", "t_start", "t_end",
+        "strand", "runs", "run_offsets",
+    ):
+        np.testing.assert_array_equal(
+            getattr(recs_a, col), getattr(recs_b, col), err_msg=col
+        )
+
+
+def test_binary_container_structure(roundtrip, tmp_path):
+    from impg_tpu.io import onecode
+
+    tmp, paf, fa, out, index, seqs, seq_data = roundtrip
+    bout = str(tmp_path / "s.1aln")
+    tp = index.ensure_tracepoints(100)
+    n = onealn.write_1aln(
+        bout, index.seq_index, index.records, index.arena, tp, binary=True
+    )
+    assert onecode.is_onecode_binary(bout)
+    assert not onecode.is_onecode_binary(out)  # ASCII form
+    r = onecode.OneBinaryReader(bout)
+    assert r.file_type == "aln"
+    assert r.counts["A"] == n
+    assert r.counts["N"] == len(index.seq_index)
+    assert set(onealn.ALN_SCHEMA) <= set(r.schema)
+    assert len(r.index["A"]) == n
+    # header declares list stats for T/X lines
+    assert r.list_total["T"] == r.list_total["X"] > 0
+
+
+def test_onealn_reader_goto(roundtrip, tmp_path):
+    """O(1) fetch returns the same record as the ASCII stream, in any
+    access order (onealn.rs:93 fetch_alignment_from_reader role)."""
+    tmp, paf, fa, out, index, seqs, seq_data = roundtrip
+    bout = str(tmp_path / "g.1aln")
+    tp = index.ensure_tracepoints(100)
+    n = onealn.write_1aln(
+        bout, index.seq_index, index.records, index.arena, tp, binary=True
+    )
+    # Collect ASCII records in file order for comparison.
+    ascii_recs = []
+    cur = None
+    for lt, fields in onealn.iter_1aln_lines(out):
+        if lt == "A":
+            cur = {
+                "coords": tuple(fields), "strand": "+",
+                "T": [], "X": [], "D": 0,
+            }
+            ascii_recs.append(cur)
+        elif lt == "R":
+            cur["strand"] = "-"
+        elif lt == "T":
+            cur["T"] = fields[0]
+        elif lt == "X":
+            cur["X"] = fields[0]
+        elif lt == "D":
+            cur["D"] = int(fields[0])
+    assert len(ascii_recs) == n
+    rd = onealn.OneAlnReader(bout)
+    assert rd.n_alignments == n
+    assert rd.trace_spacing == 100
+    for i in [n - 1, 0, n // 2, n - 1, 1 % n]:  # out-of-order access
+        got = rd.fetch_alignment(i)
+        want = ascii_recs[i]
+        assert (
+            got["query_id"], got["q_start"], got["q_end"],
+            got["target_id"], got["t_start"], got["t_end"],
+        ) == want["coords"], i
+        assert got["strand"] == want["strand"]
+        assert got["tracepoints"] == want["T"]
+        assert got["diffs"] == want["X"]
+        assert got["differences"] == want["D"]
+    with pytest.raises(IndexError):
+        rd.fetch_alignment(n)
+    with pytest.raises(ValueError):
+        onealn.OneAlnReader(out)  # ASCII: no object index
+
+
+def test_cli_export_binary_and_query(roundtrip, tmp_path):
+    tmp, paf, fa, out, index, seqs, seq_data = roundtrip
+    exported = str(tmp_path / "cli.bin.1aln")
+    r = run_cli("export-1aln", "-a", paf, "--binary", "-o", exported)
+    assert r.returncode == 0, r.stderr
+    assert "binary" in r.stderr
+    L = len(seq_data["ref"])
+    rb = run_cli(
+        "query", "-a", exported, "-r", f"ref:0-{L}", "-d", "100", "-x"
+    )
+    ra = run_cli("query", "-a", out, "-r", f"ref:0-{L}", "-d", "100", "-x")
+    assert rb.returncode == 0, rb.stderr
+    assert rb.stdout == ra.stdout  # binary ingest == ASCII ingest
