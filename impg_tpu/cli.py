@@ -1720,6 +1720,93 @@ def cmd_smooth(args) -> int:
     return 0
 
 
+def cmd_graph(args) -> int:
+    """Flat whole-FASTA graph build (reference: Args::Graph main.rs:5427;
+    partitioned mode routes through partition -o gfa + lace, the
+    run_graph_build_partitioned role)."""
+    from impg_tpu.commands import graph as graph_mod
+
+    files = []
+    for entry in args.sequence_files or []:
+        files.extend(x for x in entry.split(",") if x)
+    if not files:
+        print(
+            "error: no sequence files specified; use --sequence-files",
+            file=sys.stderr,
+        )
+        return 2
+
+    if args.partition_size:
+        import shutil
+        import tempfile
+
+        paf = args.paf
+        with tempfile.TemporaryDirectory() as tmp:
+            if paf is None:
+                paf = os.path.join(tmp, "aln.paf")
+                seqs = graph_mod.load_sequences(files)
+                rows = graph_mod.align_rows_native(
+                    seqs, sparsify=args.sparsify
+                )
+                _write_paf_rows(paf, seqs, rows)
+            rc = main(
+                [
+                    "partition", "-a", paf,
+                    "-w", str(args.partition_size),
+                    "-d", args.merge_distance,
+                    "-o", "gfa",
+                    "--sequence-files", ",".join(files),
+                    "--output-folder", tmp,
+                ]
+            )
+            if rc != 0:
+                return rc
+            src = os.path.join(tmp, "partitions.gfa")
+            if args.output and args.output != "-":
+                shutil.copyfile(src, args.output)
+            else:
+                with open(src) as fh:
+                    sys.stdout.write(fh.read())
+        return 0
+
+    seqs = graph_mod.load_sequences(files)
+    paf_rows = graph_mod.paf_rows_from_file(args.paf) if args.paf else None
+    scoring = tuple(
+        int(x) for x in args.poa_scoring.replace("/", ",").split(",")
+    )
+    try:
+        text = graph_mod.build_graph_flat(
+            seqs,
+            engine=args.gfa_engine,
+            paf_rows=paf_rows,
+            poa_scoring=scoring,
+            sparsify=args.sparsify,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    if args.output and args.output != "-":
+        with open(args.output, "w") as fh:
+            fh.write(text)
+    else:
+        sys.stdout.write(text)
+    return 0
+
+
+def _write_paf_rows(path: str, seqs: dict, rows: list) -> None:
+    from impg_tpu.core import cigar as cigar_mod
+
+    with open(path, "w") as out:
+        for row in rows:
+            text = cigar_mod.format_runs(row["runs"])
+            out.write(
+                f"{row['qname']}\t{row['qlen']}\t{row['qstart']}"
+                f"\t{row['qend']}\t{row['strand']}\t{row['tname']}"
+                f"\t{row['tlen']}\t{row['tstart']}\t{row['tend']}"
+                f"\t{row['matches']}\t{row['block']}\t255\tcg:Z:{text}\n"
+            )
+
+
 def cmd_export_1aln(args) -> int:
     from impg_tpu.io import onealn as onealn_mod
 
@@ -2440,6 +2527,43 @@ def build_parser() -> argparse.ArgumentParser:
     p_sm.add_argument("--poa-scoring", default="1,4,6,2,26,1")
     p_sm.add_argument("--output", help="Output GFA (default stdout)")
     p_sm.set_defaults(func=cmd_smooth)
+
+    p_gr = sub.add_parser(
+        "graph",
+        help="Build a whole-input pangenome graph from sequence files "
+        "(align -> engine; or use a given PAF)",
+    )
+    p_gr.add_argument(
+        "--sequence-files", "-f", action="append", required=True,
+        help="FASTA file(s) (repeat or comma-separate)",
+    )
+    p_gr.add_argument(
+        "-a", "--paf",
+        help="Pre-computed PAF (skips the alignment step, main.rs:5433)",
+    )
+    p_gr.add_argument(
+        "-g", "-o", "--output", default="-",
+        help="Output GFA path ('-' = stdout)",
+    )
+    p_gr.add_argument(
+        "--gfa-engine", default="seqwish",
+        choices=["poa", "seqwish", "pggb", "syng-native", "syng-local"],
+    )
+    p_gr.add_argument(
+        "--partition-size",
+        help="Partitioned mode: partition into ~SIZE-bp loci, build each, "
+        "lace (k/m/g suffixes ok)",
+    )
+    p_gr.add_argument(
+        "-d", "--merge-distance", default="10k",
+        help="Partitioned mode: merge ranges separated by at most D bp",
+    )
+    p_gr.add_argument(
+        "--sparsify", default="none",
+        help="Alignment pair sparsification: none|random:P|knn:K",
+    )
+    p_gr.add_argument("--poa-scoring", default="1,4,6,2,26,1")
+    p_gr.set_defaults(func=cmd_graph)
 
     p_1a = sub.add_parser(
         "export-1aln",
