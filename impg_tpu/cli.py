@@ -1807,6 +1807,100 @@ def _write_paf_rows(path: str, seqs: dict, rows: list) -> None:
             )
 
 
+def cmd_syng_repair(args) -> int:
+    """Validate + rebuild a .syngt artifact's derived state without
+    re-reading source sequences (reference: Args::SyngRepair
+    main.rs:10140 rebuilds the positional sidecars from the GBWT alone;
+    our artifact stores direct positions, so repair = invariant check +
+    re-canonicalization of the occurrence-table sort order)."""
+    import numpy as np
+
+    from impg_tpu.core.seqidx import SequenceIndex
+    from impg_tpu.syng import index as syng_index_mod
+
+    path = args.index
+    if not path.endswith(syng_index_mod.SYNG_SUFFIX):
+        path = path + syng_index_mod.SYNG_SUFFIX
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            arrays = {k: z[k] for k in z.files}
+    except Exception as e:
+        print(f"error: cannot read {path}: {e}", file=sys.stderr)
+        return 1
+    required = {
+        "version", "names", "lengths", "occ_ids", "occ_seq", "occ_pos",
+        "occ_fwd", "params",
+    }
+    missing = required - set(arrays)
+    if missing:
+        print(
+            f"error: {path} is missing arrays: {sorted(missing)} "
+            "(not repairable without source sequences; rebuild with "
+            "`syng`)",
+            file=sys.stderr,
+        )
+        return 1
+    n = arrays["occ_ids"].size
+    problems = []
+    if not all(
+        arrays[k].size == n for k in ("occ_seq", "occ_pos", "occ_fwd")
+    ):
+        print(
+            f"error: {path} occurrence columns disagree in length "
+            "(truncated write; rebuild with `syng`)",
+            file=sys.stderr,
+        )
+        return 1
+    n_seqs = arrays["names"].size
+    if n and (
+        int(arrays["occ_seq"].min()) < 0
+        or int(arrays["occ_seq"].max()) >= n_seqs
+    ):
+        problems.append("occ_seq ids out of range")
+    if n:
+        lens = arrays["lengths"][arrays["occ_seq"]]
+        if int((arrays["occ_pos"] < 0).sum()) or int(
+            (arrays["occ_pos"] >= lens).sum()
+        ):
+            problems.append("occ_pos outside sequence bounds")
+    order = np.lexsort(
+        (arrays["occ_pos"], arrays["occ_seq"], arrays["occ_ids"])
+    )
+    sorted_ok = bool((order == np.arange(n)).all())
+    if problems:
+        print(
+            f"error: {path}: " + "; ".join(problems) + " — data is "
+            "inconsistent with its name table; rebuild with `syng`",
+            file=sys.stderr,
+        )
+        return 1
+    if sorted_ok and not args.force:
+        print(
+            f"{path}: OK ({n} occurrences over {n_seqs} sequence(s), "
+            "canonical order). Use --force to rewrite anyway.",
+            file=sys.stderr,
+        )
+        return 0
+    for k in ("occ_ids", "occ_seq", "occ_pos", "occ_fwd"):
+        arrays[k] = arrays[k][order]
+    idx = syng_index_mod.SyngIndex(
+        seq_index=SequenceIndex.from_lists(
+            arrays["names"], arrays["lengths"]
+        ),
+        occ_ids=arrays["occ_ids"],
+        occ_seq=arrays["occ_seq"],
+        occ_pos=arrays["occ_pos"],
+        occ_fwd=arrays["occ_fwd"],
+        k=int(arrays["params"][0]),
+        w=int(arrays["params"][1]),
+        seed=int(arrays["params"][2]),
+    )
+    idx.save(path)
+    what = "rewritten" if sorted_ok else "re-canonicalized and rewritten"
+    print(f"{path}: {what} ({n} occurrences).", file=sys.stderr)
+    return 0
+
+
 def cmd_export_1aln(args) -> int:
     from impg_tpu.io import onealn as onealn_mod
 
@@ -2564,6 +2658,20 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_gr.add_argument("--poa-scoring", default="1,4,6,2,26,1")
     p_gr.set_defaults(func=cmd_graph)
+
+    p_srep = sub.add_parser(
+        "syng-repair",
+        help="Validate/repair a .syngt artifact's derived state without "
+        "re-reading source sequences",
+    )
+    p_srep.add_argument(
+        "index", help="syng index prefix (or .syngt path)"
+    )
+    p_srep.add_argument(
+        "--force", action="store_true",
+        help="Rewrite the artifact even when already canonical",
+    )
+    p_srep.set_defaults(func=cmd_syng_repair)
 
     p_1a = sub.add_parser(
         "export-1aln",

@@ -1,5 +1,6 @@
 """Syncmer extraction + syng anchor index (reference: syng.rs raw mode)."""
 
+import os
 import random
 
 import numpy as np
@@ -159,3 +160,60 @@ def test_syng_query_region_formats(chain_fixture, tmp_path):
     r = run_cli("query", "-a", prefix + ".syngt", "-r", "ref:1000-4000",
                 "-d", "100", "-o", "paf")
     assert r.returncode == 2
+
+
+def test_syng_repair(tmp_path):
+    """syng-repair validates + re-canonicalizes a .syngt without source
+    sequences (reference: Args::SyngRepair main.rs:10140 sidecar rebuild
+    role)."""
+    import numpy as np
+
+    fa = str(tmp_path / "r.fa")
+    datagen.write_fasta(
+        fa,
+        {
+            "ref": "".join(random.Random(3).choice("ACGT") for _ in range(3000)),
+            "alt": "".join(random.Random(4).choice("ACGT") for _ in range(3000)),
+        },
+    )
+    prefix = str(tmp_path / "ridx")
+    r = run_cli("syng", "-f", fa, "-o", prefix)
+    assert r.returncode == 0, r.stderr
+    path = prefix + ".syngt"
+
+    r = run_cli("syng-repair", prefix)
+    assert r.returncode == 0, r.stderr
+    assert "OK" in r.stderr
+
+    before = run_cli(
+        "query", "-a", path, "-r", "ref:200-2800", "-d", "100", "-o", "bed"
+    )
+    assert before.returncode == 0
+
+    # Corrupt the derived sort order; repair must restore exact behavior.
+    with np.load(path, allow_pickle=False) as z:
+        arrays = {k: z[k] for k in z.files}
+    perm = np.random.default_rng(0).permutation(arrays["occ_ids"].size)
+    for k in ("occ_ids", "occ_seq", "occ_pos", "occ_fwd"):
+        arrays[k] = arrays[k][perm]
+    np.savez(path + ".npz", **arrays)
+    os.replace(path + ".npz", path)
+
+    r = run_cli("syng-repair", prefix)
+    assert r.returncode == 0, r.stderr
+    assert "re-canonicalized" in r.stderr
+    after = run_cli(
+        "query", "-a", path, "-r", "ref:200-2800", "-d", "100", "-o", "bed"
+    )
+    assert after.returncode == 0
+    assert after.stdout == before.stdout
+
+    # Inconsistent data (positions beyond sequence bounds) is refused.
+    with np.load(path, allow_pickle=False) as z:
+        arrays = {k: z[k] for k in z.files}
+    arrays["occ_pos"] = arrays["occ_pos"] + 10_000_000
+    np.savez(path + ".npz", **arrays)
+    os.replace(path + ".npz", path)
+    r = run_cli("syng-repair", prefix)
+    assert r.returncode == 1
+    assert "rebuild" in r.stderr
