@@ -2182,6 +2182,11 @@ def build_parser() -> argparse.ArgumentParser:
         "comma-separate)",
     )
     p_query.add_argument(
+        "--sequence-list",
+        help="Text file listing sequence file paths (alternative to "
+        "--sequence-files)",
+    )
+    p_query.add_argument(
         "--reverse-complement",
         action="store_true",
         help="Reverse-complement reverse-strand sequences in FASTA output",
@@ -2247,6 +2252,11 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["bed", "fasta", "gfa", "maf", "vcf"],
     )
     p_part.add_argument("--sequence-files", action="append")
+    p_part.add_argument(
+        "--sequence-list",
+        help="Text file listing sequence file paths (alternative to "
+        "--sequence-files)",
+    )
     p_part.add_argument("--output-folder")
     p_part.add_argument(
         "--compute-engine", choices=["host", "device"], default="host"
@@ -2287,7 +2297,13 @@ def build_parser() -> argparse.ArgumentParser:
     p_sim.add_argument("-b", "--target-bed")
     p_sim.add_argument("-d", "--merge-distance")
     p_sim.add_argument("--no-merge", action="store_true")
-    p_sim.add_argument("--sequence-files", action="append", required=True)
+    p_sim.add_argument("--sequence-files", action="append")
+    p_sim.add_argument(
+        "--sequence-list",
+        help="Text file listing sequence file paths (alternative to "
+        "--sequence-files)",
+    )
+    p_sim.set_defaults(_needs_sequences=True)
     p_sim.add_argument("--distances", action="store_true")
     p_sim.add_argument("--all", action="store_true", dest="emit_all_pairs")
     p_sim.add_argument("--delim")
@@ -2332,6 +2348,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="Fill inter-range gaps from --sequence-files",
     )
     p_lace.add_argument("--sequence-files", action="append")
+    p_lace.add_argument(
+        "--sequence-list",
+        help="Text file listing sequence file paths (alternative to "
+        "--sequence-files)",
+    )
     p_lace.set_defaults(func=cmd_lace)
 
     p_aln = sub.add_parser(
@@ -2462,7 +2483,13 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common_query_opts(p_rnd)
     p_rnd.add_argument("-r", "--target-range", required=True)
     p_rnd.add_argument("-d", "--merge-distance", required=True)
-    p_rnd.add_argument("--sequence-files", action="append", required=True)
+    p_rnd.add_argument("--sequence-files", action="append")
+    p_rnd.add_argument(
+        "--sequence-list",
+        help="Text file listing sequence file paths (alternative to "
+        "--sequence-files)",
+    )
+    p_rnd.set_defaults(_needs_sequences=True)
     p_rnd.add_argument("-O", "--output-prefix", required=True,
                        help="Bundle directory")
     p_rnd.add_argument(
@@ -2591,6 +2618,11 @@ def build_parser() -> argparse.ArgumentParser:
         "(needs --sequence-files)",
     )
     p_inf.add_argument("--sequence-files", action="append")
+    p_inf.add_argument(
+        "--sequence-list",
+        help="Text file listing sequence file paths (alternative to "
+        "--sequence-files)",
+    )
     p_inf.set_defaults(func=cmd_infer)
 
     p_sm = sub.add_parser(
@@ -2628,8 +2660,13 @@ def build_parser() -> argparse.ArgumentParser:
         "(align -> engine; or use a given PAF)",
     )
     p_gr.add_argument(
-        "--sequence-files", "-f", action="append", required=True,
+        "--sequence-files", "-f", action="append",
         help="FASTA file(s) (repeat or comma-separate)",
+    )
+    p_gr.add_argument(
+        "--sequence-list",
+        help="Text file listing sequence file paths (alternative to "
+        "--sequence-files)",
     )
     p_gr.add_argument(
         "-a", "--paf",
@@ -2720,7 +2757,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_s2g.add_argument("-a", "--alignment", required=True,
                        help="syng index prefix (or .syngt path)")
-    p_s2g.add_argument("--sequence-files", action="append", required=True)
+    p_s2g.add_argument("--sequence-files", action="append")
+    p_s2g.add_argument(
+        "--sequence-list",
+        help="Text file listing sequence file paths (alternative to "
+        "--sequence-files)",
+    )
+    p_s2g.set_defaults(_needs_sequences=True)
     p_s2g.add_argument(
         "--drop-top-fraction", type=float, default=0.0005,
         help="Privatize this fraction of highest-frequency syncmers",
@@ -2798,6 +2841,39 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # --sequence-list: file of sequence paths, normalized into
+    # args.sequence_files so every downstream path sees one flag
+    # (SequenceOpts::resolve_sequence_files, main.rs:4126).
+    if getattr(args, "sequence_list", None):
+        if getattr(args, "sequence_files", None):
+            print(
+                "error: cannot specify both --sequence-files and "
+                "--sequence-list",
+                file=sys.stderr,
+            )
+            return 2
+        try:
+            with open(args.sequence_list) as fh:
+                args.sequence_files = [
+                    l.strip()
+                    for l in fh
+                    if l.strip() and not l.strip().startswith("#")
+                ]
+        except OSError as e:
+            print(
+                f"error: failed to read sequence list file "
+                f"'{args.sequence_list}': {e}",
+                file=sys.stderr,
+            )
+            return 2
+    if getattr(args, "_needs_sequences", False) and not getattr(
+        args, "sequence_files", None
+    ):
+        print(
+            "error: --sequence-files or --sequence-list is required",
+            file=sys.stderr,
+        )
+        return 2
     import logging
 
     level = {0: logging.ERROR, 1: logging.INFO, 2: logging.DEBUG}[

@@ -196,3 +196,48 @@ def test_cli_partition(chain_paf, tmp_path):
             total += e - s
             prev_end = e
         assert total == L, name
+
+
+def test_sequence_list_flag(tmp_path):
+    """--sequence-list resolves a file of sequence paths and is mutually
+    exclusive with --sequence-files (SequenceOpts::resolve_sequence_files,
+    main.rs:4126)."""
+    import random
+
+    from tests import datagen
+
+    rng = random.Random(11)
+    text, seqs, alns, seq_data = datagen.mutate_chain_paf(
+        rng, n_seqs=3, seq_len=2000, return_sequences=True
+    )
+    paf = str(tmp_path / "s.paf")
+    fa = str(tmp_path / "s.fa")
+    lst = str(tmp_path / "seqs.txt")
+    with open(paf, "w") as fh:
+        fh.write(text)
+    datagen.write_fasta(fa, seq_data)
+    with open(lst, "w") as fh:
+        fh.write("# comment line\n" + fa + "\n")
+    L = len(seq_data["ref"])
+    via_files = run_cli(
+        "query", "-a", paf, "-r", f"ref:0-{L}", "-d", "100",
+        "-o", "fasta", "--sequence-files", fa,
+    )
+    via_list = run_cli(
+        "query", "-a", paf, "-r", f"ref:0-{L}", "-d", "100",
+        "-o", "fasta", "--sequence-list", lst,
+    )
+    assert via_files.returncode == 0, via_files.stderr
+    assert via_list.returncode == 0, via_list.stderr
+    assert via_list.stdout == via_files.stdout
+    both = run_cli(
+        "query", "-a", paf, "-r", f"ref:0-{L}", "-d", "100",
+        "-o", "fasta", "--sequence-files", fa, "--sequence-list", lst,
+    )
+    assert both.returncode == 2
+    assert "both" in both.stderr
+    missing = run_cli(
+        "query", "-a", paf, "-r", f"ref:0-{L}", "-d", "100",
+        "-o", "fasta", "--sequence-list", str(tmp_path / "nope.txt"),
+    )
+    assert missing.returncode == 2
