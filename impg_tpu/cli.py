@@ -71,7 +71,8 @@ def _load_index(args):
             files, bidirectional=False, seq_fetch=seq_fetch
         )
     return impg_index.load_or_build(
-        files, args.index, force=args.force_reindex, seq_fetch=seq_fetch
+        files, args.index, force=args.force_reindex, seq_fetch=seq_fetch,
+        threads=getattr(args, "threads", 1),
     )
 
 
@@ -794,7 +795,7 @@ def cmd_align(args) -> int:
 
         with open(args.run_joblist) as fh:
             cmds = [l.strip() for l in fh if l.strip() and not l.startswith("#")]
-        jobs = args.jobs or os.cpu_count() or 4
+        jobs = args.jobs or getattr(args, "threads", None) or os.cpu_count() or 4
         t0 = time_mod.perf_counter()
         failed = 0
         done = 0
@@ -2146,6 +2147,12 @@ def build_parser() -> argparse.ArgumentParser:
         "-v", "--verbosity", type=int, default=0, choices=[0, 1, 2],
         help="0 = errors, 1 = info (phase timings), 2 = debug "
         "(reference CommonOpts main.rs:2029 role)",
+    )
+    ap.add_argument(
+        "-t", "--threads", type=int, default=4,
+        help="Host worker threads for parallel sections (per-file index "
+        "builds, joblist slots); device parallelism is independent "
+        "(reference CommonOpts main.rs:2031 role)",
     )
     sub = ap.add_subparsers(dest="command", required=True)
 

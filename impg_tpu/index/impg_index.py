@@ -253,22 +253,40 @@ def index_path_for(paf_paths: list[str]) -> str:
 
 def load_or_build(
     paf_paths: list[str], index_path: str | None = None, force: bool = False,
-    seq_fetch=None,
+    seq_fetch=None, threads: int = 1,
 ) -> ImpgIndex:
     """Load a cached index if fresh, else build from the PAFs and save.
 
     Staleness: the index is rebuilt if any alignment file is newer than the
     artifact (the reference warns instead, main.rs:11355; rebuilding is
     strictly safer since our artifact embeds the CIGAR tensors).
+
+    `threads > 1` builds per-file artifacts concurrently (the reference's
+    rayon par_iter over files, main.rs:11189; the native parser and numpy
+    release the GIL). Only the multi-file fan-out is threaded, and only
+    without a shared `seq_fetch` handle.
     """
     if index_path is None and len(paf_paths) > 1:
         # Per-file artifact caching (reference: multi_impg.rs): each file
         # keeps its own `<file>.impgt`, so growing a file set only builds
         # the new files; the union merges in memory.
-        parts = [
-            load_or_build([p], force=force, seq_fetch=seq_fetch)
-            for p in paf_paths
-        ]
+        if threads > 1 and seq_fetch is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                min(threads, len(paf_paths))
+            ) as ex:
+                parts = list(
+                    ex.map(
+                        lambda p: load_or_build([p], force=force),
+                        paf_paths,
+                    )
+                )
+        else:
+            parts = [
+                load_or_build([p], force=force, seq_fetch=seq_fetch)
+                for p in paf_paths
+            ]
         return ImpgIndex.merge(parts, list(paf_paths))
     import logging
     import time
