@@ -260,20 +260,31 @@ class ShardedEngine:
         self._step = make_sharded_query_step(mesh)
         axis = mesh.axis_names[0]
         shard0 = NamedSharding(mesh, P(axis))
+        self._repl_sharding = NamedSharding(mesh, P())
         self.rec = {
-            k: jax.device_put(v, shard0) for k, v in self.sharded.rec.items()
+            k: self._put_sharded(v, shard0)
+            for k, v in self.sharded.rec.items()
         }
         self.arena = {
-            k: jax.device_put(v, shard0) for k, v in self.sharded.arena.items()
+            k: self._put_sharded(v, shard0)
+            for k, v in self.sharded.arena.items()
         }
         self.tp = (
             {
-                k: jax.device_put(v, shard0)
+                k: self._put_sharded(v, shard0)
                 for k, v in self.sharded.tp.items()
             }
             if self.sharded.tp is not None
             else None
         )
+
+    # Placement hooks — DistributedEngine overrides these so each process
+    # materializes only its addressable shards of the global arrays.
+    def _put_sharded(self, arr, sharding):
+        return jax.device_put(arr, sharding)
+
+    def _replicate(self, arr):
+        return jnp.asarray(arr)
 
     @property
     def supports_approximate(self) -> bool:
@@ -330,9 +341,9 @@ class ShardedEngine:
             raise ValueError(
                 "approximate mode needs ShardedEngine(with_tracepoints=True)"
             )
-        q_tid = jnp.asarray(q_tid, jnp.int32)
-        q_s = jnp.asarray(q_s, jnp.int32)
-        q_e = jnp.asarray(q_e, jnp.int32)
+        q_tid = self._replicate(np.asarray(q_tid, np.int32))
+        q_s = self._replicate(np.asarray(q_s, np.int32))
+        q_e = self._replicate(np.asarray(q_e, np.int32))
         while True:
             mat = self._step(
                 self.rec, self.arena,
