@@ -356,8 +356,8 @@ class ShardedEngine:
                 r_pad=self.sharded.r_pad,
                 tp_spacing=self.sharded.tp_spacing,
             )
-            mat_host = np.asarray(mat)  # [n_shards, n_fields + 1, B*K]
-            k_needed = int(mat_host[:, -1, 0].max())
+            mat_host = np.asarray(mat)  # [n_shards, n_fields, B*K + 1]
+            k_needed = int(mat_host[:, 0, -1].max())
             if k_needed <= self.k_max:
                 break
             while self.k_max < k_needed:

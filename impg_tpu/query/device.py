@@ -183,47 +183,89 @@ RESULT_FIELDS = (
 )
 
 
-def pack_result(out: dict, cap: int | None = None, fields=None):
-    """One matrix [n_fields + 1, C]: the extra last row carries the
-    (k_needed, n_hits) scalars in its first two slots, so each chunk costs
-    exactly ONE device->host fetch (the relay link is latency-bound).
+def pack_result(out: dict, cap: int | None = None, fields=None,
+                id_bits: int = 0):
+    """One matrix [R, C + 1]: the extra last COLUMN carries the
+    (k_needed, n_hits) scalars in its first two rows, so each chunk costs
+    exactly ONE device->host fetch.
 
-    With `cap`, results are COMPACTED on device first: a stable argsort
-    moves valid hits to the front (preserving pair order) and only the
-    first `cap` lanes ship — the transfer scales with actual hits instead
-    of the padded B*k_max grid.  n_hits > cap signals truncation; the host
-    refetches with a doubled cap (one extra compile, then cached)."""
+    The relay link is BANDWIDTH-bound (~50 MB/s), so the layout minimizes
+    bytes:
+      * With `cap`, results are COMPACTED on device first: a stable argsort
+        moves valid hits to the front (preserving pair order) and only the
+        first `cap` lanes ship — and the `valid` row is DROPPED entirely
+        (the first n_hits lanes are the valid ones by construction).
+        n_hits > cap signals truncation; the host refetches with a doubled
+        cap (one extra compile, then cached).
+      * With `id_bits` > 0, the pair_q and query_id rows fuse into ONE
+        int32 row (pair_q << id_bits | query_id) — legal whenever
+        log2(chunk) + id_bits <= 31; both values are non-negative.
+    """
     if fields is None:
         fields = RESULT_FIELDS
     valid = out["valid"]
-    if cap is not None and cap < valid.size:
+    compact = cap is not None and cap < valid.size
+    if compact:
         order = jnp.argsort(jnp.logical_not(valid), stable=True)
         sel = order[:cap]
-        mat = jnp.stack(
-            [jnp.take(out[f].astype(jnp.int32), sel) for f in fields]
-        )
+        get = lambda f: jnp.take(out[f].astype(jnp.int32), sel)
     else:
-        mat = jnp.stack([out[f].astype(jnp.int32) for f in fields])
-    scalars = jnp.stack(
-        [out["k_needed"].astype(jnp.int32), out["n_hits"].astype(jnp.int32)]
+        get = lambda f: out[f].astype(jnp.int32)
+    fuse = id_bits > 0 and "pair_q" in fields and "query_id" in fields
+    rows = []
+    for f in fields:
+        if compact and f == "valid":
+            continue
+        if fuse and f == "query_id":
+            continue
+        if fuse and f == "pair_q":
+            rows.append((get("pair_q") << id_bits) | get("query_id"))
+            continue
+        rows.append(get(f))
+    mat = jnp.stack(rows)
+    col = (
+        jnp.zeros((mat.shape[0], 1), jnp.int32)
+        .at[0, 0].set(out["k_needed"].astype(jnp.int32))
+        .at[1, 0].set(out["n_hits"].astype(jnp.int32))
     )
-    extra = jnp.zeros(mat.shape[1], jnp.int32).at[:2].set(scalars)
-    return jnp.concatenate([mat, extra[None, :]], axis=0)
+    return jnp.concatenate([mat, col], axis=1)
 
 
-def unpack_result(mat: np.ndarray, fields=None) -> dict:
+def unpack_result(mat: np.ndarray, fields=None, id_bits: int = 0,
+                  compacted: bool = False) -> dict:
     if fields is None:
         fields = RESULT_FIELDS
-    out = {f: mat[i] for i, f in enumerate(fields)}
+    k_needed = mat[0, -1]
+    n_hits = mat[1, -1]
+    data = mat[:, :-1]
+    fuse = id_bits > 0 and "pair_q" in fields and "query_id" in fields
+    out = {}
+    r = 0
+    for f in fields:
+        if compacted and f == "valid":
+            continue
+        if fuse and f == "query_id":
+            continue
+        if fuse and f == "pair_q":
+            out["pair_q"] = data[r] >> id_bits
+            out["query_id"] = data[r] & ((1 << id_bits) - 1)
+            r += 1
+            continue
+        out[f] = data[r]
+        r += 1
+    if compacted:
+        out["valid"] = np.arange(data.shape[1]) < int(n_hits)
     out["valid"] = out["valid"].astype(bool)
-    out["k_needed"] = mat[-1, 0]
-    out["n_hits"] = mat[-1, 1]
+    out["k_needed"] = k_needed
+    out["n_hits"] = n_hits
     return out
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_max", "cap", "clip_overlap", "approximate", "fields"),
+    static_argnames=(
+        "k_max", "cap", "clip_overlap", "approximate", "fields", "id_bits"
+    ),
 )
 def query_step(
     dindex: DeviceIndex,
@@ -236,6 +278,7 @@ def query_step(
     clip_overlap: bool = False,
     approximate: bool = False,
     fields: tuple | None = None,
+    id_bits: int = 0,
 ):
     """Batched stab + projection. Inputs int32 [B]; outputs [B * k_max]
     (or [cap] device-compacted lanes when `cap` is set)."""
@@ -263,7 +306,7 @@ def query_step(
         tp=dindex.tp if approximate else None,
         tp_spacing=dindex.tp_spacing,
     )
-    return pack_result(out, cap, fields)
+    return pack_result(out, cap, fields, id_bits)
 
 
 
@@ -443,6 +486,27 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _fetch_iter(mats):
+    """Yield np.asarray(mat) for each mat, optionally via a fetcher thread.
+
+    IMPG_FETCH_THREAD=1 drains the relay link from a dedicated thread so
+    the caller's bookkeeping overlaps the (bandwidth-bound) transfers;
+    default is in-line fetching.
+    """
+    import os
+
+    if os.environ.get("IMPG_FETCH_THREAD") != "1":
+        for m in mats:
+            yield np.asarray(m)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        futures = [pool.submit(np.asarray, m) for m in mats]
+        for fut in futures:
+            yield fut.result()
+
+
 class DeviceEngine:
     """Host-facing wrapper: window-capacity management + numpy in/out.
 
@@ -472,6 +536,12 @@ class DeviceEngine:
         # transfer scales with hits, not the B*k_max grid; grows by
         # doubling on truncation.
         self.cap = chunk * 16
+        # Fused pair_q/query_id transfer row: legal while
+        # log2(chunk) + id_bits <= 31 (both values non-negative).
+        seq_bits = max(1, int(np.ceil(np.log2(max(len(index.seq_index), 2)))))
+        self.id_bits = (
+            seq_bits if _iters_for(chunk - 1) + seq_bits <= 31 else 0
+        )
 
     @property
     def supports_approximate(self) -> bool:
@@ -532,6 +602,7 @@ class DeviceEngine:
                 self.dindex, *cols,
                 k_max=k_max, cap=cap, clip_overlap=clip_overlap,
                 approximate=approximate, fields=fields,
+                id_bits=self.id_bits,
             )
 
         k_max0 = self.k_max
@@ -548,10 +619,12 @@ class DeviceEngine:
                 mat.copy_to_host_async()
             except AttributeError:
                 pass
-        for off, cols, k_used, cap_used, mat in inflight:
-            m_host = np.asarray(mat)
-            k_needed = int(m_host[-1, 0])
-            n_hits = int(m_host[-1, 1])
+        fetched = _fetch_iter(m for *_rest, m in inflight)
+        for (off, cols, k_used, cap_used, mat), m_host in zip(
+            inflight, fetched
+        ):
+            k_needed = int(m_host[0, -1])
+            n_hits = int(m_host[1, -1])
             while k_needed > k_used or (
                 cap_used is not None
                 and cap_used < self.chunk * k_used
@@ -566,9 +639,15 @@ class DeviceEngine:
                 k_used = self.k_max
                 cap_used = self.cap
                 m_host = np.asarray(dispatch(cols, k_used, cap_used))
-                k_needed = int(m_host[-1, 0])
-                n_hits = int(m_host[-1, 1])
-            out = unpack_result(m_host, fields)
+                k_needed = int(m_host[0, -1])
+                n_hits = int(m_host[1, -1])
+            out = unpack_result(
+                m_host, fields, id_bits=self.id_bits,
+                compacted=(
+                    cap_used is not None
+                    and cap_used < self.chunk * k_used
+                ),
+            )
             keep = out["valid"]
             out = {
                 k: (v[keep] if np.ndim(v) else v) for k, v in out.items()
@@ -608,6 +687,7 @@ class DeviceEngine:
                         cap=cap,
                         clip_overlap=clip_overlap,
                         approximate=approximate,
+                        id_bits=self.id_bits,
                     ),
                 )
                 for fi in pending
@@ -620,8 +700,8 @@ class DeviceEngine:
             retry = []
             for fi, mat in inflight:
                 m_host = np.asarray(mat)
-                k_needed = int(m_host[-1, 0])
-                n_hits = int(m_host[-1, 1])
+                k_needed = int(m_host[0, -1])
+                n_hits = int(m_host[1, -1])
                 if k_needed > k_max or (cap is not None and n_hits > cap):
                     retry.append(fi)
                     while self.k_max < k_needed:
@@ -629,7 +709,10 @@ class DeviceEngine:
                     while self.cap < 2 * n_hits:
                         self.cap *= 2
                     continue
-                out = unpack_result(m_host)
+                out = unpack_result(
+                    m_host, id_bits=self.id_bits,
+                    compacted=cap is not None,
+                )
                 keep = out["valid"]
                 outputs[fi] = {
                     k: (v[keep] if np.ndim(v) else v) for k, v in out.items()
