@@ -159,6 +159,26 @@ int64_t vb_seed(void* h, int64_t walk, int64_t qid, int64_t s, int64_t e,
     return n;
 }
 
+// Bulk seed: insert walk[i]'s range (qid[i], s[i], e[i]) for every i in
+// order; ALL uncovered sub-ranges (no length filter — seeds become result
+// rows regardless) accumulate into the frontier vectors tagged by
+// (walk, qid).  Fetch with vb_frontier_size/fetch, then clear.  Replaces
+// one ctypes round trip per walk with one per batch.
+void vb_seed_many(void* h, const int64_t* walk, const int64_t* qid,
+                  const int64_t* s, const int64_t* e, int64_t n) {
+    auto* v = (VisitedBook*)h;
+    std::vector<Range> uncovered;
+    for (int64_t i = 0; i < n; ++i) {
+        insert_range(get_entry(v, walk[i], qid[i]), s[i], e[i], uncovered);
+        for (const Range& r : uncovered) {
+            v->fw.push_back(walk[i]);
+            v->fq.push_back(qid[i]);
+            v->fs.push_back(r.first);
+            v->fe.push_back(r.second);
+        }
+    }
+}
+
 // One depth's hits, in order.  book[i] == 0 skips bookkeeping entirely
 // (self-target or subset-filtered hits).  Frontier entries accumulate
 // internally; fetch with vb_frontier_*.

@@ -274,6 +274,10 @@ def _vb_lib():
             [ctypes.c_void_p] + [ctypes.c_int64] * 4 + [i64p, i64p,
                                                         ctypes.c_int64]
         )
+        lib.vb_seed_many.restype = None
+        lib.vb_seed_many.argtypes = [
+            ctypes.c_void_p, i64p, i64p, i64p, i64p, ctypes.c_int64,
+        ]
         lib.vb_process.restype = None
         lib.vb_process.argtypes = [
             ctypes.c_void_p, i64p, i64p, i64p, i64p, u8p,
@@ -775,14 +779,10 @@ def _bfs_many_native(
     )
     try:
         results: list[list[Row]] = [[] for _ in range(n_walks)]
-        seed_cols: list[tuple[int, int, int]] = []  # (walk, s, e)
-        cw: list[np.ndarray] = []
-        cq: list[np.ndarray] = []
-        cas: list[np.ndarray] = []
-        cae: list[np.ndarray] = []
-        cct: list[np.ndarray] = []
-        cts: list[np.ndarray] = []
-        cte: list[np.ndarray] = []
+        # Columnar accumulators: one run of column-chunk lists per depth
+        # (w, q_id, q_first, q_last, t_id, t_first, t_last) — each run is
+        # walk-sorted by construction, which _partition_columnar exploits.
+        depth_runs: list[tuple[list, ...]] = []
         # Per-sequence subset pass/fail, computed once (vectorized gate).
         subset_ok = None
         if subset_match is not None:
@@ -792,11 +792,6 @@ def _bfs_many_native(
                 subset_ok[sid] = bool(name) and subset_match(name)
         target_of_walk = np.asarray([t[0] for t in targets], np.int64)
 
-        cur_w = np.zeros(0, np.int64)
-        cur_t = np.zeros(0, np.int64)
-        cur_s = np.zeros(0, np.int64)
-        cur_e = np.zeros(0, np.int64)
-        seeds_w, seeds_t, seeds_s, seeds_e = [], [], [], []
         if masked_regions:
             for w in range(n_walks):
                 for sid, sr in masked_regions.items():
@@ -810,45 +805,50 @@ def _bfs_many_native(
                         lib.vb_preload(
                             h, w, int(sid), int(ms), int(me), slen
                         )
-        for w, (target_id, range_start, range_end) in enumerate(targets):
-            cap = 2 + (
-                len(masked_regions[target_id].ranges)
-                if masked_regions and target_id in masked_regions
-                else 0
-            )
-            ss = np.zeros(cap, np.int64)
-            se = np.zeros(cap, np.int64)
-            n_seed = int(
-                lib.vb_seed(
-                    h, w, int(target_id), int(range_start), int(range_end),
-                    ss, se, cap,
+        # Bulk seed: one native call inserts every walk's seed range and
+        # returns all uncovered sub-ranges via the frontier accumulator.
+        lib.vb_frontier_clear(h)
+        lib.vb_seed_many(
+            h,
+            np.ascontiguousarray(np.arange(n_walks, dtype=np.int64)),
+            np.ascontiguousarray(
+                np.asarray([t[0] for t in targets], np.int64)
+            ),
+            np.ascontiguousarray(
+                np.asarray([t[1] for t in targets], np.int64)
+            ),
+            np.ascontiguousarray(
+                np.asarray([t[2] for t in targets], np.int64)
+            ),
+            n_walks,
+        )
+        m = int(lib.vb_frontier_size(h))
+        sw_arr = np.zeros(m, np.int64)
+        st_arr = np.zeros(m, np.int64)
+        ss_arr = np.zeros(m, np.int64)
+        se_arr = np.zeros(m, np.int64)
+        if m:
+            lib.vb_frontier_fetch(h, sw_arr, st_arr, ss_arr, se_arr)
+        lib.vb_frontier_clear(h)
+        if not columnar:
+            for w, tid, s, e in zip(
+                sw_arr.tolist(), st_arr.tolist(), ss_arr.tolist(),
+                se_arr.tolist(),
+            ):
+                runs = (
+                    cigar.pack(
+                        np.array([e - s], np.int64),
+                        np.array([cigar.OP_EQ], np.uint32),
+                    )
+                    if store_cigar
+                    else None
                 )
-            )
-            for i in range(min(n_seed, cap)):
-                s, e = int(ss[i]), int(se[i])
-                if columnar:
-                    seed_cols.append((w, s, e))
-                else:
-                    runs = (
-                        cigar.pack(
-                            np.array([e - s], np.int64),
-                            np.array([cigar.OP_EQ], np.uint32),
-                        )
-                        if store_cigar
-                        else None
-                    )
-                    results[w].append(
-                        Row(target_id, s, e, runs, target_id, s, e)
-                    )
-                if abs(s - e) >= min_transitive_len:
-                    seeds_w.append(w)
-                    seeds_t.append(target_id)
-                    seeds_s.append(s)
-                    seeds_e.append(e)
-        cur_w = np.asarray(seeds_w, np.int64)
-        cur_t = np.asarray(seeds_t, np.int64)
-        cur_s = np.asarray(seeds_s, np.int64)
-        cur_e = np.asarray(seeds_e, np.int64)
+                results[w].append(Row(tid, s, e, runs, tid, s, e))
+        keep = np.abs(se_arr - ss_arr) >= min_transitive_len
+        cur_w = sw_arr[keep]
+        cur_t = st_arr[keep]
+        cur_s = ss_arr[keep]
+        cur_e = se_arr[keep]
 
         log = logging.getLogger("impg_tpu.engine")
         depth = 0
@@ -873,6 +873,7 @@ def _bfs_many_native(
                 step_iter = iter([one] if one is not None else [])
 
             lib.vb_frontier_clear(h)
+            d_cols: tuple[list, ...] = tuple([] for _ in range(7))
             for step in step_iter:
                 pair_q = np.ascontiguousarray(step["pair_q"], np.int64)
                 qid = np.ascontiguousarray(step["query_id"], np.int64)
@@ -908,21 +909,20 @@ def _bfs_many_native(
                 if columnar:
                     if min_output_length is not None:
                         m = np.abs(aqe - aqs) >= min_output_length
-                        cw.append(w_arr[m])
-                        cq.append(qid[m])
-                        cas.append(aqs[m])
-                        cae.append(aqe[m])
-                        cct.append(cur_tid_arr[m])
-                        cts.append(np.asarray(pts[m], np.int64))
-                        cte.append(np.asarray(pte[m], np.int64))
+                        cols = (
+                            w_arr[m], qid[m], aqs[m], aqe[m],
+                            cur_tid_arr[m],
+                            np.asarray(pts[m], np.int64),
+                            np.asarray(pte[m], np.int64),
+                        )
                     else:
-                        cw.append(w_arr)
-                        cq.append(qid)
-                        cas.append(aqs)
-                        cae.append(aqe)
-                        cct.append(cur_tid_arr)
-                        cts.append(np.asarray(pts, np.int64))
-                        cte.append(np.asarray(pte, np.int64))
+                        cols = (
+                            w_arr, qid, aqs, aqe, cur_tid_arr,
+                            np.asarray(pts, np.int64),
+                            np.asarray(pte, np.int64),
+                        )
+                    for acc, col in zip(d_cols, cols):
+                        acc.append(col)
                 elif store_cigar or min_output_length is not None:
                     src = (
                         hit_idx.tolist()
@@ -955,6 +955,8 @@ def _bfs_many_native(
                     ):
                         results[w].append(Row(q, a, b, None, ct, ts, te))
 
+            if columnar and d_cols[0]:
+                depth_runs.append(d_cols)
             # Vectorized frontier sort + merge: entries are disjoint per
             # (walk, seq) book by construction (each uncovered sub-range is
             # inserted before the next hit), so merging only joins touching
@@ -985,65 +987,61 @@ def _bfs_many_native(
 
         if columnar:
             return _partition_columnar(
-                n_walks, targets, seed_cols, cw, cq, cas, cae, cct, cts, cte
+                n_walks, (sw_arr, st_arr, ss_arr, se_arr), depth_runs
             )
         return results
     finally:
         lib.vb_destroy(h)
 
 
-def _partition_columnar(
-    n_walks, targets, seed_cols, cw, cq, cas, cae, cct, cts, cte
-) -> list[RowBlock]:
+def _partition_columnar(n_walks, seeds, depth_runs) -> list[RowBlock]:
     """Split accumulated result columns into per-walk RowBlocks (seed rows
-    first, then hits in emission order — matching the Row-list layout)."""
-    if cw:
-        w_all = np.concatenate(cw)
-        order = np.argsort(w_all, kind="stable")
-        w_sorted = w_all[order]
-        bounds = np.searchsorted(w_sorted, np.arange(n_walks + 1))
-        q_all = np.concatenate(cq)[order]
-        as_all = np.concatenate(cas)[order]
-        ae_all = np.concatenate(cae)[order]
-        ct_all = np.concatenate(cct)[order]
-        ts_all = np.concatenate(cts)[order]
-        te_all = np.concatenate(cte)[order]
-    else:
-        bounds = np.zeros(n_walks + 1, np.int64)
-        q_all = as_all = ae_all = ct_all = ts_all = te_all = np.zeros(
-            0, np.int64
+    first, then hits in emission order — matching the Row-list layout).
+
+    Each run (the seeds, then one run per BFS depth) is already sorted by
+    walk — the frontier is lexsorted by (walk, seq, start) and chunks
+    stream in frontier order — so per-walk assembly is an O(n) counting
+    scatter: no global sort.  `seeds` is a (w, tid, s, e) array tuple;
+    each depth run is a tuple of 7 column-chunk lists (w, q_id, q_first,
+    q_last, t_id, t_first, t_last).
+    """
+    runs = []
+    sw, st, ss, se = seeds
+    if sw.size:
+        runs.append((sw, st, ss, se, st, ss, se))
+    for d_cols in depth_runs:
+        if d_cols[0]:
+            runs.append(tuple(np.concatenate(c) for c in d_cols))
+
+    n_runs = len(runs)
+    cnt = np.zeros((n_runs, n_walks), np.int64)
+    for i, r in enumerate(runs):
+        cnt[i] = np.bincount(r[0], minlength=n_walks)
+    walk_tot = cnt.sum(axis=0)
+    base = np.zeros(n_walks + 1, np.int64)
+    np.cumsum(walk_tot, out=base[1:])
+    prior = np.cumsum(cnt, axis=0) - cnt  # rows of earlier runs, per walk
+    total = int(base[-1])
+    out_cols = [np.empty(total, np.int64) for _ in range(6)]
+    walk_ids = np.arange(n_walks, dtype=np.int64)
+    for i, r in enumerate(runs):
+        w_r = r[0]
+        if w_r.size and np.any(w_r[1:] < w_r[:-1]):  # safety net
+            order = np.argsort(w_r, kind="stable")
+            r = tuple(c[order] for c in r)
+            w_r = r[0]
+        starts_r = np.searchsorted(w_r, walk_ids)
+        pos = (
+            base[w_r]
+            + prior[i][w_r]
+            + (np.arange(w_r.size, dtype=np.int64) - starts_r[w_r])
         )
-    seeds_by_walk: dict[int, list[tuple[int, int]]] = {}
-    for w, s, e in seed_cols:
-        seeds_by_walk.setdefault(w, []).append((s, e))
-    out: list[RowBlock] = []
-    for w in range(n_walks):
-        lo, hi = int(bounds[w]), int(bounds[w + 1])
-        seeds = seeds_by_walk.get(w, [])
-        tid = targets[w][0]
-        if seeds:
-            s_arr = np.asarray([s for s, _ in seeds], np.int64)
-            e_arr = np.asarray([e for _, e in seeds], np.int64)
-            t_arr = np.full(len(seeds), tid, np.int64)
-            out.append(
-                RowBlock(
-                    q_id=np.concatenate([t_arr, q_all[lo:hi]]),
-                    q_first=np.concatenate([s_arr, as_all[lo:hi]]),
-                    q_last=np.concatenate([e_arr, ae_all[lo:hi]]),
-                    t_id=np.concatenate([t_arr, ct_all[lo:hi]]),
-                    t_first=np.concatenate([s_arr, ts_all[lo:hi]]),
-                    t_last=np.concatenate([e_arr, te_all[lo:hi]]),
-                )
-            )
-        else:
-            out.append(
-                RowBlock(
-                    q_id=q_all[lo:hi], q_first=as_all[lo:hi],
-                    q_last=ae_all[lo:hi], t_id=ct_all[lo:hi],
-                    t_first=ts_all[lo:hi], t_last=te_all[lo:hi],
-                )
-            )
-    return out
+        for c in range(6):
+            out_cols[c][pos] = r[c + 1]
+    return [
+        RowBlock(*(col[lo:hi] for col in out_cols))
+        for lo, hi in zip(base[:-1].tolist(), base[1:].tolist())
+    ]
 
 
 def query_transitive_dfs(
