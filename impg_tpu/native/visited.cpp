@@ -182,11 +182,11 @@ void vb_seed_many(void* h, const int64_t* walk, const int64_t* qid,
 // One depth's hits, in order.  book[i] == 0 skips bookkeeping entirely
 // (self-target or subset-filtered hits).  Frontier entries accumulate
 // internally; fetch with vb_frontier_*.
-void vb_process(void* h, const int64_t* walk, const int64_t* qid,
-                const int64_t* aq_s, const int64_t* aq_e,
-                const uint8_t* book, int64_t n, int64_t min_dist,
-                int64_t min_trans_len) {
-    auto* v = (VisitedBook*)h;
+extern "C++" template <typename T>
+void vb_process_impl(VisitedBook* v, const T* walk, const T* qid,
+                     const T* aq_s, const T* aq_e,
+                     const uint8_t* book, int64_t n, int64_t min_dist,
+                     int64_t min_trans_len) {
     std::vector<Range> uncovered;
     for (int64_t i = 0; i < n; ++i) {
         if (!book[i]) continue;
@@ -206,6 +206,26 @@ void vb_process(void* h, const int64_t* walk, const int64_t* qid,
     }
 }
 
+void vb_process(void* h, const int64_t* walk, const int64_t* qid,
+                const int64_t* aq_s, const int64_t* aq_e,
+                const uint8_t* book, int64_t n, int64_t min_dist,
+                int64_t min_trans_len) {
+    vb_process_impl((VisitedBook*)h, walk, qid, aq_s, aq_e, book, n,
+                    min_dist, min_trans_len);
+}
+
+// int32 ABI twin: the device engine returns int32 columns, so taking them
+// directly keeps the whole host pipeline 32-bit (no widening pass per
+// chunk).  Coordinates are guaranteed < 2^31 by the index upload checks;
+// the caller falls back to the 64-bit entry points otherwise.
+void vb_process32(void* h, const int32_t* walk, const int32_t* qid,
+                  const int32_t* aq_s, const int32_t* aq_e,
+                  const uint8_t* book, int64_t n, int64_t min_dist,
+                  int64_t min_trans_len) {
+    vb_process_impl((VisitedBook*)h, walk, qid, aq_s, aq_e, book, n,
+                    min_dist, min_trans_len);
+}
+
 int64_t vb_frontier_size(void* h) {
     return (int64_t)((VisitedBook*)h)->fw.size();
 }
@@ -217,6 +237,18 @@ void vb_frontier_fetch(void* h, int64_t* w, int64_t* q, int64_t* s,
     std::copy(v->fq.begin(), v->fq.end(), q);
     std::copy(v->fs.begin(), v->fs.end(), s);
     std::copy(v->fe.begin(), v->fe.end(), e);
+}
+
+void vb_frontier_fetch32(void* h, int32_t* w, int32_t* q, int32_t* s,
+                         int32_t* e) {
+    auto* v = (VisitedBook*)h;
+    size_t n = v->fw.size();
+    for (size_t i = 0; i < n; ++i) {
+        w[i] = (int32_t)v->fw[i];
+        q[i] = (int32_t)v->fq[i];
+        s[i] = (int32_t)v->fs[i];
+        e[i] = (int32_t)v->fe[i];
+    }
 }
 
 void vb_frontier_clear(void* h) {

@@ -238,6 +238,10 @@ def unpack_result(mat: np.ndarray, fields=None, id_bits: int = 0,
     k_needed = mat[0, -1]
     n_hits = mat[1, -1]
     data = mat[:, :-1]
+    if compacted:
+        # Valid lanes are the compacted prefix: slicing gives views, no
+        # boolean-mask copies downstream.
+        data = data[:, : int(n_hits)]
     fuse = id_bits > 0 and "pair_q" in fields and "query_id" in fields
     out = {}
     r = 0
@@ -254,7 +258,7 @@ def unpack_result(mat: np.ndarray, fields=None, id_bits: int = 0,
         out[f] = data[r]
         r += 1
     if compacted:
-        out["valid"] = np.arange(data.shape[1]) < int(n_hits)
+        out["valid"] = np.ones(data.shape[1], bool)
     out["valid"] = out["valid"].astype(bool)
     out["k_needed"] = k_needed
     out["n_hits"] = n_hits
@@ -649,9 +653,11 @@ class DeviceEngine:
                 ),
             )
             keep = out["valid"]
-            out = {
-                k: (v[keep] if np.ndim(v) else v) for k, v in out.items()
-            }
+            if not bool(keep.all()):
+                out = {
+                    k: (v[keep] if np.ndim(v) else v)
+                    for k, v in out.items()
+                }
             out["pair_q"] = out["pair_q"] + off
             yield out
 
@@ -714,9 +720,13 @@ class DeviceEngine:
                     compacted=cap is not None,
                 )
                 keep = out["valid"]
-                outputs[fi] = {
-                    k: (v[keep] if np.ndim(v) else v) for k, v in out.items()
-                }
+                if bool(keep.all()):
+                    outputs[fi] = out
+                else:
+                    outputs[fi] = {
+                        k: (v[keep] if np.ndim(v) else v)
+                        for k, v in out.items()
+                    }
             pending = retry
 
         results = []

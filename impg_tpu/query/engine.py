@@ -262,6 +262,7 @@ def _vb_lib():
         import ctypes
 
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         lib.vb_create.restype = ctypes.c_void_p
         lib.vb_create.argtypes = [ctypes.c_int64, i64p, ctypes.c_int32]
@@ -282,6 +283,15 @@ def _vb_lib():
         lib.vb_process.argtypes = [
             ctypes.c_void_p, i64p, i64p, i64p, i64p, u8p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.vb_process32.restype = None
+        lib.vb_process32.argtypes = [
+            ctypes.c_void_p, i32p, i32p, i32p, i32p, u8p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.vb_frontier_fetch32.restype = None
+        lib.vb_frontier_fetch32.argtypes = [
+            ctypes.c_void_p, i32p, i32p, i32p, i32p,
         ]
         lib.vb_frontier_size.restype = ctypes.c_int64
         lib.vb_frontier_size.argtypes = [ctypes.c_void_p]
@@ -423,10 +433,17 @@ def _depth_step_device_stream(
     fields: tuple | None = None,
 ):
     """Yield filtered per-chunk step dicts for a whole BFS depth; the
-    caller's bookkeeping on chunk i overlaps later chunks' device work."""
-    q_tid = np.asarray([c[0] for c in current], np.int32)
-    q_s = np.asarray([c[1] for c in current], np.int32)
-    q_e = np.asarray([c[2] for c in current], np.int32)
+    caller's bookkeeping on chunk i overlaps later chunks' device work.
+
+    `current` is either a list of (tid, s, e) tuples or a 3-tuple of
+    parallel arrays (the native BFS passes its frontier columns directly).
+    """
+    if isinstance(current, tuple):
+        q_tid, q_s, q_e = (np.asarray(c, np.int32) for c in current)
+    else:
+        q_tid = np.asarray([c[0] for c in current], np.int32)
+        q_s = np.asarray([c[1] for c in current], np.int32)
+        q_e = np.asarray([c[2] for c in current], np.int32)
     for out in device_engine.query_batch_stream(
         q_tid, q_s, q_e, clip_overlap=True, approximate=approximate,
         fields=fields,
@@ -790,7 +807,26 @@ def _bfs_many_native(
             for sid in range(len(index.seq_index)):
                 name = index.seq_index.get_name(sid)
                 subset_ok[sid] = bool(name) and subset_match(name)
-        target_of_walk = np.asarray([t[0] for t in targets], np.int64)
+        # 32-bit host pipeline: the device engine already returns int32
+        # columns, so int32-native bookkeeping skips a widening pass per
+        # chunk.  Falls back to the 64-bit ABI for outsized coordinates.
+        use32 = (
+            seq_lens.size == 0 or int(seq_lens.max()) < 2**31
+        ) and all(
+            -(2**31) < v < 2**31 for t in targets for v in t
+        )
+        dt = np.int32 if use32 else np.int64
+        vb_process = lib.vb_process32 if use32 else lib.vb_process
+        vb_fetch = (
+            lib.vb_frontier_fetch32 if use32 else lib.vb_frontier_fetch
+        )
+
+        def as_dt(a):
+            if a.dtype == dt and a.flags.c_contiguous:
+                return a
+            return np.ascontiguousarray(a, dt)
+
+        target_of_walk = np.asarray([t[0] for t in targets], dt)
 
         if masked_regions:
             for w in range(n_walks):
@@ -823,12 +859,12 @@ def _bfs_many_native(
             n_walks,
         )
         m = int(lib.vb_frontier_size(h))
-        sw_arr = np.zeros(m, np.int64)
-        st_arr = np.zeros(m, np.int64)
-        ss_arr = np.zeros(m, np.int64)
-        se_arr = np.zeros(m, np.int64)
+        sw_arr = np.zeros(m, dt)
+        st_arr = np.zeros(m, dt)
+        ss_arr = np.zeros(m, dt)
+        se_arr = np.zeros(m, dt)
         if m:
-            lib.vb_frontier_fetch(h, sw_arr, st_arr, ss_arr, se_arr)
+            vb_fetch(h, sw_arr, st_arr, ss_arr, se_arr)
         lib.vb_frontier_clear(h)
         if not columnar:
             for w, tid, s, e in zip(
@@ -854,14 +890,15 @@ def _bfs_many_native(
         depth = 0
         while cur_w.size and (max_depth == 0 or depth < max_depth):
             t_depth = time.perf_counter()
-            flat = list(zip(cur_t.tolist(), cur_s.tolist(), cur_e.tolist()))
+            n_front = int(cur_w.size)
             use_device = device_engine is not None and (
                 not approximate
                 or getattr(device_engine, "supports_approximate", False)
             )
             if use_device:
                 step_iter = _depth_step_device_stream(
-                    device_engine, flat, min_identity, approximate,
+                    device_engine, (cur_t, cur_s, cur_e), min_identity,
+                    approximate,
                     fields=None if store_cigar else (
                         LEAN_STATS_FIELDS
                         if min_identity is not None
@@ -869,16 +906,19 @@ def _bfs_many_native(
                     ),
                 )
             else:
+                flat = list(
+                    zip(cur_t.tolist(), cur_s.tolist(), cur_e.tolist())
+                )
                 one = _depth_step_host(index, flat, min_identity, approximate)
                 step_iter = iter([one] if one is not None else [])
 
             lib.vb_frontier_clear(h)
             d_cols: tuple[list, ...] = tuple([] for _ in range(7))
             for step in step_iter:
-                pair_q = np.ascontiguousarray(step["pair_q"], np.int64)
-                qid = np.ascontiguousarray(step["query_id"], np.int64)
-                aqs = np.ascontiguousarray(step["pq_start"], np.int64)
-                aqe = np.ascontiguousarray(step["pq_end"], np.int64)
+                pair_q = np.asarray(step["pair_q"])
+                qid = as_dt(np.asarray(step["query_id"]))
+                aqs = as_dt(np.asarray(step["pq_start"]))
+                aqe = as_dt(np.asarray(step["pq_end"]))
                 w_arr = cur_w[pair_q]
                 cur_tid_arr = cur_t[pair_q]
                 hit_idx = None
@@ -889,13 +929,13 @@ def _bfs_many_native(
                         pair_q[hit_idx], qid[hit_idx], aqs[hit_idx],
                         aqe[hit_idx], w_arr[hit_idx], cur_tid_arr[hit_idx],
                     )
-                book = np.ascontiguousarray(qid != cur_tid_arr, np.uint8)
-                lib.vb_process(
+                book = np.ascontiguousarray(qid != cur_tid_arr).view(np.uint8)
+                vb_process(
                     h,
-                    np.ascontiguousarray(w_arr),
-                    np.ascontiguousarray(qid),
-                    np.ascontiguousarray(aqs),
-                    np.ascontiguousarray(aqe),
+                    as_dt(w_arr),
+                    qid,
+                    aqs,
+                    aqe,
                     book,
                     qid.size,
                     min_distance_between_ranges,
@@ -912,14 +952,14 @@ def _bfs_many_native(
                         cols = (
                             w_arr[m], qid[m], aqs[m], aqe[m],
                             cur_tid_arr[m],
-                            np.asarray(pts[m], np.int64),
-                            np.asarray(pte[m], np.int64),
+                            as_dt(np.asarray(pts[m])),
+                            as_dt(np.asarray(pte[m])),
                         )
                     else:
                         cols = (
                             w_arr, qid, aqs, aqe, cur_tid_arr,
-                            np.asarray(pts, np.int64),
-                            np.asarray(pte, np.int64),
+                            as_dt(np.asarray(pts)),
+                            as_dt(np.asarray(pte)),
                         )
                     for acc, col in zip(d_cols, cols):
                         acc.append(col)
@@ -964,13 +1004,13 @@ def _bfs_many_native(
             m = int(lib.vb_frontier_size(h))
             depth += 1
             if not m:
-                cur_w = np.zeros(0, np.int64)
+                cur_w = np.zeros(0, dt)
                 continue
-            fw = np.zeros(m, np.int64)
-            fq = np.zeros(m, np.int64)
-            fs = np.zeros(m, np.int64)
-            fe = np.zeros(m, np.int64)
-            lib.vb_frontier_fetch(h, fw, fq, fs, fe)
+            fw = np.zeros(m, dt)
+            fq = np.zeros(m, dt)
+            fs = np.zeros(m, dt)
+            fe = np.zeros(m, dt)
+            vb_fetch(h, fw, fq, fs, fe)
             order = np.lexsort((fs, fq, fw))
             fw, fq, fs, fe = fw[order], fq[order], fs[order], fe[order]
             same = (fw[1:] == fw[:-1]) & (fq[1:] == fq[:-1])
@@ -982,7 +1022,7 @@ def _bfs_many_native(
             cur_e = fe[last]
             log.debug(
                 "depth %d: %d ranges -> %d frontier in %.3fs",
-                depth, len(flat), cur_w.size, time.perf_counter() - t_depth,
+                depth, n_front, cur_w.size, time.perf_counter() - t_depth,
             )
 
         if columnar:
@@ -1000,10 +1040,11 @@ def _partition_columnar(n_walks, seeds, depth_runs) -> list[RowBlock]:
 
     Each run (the seeds, then one run per BFS depth) is already sorted by
     walk — the frontier is lexsorted by (walk, seq, start) and chunks
-    stream in frontier order — so per-walk assembly is an O(n) counting
-    scatter: no global sort.  `seeds` is a (w, tid, s, e) array tuple;
-    each depth run is a tuple of 7 column-chunk lists (w, q_id, q_first,
-    q_last, t_id, t_first, t_last).
+    stream in frontier order — so each run splits into per-walk contiguous
+    segments (searchsorted boundaries) and assembly is ONE vectorized
+    multi-slice gather: no global sort, no random scatter.  `seeds` is a
+    (w, tid, s, e) array tuple; each depth run is a tuple of 7
+    column-chunk lists (w, q_id, q_first, q_last, t_id, t_first, t_last).
     """
     runs = []
     sw, st, ss, se = seeds
@@ -1012,32 +1053,50 @@ def _partition_columnar(n_walks, seeds, depth_runs) -> list[RowBlock]:
     for d_cols in depth_runs:
         if d_cols[0]:
             runs.append(tuple(np.concatenate(c) for c in d_cols))
+    if not runs:
+        z = np.zeros(0, np.int64)
+        return [RowBlock(z, z, z, z, z, z) for _ in range(n_walks)]
 
-    n_runs = len(runs)
-    cnt = np.zeros((n_runs, n_walks), np.int64)
-    for i, r in enumerate(runs):
-        cnt[i] = np.bincount(r[0], minlength=n_walks)
-    walk_tot = cnt.sum(axis=0)
-    base = np.zeros(n_walks + 1, np.int64)
-    np.cumsum(walk_tot, out=base[1:])
-    prior = np.cumsum(cnt, axis=0) - cnt  # rows of earlier runs, per walk
-    total = int(base[-1])
-    out_cols = [np.empty(total, np.int64) for _ in range(6)]
-    walk_ids = np.arange(n_walks, dtype=np.int64)
+    walk_edges = np.arange(n_walks + 1, dtype=np.int64)
+    seg_lo = []  # per run: [n_walks + 1] segment boundaries into the run
+    run_base = []
+    off = 0
     for i, r in enumerate(runs):
         w_r = r[0]
         if w_r.size and np.any(w_r[1:] < w_r[:-1]):  # safety net
             order = np.argsort(w_r, kind="stable")
             r = tuple(c[order] for c in r)
+            runs[i] = r
             w_r = r[0]
-        starts_r = np.searchsorted(w_r, walk_ids)
-        pos = (
-            base[w_r]
-            + prior[i][w_r]
-            + (np.arange(w_r.size, dtype=np.int64) - starts_r[w_r])
-        )
-        for c in range(6):
-            out_cols[c][pos] = r[c + 1]
+        seg_lo.append(np.searchsorted(w_r, walk_edges))
+        run_base.append(off)
+        off += w_r.size
+
+    # Segment table in output order (walk-major, run-minor): source start
+    # in the concatenated runs + length, then the classic repeat/arange
+    # trick builds the piecewise-contiguous gather index in O(n).
+    n_runs = len(runs)
+    src_start = np.empty((n_walks, n_runs), np.int64)
+    seg_len = np.empty((n_walks, n_runs), np.int64)
+    for i in range(n_runs):
+        src_start[:, i] = seg_lo[i][:-1] + run_base[i]
+        seg_len[:, i] = np.diff(seg_lo[i])
+    src_start = src_start.ravel()
+    seg_len = seg_len.ravel()
+    total = off
+    out_off = np.zeros(seg_len.size, np.int64)
+    np.cumsum(seg_len[:-1], out=out_off[1:])
+    gather = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(out_off, seg_len)
+        + np.repeat(src_start, seg_len)
+    )
+    out_cols = [
+        np.concatenate([r[c + 1] for r in runs])[gather] for c in range(6)
+    ]
+    walk_tot = seg_len.reshape(n_walks, n_runs).sum(axis=1)
+    base = np.zeros(n_walks + 1, np.int64)
+    np.cumsum(walk_tot, out=base[1:])
     return [
         RowBlock(*(col[lo:hi] for col in out_cols))
         for lo, hi in zip(base[:-1].tolist(), base[1:].tolist())
