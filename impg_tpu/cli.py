@@ -893,7 +893,8 @@ def cmd_syng(args) -> int:
     for entry in args.fasta_files:
         files.extend(x for x in entry.split(",") if x)
     idx = SyngIndex.build_from_fasta(
-        files, k=args.syncmer_k, w=args.syncmer_w, seed=args.syncmer_seed
+        files, k=args.syncmer_k, w=args.syncmer_w, seed=args.syncmer_seed,
+        threads=getattr(args, "threads", 1) or 1,
     )
     path = idx.save(args.output)
     print(

@@ -21,12 +21,13 @@ _load_attempted = False
 
 
 def _build() -> bool:
-    srcs = [os.path.join(_NATIVE_DIR, f) for f in ("paf_parser.cpp", "poa.cpp", "align.cpp", "seqwish_uf.cpp", "gbwt.cpp", "seqwish_emit.cpp", "visited.cpp")]
+    srcs = [os.path.join(_NATIVE_DIR, f) for f in ("paf_parser.cpp", "poa.cpp", "align.cpp", "seqwish_uf.cpp", "gbwt.cpp", "seqwish_emit.cpp", "visited.cpp", "syncmer.cpp")]
     if not all(os.path.exists(s) for s in srcs):
         return False
     try:
         subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o", _SO_PATH, *srcs],
+            ["g++", "-O3", "-std=c++17", "-fPIC", "-pthread", "-shared",
+             "-o", _SO_PATH, *srcs],
             check=True,
             capture_output=True,
             timeout=120,
@@ -47,7 +48,7 @@ def load():
     if not os.path.exists(_SO_PATH) or (
         os.path.exists(os.path.join(_NATIVE_DIR, "paf_parser.cpp"))
         and os.path.getmtime(_SO_PATH)
-        < max(os.path.getmtime(os.path.join(_NATIVE_DIR, f)) for f in ("paf_parser.cpp", "poa.cpp", "align.cpp", "seqwish_uf.cpp", "gbwt.cpp", "seqwish_emit.cpp", "visited.cpp"))
+        < max(os.path.getmtime(os.path.join(_NATIVE_DIR, f)) for f in ("paf_parser.cpp", "poa.cpp", "align.cpp", "seqwish_uf.cpp", "gbwt.cpp", "seqwish_emit.cpp", "visited.cpp", "syncmer.cpp"))
     ):
         if not _build():
             return None
@@ -129,6 +130,22 @@ def load():
         i32p, i64p, i8p, ctypes.c_int64,
     ]
 
+    lib.sx_extract.restype = ctypes.c_void_p
+    lib.sx_extract.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_uint32, ctypes.c_int32,
+    ]
+    lib.sx_count.restype = ctypes.c_int64
+    lib.sx_count.argtypes = [ctypes.c_void_p]
+    lib.sx_pos.restype = ctypes.POINTER(ctypes.c_int64)
+    lib.sx_pos.argtypes = [ctypes.c_void_p]
+    lib.sx_ids.restype = ctypes.POINTER(ctypes.c_uint64)
+    lib.sx_ids.argtypes = [ctypes.c_void_p]
+    lib.sx_fwd.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.sx_fwd.argtypes = [ctypes.c_void_p]
+    lib.sx_free.restype = None
+    lib.sx_free.argtypes = [ctypes.c_void_p]
+
     _lib = lib
     return _lib
 
@@ -137,6 +154,26 @@ def _as_array(ptr, n, dtype):
     if n == 0:
         return np.zeros(0, dtype)
     return np.ctypeslib.as_array(ptr, shape=(n,)).astype(dtype, copy=True)
+
+
+def extract_syncmers_native(
+    seq: bytes, k: int, w: int, seed: int, threads: int = 1
+) -> Optional[tuple]:
+    """Native closed-syncmer extraction (bit-exact vs ops/syncmer.py), or
+    None when the library is unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "sx_extract"):
+        return None
+    h = lib.sx_extract(seq, len(seq), k, w, seed & 0xFFFFFFFF, threads)
+    try:
+        n = int(lib.sx_count(h))
+        return (
+            _as_array(lib.sx_pos(h), n, np.int64),
+            _as_array(lib.sx_ids(h), n, np.uint64),
+            _as_array(lib.sx_fwd(h), n, np.uint8).astype(bool),
+        )
+    finally:
+        lib.sx_free(h)
 
 
 def parse_paf_bytes_native(data: bytes, require_cigar: bool = True) -> Optional[dict]:

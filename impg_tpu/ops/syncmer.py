@@ -50,18 +50,48 @@ def _mix32(x: np.ndarray, seed: int) -> np.ndarray:
 
 
 def _kmer_codes(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """(packed k-mer codes [n-k+1], validity mask).  k <= 16 (2k bits)."""
+    """(packed k-mer codes [n-k+1], validity mask).  k <= 16 (2k bits).
+
+    Packing by span doubling: log2(k) shift/or passes instead of k;
+    validity from one prefix sum over the invalid-base mask."""
     n = codes.size
     if n < k:
         return np.zeros(0, np.uint32), np.zeros(0, bool)
     m = n - k + 1
-    out = np.zeros(m, np.uint32)
-    valid = np.ones(m, bool)
-    for j in range(k):
-        c = codes[j : j + m]
-        valid &= c != 255
-        out = (out << np.uint32(2)) | np.where(c == 255, 0, c).astype(np.uint32)
-    return out, valid
+    invalid = codes == 255
+    cnt = np.zeros(n + 1, np.int32)
+    np.cumsum(invalid, out=cnt[1:])
+    valid = (cnt[k:] - cnt[:m]) == 0
+    # Zero invalid codes, then combine spans 1,2,4,... (partial tail span
+    # folds in like _sliding_min).
+    out = np.where(invalid, 0, codes).astype(np.uint32)
+    span = 1
+    while span * 2 <= k:
+        out = (out[: out.size - span] << np.uint32(2 * span)) | out[span:]
+        span *= 2
+    if span != k:
+        rem = k - span
+        out = (out[: out.size - rem] << np.uint32(2 * rem)) | (
+            out[rem:] & np.uint32((1 << (2 * rem)) - 1)
+        )
+    return out[:m], valid
+
+
+def _sliding_min(values: np.ndarray, w1: int) -> np.ndarray:
+    """Minimum over each length-w1 window, O(n log w) by span doubling:
+    m_k[i] = min(values[i:i+2^k]); the window min is the min of two
+    (overlapping) power-of-two spans covering it.  The same formulation
+    maps onto the VPU under jnp (shift + minimum passes)."""
+    if w1 == 1:
+        return values
+    span = 1
+    m = values
+    while span * 2 <= w1:
+        m = np.minimum(m[:-span], m[span:])
+        span *= 2
+    if span == w1:
+        return m
+    return np.minimum(m[: m.size - (w1 - span)], m[w1 - span :])
 
 
 def _windowed_argmin_at_ends(values: np.ndarray, w1: int) -> np.ndarray:
@@ -70,15 +100,34 @@ def _windowed_argmin_at_ends(values: np.ndarray, w1: int) -> np.ndarray:
     m = values.size
     if m < w1:
         return np.zeros(0, bool)
-    n_win = m - w1 + 1
-    # Sliding window minimum via stride tricks (windows are short: w+1).
-    win = np.lib.stride_tricks.sliding_window_view(values, w1)
-    mins = win.min(axis=1)
-    return (win[:, 0] == mins) | (win[:, -1] == mins)
+    mins = _sliding_min(values, w1)
+    return (values[: mins.size] == mins) | (values[w1 - 1 :] == mins)
+
+
+_RC_TABLES: dict[int, np.ndarray] = {}
+
+
+def _rc_table(length: int) -> np.ndarray:
+    """Reverse complement of all length<=8-base packed codes (pre-shifted
+    so lookup is a single gather)."""
+    t = _RC_TABLES.get(length)
+    if t is None:
+        code = np.arange(1 << (2 * length), dtype=np.uint64)
+        out = np.zeros_like(code)
+        for _ in range(length):
+            out = (out << np.uint64(2)) | ((code ^ np.uint64(3)) & np.uint64(3))
+            code >>= np.uint64(2)
+        t = _RC_TABLES[length] = out.astype(np.uint16)
+    return t
 
 
 def revcomp_code(code: np.ndarray, length: int) -> np.ndarray:
-    """Reverse complement of packed 2-bit codes (uint64 capable length<=31)."""
+    """Reverse complement of packed 2-bit codes (uint64 capable length<=31).
+
+    For length <= 8 this is one table gather (returns uint16; all callers
+    upcast); longer codes fall back to the shift loop (uint64)."""
+    if length <= 8:
+        return _rc_table(length)[code.astype(np.uint16)]
     code = code.astype(np.uint64)
     out = np.zeros_like(code)
     for _ in range(length):
@@ -92,6 +141,7 @@ def extract_syncmers(
     k: int = DEFAULT_K,
     w: int = DEFAULT_W,
     seed: int = DEFAULT_SEED,
+    threads: int = 1,
 ):
     """Positions + canonical ids of closed syncmers in `seq`.
 
@@ -99,7 +149,27 @@ def extract_syncmers(
     identifies the canonical (w+k)-syncmer (via paired hashes of the two
     outermost k-mers — collision-safe enough for anchoring) and `fwd` is True
     when the forward orientation is canonical.
+
+    Uses the native kernel (native/syncmer.cpp, bit-exact, optionally
+    threaded) when available; `extract_syncmers_numpy` is the oracle and
+    fallback.
     """
+    if k <= 16:
+        from impg_tpu.io import native as native_mod
+
+        res = native_mod.extract_syncmers_native(seq, k, w, seed, threads)
+        if res is not None:
+            return res
+    return extract_syncmers_numpy(seq, k, w, seed)
+
+
+def extract_syncmers_numpy(
+    seq: bytes,
+    k: int = DEFAULT_K,
+    w: int = DEFAULT_W,
+    seed: int = DEFAULT_SEED,
+):
+    """Pure-numpy extraction (the semantics oracle for the native kernel)."""
     codes = encode_bases(seq)
     kcodes, kvalid = _kmer_codes(codes, k)
     if kcodes.size < w + 1:
@@ -112,9 +182,12 @@ def extract_syncmers(
     hashes = np.where(kvalid, hashes, np.uint32(0xFFFFFFFF))
     # Window of w+1 inner k-mers per syncmer start.
     sel = _windowed_argmin_at_ends(hashes, w + 1)
-    # All bases in the syncmer must be valid ACGT.
-    valid_kmer_win = np.lib.stride_tricks.sliding_window_view(kvalid, w + 1)
-    sel &= valid_kmer_win.all(axis=1)
+    # All bases in the syncmer must be valid ACGT (windowed all == count
+    # of valid k-mers in the window equals w+1, via one prefix sum).
+    w1 = w + 1
+    cnt = np.zeros(kvalid.size + 1, np.int32)
+    np.cumsum(kvalid, out=cnt[1:])
+    sel &= (cnt[w1:] - cnt[: cnt.size - w1]) == w1
     positions = np.nonzero(sel)[0].astype(np.int64)
     if positions.size == 0:
         return positions, np.zeros(0, np.uint64), np.zeros(0, bool)

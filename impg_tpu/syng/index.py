@@ -94,12 +94,18 @@ class SyngIndex:
         k: int = syncmer_mod.DEFAULT_K,
         w: int = syncmer_mod.DEFAULT_W,
         seed: int = syncmer_mod.DEFAULT_SEED,
+        threads: int = 1,
     ) -> "SyngIndex":
         seq_index = SequenceIndex()
         ids_parts, seq_parts, pos_parts, fwd_parts = [], [], [], []
+        # `threads` parallelizes INSIDE the native extraction kernel
+        # (native/syncmer.cpp phase threads, no GIL) — the reference's
+        # 4-thread build headline conditions (README.md:315).
         for name, seq in sequences:
             sid = seq_index.get_or_insert_id(name, len(seq))
-            positions, ids, fwd = syncmer_mod.extract_syncmers(seq, k, w, seed)
+            positions, ids, fwd = syncmer_mod.extract_syncmers(
+                seq, k, w, seed, threads=threads
+            )
             ids_parts.append(ids)
             seq_parts.append(np.full(ids.size, sid, np.int32))
             pos_parts.append(positions)

@@ -64,6 +64,33 @@ def test_syncmer_skips_N_runs():
         assert p + 63 <= 200 or p >= 300
 
 
+def test_syncmer_native_matches_numpy_oracle():
+    """native/syncmer.cpp must be bit-exact vs the numpy pipeline
+    (indexes built by either path interoperate)."""
+    from impg_tpu.io import native as native_mod
+
+    if native_mod.load() is None:
+        pytest.skip("native library unavailable")
+    rng = random.Random(11)
+    for _ in range(25):
+        n = rng.randint(0, 2500)
+        seq = "".join(
+            rng.choice("ACGTacgtNn-")
+            if rng.random() < 0.02
+            else rng.choice("ACGT")
+            for _ in range(n)
+        ).encode()
+        k = rng.choice([4, 8, 11, 16])
+        w = rng.choice([5, 20, 55])
+        seed = rng.randint(0, 100)
+        threads = rng.choice([1, 4])
+        nat = native_mod.extract_syncmers_native(seq, k, w, seed, threads)
+        exp = syncmer.extract_syncmers_numpy(seq, k, w, seed)
+        assert np.array_equal(nat[0], exp[0]), (n, k, w, seed)
+        assert np.array_equal(nat[1], exp[1]), (n, k, w, seed)
+        assert np.array_equal(nat[2], exp[2]), (n, k, w, seed)
+
+
 @pytest.fixture(scope="module")
 def chain_fixture(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("syng")
