@@ -2078,8 +2078,15 @@ def cmd_graph_report(args) -> int:
     else:
         with open(args.gfa) as fh:
             text = fh.read()
-    g = gfa_mod.Gfa.parse(text)
-    rep = gfa_mod.report(g)
+    # Columnar fast path: native tokenize + vectorized metrics (same dict
+    # as the legacy report(Gfa) oracle); dict-model parse only as fallback.
+    from impg_tpu.graph.gfa_columns import parse_gfa_columns, report_columns
+
+    gc = parse_gfa_columns(text)
+    if gc is not None:
+        rep = report_columns(gc)
+    else:
+        rep = gfa_mod.report(gfa_mod.Gfa.parse(text))
     if args.flubbles:
         from impg_tpu.graph import bubbles as bubbles_mod
 

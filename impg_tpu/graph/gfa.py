@@ -27,6 +27,23 @@ class Gfa:
 
     @classmethod
     def parse(cls, text: str) -> "Gfa":
+        # Native tokenizer fast path (graph/gfa_columns.py); the line loop
+        # below is the semantics oracle and fallback.
+        try:
+            from impg_tpu.graph.gfa_columns import parse_gfa_columns
+
+            gc = parse_gfa_columns(text)
+        except ValueError:
+            raise
+        except Exception:
+            gc = None
+        if gc is not None:
+            return gc.to_gfa()
+        return cls.parse_python(text)
+
+    @classmethod
+    def parse_python(cls, text: str) -> "Gfa":
+        """Pure-Python parse (the oracle for the native tokenizer)."""
         g = cls()
         for line in text.splitlines():
             if not line or line.startswith("#"):

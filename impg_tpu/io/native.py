@@ -21,7 +21,7 @@ _load_attempted = False
 
 
 def _build() -> bool:
-    srcs = [os.path.join(_NATIVE_DIR, f) for f in ("paf_parser.cpp", "poa.cpp", "align.cpp", "seqwish_uf.cpp", "gbwt.cpp", "seqwish_emit.cpp", "visited.cpp", "syncmer.cpp")]
+    srcs = [os.path.join(_NATIVE_DIR, f) for f in ("paf_parser.cpp", "poa.cpp", "align.cpp", "seqwish_uf.cpp", "gbwt.cpp", "seqwish_emit.cpp", "visited.cpp", "syncmer.cpp", "gfa_parser.cpp")]
     if not all(os.path.exists(s) for s in srcs):
         return False
     try:
@@ -48,7 +48,7 @@ def load():
     if not os.path.exists(_SO_PATH) or (
         os.path.exists(os.path.join(_NATIVE_DIR, "paf_parser.cpp"))
         and os.path.getmtime(_SO_PATH)
-        < max(os.path.getmtime(os.path.join(_NATIVE_DIR, f)) for f in ("paf_parser.cpp", "poa.cpp", "align.cpp", "seqwish_uf.cpp", "gbwt.cpp", "seqwish_emit.cpp", "visited.cpp", "syncmer.cpp"))
+        < max(os.path.getmtime(os.path.join(_NATIVE_DIR, f)) for f in ("paf_parser.cpp", "poa.cpp", "align.cpp", "seqwish_uf.cpp", "gbwt.cpp", "seqwish_emit.cpp", "visited.cpp", "syncmer.cpp", "gfa_parser.cpp"))
     ):
         if not _build():
             return None
@@ -109,6 +109,9 @@ def load():
     ]
     lib.uf_find_all.restype = None
     lib.uf_find_all.argtypes = [ctypes.c_void_p, i64p, u8p, ctypes.c_int64]
+    lib.uf_union_pairs.restype = None
+    lib.uf_union_pairs.argtypes = [ctypes.c_void_p, i64p, i64p,
+                                   ctypes.c_int64]
 
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
@@ -129,6 +132,45 @@ def load():
         ctypes.c_void_p, i32p, u64p, ctypes.c_int64, ctypes.c_int64,
         i32p, i64p, i8p, ctypes.c_int64,
     ]
+
+    lib.impg_gfa_parse.restype = ctypes.c_void_p
+    lib.impg_gfa_parse.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    lib.impg_gfa_error.restype = ctypes.c_char_p
+    lib.impg_gfa_error.argtypes = [ctypes.c_void_p]
+    lib.impg_gfa_header.restype = ctypes.c_char_p
+    lib.impg_gfa_header.argtypes = [ctypes.c_void_p]
+    for name in (
+        "impg_gfa_n_names", "impg_gfa_names_size", "impg_gfa_n_segs",
+        "impg_gfa_seq_size", "impg_gfa_n_links", "impg_gfa_n_paths",
+        "impg_gfa_path_names_size", "impg_gfa_n_steps",
+    ):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_void_p]
+    for name, restype in {
+        "impg_gfa_name_offsets": ctypes.POINTER(ctypes.c_int64),
+        "impg_gfa_seg_name_idx": ctypes.POINTER(ctypes.c_int32),
+        "impg_gfa_seq_offsets": ctypes.POINTER(ctypes.c_int64),
+        "impg_gfa_link_a": ctypes.POINTER(ctypes.c_int32),
+        "impg_gfa_link_b": ctypes.POINTER(ctypes.c_int32),
+        "impg_gfa_link_a_rev": ctypes.POINTER(ctypes.c_int8),
+        "impg_gfa_link_b_rev": ctypes.POINTER(ctypes.c_int8),
+        "impg_gfa_path_name_offsets": ctypes.POINTER(ctypes.c_int64),
+        "impg_gfa_path_is_walk": ctypes.POINTER(ctypes.c_int8),
+        "impg_gfa_path_off": ctypes.POINTER(ctypes.c_int64),
+        "impg_gfa_step_name_idx": ctypes.POINTER(ctypes.c_int32),
+        "impg_gfa_step_rev": ctypes.POINTER(ctypes.c_int8),
+    }.items():
+        fn = getattr(lib, name)
+        fn.restype = restype
+        fn.argtypes = [ctypes.c_void_p]
+    for name in ("impg_gfa_names_buf", "impg_gfa_seq_buf",
+                 "impg_gfa_path_names_buf"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.POINTER(ctypes.c_char)
+        fn.argtypes = [ctypes.c_void_p]
+    lib.impg_gfa_free.restype = None
+    lib.impg_gfa_free.argtypes = [ctypes.c_void_p]
 
     lib.sx_extract.restype = ctypes.c_void_p
     lib.sx_extract.argtypes = [
@@ -174,6 +216,69 @@ def extract_syncmers_native(
         )
     finally:
         lib.sx_free(h)
+
+
+def parse_gfa_native(data: bytes) -> Optional[dict]:
+    """Tokenize a GFA buffer natively into columnar arrays, or None when
+    the library is unavailable.  Raises ValueError on a bad W walk."""
+    lib = load()
+    if lib is None or not hasattr(lib, "impg_gfa_parse"):
+        return None
+    h = lib.impg_gfa_parse(data, len(data))
+    try:
+        err = lib.impg_gfa_error(h)
+        if err:
+            raise ValueError(err.decode())
+        n_names = int(lib.impg_gfa_n_names(h))
+        n_segs = int(lib.impg_gfa_n_segs(h))
+        n_links = int(lib.impg_gfa_n_links(h))
+        n_paths = int(lib.impg_gfa_n_paths(h))
+        n_steps = int(lib.impg_gfa_n_steps(h))
+        header = lib.impg_gfa_header(h)
+        return dict(
+            header=header.decode() if header else "",
+            names_blob=ctypes.string_at(
+                lib.impg_gfa_names_buf(h), int(lib.impg_gfa_names_size(h))
+            ),
+            name_offsets=_as_array(
+                lib.impg_gfa_name_offsets(h), n_names + 1, np.int64
+            ),
+            seg_name_idx=_as_array(
+                lib.impg_gfa_seg_name_idx(h), n_segs, np.int32
+            ),
+            seq_blob=ctypes.string_at(
+                lib.impg_gfa_seq_buf(h), int(lib.impg_gfa_seq_size(h))
+            ),
+            seq_offsets=_as_array(
+                lib.impg_gfa_seq_offsets(h), n_segs + 1, np.int64
+            ),
+            link_a=_as_array(lib.impg_gfa_link_a(h), n_links, np.int32),
+            link_b=_as_array(lib.impg_gfa_link_b(h), n_links, np.int32),
+            link_a_rev=_as_array(
+                lib.impg_gfa_link_a_rev(h), n_links, np.int8
+            ),
+            link_b_rev=_as_array(
+                lib.impg_gfa_link_b_rev(h), n_links, np.int8
+            ),
+            path_names_blob=ctypes.string_at(
+                lib.impg_gfa_path_names_buf(h),
+                int(lib.impg_gfa_path_names_size(h)),
+            ),
+            path_name_offsets=_as_array(
+                lib.impg_gfa_path_name_offsets(h), n_paths + 1, np.int64
+            ),
+            path_is_walk=_as_array(
+                lib.impg_gfa_path_is_walk(h), n_paths, np.int8
+            ),
+            path_off=_as_array(lib.impg_gfa_path_off(h), n_paths + 1,
+                               np.int64),
+            step_name_idx=_as_array(
+                lib.impg_gfa_step_name_idx(h), n_steps, np.int32
+            ),
+            step_rev=_as_array(lib.impg_gfa_step_rev(h), n_steps, np.int8),
+        )
+    finally:
+        lib.impg_gfa_free(h)
 
 
 def parse_paf_bytes_native(data: bytes, require_cigar: bool = True) -> Optional[dict]:

@@ -83,6 +83,16 @@ void uf_union_runs(void *h, const int64_t *a_start, const int8_t *a_dir,
   }
 }
 
+// Plain pairwise unions (parity 0) — connected components over edge lists
+// (graph report, GFA utilities).
+void uf_union_pairs(void *h, const int64_t *a, const int64_t *b,
+                    int64_t n_pairs) {
+  Uf *uf = static_cast<Uf *>(h);
+  for (int64_t i = 0; i < n_pairs; i++) {
+    do_union(uf, a[i], b[i], 0);
+  }
+}
+
 void uf_find_all(void *h, int64_t *roots, uint8_t *orient, int64_t n) {
   Uf *uf = static_cast<Uf *>(h);
   for (int64_t i = 0; i < n; i++) {

@@ -376,3 +376,64 @@ def test_w_line_parse_write_roundtrip():
     out2 = sorted_g.write()
     assert sum(1 for l in out2.splitlines() if l.startswith("W\t")) == 2
     assert Gfa.parse(out2).paths[0][0] == "hg002#1#chr1:0-6"
+
+
+def test_native_gfa_parse_matches_python_oracle():
+    """Native tokenizer + to_gfa must reproduce Gfa.parse_python exactly,
+    and report_columns must reproduce report(Gfa)."""
+    import random
+
+    from impg_tpu.graph.gfa import report
+    from impg_tpu.graph.gfa_columns import (
+        parse_gfa_columns,
+        report_columns,
+    )
+
+    rng = random.Random(23)
+    for trial in range(20):
+        lines = []
+        if rng.random() < 0.8:
+            lines.append("H\tVN:Z:1.0")
+        n = rng.randint(0, 30)
+        for i in range(1, n + 1):
+            name = str(i) if rng.random() < 0.7 else f"node{i}"
+            seq = "".join(
+                rng.choice("ACGT") for _ in range(rng.randint(0, 12))
+            )
+            lines.append(f"S\t{name}\t{seq}")
+        for _ in range(rng.randint(0, 30)):
+            a, b = rng.randint(1, n + 3), rng.randint(1, n + 3)
+            lines.append(
+                f"L\t{a}\t{rng.choice('+-')}\t{b}\t{rng.choice('+-')}\t0M"
+            )
+        for pi in range(rng.randint(0, 6)):
+            steps = ",".join(
+                f"{rng.randint(1, n + 2)}{rng.choice('+-')}"
+                for _ in range(rng.randint(0, 20))
+            )
+            lines.append(f"P\tp{pi}\t{steps}\t*")
+        for wi in range(rng.randint(0, 2)):
+            walk = "".join(
+                f"{rng.choice('><')}{rng.randint(1, n + 2)}"
+                for _ in range(rng.randint(0, 8))
+            )
+            lines.append(f"W\ts{wi}\t1\tchr1\t0\t100\t{walk}")
+        for _ in range(rng.randint(0, 3)):
+            lines.append(
+                rng.choice(
+                    ["S\tonly", "L\t1\t+\t2\t-", "# c", "", "X\tz", "P\tnm"]
+                )
+            )
+        rng.shuffle(lines)
+        text = "\n".join(lines) + ("\n" if rng.random() < 0.7 else "")
+        a = Gfa.parse_python(text)
+        gc = parse_gfa_columns(text)
+        if gc is None:
+            return  # native library unavailable
+        b = gc.to_gfa()
+        assert a.segments == b.segments
+        assert a.links == b.links
+        assert a.paths == b.paths
+        assert a.header == b.header
+        assert a.walk_names == b.walk_names
+        assert report(a) == report_columns(gc)
