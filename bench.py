@@ -125,12 +125,68 @@ def bench_host(index, batches, budget_s: float = 60.0):
     return done / (time.perf_counter() - t0)
 
 
+def bench_headlines():
+    """Reference-headline side metrics: C4-scale syng build (README.md:315
+    ~80 ms @ 4 threads) and native GFA tokenize rate (crush parse,
+    docs/crush-perf-report.md ~115 MiB in 50 ms)."""
+    import numpy as np_
+
+    rng = random.Random(5)
+    base = "".join(rng.choice("ACGT") for _ in range(77_000))
+    seqs = []
+    for i in range(90):
+        b = list(base)
+        for _ in range(300):
+            p = rng.randrange(len(b))
+            b[p] = rng.choice("ACGT")
+        seqs.append((f"hap{i}#1#chr1", "".join(b).encode()))
+    from impg_tpu.syng.index import SyngIndex
+
+    SyngIndex.build(seqs[:4], threads=4)  # warm (native lib load)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        SyngIndex.build(seqs, threads=4)
+        ts.append(time.perf_counter() - t0)
+    syng_ms = min(ts) * 1e3
+
+    lines = ["H\tVN:Z:1.0"]
+    n_nodes = 120_000
+    g2 = np_.random.default_rng(1)
+    for i in range(1, n_nodes + 1):
+        lines.append(f"S\t{i}\t" + "A" * int(g2.integers(8, 128)))
+    for i in range(1, n_nodes):
+        lines.append(f"L\t{i}\t+\t{i+1}\t+\t0M")
+    ids = np_.arange(1, n_nodes + 1)
+    for p in range(20):
+        steps = ",".join(f"{i}+" for i in ids[p::7][:15_000])
+        lines.append(f"P\tpath{p}\t{steps}\t*")
+    raw = ("\n".join(lines) + "\n").encode()
+    from impg_tpu.io import native as native_mod
+
+    lib = native_mod.load()
+    gfa_mibs = None
+    if lib is not None and hasattr(lib, "impg_gfa_parse"):
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            h = lib.impg_gfa_parse(raw, len(raw))
+            dt2 = time.perf_counter() - t0
+            lib.impg_gfa_free(h)
+            best = dt2 if best is None else min(best, dt2)
+        gfa_mibs = len(raw) / 2**20 / best
+    return round(syng_ms, 1), (
+        round(gfa_mibs, 1) if gfa_mibs is not None else None
+    )
+
+
 def main():
     index, batches = build_workload()
     qps_device, rows, dt = bench_device(index, batches)
     index.ensure_tracepoints(100)
     qps_approx, _, _ = bench_device(index, batches, approximate=True)
     qps_host = bench_host(index, batches)
+    syng_build_ms, gfa_parse_mibs = bench_headlines()
     result = {
         "metric": "transitive_queries_per_sec_per_chip",
         "value": round(qps_device, 2),
@@ -146,6 +202,8 @@ def main():
             "result_rows_per_sec": round(rows / dt, 2),
             "host_engine_qps": round(qps_host, 2),
             "approximate_mode_qps": round(qps_approx, 2),
+            "syng_build_ms_c4_scale_4t": syng_build_ms,
+            "gfa_native_tokenize_mib_s": gfa_parse_mibs,
         },
     }
     print(json.dumps(result))
