@@ -89,7 +89,14 @@ class DeviceIndex:
         tp_arrays = None
         tp_spacing = 0
         if with_tracepoints:
-            tp = index.ensure_tracepoints()
+            # Reuse the index's cached arena whatever its spacing — calling
+            # ensure_tracepoints() with the default would silently REBUILD
+            # a differently-spaced arena and diverge from host-side steps.
+            tp = (
+                index.tp
+                if index.tp is not None
+                else index.ensure_tracepoints()
+            )
             tp_spacing = tp.spacing
             tp_arrays = dict(
                 seg_off=jnp.asarray(tp.seg_off.astype(np.int32)),
@@ -340,12 +347,26 @@ def _project_approx_device(
         q_pos = jnp.take(qb, off + i)
         q_next = jnp.take(qb, off + i + 1)
         q_delta = q_next - q_pos
-        t_delta = jnp.maximum(seg_e - seg_s, 1)
-        advance = jnp.round(
-            (overlap_pos - seg_s).astype(jnp.float32)
-            * q_delta.astype(jnp.float32)
-            / t_delta.astype(jnp.float32)
-        ).astype(jnp.int32)
+        t_delta = seg_e - seg_s
+        t = jnp.maximum(t_delta, 1)
+        od = overlap_pos - seg_s  # in [0, t_delta]
+        # Exact integer round-half-to-even of od * q_delta / t — bit-equal
+        # to the host's f64 np.round (x64 is off under jit, so f64 isn't
+        # available on device; f32 rounds differently near halves).
+        # Split |q_delta| = (|q_delta| // t) * t + rem so every product
+        # stays below 2^31 (od, rem <= t <= spacing).
+        mag = jnp.abs(q_delta)
+        sign = jnp.where(q_delta < 0, -1, 1)
+        base = (mag // t) * od
+        rem = mag - (mag // t) * t
+        p2 = rem * od
+        q2 = p2 // t
+        r2 = p2 - q2 * t
+        floor_total = base + q2
+        half = 2 * r2
+        add = (half > t) | ((half == t) & ((floor_total & 1) == 1))
+        advance = sign * (floor_total + add.astype(jnp.int32))
+        advance = jnp.where(t_delta > 0, advance, 0)
         lo = jnp.minimum(q0, qe)
         hi = jnp.maximum(q0, qe)
         return jnp.clip(q_pos + advance, lo, hi)

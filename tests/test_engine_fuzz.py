@@ -130,6 +130,39 @@ def test_container_ingest_exactness(fmt, tmp_path):
         assert a == b, nm
 
 
+def test_device_reuses_cached_tracepoint_spacing(tmp_path):
+    """DeviceEngine must reuse the index's cached tracepoint arena —
+    rebuilding at the default spacing silently diverged device
+    approximate results from host steps built at a custom spacing."""
+    rng = random.Random(1001)
+    text, seqs, alns = datagen.pangenome_paf(
+        rng, n_seqs=2, seq_len=3000, cross_links=0
+    )
+    paf = str(tmp_path / "sp.paf")
+    with open(paf, "w") as fh:
+        fh.write(text)
+    index = load_or_build([paf])
+    index.ensure_tracepoints(50)
+    from impg_tpu.query.device import DeviceEngine
+
+    dev = DeviceEngine(index, chunk=16, with_tracepoints=True)
+    assert dev.dindex.tp_spacing == 50
+    targets = [
+        (index.seq_index.get_id(nm), 70, min(1200, L))
+        for nm, L in seqs.items()
+    ]
+    host = engine.query_transitive_bfs_many(
+        index, targets, max_depth=1, approximate=True
+    )
+    devr = engine.query_transitive_bfs_many(
+        index, targets, max_depth=1, approximate=True,
+        device_engine=dev, columnar=True,
+    )
+    assert [
+        _rows_key(index, b.to_rows()) for b in devr
+    ] == [_rows_key(index, r) for r in host]
+
+
 def test_single_walk_matches_legacy_oracle(tmp_path):
     """query_transitive_bfs (now routed through the many-walk engine)
     matches the retired standalone implementation, masked regions
