@@ -1997,7 +1997,10 @@ def cmd_sort(args) -> int:
         with open(args.gfa) as fh:
             text = fh.read()
     try:
-        out_text = sortgfa_mod.sort_pipeline(text, args.pipeline)
+        out_text = sortgfa_mod.sort_pipeline(
+            text, args.pipeline,
+            sgd_backend=getattr(args, "sgd_backend", "auto"),
+        )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
@@ -2804,6 +2807,13 @@ def build_parser() -> argparse.ArgumentParser:
     p_srt.add_argument(
         "--pipeline", default="Ygs",
         help="Steps: Y = path-SGD, g = groom, s = topological (default Ygs)",
+    )
+    p_srt.add_argument(
+        "--sgd-backend", default="auto",
+        choices=["auto", "numpy", "jax"],
+        help="Path-SGD engine: jax = jitted device epoch loop (one "
+        "lax.fori_loop of scatter-add batches), numpy = host, auto = "
+        "device only when update volume amortizes compile",
     )
     p_srt.add_argument("--output", help="Output GFA (default stdout)")
     p_srt.set_defaults(func=cmd_sort)

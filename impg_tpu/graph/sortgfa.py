@@ -48,8 +48,15 @@ def path_sgd_order(
     eta_max: float | None = None,
     eta_min: float = 0.01,
     rng: np.random.Generator | None = None,
+    backend: str = "auto",
 ) -> list[str]:
-    """Segment ids ordered by the converged 1D path-SGD layout."""
+    """Segment ids ordered by the converged 1D path-SGD layout.
+
+    `backend`: "numpy", "jax" (the whole annealed epoch loop jitted as one
+    lax.fori_loop of scatter-add batches — the accelerator form of the
+    layout), or "auto" (device when the total update volume is large
+    enough to amortize dispatch).
+    """
     sids = list(gfa.segments)
     n = len(sids)
     if n <= 1 or not gfa.paths:
@@ -83,6 +90,24 @@ def path_sgd_order(
     lam = np.log(eta_max / max(eta_min, 1e-9)) / max(epochs - 1, 1)
 
     batch = n_steps * batch_per_step
+    # auto: the device loop wins ~1.8x warm, but first compile costs
+    # minutes through a remote-compile link — only amortized when the
+    # update volume is huge (one-shot CLI runs stay on numpy).
+    use_jax = backend == "jax" or (
+        backend == "auto" and batch * epochs >= 500_000_000
+    )
+    if use_jax:
+        try:
+            x = _sgd_epochs_jax(
+                x, step_node, step_pos, pstart, pend, epochs, batch,
+                float(eta_max), float(lam),
+            )
+            order = sorted(range(n), key=lambda k: (x[k], k))
+            return [sids[k] for k in order]
+        except Exception:
+            if backend == "jax":
+                raise
+            # auto: fall back to the numpy loop
     for t in range(epochs):
         eta = eta_max * np.exp(-lam * t)
         i = rng.integers(0, n_steps, batch)
@@ -118,6 +143,74 @@ def path_sgd_order(
 
     order = sorted(range(n), key=lambda k: (x[k], k))
     return [sids[k] for k in order]
+
+
+def _sgd_epochs_jax(
+    x0, step_node, step_pos, pstart, pend, epochs, batch, eta_max, lam
+) -> np.ndarray:
+    """The annealed SGD epoch loop as ONE jitted lax.fori_loop: per epoch,
+    sample batch step pairs, compute Jacobi-averaged pulls, scatter-add.
+    Same math as the numpy loop (f32 on device; its own RNG stream — the
+    layout is a stochastic heuristic, not a bit-exact artifact)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax import random as jrandom
+
+    try:
+        jax.devices()
+    except RuntimeError:
+        # Configured platform unavailable (e.g. env names a TPU plugin
+        # that was never registered): auto-choose (cli.py convention).
+        jax.config.update("jax_platforms", "")
+
+    n_steps = int(step_node.size)
+    sn = jnp.asarray(step_node.astype(np.int32))
+    sp = jnp.asarray(step_pos.astype(np.float32))
+    ps = jnp.asarray(pstart.astype(np.int32))
+    pe = jnp.asarray(pend.astype(np.int32))
+    x = jnp.asarray(x0.astype(np.float32))
+    log_n = float(np.log(n_steps))
+
+    @jax.jit
+    def run(x):
+        def epoch(t, state):
+            x, key = state
+            key, k1, k2, k3 = jrandom.split(key, 4)
+            eta = eta_max * jnp.exp(-lam * t.astype(jnp.float32))
+            i = jrandom.randint(k1, (batch,), 0, n_steps, jnp.int32)
+            off = jnp.ceil(
+                jnp.exp(
+                    jrandom.uniform(
+                        k2, (batch,), jnp.float32, 0.0, log_n
+                    )
+                )
+            ).astype(jnp.int32)
+            sign = jnp.where(
+                jrandom.uniform(k3, (batch,)) < 0.5, -1, 1
+            ).astype(jnp.int32)
+            j = jnp.clip(i + sign * off, ps[i], pe[i] - 1)
+            valid = (i != j).astype(jnp.float32)
+            a, b = sn[i], sn[j]
+            d = jnp.maximum(jnp.abs(sp[i] - sp[j]), 1e-9)
+            w = 1.0 / (d * d)
+            mu = jnp.minimum(eta * w, 1.0)
+            diff = x[a] - x[b]
+            mag = jnp.abs(diff)
+            cur = jnp.where(mag > 1e-9, mag, 1e-9)
+            r = (cur - d) / (2.0 * cur) * (mag > 1e-9)
+            dx = mu * r * diff * valid
+            zero = jnp.zeros_like(x)
+            acc = zero.at[a].add(dx).at[b].add(-dx)
+            cnt = zero.at[a].add(valid).at[b].add(valid)
+            return (x - acc / jnp.maximum(cnt, 1.0), key)
+
+        x, _ = lax.fori_loop(
+            0, epochs, epoch, (x, jrandom.PRNGKey(42))
+        )
+        return x
+
+    return np.asarray(run(x)).astype(np.float64)
 
 
 def groom(gfa: Gfa) -> Gfa:
@@ -204,7 +297,9 @@ def _topo_priority(gfa: Gfa) -> Gfa:
     return out
 
 
-def sort_pipeline(gfa_text: str, pipeline: str = "Ygs") -> str:
+def sort_pipeline(
+    gfa_text: str, pipeline: str = "Ygs", sgd_backend: str = "auto"
+) -> str:
     """Apply the gfasort-style pipeline: Y = path-SGD order, g = groom,
     s = priority topological sort (+ renumber).  Unknown steps error."""
     gfa = Gfa.parse(gfa_text)
@@ -212,7 +307,7 @@ def sort_pipeline(gfa_text: str, pipeline: str = "Ygs") -> str:
         return gfa_text
     for c in pipeline:
         if c == "Y":
-            order = path_sgd_order(gfa)
+            order = path_sgd_order(gfa, backend=sgd_backend)
             rank = {sid: k for k, sid in enumerate(order)}
             gfa.segments = dict(
                 sorted(gfa.segments.items(), key=lambda kv: rank[kv[0]])

@@ -45,6 +45,17 @@ def test_path_sgd_recovers_linear_order():
     assert rho > 0.99, rho
 
 
+def test_path_sgd_jax_backend_recovers_linear_order():
+    """The jitted device epoch loop converges to the same layout class
+    (own RNG stream; layout quality, not bit equality, is the contract)."""
+    text, ids = _chain_gfa()
+    order = path_sgd_order(Gfa.parse(text), backend="jax")
+    true_rank = {s: i for i, s in enumerate(ids)}
+    got = [true_rank[s] for s in order]
+    rho = np.corrcoef(got, range(len(ids)))[0, 1]
+    assert rho > 0.99, rho
+
+
 def test_groom_flips_reverse_majority_preserving_spelling():
     g = Gfa.parse(
         "H\tVN:Z:1.0\nS\ta\tACGT\nS\tb\tGG\n"
