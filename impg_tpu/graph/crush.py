@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from impg_tpu.graph import lace as lace_mod
 from impg_tpu.graph import poa as poa_mod
 from impg_tpu.graph.gfa import Gfa
 from impg_tpu.io.fasta import reverse_complement
@@ -35,6 +34,11 @@ class CrushStats:
     bp_before: int = 0
     bp_after: int = 0
     excluded_paths: int = 0  # paths whose walk disagreed (e.g. inversions)
+
+
+# Per-node charge in the region-acceptance cost (bp-equivalent overhead
+# of one more segment: S-line + links + step bookkeeping downstream).
+_NODE_COST = 8
 
 
 def _step_seq(gfa: Gfa, step) -> bytes:
@@ -160,156 +164,121 @@ def crush_gfa(
         if len(anchors) < 2 or stats.excluded_paths:
             break
         anchor_set = set(anchors)
-        anchor_rank = {st: i for i, st in enumerate(anchors)}
 
-        # Per path: positions of anchors + bp offsets.
-        # Build per-path slices between consecutive anchors (inclusive of the
-        # anchors themselves so blocks lace contiguously).
-        n_bubbles = 0
-        changed = False
-        # Region id = anchor rank i (between anchors[i] and anchors[i+1]).
-        region_paths: dict[int, list[tuple[str, int, bytes, tuple]]] = {}
-
-        for name, steps in gfa.paths:
-            pos = 0
-            cur_anchor = None
-            cur_start = 0
-            cur_seq: list[bytes] = []
-            cur_walk: list = []
-            for st in steps:
-                piece = _step_seq(gfa, st)
-                if st in anchor_set:
-                    if cur_anchor is not None:
-                        rid = anchor_rank[cur_anchor]
-                        region_paths.setdefault(rid, []).append(
-                            (
-                                name,
-                                cur_start,
-                                b"".join(cur_seq) + piece,
-                                tuple(cur_walk) + (st,),
-                            )
-                        )
-                    cur_anchor = st
-                    cur_start = pos
-                    cur_seq = [piece]
-                    cur_walk = [st]
-                elif cur_anchor is not None:
-                    cur_seq.append(piece)
-                    cur_walk.append(st)
-                pos += len(piece)
-            # Tail after last anchor + head before first anchor stay as
-            # untouched blocks per path.
-
-        # Head/tail slices (before first anchor / after last) per path.
-        extra_blocks: list[tuple[str, int, bytes]] = []
-        for name, steps in gfa.paths:
-            pos = 0
-            first_anchor_at = None
-            last_anchor_end = None
-            for st in steps:
-                piece_len = len(gfa.segments[st[0]])
-                if st in anchor_set:
-                    if first_anchor_at is None:
-                        first_anchor_at = pos
-                    last_anchor_end = pos + piece_len
-                pos += piece_len
-            total = pos
-            if first_anchor_at is None:
-                extra_blocks.append(
-                    (name, 0, b"".join(_step_seq(gfa, st) for st in steps))
+        # Interior slices STRICTLY between consecutive anchor steps, per
+        # path: (path_idx, step_lo, step_hi, walk) where steps[lo:hi] is
+        # the allele walk (anchors stay untouched — accepted realignments
+        # SPLICE into the standing graph, the reference's path-preserving
+        # local resolution, instead of relacing the whole graph).
+        region_slices: dict[tuple, list[tuple[int, int, int, tuple]]] = {}
+        for pi, (name, steps) in enumerate(gfa.paths):
+            apos = [k for k, st in enumerate(steps) if st in anchor_set]
+            for a, b in zip(apos, apos[1:]):
+                rid = (steps[a], steps[b])
+                region_slices.setdefault(rid, []).append(
+                    (pi, a + 1, b, tuple(steps[a + 1 : b]))
                 )
-                continue
-            if first_anchor_at > 0:
-                seq = b""
-                p = 0
-                for st in steps:
-                    if p >= first_anchor_at:
-                        break
-                    seq += _step_seq(gfa, st)
-                    p += len(gfa.segments[st[0]])
-                # Include the first anchor so lace links head to body.
-                extra_blocks.append((name, 0, seq))
-            if last_anchor_end is not None and last_anchor_end < total:
-                seq = b""
-                p = 0
-                for st in steps:
-                    if p >= last_anchor_end:
-                        seq += _step_seq(gfa, st)
-                    p += len(gfa.segments[st[0]])
-                extra_blocks.append((name, last_anchor_end, seq))
 
-        block_gfas: list[str] = []
-        for rid in sorted(region_paths):
-            slices = region_paths[rid]
-            seqs = [s for _, _, s, _ in slices]
-            span = max(len(s) for s in seqs)
-            # A bubble = slices take different node walks through the region
-            # (identical-sequence walks through duplicated nodes count: those
-            # are exactly the redundancy realignment collapses).
-            distinct_walks = len({w for _, _, _, w in slices})
-            if distinct_walks > 1:
-                stats.bubbles_seen += 1
-                if span <= max_span:
-                    n_bubbles += 1
-            names = [
-                f"{n}:{start}-{start + len(s)}" for n, start, s, _ in slices
-            ]
-            if span > max_span and distinct_walks > 1:
+        next_id = 1 + max(
+            (int(s) for s in gfa.segments if s.isdigit()), default=0
+        )
+        new_segments: dict[str, str] = {}
+        splices: dict[int, list[tuple[int, int, tuple]]] = {}
+        n_bubbles = 0
+        for rid, slices in region_slices.items():
+            walks = {w for _, _, _, w in slices}
+            # A bubble = the paths take different node walks through the
+            # region (identical-sequence walks through duplicated nodes
+            # count: that redundancy is exactly what realignment collapses).
+            if len(walks) <= 1:
+                continue
+            stats.bubbles_seen += 1
+            walk_seq = {
+                w: b"".join(_step_seq(gfa, st) for st in w) for w in walks
+            }
+            uniq = sorted({s for s in walk_seq.values() if s})
+            if not uniq:
+                continue  # every allele spells empty; nothing to realign
+            span = max(len(s) for s in uniq)
+            names_u = [f"u{k}" for k in range(len(uniq))]
+            if span > max_span:
                 # Large-bubble tier (resolution.rs 3-tier dispatch role:
                 # bubbles beyond the POA budget route to pairwise
-                # induction): syncmer-anchored native pairwise alignment of
-                # the slices, seqwish-induced into the block graph — scales
-                # far beyond O(n*m) POA.
-                block_gfas.append(_induce_block(names, seqs))
-                n_bubbles += 1
+                # induction): syncmer-anchored native pairwise alignment +
+                # seqwish induction — scales far beyond O(n*m) POA.
+                block_text = _induce_block(names_u, uniq)
             else:
-                result = poa_mod.poa_align(seqs, scoring)
-                block_gfas.append(poa_mod.poa_to_gfa(result, names))
-        for name, start, seq in extra_blocks:
-            if not seq:
-                continue
-            result = poa_mod.poa_align([seq], scoring)
-            block_gfas.append(
-                poa_mod.poa_to_gfa(
-                    result, [f"{name}:{start}-{start + len(seq)}"]
-                )
+                result = poa_mod.poa_align(uniq, scoring)
+                block_text = poa_mod.poa_to_gfa(result, names_u)
+            block = Gfa.parse(block_text)
+            # Per-region do-no-harm (the reference validates resolution
+            # quality per bubble): accept only when the realignment SHRINKS
+            # the region under a combined cost — bp plus a per-node charge,
+            # so neither ballooning unrelated alleles into duplicated
+            # sequence nor shredding them into confetti nodes can win.
+            cand = (
+                sum(len(s) for s in block.segments.values())
+                + _NODE_COST * len(block.segments)
             )
+            interior_nodes = {st[0] for w in walks for st in w}
+            old = (
+                sum(len(gfa.segments[s]) for s in interior_nodes)
+                + _NODE_COST * len(interior_nodes)
+            )
+            if cand >= old:
+                continue
+            rename = {}
+            for sid, seq in block.segments.items():
+                nid = str(next_id)
+                next_id += 1
+                rename[sid] = nid
+                new_segments[nid] = seq
+            walk_of = dict(block.paths)
+            seq_new_walk: dict[bytes, tuple] = {b"": ()}
+            for k, s in enumerate(uniq):
+                seq_new_walk[s] = tuple(
+                    (rename[sid], rev) for sid, rev in walk_of[f"u{k}"]
+                )
+            for pi, lo, hi, w in slices:
+                splices.setdefault(pi, []).append(
+                    (lo, hi, seq_new_walk[walk_seq[w]])
+                )
+            n_bubbles += 1
 
-        if not block_gfas:
+        if not n_bubbles:
             break
-        new_text = lace_mod.lace_gfas(block_gfas)
-        new_g = Gfa.parse(new_text)
-        # Exact path validation (the reference's contract).  Laced paths are
-        # named `<original>:<start>-<end>`; strip the lace range to compare
-        # against the original names.
-        after = {}
-        for name, seq in spell_all(new_g).items():
-            parsed = lace_mod.split_path_name(name)
-            after[parsed[0] if parsed else name] = seq
-        want = dict(before_spell)
-        if after != want:
-            break  # refuse an invalid round; keep previous text
-        # Restore original path names (lace appended its :start-end range)
-        # so subsequent rounds and consumers see stable names.
-        renamed = []
-        for line in new_text.splitlines():
-            if line.startswith("P\t"):
-                parts = line.split("\t")
-                parsed = lace_mod.split_path_name(parts[1])
-                if parsed and parsed[0] in want:
-                    parts[1] = parsed[0]
-                renamed.append("\t".join(parts))
-            else:
-                renamed.append(line)
-        new_text = "\n".join(renamed) + "\n"
+
+        # Splice accepted regions back-to-front per path; prune nodes no
+        # path uses; regenerate links from path adjacencies (blunt 0M).
+        new_paths = []
+        for pi, (name, steps) in enumerate(gfa.paths):
+            reps = sorted(splices.get(pi, []), reverse=True)
+            steps = list(steps)
+            for lo, hi, walk in reps:
+                steps[lo:hi] = list(walk)
+            new_paths.append((name, steps))
+        ng = Gfa(header=gfa.header, walk_names=set(gfa.walk_names))
+        used = {sid for _, steps in new_paths for sid, _ in steps}
+        merged = {**gfa.segments, **new_segments}
+        ng.segments = {
+            sid: seq for sid, seq in merged.items() if sid in used
+        }
+        link_set = set()
+        for _, steps in new_paths:
+            for a, b in zip(steps, steps[1:]):
+                link_set.add((a[0], a[1], b[0], b[1]))
+        ng.links = sorted(link_set)
+        ng.paths = new_paths
+        # Exact path validation (the reference's contract): refuse an
+        # invalid round and keep the previous text.
+        if spell_all(ng) != before_spell:
+            break
+        new_text = ng.write()
         if new_text == text:
             break
-        changed = True
         stats.rounds += 1
         stats.bubbles_resolved += n_bubbles
         text = new_text
-        if not changed:
-            break
 
     final = Gfa.parse(text)
     stats.nodes_after = len(final.segments)

@@ -83,9 +83,11 @@ def test_crush_preserves_spellings_on_real_graph(tmp_path):
     rows = engine_mod.query(index, qid, 0, 3000)
     gfa = region_mod.generate_gfa(index, rows, useq)
     out, st = crush_gfa(gfa, max_rounds=2)
-    assert st.rounds >= 1
     assert _spell(out) == _spell(gfa)
-    assert st.bp_after <= st.bp_before + 50  # no runaway duplication
+    # Splice-based resolution: rounds only count when a bubble genuinely
+    # shrank, and the graph can never grow (per-region do-no-harm).
+    assert st.bp_after <= st.bp_before
+    assert st.nodes_after <= st.nodes_before
 
 
 def test_cli_crush(tmp_path):
@@ -153,8 +155,9 @@ def test_crush_large_bubble_pairwise_tier():
     from impg_tpu.syng.index import SyngIndex
 
     rng = random.Random(47)
-    # Two haplotypes sharing big flanks with a large divergent interior:
-    # the bubble interior exceeds max_span so POA would be skipped.
+    # Two haplotypes sharing flank nodes with PRIVATE near-identical mid
+    # nodes (unresolved redundancy): the interior exceeds max_span so the
+    # POA tier is skipped and pairwise induction must collapse the mids.
     left = "".join(rng.choice("ACGT") for _ in range(3000))
     right = "".join(rng.choice("ACGT") for _ in range(3000))
     mid_a = "".join(rng.choice("ACGT") for _ in range(8000))
@@ -162,17 +165,15 @@ def test_crush_large_bubble_pairwise_tier():
     for _ in range(200):
         i = rng.randrange(len(mid_b))
         mid_b[i] = rng.choice("ACGT")
-    seqs = {
-        "h1": (left + mid_a + right).encode(),
-        "h2": (left + "".join(mid_b) + right).encode(),
-    }
-    syng = SyngIndex.build(list(seqs.items()))
-    rows = []
-    for q in seqs:
-        for t in seqs:
-            if q != t:
-                rows.extend(align_mod.align_sequence_pair(syng, seqs, q, t))
-    gfa_text = seqwish.induce_graph(seqs, rows)
+    mid_b = "".join(mid_b)
+    gfa_text = (
+        "H\tVN:Z:1.0\n"
+        f"S\t1\t{left}\nS\t2\t{mid_a}\nS\t3\t{mid_b}\nS\t4\t{right}\n"
+        "L\t1\t+\t2\t+\t0M\nL\t1\t+\t3\t+\t0M\n"
+        "L\t2\t+\t4\t+\t0M\nL\t3\t+\t4\t+\t0M\n"
+        "P\th1\t1+,2+,4+\t*\nP\th2\t1+,3+,4+\t*\n"
+    )
+    _ = (seqwish, align_mod, SyngIndex)  # tier deps exercised via crush
 
     out, stats = crush_gfa(gfa_text, max_span=2000, max_rounds=2)
     g_in, g_out = Gfa.parse(gfa_text), Gfa.parse(out)
@@ -191,3 +192,56 @@ def test_crush_large_bubble_pairwise_tier():
 
     assert spell(g_out) == spell(g_in)
     assert stats.rounds >= 1
+    assert stats.bubbles_resolved >= 1
+    # The near-identical private mids must collapse into shared structure.
+    assert stats.bp_after < stats.bp_before
+
+
+def test_crush_refuses_to_balloon_unrelated_alleles():
+    """Per-region do-no-harm: when alleles share nothing, realignment
+    cannot shrink the region and crush must leave the graph untouched
+    (a global relace once exploded node counts 4x here)."""
+    rng = random.Random(3)
+    segs = {}
+    paths = {f"s{i}": [] for i in range(4)}
+    nid = [0]
+
+    def new(seq):
+        nid[0] += 1
+        segs[str(nid[0])] = seq
+        return str(nid[0])
+
+    for _ in range(60):
+        anchor = new("".join(rng.choice("ACGT") for _ in range(30)))
+        alts = [
+            new("".join(rng.choice("ACGT") for _ in range(12)))
+            for _ in range(2)
+        ]
+        for p in paths:
+            paths[p].append((anchor, False))
+            paths[p].append((rng.choice(alts), False))
+    tail = new("ACGTACGT")
+    for p in paths:
+        paths[p].append((tail, False))
+    lines = ["H\tVN:Z:1.0"]
+    for sid, s in segs.items():
+        lines.append(f"S\t{sid}\t{s}")
+    link_set = set()
+    for st in paths.values():
+        for a, b in zip(st, st[1:]):
+            link_set.add((a[0], a[1], b[0], b[1]))
+    for a, ar, b, br in sorted(link_set):
+        lines.append(
+            f"L\t{a}\t{'-' if ar else '+'}\t{b}\t{'-' if br else '+'}\t0M"
+        )
+    for p, st in paths.items():
+        lines.append(
+            f"P\t{p}\t" + ",".join(
+                f"{sid}{'-' if r else '+'}" for sid, r in st
+            ) + "\t*"
+        )
+    text = "\n".join(lines) + "\n"
+    out, st = crush_gfa(text, max_rounds=2)
+    assert _spell(out) == _spell(text)
+    assert st.nodes_after <= st.nodes_before
+    assert st.bp_after <= st.bp_before
