@@ -182,6 +182,13 @@ def crush_gfa(
         next_id = 1 + max(
             (int(s) for s in gfa.segments if s.isdigit()), default=0
         )
+        # Global per-node step-usage counts: a region may only claim the
+        # bp of nodes whose EVERY use lies inside that region's slices —
+        # shared nodes survive the splice and reclaim nothing.
+        global_use: dict[str, int] = {}
+        for _name, steps in gfa.paths:
+            for sid, _rev in steps:
+                global_use[sid] = global_use.get(sid, 0) + 1
         new_segments: dict[str, str] = {}
         splices: dict[int, list[tuple[int, int, tuple]]] = {}
         n_bubbles = 0
@@ -220,10 +227,17 @@ def crush_gfa(
                 sum(len(s) for s in block.segments.values())
                 + _NODE_COST * len(block.segments)
             )
-            interior_nodes = {st[0] for w in walks for st in w}
+            region_use: dict[str, int] = {}
+            for _pi, _lo, _hi, w in slices:
+                for sid, _rev in w:
+                    region_use[sid] = region_use.get(sid, 0) + 1
+            reclaimable = {
+                sid for sid, c in region_use.items()
+                if global_use.get(sid, 0) == c
+            }
             old = (
-                sum(len(gfa.segments[s]) for s in interior_nodes)
-                + _NODE_COST * len(interior_nodes)
+                sum(len(gfa.segments[s]) for s in reclaimable)
+                + _NODE_COST * len(reclaimable)
             )
             if cand >= old:
                 continue

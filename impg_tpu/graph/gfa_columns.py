@@ -76,11 +76,18 @@ class GfaColumns:
         g = Gfa(header=self.header or DEFAULT_HEADER)
         names = self.names
         offs = self.seq_offsets
-        blob = self.seq_blob.decode()
-        g.segments = {
-            names[i]: blob[int(offs[r]) : int(offs[r + 1])]
-            for r, i in enumerate(self.seg_name_idx.tolist())
-        }
+        if self.seq_blob.isascii():
+            blob = self.seq_blob.decode()
+            g.segments = {
+                names[i]: blob[int(offs[r]) : int(offs[r + 1])]
+                for r, i in enumerate(self.seg_name_idx.tolist())
+            }
+        else:
+            raw = self.seq_blob
+            g.segments = {
+                names[i]: raw[int(offs[r]) : int(offs[r + 1])].decode()
+                for r, i in enumerate(self.seg_name_idx.tolist())
+            }
         g.links = list(
             zip(
                 map(names.__getitem__, self.link_a.tolist()),
@@ -109,9 +116,15 @@ class GfaColumns:
 
 
 def _names_from_blob(blob: bytes, offsets: np.ndarray) -> list[str]:
-    text = blob.decode()
     offs = offsets.tolist()
-    return [text[offs[i]: offs[i + 1]] for i in range(len(offs) - 1)]
+    if blob.isascii():
+        # Byte offsets == char offsets: decode once, slice the str.
+        text = blob.decode()
+        return [text[offs[i]: offs[i + 1]] for i in range(len(offs) - 1)]
+    # Non-ASCII names: offsets are BYTE positions — slice bytes, decode each.
+    return [
+        blob[offs[i]: offs[i + 1]].decode() for i in range(len(offs) - 1)
+    ]
 
 
 def report_columns(gc: GfaColumns) -> dict:
@@ -122,6 +135,12 @@ def report_columns(gc: GfaColumns) -> dict:
     n_names = len(names)
     seg_rows = gc.seg_row_of_name()
     n_segs = gc.n_segs
+    if n_segs and np.unique(gc.seg_name_idx).size != n_segs:
+        # Duplicate S names: the dict model dedups last-wins; defer to the
+        # oracle rather than double-counting rows (degenerate inputs only).
+        from impg_tpu.graph.gfa import report
+
+        return report(gc.to_gfa())
     node_lens = gc.seg_lens().astype(np.int64)
     total_len = int(node_lens.sum())
 

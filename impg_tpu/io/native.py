@@ -206,6 +206,8 @@ def extract_syncmers_native(
     lib = load()
     if lib is None or not hasattr(lib, "sx_extract"):
         return None
+    if not isinstance(seq, bytes):
+        seq = bytes(seq)  # bytearray/memoryview callers (c_char_p arg)
     h = lib.sx_extract(seq, len(seq), k, w, seed & 0xFFFFFFFF, threads)
     try:
         n = int(lib.sx_count(h))

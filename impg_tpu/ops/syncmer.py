@@ -59,7 +59,9 @@ def _kmer_codes(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         return np.zeros(0, np.uint32), np.zeros(0, bool)
     m = n - k + 1
     invalid = codes == 255
-    cnt = np.zeros(n + 1, np.int32)
+    # Counts are bounded by n: int32 until sequences reach 2^31 bases.
+    cnt_dt = np.int64 if n >= 2**31 - 1 else np.int32
+    cnt = np.zeros(n + 1, cnt_dt)
     np.cumsum(invalid, out=cnt[1:])
     valid = (cnt[k:] - cnt[:m]) == 0
     # Zero invalid codes, then combine spans 1,2,4,... (partial tail span
@@ -185,7 +187,8 @@ def extract_syncmers_numpy(
     # All bases in the syncmer must be valid ACGT (windowed all == count
     # of valid k-mers in the window equals w+1, via one prefix sum).
     w1 = w + 1
-    cnt = np.zeros(kvalid.size + 1, np.int32)
+    cnt_dt = np.int64 if kvalid.size >= 2**31 - 1 else np.int32
+    cnt = np.zeros(kvalid.size + 1, cnt_dt)
     np.cumsum(kvalid, out=cnt[1:])
     sel &= (cnt[w1:] - cnt[: cnt.size - w1]) == w1
     positions = np.nonzero(sel)[0].astype(np.int64)

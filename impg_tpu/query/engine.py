@@ -956,10 +956,18 @@ def _bfs_many_native(
                             as_dt(np.asarray(pte[m])),
                         )
                     else:
+                        # Copy retained columns: compacted step arrays are
+                        # VIEWS into the chunk's full result matrix, and
+                        # accumulating views would pin every cap-wide
+                        # matrix until the end of the query.
                         cols = (
                             w_arr, qid, aqs, aqe, cur_tid_arr,
                             as_dt(np.asarray(pts)),
                             as_dt(np.asarray(pte)),
+                        )
+                        cols = tuple(
+                            c.copy() if c.base is not None else c
+                            for c in cols
                         )
                     for acc, col in zip(d_cols, cols):
                         acc.append(col)

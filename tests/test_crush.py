@@ -197,6 +197,31 @@ def test_crush_large_bubble_pairwise_tier():
     assert stats.bp_after < stats.bp_before
 
 
+def test_crush_shared_interior_node_not_credited():
+    """A region interior node also used OUTSIDE the region survives the
+    splice, so the do-no-harm gate must not credit its bp as reclaimed
+    (a naive gate accepted growth here)."""
+    x = "ACGTACGTAC" * 60  # 600 bp shared node
+    a1 = "TTTTTTTTTTTTTTTTTTTTTTTTTTTTTT"
+    a2 = "GGGGGGGGGGGGGGGGGGGGGGGGGGGGGG"
+    y1 = "CATCATCATCAT"
+    y2 = "GTAGTAGTAGTA"
+    text = (
+        "H\tVN:Z:1.0\n"
+        f"S\t1\t{a1}\nS\t2\t{x}\nS\t3\t{a2}\n"
+        f"S\t4\t{y1}\nS\t5\t{y2}\n"
+        "L\t1\t+\t2\t+\t0M\nL\t2\t+\t3\t+\t0M\n"
+        "L\t2\t+\t1\t+\t0M\nL\t3\t+\t4\t+\t0M\n"
+        "L\t4\t+\t5\t+\t0M\nL\t1\t+\t4\t+\t0M\n"
+        "P\tp1\t1+,2+,3+\t*\n"
+        "P\tp2\t2+,1+,4+,5+,3+\t*\n"
+    )
+    out, st = crush_gfa(text, max_rounds=2)
+    assert _spell(out) == _spell(text)
+    assert st.bp_after <= st.bp_before
+    assert st.nodes_after <= st.nodes_before
+
+
 def test_crush_refuses_to_balloon_unrelated_alleles():
     """Per-region do-no-harm: when alleles share nothing, realignment
     cannot shrink the region and crush must leave the graph untouched

@@ -378,6 +378,35 @@ def test_w_line_parse_write_roundtrip():
     assert Gfa.parse(out2).paths[0][0] == "hg002#1#chr1:0-6"
 
 
+def test_native_gfa_parse_non_ascii_names_and_dup_segments():
+    """Byte offsets into the name blob must survive non-ASCII names, and
+    duplicate S names must report like the oracle's last-wins dict."""
+    from impg_tpu.graph.gfa import report
+    from impg_tpu.graph.gfa_columns import (
+        parse_gfa_columns,
+        report_columns,
+    )
+
+    text = (
+        "H\tVN:Z:1.0\n"
+        "S\tnodé\tACGT\n"
+        "S\tzz\tGG\n"
+        "S\tdup\tAAAA\n"
+        "S\tdup\tCC\n"
+        "L\tnodé\t+\tzz\t+\t0M\n"
+        "P\tp\tnodé+,zz+,dup-\t*\n"
+    )
+    a = Gfa.parse_python(text)
+    gc = parse_gfa_columns(text)
+    if gc is None:
+        return
+    b = gc.to_gfa()
+    assert a.segments == b.segments
+    assert a.links == b.links
+    assert a.paths == b.paths
+    assert report(a) == report_columns(gc)
+
+
 def test_native_gfa_parse_matches_python_oracle():
     """Native tokenizer + to_gfa must reproduce Gfa.parse_python exactly,
     and report_columns must reproduce report(Gfa)."""
