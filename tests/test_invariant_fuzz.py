@@ -89,6 +89,53 @@ def test_partition_invariants_random(seed, tmp_path):
         )
 
 
+@pytest.mark.parametrize("seed", [7103, 7119, 7131])
+def test_bfs_dfs_coverage_equivalence_random(seed, tmp_path):
+    """At depth 1, BFS and DFS expand the same seed once, so merged
+    per-sequence coverage must agree up to visited-order slop at range
+    boundaries (the reference's transitive-integrity contract).  Deeper
+    walks are legitimately order-dependent: the visited set prunes
+    differently along BFS frontiers vs DFS branches."""
+    from impg_tpu.query import engine
+
+    rng = random.Random(seed)
+    text, seqs, alns = datagen.pangenome_paf(
+        rng, n_seqs=rng.randint(3, 7),
+        seq_len=rng.choice([4000, 12000]),
+        cross_links=rng.randint(0, 3),
+    )
+    paf = str(tmp_path / "d.paf")
+    with open(paf, "w") as fh:
+        fh.write(text)
+    index = load_or_build([paf])
+    names = list(seqs)
+    for _ in range(4):
+        nm = names[rng.randrange(len(names))]
+        L = seqs[nm]
+        s = rng.randrange(0, max(1, L - 2000))
+        tid = index.seq_index.get_id(nm)
+        rng.choice([1, 2])  # keep the seed stream stable
+        bfs = engine.query_transitive_bfs(
+            index, tid, s, s + 2000, max_depth=1
+        )
+        dfs = engine.query_transitive_dfs(
+            index, tid, s, s + 2000, max_depth=1
+        )
+
+        def cov(rows, sid):
+            out = set()
+            for r in rows:
+                if r.q_id == sid:
+                    lo, hi = sorted((r.q_first, r.q_last))
+                    out.update(range(lo, hi))
+            return out
+
+        for name in names:
+            sid = index.seq_index.get_id(name)
+            diff = cov(bfs, sid) ^ cov(dfs, sid)
+            assert len(diff) <= 128, (nm, s, name, len(diff))
+
+
 def _spell(gfa: Gfa) -> dict[str, str]:
     """Base-name -> spelled bases; NAME:START-END range paths (the lace
     convention) reassemble in range order."""
