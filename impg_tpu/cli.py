@@ -190,6 +190,43 @@ def _emit_region_format(
     out.write(text)
 
 
+def _original_length_lookup(args):
+    """Original-frame sequence lengths for `--original-sequence-coordinates`
+    PAF output (main.rs:4681 get_original_sequence_length: external
+    sequence index when available, else 0 with a warning)."""
+    if not getattr(args, "original_sequence_coordinates", False):
+        return None
+    seq_idx = None
+    if getattr(args, "sequence_files", None):
+        from impg_tpu.io.fasta import UnifiedSequenceIndex
+
+        files = []
+        for entry in args.sequence_files:
+            files.extend(x for x in entry.split(",") if x)
+        if files:
+            seq_idx = UnifiedSequenceIndex.from_files(files)
+
+    def lookup(name: str) -> int:
+        if seq_idx is None:
+            print(
+                f"warning: no sequence index provided, using 0 as length "
+                f"for sequence '{name}'",
+                file=sys.stderr,
+            )
+            return 0
+        try:
+            return seq_idx.get_sequence_length(name)
+        except (KeyError, ValueError):
+            print(
+                f"warning: sequence '{name}' not found in sequence index, "
+                f"using 0 as length",
+                file=sys.stderr,
+            )
+            return 0
+
+    return lookup
+
+
 def cmd_query(args) -> int:
     from impg_tpu.query import engine, outputs
     from impg_tpu.query.subset import SubsetFilter
@@ -436,6 +473,7 @@ def cmd_query(args) -> int:
                     name,
                     merge_distance,
                     args.original_sequence_coordinates,
+                    original_length_lookup=_original_length_lookup(args),
                 )
             elif fmt == "fasta+paf":
                 if not args.sequence_files:
@@ -461,6 +499,7 @@ def cmd_query(args) -> int:
                 outputs.write_paf(
                     index.seq_index, results, out, name, merge_distance,
                     args.original_sequence_coordinates,
+                    original_length_lookup=_original_length_lookup(args),
                 )
             elif fmt in ("fasta", "gfa", "maf", "fasta-aln", "vcf"):
                 if not args.sequence_files:

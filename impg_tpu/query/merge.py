@@ -188,6 +188,10 @@ def merge_adjusted_intervals(results: list[Row], merge_distance: int) -> list[Ro
         return results
 
     def sort_key(row: Row):
+        # PARITY NOTE: strict `<` here vs `<=` in the merge loop mirrors
+        # the reference exactly (main.rs:12567 sort vs :12598 loop) — a
+        # zero-length row sorts with the reverse partition but merges as
+        # forward, as it does there.
         query_forward = row.q_first < row.q_last
         pos = row.q_first if query_forward else row.q_last
         return (row.q_id, query_forward, pos, row.t_id, row.t_first)
@@ -229,6 +233,12 @@ def merge_adjusted_intervals(results: list[Row], merge_distance: int) -> list[Ro
             continue
 
         if q_overlap and t_overlap:
+            # PARITY NOTE: the reference computes these the same way
+            # (main.rs:12681-12692), which yields NEGATIVE values whenever
+            # q_overlap/t_overlap hold — so its `> 0` gate (and ours) never
+            # fires and the overlap-trim branch is unreachable.  Kept
+            # verbatim: bit-identical output is the contract; "fixing" the
+            # sign here would diverge from the reference.
             if q_fwd:
                 q_ov = nxt.q_first - curr.q_last
                 t_ov = nxt.t_first - curr.t_last
@@ -313,17 +323,21 @@ def merge_adjusted_intervals_gap_2d(
             x = parent[x]
         return x
 
+    # PARITY NOTE: the reverse-strand ordering/guard below (sort by
+    # -q_first, low-end qa_start/qb_start, `qb_start < qa_start` skip)
+    # mirrors the reference verbatim (main.rs:12884-12920) — in practice
+    # it only unions overlapping/nested reverse pairs, exactly as there.
     for (_, _, strand_fwd), indices in groups.items():
         indices.sort(
             key=lambda i: results[i].q_first if strand_fwd else -results[i].q_first
         )
         for a_pos, ia in enumerate(indices):
-            qa, ta = results[ia], results[ia]
+            row_a = results[ia]
             if strand_fwd:
-                qa_start, qa_end = qa.q_first, qa.q_last
+                qa_start, qa_end = row_a.q_first, row_a.q_last
             else:
-                qa_start, qa_end = qa.q_last, qa.q_first
-            ta_start, ta_end = ta.t_first, ta.t_last
+                qa_start, qa_end = row_a.q_last, row_a.q_first
+            ta_start, ta_end = row_a.t_first, row_a.t_last
             for ib in indices[a_pos + 1 :]:
                 qb = results[ib]
                 qb_start = qb.q_first if strand_fwd else qb.q_last
@@ -381,6 +395,10 @@ def merge_adjusted_intervals_gap_2d(
             t_hi = max(t_hi, row.t_last)
             if row.cigar is not None and row.cigar.size:
                 parts.append(row.cigar)
+        # PARITY NOTE: member CIGARs concatenate with no gap fill, exactly
+        # like the reference (main.rs:12987 cigar.extend_from_slice) — the
+        # gap-2d merge targets CIGAR-less rows; stats over a stitched
+        # CIGAR are best-effort there too.
         runs = (
             merge_consecutive_runs(np.concatenate(parts))
             if parts

@@ -43,6 +43,8 @@ def transform_to_original(
 
 
 def _fmt_f32(value: np.float32) -> str:
+    if np.isnan(value):
+        return "NaN"  # Rust {:.6} casing (0/0 stats on CIGAR-less rows)
     s = f"{float(value):.6f}"
     return s.rstrip("0").rstrip(".")
 
@@ -234,6 +236,10 @@ def write_region_gbwt(
 
     kwargs = {}
     if k is not None:
-        kwargs.update(k=k, w=w, seed=seed)
+        kwargs["k"] = k
+    if w is not None:
+        kwargs["w"] = w
+    if seed is not None:
+        kwargs["seed"] = seed
     region_index = SyngIndex.build(sequences, **kwargs)
     return region_index.save(prefix)
