@@ -141,8 +141,9 @@ class SyngIndex:
     def save(self, prefix: str) -> str:
         path = prefix if prefix.endswith(SYNG_SUFFIX) else prefix + SYNG_SUFFIX
         names, lengths = self.seq_index.to_arrays()
+        # np.savez appends .npz; write then rename to the bare .syngt path.
         np.savez(
-            path if path.endswith(".npz") else path + ".npz",
+            path + ".npz",
             version=np.int64(INDEX_VERSION),
             names=names.astype(str),
             lengths=lengths,
@@ -152,8 +153,7 @@ class SyngIndex:
             occ_fwd=self.occ_fwd,
             params=np.array([self.k, self.w, self.seed], np.int64),
         )
-        if not path.endswith(".npz") and os.path.exists(path + ".npz"):
-            os.replace(path + ".npz", path)
+        os.replace(path + ".npz", path)
         return path
 
     @classmethod
@@ -245,7 +245,7 @@ class SyngIndex:
             positions, ids, fwd,
             drop_top_fraction=drop_top_fraction,
             max_occurrences=max_occurrences,
-            exclude_self=None if include_self else (name, True),
+            exclude_self=None if include_self else name,
         )
 
     def occurrences_for_syncmers(
@@ -255,7 +255,7 @@ class SyngIndex:
         fwd: np.ndarray,
         drop_top_fraction: float = 0.0005,
         max_occurrences: int | None = None,
-        exclude_self: tuple[str, bool] | None = None,
+        exclude_self: str | None = None,
     ):
         """Seed-filtered occurrences for an arbitrary query syncmer set —
         the read-mapping primitive (syng.rs:4369
@@ -291,16 +291,19 @@ class SyngIndex:
             z = np.zeros(0, np.int64)
             return z, z.astype(np.int32), z, np.zeros(0, bool)
 
-        # Gather all occurrences of kept seeds.
-        total = int(counts[qsel].sum())
-        occ_idx = np.empty(total, np.int64)
-        q_of_occ = np.empty(total, np.int64)
-        at = 0
-        for qi in qsel:
-            c = int(counts[qi])
-            occ_idx[at : at + c] = np.arange(lo[qi], hi[qi])
-            q_of_occ[at : at + c] = qi
-            at += c
+        # Gather all occurrences of kept seeds (vectorized multi-slice
+        # expansion: repeat each seed's slice start, add a within-slice
+        # ramp — this sits on the hot path of every hop and mapped read).
+        kept_counts = counts[qsel].astype(np.int64)
+        total = int(kept_counts.sum())
+        q_of_occ = np.repeat(qsel.astype(np.int64), kept_counts)
+        out_off = np.zeros(qsel.size, np.int64)
+        np.cumsum(kept_counts[:-1], out=out_off[1:])
+        occ_idx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(out_off, kept_counts)
+            + np.repeat(lo[qsel].astype(np.int64), kept_counts)
+        )
 
         o_seq = self.occ_seq[occ_idx]
         o_pos = self.occ_pos[occ_idx]
@@ -309,7 +312,7 @@ class SyngIndex:
         q_abs = positions[q_of_occ]
 
         qname_id = (
-            self.seq_index.get_id(exclude_self[0]) if exclude_self else None
+            self.seq_index.get_id(exclude_self) if exclude_self else None
         )
         if qname_id is not None:
             self_hit = (o_seq == qname_id) & (o_pos == q_abs)

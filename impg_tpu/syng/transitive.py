@@ -93,24 +93,34 @@ def _sweep_chains_group(
     chains: list[list[int]] = []
     last_q: list[int] = []
     last_t: list[int] = []
+    active: list[int] = []  # chains whose last_q can still be reached
     for i in range(gq.size):
         q, t = int(gq[i]), int(gt[i])
         best = -1
         best_dev = None
-        for c in range(len(chains)):
+        still_active = []
+        for c in active:
             dq = q - last_q[c]
+            if dq > scaffold_gap:
+                # Anchors arrive in nondecreasing q: this chain can never
+                # accept another anchor — retire it (keeps repeat-dense
+                # groups near-linear instead of quadratic).
+                continue
+            still_active.append(c)
             dt = (t - last_t[c]) * tdir
-            if dq < 0 or dq > scaffold_gap or dt < 0 or dt > scaffold_gap:
+            if dq < 0 or dt < 0 or dt > scaffold_gap:
                 continue
             dev = abs(dq - dt)
             if dev > max_dev:
                 continue
             if best_dev is None or dev < best_dev:
                 best, best_dev = c, dev
+        active = still_active
         if best < 0:
             chains.append([i])
             last_q.append(q)
             last_t.append(t)
+            active.append(len(chains) - 1)
         else:
             chains[best].append(i)
             last_q[best] = q
@@ -123,8 +133,9 @@ def _sweep_chains_group(
     for c, idxs in enumerate(chains):
         qs = int(gq[idxs[0]])
         qe = int(gq[idxs[-1]]) + k
-        ts = int(gt[np.asarray(idxs)].min())
-        te = int(gt[np.asarray(idxs)].max()) + k
+        arr = np.asarray(idxs)
+        ts = int(gt[arr].min())
+        te = int(gt[arr].max()) + k
         spans.append((len(idxs), qs, qe, ts, te, c))
     spans.sort(key=lambda s: (-s[0], s[1]))
     kept: list[tuple[int, int, int, int]] = []
@@ -193,10 +204,9 @@ def chain_occurrences(
                 continue
             cq = gq[idxs]
             ct = gt[idxs]
-            ps, pe = 0, n
-            q0, q1 = int(cq[ps]), int(cq[pe - 1]) + k
-            tmin = int(ct[ps:pe].min())
-            tmax = int(ct[ps:pe].max()) + k
+            q0, q1 = int(cq[0]), int(cq[-1]) + k
+            tmin = int(ct.min())
+            tmax = int(ct.max()) + k
             # Bounded padded end extension toward the region bounds
             # (the reference's sub-identity fallback path).
             ext_l = min(extend_budget, max(q0 - start, 0))
@@ -220,10 +230,10 @@ def chain_occurrences(
                     q_end=q1,
                     strand="-" if rev else "+",
                     n_anchors=n,
-                    first_q=int(cq[ps]),
-                    first_t=int(ct[ps]),
-                    last_q=int(cq[pe - 1]),
-                    last_t=int(ct[pe - 1]),
+                    first_q=int(cq[0]),
+                    first_t=int(ct[0]),
+                    last_q=int(cq[-1]),
+                    last_t=int(ct[-1]),
                 )
             )
     return out
@@ -269,8 +279,14 @@ def refine_chain_ends(
         # --- query-left gap: region start .. first anchor ---
         gap_l = c.first_q - start
         if gap_l >= SKIP_MIN_GAP:
-            q_seg = qseq[: c.first_q - start]
             w = window(gap_l)
+            # The query segment is bounded like the target window: only
+            # the portion ADJACENT to the anchor aligns (an unbounded gap
+            # would overflow the native aligner's cell cap, and identity
+            # over a segment longer than the window is unsatisfiable).
+            seg_len = min(gap_l, w)
+            q_off = c.first_q - start
+            q_seg = qseq[q_off - seg_len : q_off]
             if c.strand == "+":
                 lo = max(c.first_t - w, 0)
                 tgt = seq_idx.fetch_sequence(c.genome, lo, c.first_t)
@@ -279,6 +295,7 @@ def refine_chain_ends(
                 )
                 if matches / max(len(q_seg), 1) >= min_alignment_identity:
                     c.t_start = c.first_t - consumed
+                    c.q_start = c.first_q - seg_len
             else:
                 hi = min(c.first_t + k + w, t_len)
                 tgt = seq_idx.fetch_sequence(c.genome, c.first_t + k, hi)
@@ -287,17 +304,21 @@ def refine_chain_ends(
                 )
                 if matches / max(len(q_seg), 1) >= min_alignment_identity:
                     c.t_end = c.first_t + k + consumed
+                    c.q_start = c.first_q - seg_len
         # --- query-right gap: last anchor end .. region end ---
         gap_r = end - (c.last_q + k)
         if gap_r >= SKIP_MIN_GAP:
-            q_seg = qseq[c.last_q + k - start :]
             w = window(gap_r)
+            seg_len = min(gap_r, w)
+            q_off = c.last_q + k - start
+            q_seg = qseq[q_off : q_off + seg_len]
             if c.strand == "+":
                 hi = min(c.last_t + k + w, t_len)
                 tgt = seq_idx.fetch_sequence(c.genome, c.last_t + k, hi)
                 consumed, matches = align_extend(q_seg, tgt)
                 if matches / max(len(q_seg), 1) >= min_alignment_identity:
                     c.t_end = c.last_t + k + consumed
+                    c.q_end = c.last_q + k + seg_len
             else:
                 lo = max(c.last_t - w, 0)
                 tgt = seq_idx.fetch_sequence(c.genome, lo, c.last_t)
@@ -306,6 +327,7 @@ def refine_chain_ends(
                 )
                 if matches / max(len(q_seg), 1) >= min_alignment_identity:
                     c.t_start = c.last_t - consumed
+                    c.q_end = c.last_q + k + seg_len
         c.t_start = max(c.t_start, 0)
         c.t_end = min(c.t_end, t_len)
 
@@ -316,7 +338,7 @@ def _entry(
     r = visited.get(sid)
     if r is None:
         r = SortedRanges(
-            sequence_length=syng.seq_index.get_len_from_id(sid),
+            sequence_length=syng.seq_index.get_len_from_id(sid) or 0,
             min_distance=0,
         )
         visited[sid] = r
@@ -389,5 +411,11 @@ def query_transitive(
                     if abs(ne - ns) >= min_transitive_len:
                         nxt.append((hid, ns, ne))
         depth += 1
-        current = nxt
+        # Merge adjacent/overlapping same-sequence frontier entries before
+        # the next hop (the alignment-backed walker's _merge_frontier
+        # contract) — unmerged fragments would chain separately and drop
+        # homologs whose anchors straddle the artificial boundary.
+        from impg_tpu.query.engine import _merge_frontier
+
+        current = _merge_frontier(nxt)
     return results

@@ -209,3 +209,44 @@ def test_sweep_chaining_reports_duplicated_copies(tmp_path):
     # One chain near each copy locus (1000 and 1000+2500+2000=5500).
     assert abs(starts[0] - 1000) < 1200
     assert abs(starts[-1] - 5500) < 1200
+
+
+def test_refine_survives_large_end_gap(tmp_path):
+    """A chain whose first anchor sits far past the region start must not
+    overflow the native aligner (the query gap is bounded to the end
+    window now), and refined query/target spans stay consistent."""
+    import random
+
+    import numpy as np
+
+    from impg_tpu.io.fasta import UnifiedSequenceIndex
+    from impg_tpu.syng.index import SyngIndex
+    from impg_tpu.syng import transitive as tr
+
+    rng = random.Random(9)
+    prefix = "".join(rng.choice("ACGT") for _ in range(150_000))
+    shared = "".join(rng.choice("ACGT") for _ in range(3000))
+    other_pad = "".join(rng.choice("ACGT") for _ in range(2000))
+    seqs = {
+        "big": (prefix + shared).encode(),
+        "small": (other_pad + shared).encode(),
+    }
+    fa = str(tmp_path / "g.fa")
+    with open(fa, "w") as fh:
+        for nm, sq in seqs.items():
+            fh.write(f">{nm}\n{sq.decode()}\n")
+    syng = SyngIndex.build(list(seqs.items()))
+    seq_idx = UnifiedSequenceIndex.from_files([fa])
+    rows = tr.query_transitive(
+        syng, "big", 0, len(seqs["big"]), max_depth=1, seq_idx=seq_idx
+    )
+    homologs = [r for r in rows if r.q_id == syng.seq_index.get_id("small")]
+    assert homologs, "shared block not found"
+    for r in homologs:
+        q_span = abs(r.q_last - r.q_first)
+        t_span = abs(r.t_last - r.t_first)
+        # Spans describe the same correspondence: neither side may claim
+        # multiples of the other (was up to gap - extend_budget off).
+        assert q_span <= 2 * t_span + 100 and t_span <= 2 * q_span + 100, (
+            q_span, t_span
+        )
