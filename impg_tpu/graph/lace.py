@@ -58,24 +58,16 @@ def split_path_name(path_name: str) -> Optional[tuple[str, int, int]]:
 
 
 def parse_gfa(text: str):
-    """Parse S/L/P lines -> (nodes {id: seq}, edges, paths)."""
-    nodes: dict[str, bytes] = {}
-    edges: list[tuple[str, bool, str, bool]] = []
-    paths: list[tuple[str, list[tuple[str, bool]]]] = []
-    for line in text.splitlines():
-        if not line or line.startswith("#"):
-            continue
-        f = line.split("\t")
-        if f[0] == "S" and len(f) >= 3:
-            nodes[f[1]] = f[2].encode()
-        elif f[0] == "L" and len(f) >= 6:
-            edges.append((f[1], f[2] == "-", f[3], f[4] == "-"))
-        elif f[0] == "P" and len(f) >= 3:
-            steps = [
-                (s[:-1], s.endswith("-")) for s in f[2].split(",") if s
-            ]
-            paths.append((f[1], steps))
-    return nodes, edges, paths
+    """Parse a window GFA -> (nodes {id: seq}, edges, paths).
+
+    Routed through graph/gfa.py Gfa.parse (native tokenizer fast path;
+    GFA 1.1 W lines import as range-named paths instead of being
+    silently dropped)."""
+    from impg_tpu.graph.gfa import Gfa
+
+    g = Gfa.parse(text)
+    nodes = {sid: seq.encode() for sid, seq in g.segments.items()}
+    return nodes, list(g.links), list(g.paths)
 
 
 def sort_and_filter_ranges(ranges: list[RangeInfo]) -> None:
@@ -94,77 +86,62 @@ def sort_and_filter_ranges(ranges: list[RangeInfo]) -> None:
 
 
 def trim_range_overlaps(ranges: list[RangeInfo], graph: CombinedGraph) -> None:
-    for i in range(1, len(ranges)):
-        r1, r2 = ranges[i - 1], ranges[i]
-        if r1.end <= r2.start:
-            continue
-        overlap_start = max(r1.start, r2.start)
-        overlap_end = min(r1.end, r2.end)
+    """Trim each range's leading coverage already provided by EARLIER
+    ranges: everything below the running `cover_end` (max end of all
+    previously kept ranges) is removed, and the step crossing the cut is
+    split on its ORIENTED sequence (reverse steps slice their reverse
+    complement, like the reference's handle-aware get_sequence,
+    lace.rs:181).
 
-        steps_to_remove = set()
-        step_to_split = None
-        pos = r2.start
-        for idx, (node, rev) in enumerate(r2.steps):
-            step_start = pos
-            pos += graph.node_len(node)
-            step_end = pos
-            if step_end <= overlap_start:
-                continue
-            if step_start >= overlap_end:
-                break
-            if step_start >= overlap_start and step_end <= overlap_end:
-                steps_to_remove.add(idx)
-            else:
-                if step_to_split is not None:
-                    raise ValueError(
-                        "More than one step partially overlaps; cannot lace"
-                    )
-                step_to_split = idx
+    Deliberate divergence from lace.rs:678 trim_range_overlaps: the
+    reference trims only against the IMMEDIATELY previous range, so a
+    three-way overlap both duplicates bases already covered two ranges
+    back and silently drops the tail of the split step.  Trimming against
+    the running coverage keeps every laced path spelling its source
+    exactly (the property our transform fuzz asserts).  For plain
+    pairwise overlaps the two formulations behave identically.
+    """
+    from impg_tpu.io.fasta import reverse_complement
+
+    cover_end = None
+    for r2 in ranges:
+        if cover_end is None or r2.start >= cover_end:
+            cover_end = r2.end if cover_end is None else max(
+                cover_end, r2.end
+            )
+            continue
+        cut = min(cover_end, r2.end)
 
         new_steps: list[tuple[int, bool]] = []
         new_start = None
         pos = r2.start
-        for idx, (node, rev) in enumerate(r2.steps):
+        for node, rev in r2.steps:
             step_start = pos
             pos += graph.node_len(node)
             step_end = pos
-            if idx in steps_to_remove:
+            if step_end <= cut:
+                continue  # fully below the cut: already covered
+            if step_start >= cut:
+                new_steps.append((node, rev))
+                if new_start is None:
+                    new_start = step_start
                 continue
-            if idx == step_to_split:
-                ov_s = max(step_start, overlap_start)
-                ov_e = min(step_end, overlap_end)
-                seq = graph.sequences[node]
-                if rev:
-                    raise ValueError(
-                        "Splitting reverse-orientation steps is not supported"
-                    )
-                if ov_s == step_start:
-                    # Keep the suffix after the overlap.
-                    keep = seq[ov_e - step_start :]
-                    if not keep:
-                        continue
-                    new_node = graph.add_node(keep)
-                    new_steps.append((new_node, False))
-                    if new_start is None:
-                        new_start = ov_e
-                else:
-                    # Keep the prefix before the overlap (overlap at tail).
-                    keep = seq[: ov_s - step_start]
-                    if not keep:
-                        continue
-                    new_node = graph.add_node(keep)
-                    new_steps.append((new_node, False))
-                    if new_start is None:
-                        new_start = step_start
+            # Crosses the cut: keep the oriented suffix past it.
+            seq = graph.sequences[node]
+            oriented = reverse_complement(seq) if rev else seq
+            keep = oriented[cut - step_start :]
+            if not keep:
                 continue
-            new_steps.append((node, rev))
+            new_node = graph.add_node(keep)
+            new_steps.append((new_node, False))
             if new_start is None:
-                new_start = step_start
+                new_start = cut
         # Rebuild internal edges along the adjusted path.
         for a, b in zip(new_steps, new_steps[1:]):
             graph.edges.add((a[0], a[1], b[0], b[1]))
         r2.steps = new_steps
-        r2.start = new_start if new_start is not None else overlap_end
+        r2.start = new_start if new_start is not None else cut
+        cover_end = max(cover_end, r2.end)
         if not new_steps:
             r2.start = r2.end
 
@@ -231,6 +208,12 @@ def lace_gfas(
             if a in translation and b in translation:
                 graph.edges.add((translation[a], arev, translation[b], brev))
         for path_name, steps in paths:
+            missing = [n for n, _ in steps if n not in translation]
+            if missing:
+                raise ValueError(
+                    f"lace: path '{path_name}' (input #{gfa_id}) references "
+                    f"segment(s) with no S line: {missing[:5]}"
+                )
             parsed = split_path_name(path_name)
             if parsed is None:
                 # Pathological name: treat the whole path as one range at 0.

@@ -23,7 +23,15 @@ import numpy as np
 
 from impg_tpu.core import cigar
 
-_COMP = {65: 84, 67: 71, 71: 67, 84: 65, 78: 78}  # A<->T, C<->G, N
+# Full IUPAC complement (io/fasta._COMPLEMENT semantics: unmapped bytes
+# pass through) — ambiguity codes must survive reverse-oriented spelling.
+_COMP = {
+    a: b
+    for a, b in zip(
+        b"ACGTUNRYSWKMBDHVacgtunryswkmbdhv",
+        b"TGCAANYRSWMKVHDBtgcaanyrswmkvhdb",
+    )
+}
 
 _emit_bound = False
 
@@ -210,10 +218,12 @@ def induce_graph(
             np.ascontiguousarray(node_base_arr, np.uint8), labels,
             ctypes.byref(out_len),
         )
-        try:
-            return ctypes.string_at(ptr, out_len.value).decode()
-        finally:
-            lib.impg_seqwish_emit_free(ptr)
+        if ptr:
+            try:
+                return ctypes.string_at(ptr, out_len.value).decode()
+            finally:
+                lib.impg_seqwish_emit_free(ptr)
+        # Native allocation failed: fall through to the Python emitter.
 
     # Per-sequence walks: (node, orientation) per base.
     walks: dict[str, list[tuple[int, int]]] = {}
@@ -303,7 +313,7 @@ def induce_graph(
     # Segment sequences in the orientation recorded in `segments`.
     def base_char(node: int, o: int) -> int:
         b = node_base[node]
-        return b if o == 0 else _COMP.get(b, 78)
+        return b if o == 0 else _COMP.get(b, b)
 
     seg_seq = [
         bytes(base_char(v, o) for v, o in seg) for seg in segments

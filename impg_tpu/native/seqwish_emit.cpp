@@ -26,13 +26,43 @@ inline uint64_t pack_edge(uint64_t a_step, uint64_t b_step) {
     return (a_step << 32) | b_step;
 }
 
+// Full IUPAC complement (matches io/fasta._COMPLEMENT and the Python
+// emitter) — ambiguity codes must survive reverse-oriented spelling.
 inline char comp_base(char b) {
     switch (b) {
         case 'A': return 'T';
         case 'T': return 'A';
         case 'C': return 'G';
         case 'G': return 'C';
-        default: return 'N';
+        case 'U': return 'A';
+        case 'R': return 'Y';
+        case 'Y': return 'R';
+        case 'S': return 'S';
+        case 'W': return 'W';
+        case 'K': return 'M';
+        case 'M': return 'K';
+        case 'B': return 'V';
+        case 'V': return 'B';
+        case 'D': return 'H';
+        case 'H': return 'D';
+        case 'a': return 't';
+        case 't': return 'a';
+        case 'c': return 'g';
+        case 'g': return 'c';
+        case 'u': return 'a';
+        case 'r': return 'y';
+        case 'y': return 'r';
+        case 's': return 's';
+        case 'w': return 'w';
+        case 'k': return 'm';
+        case 'm': return 'k';
+        case 'b': return 'v';
+        case 'v': return 'b';
+        case 'd': return 'h';
+        case 'h': return 'd';
+        case 'N': return 'N';
+        case 'n': return 'n';
+        default: return b;
     }
 }
 

@@ -174,3 +174,100 @@ def test_partition_single_file_gfa(tmp_path):
         covered[key] = covered.get(key, 0) + (end - start)
     for name, L in seqs.items():
         assert covered.get(name, 0) >= 0.9 * L, (name, covered.get(name), L)
+
+
+def test_lace_three_way_overlap_preserves_spelling():
+    """Trimming runs against the RUNNING coverage: a range overlapped by
+    two earlier ranges must neither duplicate covered bases nor drop the
+    tail of its split step (lace.rs trims only pairwise and does both)."""
+    import random
+
+    from impg_tpu.graph.lace import lace_gfas
+
+    rng = random.Random(8)
+    src = "".join(rng.choice("ACGT") for _ in range(120))
+
+    def window(lo, hi, node_len):
+        lines = ["H\tVN:Z:1.0"]
+        ids = []
+        pos = lo
+        n = 1
+        while pos < hi:
+            end = min(pos + node_len, hi)
+            lines.append(f"S\t{n}\t{src[pos:end]}")
+            ids.append(n)
+            n += 1
+            pos = end
+        for a, b in zip(ids, ids[1:]):
+            lines.append(f"L\t{a}\t+\t{b}\t+\t0M")
+        lines.append(
+            f"P\tk:{lo}-{hi}\t" + ",".join(f"{i}+" for i in ids) + "\t*"
+        )
+        return "\n".join(lines) + "\n"
+
+    # r1=[0,100], r2=[50,110], r3=[60,120] with a 20bp node grid: r3 has
+    # a step [95,115) crossing both earlier ends.
+    out = lace_gfas([window(0, 100, 25), window(50, 110, 20),
+                     window(60, 120, 35)])
+    segs = {}
+    spelled = {}
+    for line in out.splitlines():
+        f = line.split("\t")
+        if f[0] == "S":
+            segs[f[1]] = f[2]
+        elif f[0] == "P":
+            from impg_tpu.io.fasta import reverse_complement
+
+            s = ""
+            for st in f[2].split(","):
+                sid, rev = st[:-1], st.endswith("-")
+                t = segs[sid]
+                if rev:
+                    t = reverse_complement(t.encode()).decode()
+                s += t
+            key, _, rng_part = f[1].rpartition(":")
+            a, _, b = rng_part.partition("-")
+            spelled[(key, int(a), int(b))] = s
+    # One merged path covering [0,120) spelling the source exactly.
+    assert ("k", 0, 120) in spelled, sorted(spelled)
+    assert spelled[("k", 0, 120)] == src
+
+
+def test_lace_splits_reverse_orientation_steps():
+    """A reverse step crossing the trim cut splits on its oriented
+    sequence (the reference's handle-aware get_sequence, lace.rs:181)
+    instead of raising."""
+    from impg_tpu.graph.lace import lace_gfas
+    from impg_tpu.io.fasta import reverse_complement
+
+    src = "ACGTACGTACGTACGTACGT"  # 20 bp
+    w1 = (
+        "H\tVN:Z:1.0\n"
+        f"S\t1\t{src[:12]}\n"
+        "P\tk:0-12\t1+\t*\n"
+    )
+    # Second window [8,20) spelled by ONE reverse step.
+    rc = reverse_complement(src[8:20].encode()).decode()
+    w2 = (
+        "H\tVN:Z:1.0\n"
+        f"S\t1\t{rc}\n"
+        "P\tk:8-20\t1-\t*\n"
+    )
+    out = lace_gfas([w1, w2])
+    segs = {}
+    path = None
+    for line in out.splitlines():
+        f = line.split("\t")
+        if f[0] == "S":
+            segs[f[1]] = f[2]
+        elif f[0] == "P" and f[1] == "k:0-20":
+            path = f[2]
+    assert path is not None, out
+    s = ""
+    for st in path.split(","):
+        sid, rev = st[:-1], st.endswith("-")
+        t = segs[sid]
+        if rev:
+            t = reverse_complement(t.encode()).decode()
+        s += t
+    assert s == src
