@@ -40,26 +40,6 @@ class MosaicSegment:
     source: str  # candidate genome name
 
 
-def _switch_cost(prev: tuple, nxt: tuple) -> int:
-    """Minimal number of haplotype switches between two genome multisets
-    (best assignment over slot permutations)."""
-    best = len(nxt)
-    for perm in permutations(range(len(nxt))):
-        cost = sum(1 for i, j in enumerate(perm) if prev[i] != nxt[j])
-        best = min(best, cost)
-    return best
-
-
-def _best_perm(prev: tuple, nxt: tuple) -> tuple:
-    """Order `nxt` to minimize switches against `prev`."""
-    best, best_cost = nxt, len(nxt)
-    for perm in permutations(nxt):
-        cost = sum(1 for a, b in zip(prev, perm) if a != b)
-        if cost < best_cost:
-            best, best_cost = perm, cost
-    return best
-
-
 def _best_perm_order(prev: tuple, nxt: tuple) -> tuple:
     """Index permutation ordering `nxt` to minimize switches vs `prev`."""
     idxs = tuple(range(len(nxt)))
@@ -83,6 +63,11 @@ def stitch(
     slot-aligned adjacent-window candidate pairs (infer.rs:1152 transition
     read-link rewards): reads whose walks support both candidates pull the
     stitching toward keeping them on the same haplotype slot.
+
+    Known limitation: the slot permutation per transition is chosen by
+    switch cost alone (_best_perm_order) BEFORE link rewards apply, so
+    among cost-tied orderings the reward-maximizing slot alignment can be
+    missed; the beam keeps only the cost-chosen ordering.
 
     Returns (chosen combination of genome-name tuples per window, score).
     """
@@ -308,7 +293,7 @@ def gaf_read_walk_rewards(
             for p, n in enumerate(nodes.tolist()):
                 walk_index.setdefault(n, []).append((wi, ci, p))
     if not walk_index:
-        return
+        return {}
 
     def _mem_hits(counts, nodes, bpos, mems):
         for mem in mems:
@@ -391,8 +376,14 @@ def gaf_read_walk_rewards(
                     anchor_weight[(wi, ci)] = (
                         anchor_weight.get((wi, ci), 0.0) + c / denom
                     )
+            # Link rewards only for ADJACENT supported windows — stitch
+            # looks up ((wi-1, pc), (wi, cc)) transitions exclusively, so
+            # links across a skipped window would be dead keys (evidence
+            # spanning an unsupported window is consciously dropped).
             ordered_calls = sorted(by_call)
             for wa, wb in zip(ordered_calls, ordered_calls[1:]):
+                if wb != wa + 1:
+                    continue
                 prev_hits, curr_hits = by_call[wa], by_call[wb]
                 pair_denom = float(len(prev_hits) * len(curr_hits))
                 for ci, c1 in prev_hits:
@@ -460,6 +451,8 @@ def run_infer(
     min_read_link_anchors: int = 3,
     gaf_path: str | None = None,
 ) -> tuple[list[WindowCall], list[tuple], list[MosaicSegment]]:
+    if window <= 0:
+        raise ValueError(f"window must be positive (got {window})")
     windows: list[WindowCall] = []
     pos = start
     while pos < end:

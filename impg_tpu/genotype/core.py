@@ -165,10 +165,11 @@ def diploid_cosine_matrix(candidates: np.ndarray, sample: np.ndarray):
     dot = proj[:, None] + proj[None, :]
     comb_norm_sq = norms_sq[:, None] + norms_sq[None, :] + 2.0 * gram
     sample_norm = np.sqrt(float(sample @ sample))
-    denom = sample_norm * np.sqrt(comb_norm_sq)
+    comb_norm = np.sqrt(comb_norm_sq)
+    denom = sample_norm * comb_norm
     with np.errstate(divide="ignore", invalid="ignore"):
         sim = np.where(denom > 0, dot / denom, 0.0)
-    return sim, dot
+    return sim, dot, comb_norm
 
 
 def run_diploid_search_dense(
@@ -177,12 +178,11 @@ def run_diploid_search_dense(
     """Dense ploidy-2 search via `diploid_cosine_matrix` with reference
     ordering."""
     n = candidates.shape[0]
-    sim, dot = diploid_cosine_matrix(candidates, sample)
+    sim, dot, comb_norm = diploid_cosine_matrix(candidates, sample)
     sample_norm = math.sqrt(float(sample @ sample))
     results = []
     for i in range(n):
         for j in range(i, n):
-            combined = candidates[i] + candidates[j]
             results.append(
                 CombinationScore(
                     combination=[i, j],
@@ -190,7 +190,9 @@ def run_diploid_search_dense(
                     qv=qv_from_similarity(float(sim[i, j])),
                     dot=float(dot[i, j]),
                     sample_norm=sample_norm,
-                    genotype_norm=math.sqrt(float(combined @ combined)),
+                    # |Ci + Cj| comes straight from the Gram matrix — no
+                    # O(n^2 d) per-pair vector adds on host.
+                    genotype_norm=float(comb_norm[i, j]),
                 )
             )
     results.sort(key=lambda c: (-c.similarity, -c.dot, c.combination))

@@ -111,10 +111,25 @@ def collect_graph_candidates(
     target_name = None
     interval = None
     if target_path:
-        if ":" in target_path and "-" in target_path.rsplit(":", 1)[1]:
+        # Literal path names win: GFA 1.1 W-line imports are named
+        # 'sample#hap#chr:start-end', so a ':N-M' suffix may be part of
+        # the path's own name rather than a sub-interval.
+        if target_path in path_lens:
+            target_name = target_path
+        elif ":" in target_path and "-" in target_path.rsplit(":", 1)[1]:
             target_name, rng = target_path.rsplit(":", 1)
-            s, e = rng.split("-")
-            interval = (int(s), int(e))
+            s, _, e = rng.partition("-")
+            try:
+                interval = (int(s), int(e))
+            except ValueError:
+                raise ValueError(
+                    f"target '{target_path}' is neither a path name in the "
+                    f"graph nor NAME:START-END"
+                ) from None
+            if interval[0] >= interval[1]:
+                raise ValueError(
+                    f"target interval '{target_path}' is empty or inverted"
+                )
         else:
             target_name = target_path
         if target_name not in path_lens:
@@ -323,9 +338,7 @@ def surject_gaf_to_paf(gfa: Gfa, gaf_rows):
         for sid, _ in steps:
             seg_paths.setdefault(sid, []).append(name)
 
-    def locate_walk(walk: list[tuple[str, bool]]) -> tuple[str, int] | None:
-        """(path name, walk start offset in path) for the first path whose
-        step list contains the walk as a contiguous run."""
+    def _match_run(walk) -> tuple[str, int] | None:
         for pname in seg_paths.get(walk[0][0], []):
             table = path_steps[pname]
             n = len(walk)
@@ -336,6 +349,20 @@ def surject_gaf_to_paf(gfa: Gfa, gaf_rows):
                     for j in range(n)
                 ):
                     return pname, table[i][2]
+        return None
+
+    def locate_walk(walk) -> tuple[str, int, bool] | None:
+        """(path name, walk start offset in path, reverse) for the first
+        path whose step list contains the walk — or its reverse
+        complement (a read traversing >A>B backwards writes '<B<A') —
+        as a contiguous oriented run."""
+        hit = _match_run(walk)
+        if hit is not None:
+            return (*hit, False)
+        rc = [(sid, not rev) for sid, rev in reversed(walk)]
+        hit = _match_run(rc)
+        if hit is not None:
+            return (*hit, True)
         return None
 
     for row in gaf_rows:
@@ -349,7 +376,7 @@ def surject_gaf_to_paf(gfa: Gfa, gaf_rows):
         hit = locate_walk(walk)
         if hit is None:
             continue
-        pname, walk0 = hit
+        pname, walk0, rc_hit = hit
         parsed = split_path_name(pname)
         if parsed:
             src, base, src_end = parsed
@@ -357,8 +384,15 @@ def surject_gaf_to_paf(gfa: Gfa, gaf_rows):
         else:
             src, base, tlen = pname, 0, path_lens[pname]
         ps, pe = int(f[7]), int(f[8])
+        strand = f[4]
+        if rc_hit:
+            walk_bp = sum(
+                len(gfa.segments.get(sid, "")) for sid, _ in walk
+            )
+            ps, pe = walk_bp - pe, walk_bp - ps
+            strand = "-" if strand == "+" else "+"
         yield (
-            f"{f[0]}\t{f[1]}\t{f[2]}\t{f[3]}\t{f[4]}\t"
+            f"{f[0]}\t{f[1]}\t{f[2]}\t{f[3]}\t{strand}\t"
             f"{src}\t{tlen}\t{base + walk0 + ps}\t{base + walk0 + pe}\t"
             f"{f[9]}\t{f[10]}\t{f[11]}"
         )

@@ -195,3 +195,57 @@ def test_surject_gaf_to_paf(graph_panel, tmp_path):
     assert r.returncode == 0, r.stderr
     assert "surjected" in r.stderr
     assert r.stdout.count("\n") > 400
+
+
+def test_collect_candidates_literal_range_named_path():
+    """A W-line-style path literally named 'sample#1#chr:0-N' must be
+    targetable by its full name (the range parse previously shadowed it)."""
+    from impg_tpu.genotype.graph import collect_graph_candidates
+    from impg_tpu.graph.gfa import Gfa
+
+    text = (
+        "H\tVN:Z:1.0\n"
+        "S\t1\tACGTACGT\nS\t2\tTTTT\n"
+        "L\t1\t+\t2\t+\t0M\n"
+        "P\ts#1#chr:0-12\t1+,2+\t*\n"
+    )
+    g = Gfa.parse(text)
+    cands, tname = collect_graph_candidates(g, target_path="s#1#chr:0-12")
+    assert tname == "s#1#chr:0-12"
+    assert cands
+
+
+def test_collect_candidates_rejects_inverted_interval():
+    import pytest as _pytest
+
+    from impg_tpu.genotype.graph import collect_graph_candidates
+    from impg_tpu.graph.gfa import Gfa
+
+    text = (
+        "H\tVN:Z:1.0\nS\t1\tACGTACGT\nP\tchr\t1+\t*\n"
+    )
+    g = Gfa.parse(text)
+    with _pytest.raises(ValueError, match="empty or inverted"):
+        collect_graph_candidates(g, target_path="chr:6-2")
+
+
+def test_surject_gaf_reverse_traversal():
+    """A GAF row walking path steps in reverse ('<B<A') surjects onto the
+    forward path frame with flipped strand (was silently dropped)."""
+    from impg_tpu.genotype.graph import surject_gaf_to_paf
+    from impg_tpu.graph.gfa import Gfa
+
+    text = (
+        "H\tVN:Z:1.0\n"
+        "S\tA\tACGTACGT\nS\tB\tTTTTT\n"
+        "L\tA\t+\tB\t+\t0M\n"
+        "P\tchr:100-113\tA+,B+\t*\n"
+    )
+    g = Gfa.parse(text)
+    row = "r1\t13\t0\t13\t+\t<B<A\t13\t0\t13\t13\t13\t60"
+    out = list(surject_gaf_to_paf(g, [row]))
+    assert len(out) == 1
+    f = out[0].split("\t")
+    assert f[4] == "-"
+    assert f[5] == "chr"
+    assert (int(f[7]), int(f[8])) == (100, 113)
