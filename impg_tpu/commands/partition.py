@@ -95,7 +95,7 @@ def select_and_window_sequences(
     elif selection_mode.split(",")[0] in ("sample", "haplotype"):
         parts = selection_mode.split(",", 1)
         field_type = parts[0]
-        separator = parts[1] if len(parts) > 1 else "#"
+        separator = parts[1] if len(parts) > 1 and parts[1] else "#"
         field_count = 2 if field_type == "haplotype" else 1
         prefix_to_seqs: dict[str, list[int]] = {}
         for seq_id in missing_regions:
@@ -203,6 +203,7 @@ def mask_and_update_regions(
     masked_regions: dict[int, SortedRanges],
     missing_regions: dict[int, SortedRanges],
     min_fragment_size: int,
+    seq_len_of=None,
 ) -> list[Row]:
     """Subtract the mask from overlaps, absorb small leftover fragments, and
     update masked/missing bookkeeping (partition.rs:978-1368)."""
@@ -328,7 +329,13 @@ def mask_and_update_regions(
                 )
                 result.append(adj)
 
-        masked = masked_regions.setdefault(seq_id, SortedRanges(0, 0))
+        if seq_id not in masked_regions:
+            # A fresh mask entry must carry the REAL sequence length: the
+            # SortedRanges end-snap clamps inserts to sequence_length, so
+            # a 0-length default would invert every stored range.
+            length = seq_len_of(seq_id) if seq_len_of else 0
+            masked_regions[seq_id] = SortedRanges(length or 0, 0)
+        masked = masked_regions[seq_id]
         for s, e in mask_buffer:
             masked.insert((s, e))
 
@@ -357,9 +364,15 @@ def mask_and_update_regions(
                 if len(missing) == 0:
                     del missing_regions[seq_id]
 
-    current_seq = overlaps[0].q_id
+    # Group rows per sequence regardless of input order: with --no-merge
+    # the walker's emission order interleaves sequences, and chunked
+    # processing would make fragment-absorption decisions order-dependent
+    # (partition.rs:978 processes per sequence).  Stable sort preserves
+    # within-sequence emission order.
+    ordered = sorted(overlaps, key=lambda r: r.q_id)
+    current_seq = ordered[0].q_id
     seq_overlaps: list[Row] = []
-    for row in overlaps:
+    for row in ordered:
         if row.q_id != current_seq:
             process_sequence(current_seq, seq_overlaps)
             seq_overlaps = []
@@ -517,7 +530,8 @@ def partition_alignments(
             if min_boundary_distance > 0:
                 extend_to_close_boundaries(overlaps, index, min_boundary_distance)
             overlaps = mask_and_update_regions(
-                overlaps, masked_regions, missing_regions, min_missing_size
+                overlaps, masked_regions, missing_regions, min_missing_size,
+                seq_len_of=index.seq_index.get_len_from_id,
             )
             if overlaps:
                 merge_overlaps(overlaps, 0)

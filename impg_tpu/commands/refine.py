@@ -75,6 +75,8 @@ def build_flanks(max_extension: int, step: int) -> list[int]:
     """Flank step grid (refine.rs:852-875)."""
     if max_extension == 0:
         return [0]
+    if step <= 0:
+        raise ValueError(f"extension step must be positive (got {step})")
     flanks = []
     current = 0
     while current <= max_extension:
@@ -91,7 +93,12 @@ def _merge_sample_intervals(
     intervals: list[tuple[int, int, int, int]], merge_distance: int
 ) -> list[tuple[int, int, int, int]]:
     """Merge (q_start, q_end, t_start, t_end) when adjacent on either axis
-    (refine.rs:800-851)."""
+    (refine.rs:800-851).
+
+    PARITY NOTE: adjacency is min-of-abs endpoint distances per axis,
+    exactly as in the reference's should_merge — an overlap of N bp
+    counts as distance N (so large overlaps do NOT merge there either).
+    """
     if not intervals or merge_distance < 0:
         return intervals
     intervals = sorted(intervals, key=lambda x: (x[0], x[1]))
@@ -113,6 +120,9 @@ def _merge_sample_intervals(
 def _covers_boundaries(
     t_start, t_end, region_start, region_end, left_threshold, right_threshold
 ) -> bool:
+    # PARITY NOTE: the two threshold conditions are implied by the strict
+    # bounds, exactly as in the reference (refine.rs:785-797) — span_bp is
+    # effectively inert there too.  Kept verbatim for identical output.
     return (
         t_start <= region_start
         and t_end >= region_end
@@ -271,10 +281,15 @@ def refine_single_range(
             ]
         return rows
 
+    _eval_cache: dict[tuple[int, int], dict | None] = {}
+
     def evaluate(left: int, right: int):
         start = max(orig_start - left, 0)
         end = min(orig_end + right, seq_len)
+        if (start, end) in _eval_cache:
+            return _eval_cache[(start, end)]
         if end <= start:
+            _eval_cache[(start, end)] = None
             return None
         overlaps = query_overlaps(start, end)
         aggregated, survivors = compute_support_sets(
@@ -288,7 +303,7 @@ def refine_single_range(
             config.merge_distance,
             config.blacklist,
         )
-        return dict(
+        out = dict(
             start=start,
             end=end,
             left_extension=orig_start - start,
@@ -296,6 +311,8 @@ def refine_single_range(
             support_count=len(aggregated),
             support_entities=survivors,
         )
+        _eval_cache[(start, end)] = out
+        return out
 
     best = evaluate(0, 0)
     original_support = best["support_count"] if best else 0
