@@ -23,7 +23,7 @@ import numpy as np
 from impg_tpu.io import native as native_mod
 from impg_tpu.io.fasta import reverse_complement
 from impg_tpu.ops import syncmer as syncmer_mod
-from impg_tpu.syng.index import SyngIndex
+from impg_tpu.syng.index import SyngIndex, match_universe
 
 
 @dataclass
@@ -61,20 +61,26 @@ class SyngGbwt:
             )
         self._lib = lib
         self.index = index
-        self.universe = np.unique(index.occ_ids)
+        cached = getattr(index, "_universe_cache", None)
+        if cached is None:
+            cached = np.unique(index.occ_ids)
+            index._universe_cache = cached
+        self.universe = cached
         self.syncmer_len = index.syncmer_len
         index._ensure_pos_view()
         order = index._pos_order
         self.path_offsets = np.ascontiguousarray(index._seq_offsets, np.int64)
         dense = np.searchsorted(self.universe, index.occ_ids[order]).astype(np.int32) + 1
         signed = np.where(index.occ_fwd[order], dense, -dense)
-        self.nodes = np.ascontiguousarray(signed, np.int32)
+        # impg_gbwt_build copies the step arrays into C++ vectors; only
+        # bpos is read back later (locate), so nodes stays a local.
+        nodes = np.ascontiguousarray(signed, np.int32)
         self.bpos = np.ascontiguousarray(index.occ_pos[order], np.uint64)
         self.n_paths = len(self.path_offsets) - 1
         self._handle = lib.impg_gbwt_build(
             self.n_paths,
             self.path_offsets,
-            self.nodes,
+            nodes,
             self.bpos,
             np.int32(len(self.universe)),
         )
@@ -103,9 +109,7 @@ class SyngGbwt:
     ) -> tuple[np.ndarray, np.ndarray]:
         if ids.size == 0:
             return np.zeros(0, np.int32), np.zeros(0, np.uint64)
-        idx = np.searchsorted(self.universe, ids)
-        idx_c = np.clip(idx, 0, max(len(self.universe) - 1, 0))
-        hit = (idx < len(self.universe)) & (self.universe[idx_c] == ids)
+        hit, idx_c = match_universe(self.universe, ids)
         dense = (idx_c + 1).astype(np.int32)
         signed = np.where(fwd, dense, -dense)
         signed = np.where(hit, signed, np.int32(0))
@@ -184,12 +188,21 @@ class SyngGbwt:
 
     def locate_segment(
         self, nodes: np.ndarray, bpos: np.ndarray, start: int, end: int,
-        max_out: int = 1 << 20,
+        max_out: int = 4096,
     ) -> list[WalkHit]:
         """All indexed occurrences of walk[start:end] (direct-position locate
-        replacing the reference's sampled .spos/.pstep sidecar walk)."""
+        replacing the reference's sampled .spos/.pstep sidecar walk).
+
+        `max_out` is only the initial buffer: the native call reports the
+        TRUE occurrence count, and a larger buffer retries once so results
+        are never silently truncated."""
         nodes = np.ascontiguousarray(nodes, np.int32)
         bpos = np.ascontiguousarray(bpos, np.uint64)
+        if not (0 <= start < end <= nodes.size) or bpos.size != nodes.size:
+            raise ValueError(
+                f"walk segment [{start}, {end}) out of bounds for walk of "
+                f"{nodes.size} steps"
+            )
         paths = np.zeros(max_out, np.int32)
         steps = np.zeros(max_out, np.int64)
         dirs = np.zeros(max_out, np.int8)
@@ -198,6 +211,16 @@ class SyngGbwt:
                 self._handle, nodes, bpos, start, end, paths, steps, dirs, max_out
             )
         )
+        if n > max_out:
+            paths = np.zeros(n, np.int32)
+            steps = np.zeros(n, np.int64)
+            dirs = np.zeros(n, np.int8)
+            n = int(
+                self._lib.impg_gbwt_locate_segment(
+                    self._handle, nodes, bpos, start, end, paths, steps,
+                    dirs, n,
+                )
+            )
         if n < 0:
             return []
         hits = []

@@ -33,6 +33,22 @@ SYNG_SUFFIX = ".syngt"
 INDEX_VERSION = 1
 
 
+def match_universe(
+    universe: np.ndarray, ids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(hit mask, clipped universe index) of `ids` in the sorted distinct
+    syncmer-id `universe` — the shared matching primitive for GAF walks,
+    GBWT MEM queries, and pack features (one id space).  An empty
+    universe yields all-miss instead of an out-of-bounds index."""
+    if universe.size == 0 or ids.size == 0:
+        z = np.zeros(ids.size, np.int64)
+        return np.zeros(ids.size, bool), z
+    idx = np.searchsorted(universe, ids)
+    idx_c = np.clip(idx, 0, universe.size - 1)
+    hit = (idx < universe.size) & (universe[idx_c] == ids)
+    return hit, idx_c
+
+
 @dataclass
 class HomologousInterval:
     genome: str

@@ -23,7 +23,7 @@ import numpy as np
 
 from impg_tpu.io.fasta import reverse_complement
 from impg_tpu.ops import syncmer as syncmer_mod
-from impg_tpu.syng.index import SyngIndex
+from impg_tpu.syng.index import SyngIndex, match_universe
 from impg_tpu.syng.transitive import chain_occurrences
 
 
@@ -56,9 +56,7 @@ def matched_query_syncmers(
         )
         if ids.size == 0:
             return pos, ids, np.zeros(0, np.int32)
-        idx = np.searchsorted(universe, ids)
-        idx_c = np.clip(idx, 0, max(universe.size - 1, 0))
-        hit = (idx < universe.size) & (universe[idx_c] == ids)
+        hit, idx_c = match_universe(universe, ids)
         pos, ids, fwd, idx_c = pos[hit], ids[hit], fwd[hit], idx_c[hit]
         dense = (idx_c + 1).astype(np.int32)
         return pos, ids, np.where(fwd, dense, -dense).astype(np.int32)
@@ -104,13 +102,22 @@ def map_read(
     chain_budget: int = 10_000,
 ) -> list[str]:
     """PAF rows projecting a read onto indexed paths (syng.rs:4398
-    map_sequence: shared-anchor chaining, no base-level alignment)."""
+    map_sequence: shared-anchor chaining, no base-level alignment).
+
+    PARITY NOTE: the residue-matches column is anchors * syncmer_len with
+    NO clamp and mapq is the literal 0, exactly as the reference emits
+    (main.rs:570 write_syng_map_paf) — overlapping syncmer spans can make
+    col 10 exceed col 11 there too."""
     pos, ids, signed, _rc = matched_query_syncmers(index, seq)
     if ids.size < max(min_anchors, 1):
         return []
     fwd = signed >= 0
+    # Per-read seeds keep every occurrence (a short read's own seed set
+    # is not a meaningful frequency distribution), but an absolute cap
+    # guards against a single high-copy repeat seed expanding to the
+    # whole index occurrence list.
     q_abs, o_seq, o_pos, rel_fwd = index.occurrences_for_syncmers(
-        pos, ids, fwd, drop_top_fraction=0.0
+        pos, ids, fwd, drop_top_fraction=0.0, max_occurrences=10_000
     )
     chains = chain_occurrences(
         index, q_abs, o_seq, o_pos, rel_fwd, 0, len(seq),

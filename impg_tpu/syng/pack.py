@@ -18,7 +18,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from impg_tpu.ops import syncmer as syncmer_mod
-from impg_tpu.syng.index import SyngIndex
+from impg_tpu.syng.index import SyngIndex, match_universe
 
 PACK_VERSION = 1
 
@@ -106,8 +106,12 @@ def read_sequences(path: str):
 
 
 def universe_from_index(index: SyngIndex) -> np.ndarray:
-    """Sorted distinct syncmer ids of the index (the pack feature space)."""
-    return np.unique(index.occ_ids)
+    """Sorted distinct syncmer ids (cached on the index)."""
+    cached = getattr(index, "_universe_cache", None)
+    if cached is None:
+        cached = np.unique(index.occ_ids)
+        index._universe_cache = cached
+    return cached
 
 
 def map_reads(
@@ -129,9 +133,7 @@ def map_reads(
             )
             if ids.size == 0:
                 continue
-            idx = np.searchsorted(universe, ids)
-            idx_c = np.clip(idx, 0, max(universe.size - 1, 0))
-            hit = (idx < universe.size) & (universe[idx_c] == ids)
+            hit, idx_c = match_universe(universe, ids)
             np.add.at(counts, idx_c[hit], 1)
             n_matched += int(hit.sum())
     return Pack(feature_ids=universe, counts=counts), n_reads, n_matched
