@@ -115,25 +115,28 @@ def pairwise_intersection(row_a: str, row_b: str) -> int:
 
 
 def group_intersection(msa: list[str], idx_a: list[int], idx_b: list[int]) -> int:
-    if not msa:
+    """Per-column min(cross-matches, non-gap count A, non-gap count B),
+    summed — vectorized as per-symbol column histograms (the per-character
+    double loop was the similarity hot path on --delim groups)."""
+    if not msa or not idx_a or not idx_b:
         return 0
-    n_cols = len(msa[0])
-    total = 0
-    for pos in range(n_cols):
-        matches = 0
-        count_a = 0
-        for ia in idx_a:
-            ca = msa[ia][pos]
-            if ca == "-":
-                continue
-            count_a += 1
-            for ib in idx_b:
-                cb = msa[ib][pos]
-                if cb != "-" and ca == cb:
-                    matches += 1
-        count_b = sum(1 for ib in idx_b if msa[ib][pos] != "-")
-        total += min(matches, count_a, count_b)
-    return total
+    gap = ord("-")
+    a_mat = np.frombuffer(
+        "".join(msa[i] for i in idx_a).encode(), np.uint8
+    ).reshape(len(idx_a), -1)
+    b_mat = np.frombuffer(
+        "".join(msa[i] for i in idx_b).encode(), np.uint8
+    ).reshape(len(idx_b), -1)
+    vals = np.union1d(np.unique(a_mat), np.unique(b_mat))
+    vals = vals[vals != gap]
+    matches = np.zeros(a_mat.shape[1], np.int64)
+    for v in vals:
+        matches += (a_mat == v).sum(0).astype(np.int64) * (
+            b_mat == v
+        ).sum(0)
+    count_a = (a_mat != gap).sum(0)
+    count_b = (b_mat != gap).sum(0)
+    return int(np.minimum(np.minimum(matches, count_a), count_b).sum())
 
 
 @dataclass
@@ -292,6 +295,9 @@ def similarity_header(emit_distances: bool) -> str:
 def build_distance_matrix(
     sims: list[tuple[str, str, SimilarityMetrics]], similarity_type: str
 ) -> tuple[np.ndarray, list[str]]:
+    """PARITY NOTE: zero-initialized like the reference's DMatrix::zeros
+    (similarity.rs:989) — pairs skipped upstream (zero intersection
+    without --all) default to distance 0 there too."""
     labels = sorted({n for a, b, _ in sims for n in (a, b)})
     idx = {name: i for i, name in enumerate(labels)}
     n = len(labels)
@@ -352,12 +358,18 @@ def polarize_adaptive(results: list["PcaResult"], n_prev: int) -> None:
         indices: list[int] = []
         signs: list[bool] = []
         for pc in range(n_comp):
-            pc_values = res.coords[:, pc]
+            # COPY, not view: the reference collects pc_values before any
+            # flip, so the recorded polarizer sign is evaluated on the
+            # PRE-flip value (similarity.rs:659-663) — a live view would
+            # see the negated data and record the wrong sign.
+            pc_values = res.coords[:, pc].copy()
             # Rust max_by keeps the LAST maximal element on ties.
             cur_idx = 0
             for i in range(len(pc_values)):
                 if abs(pc_values[i]) >= abs(pc_values[cur_idx]):
                     cur_idx = i
+            # PARITY NOTE: gating history on the OLDEST window's component
+            # count mirrors similarity.rs:680 exactly.
             if not window or pc >= len(window[0][0]):
                 indices.append(cur_idx)
                 signs.append(bool(pc_values[cur_idx] > 0.0))
@@ -418,6 +430,10 @@ def polarize_with_guides(
             )
         guide_indices.append(per_window)
 
+    # PARITY NOTE: n_components from window 0 and the window-0-only
+    # prev_value seeding mirror similarity.rs polarize_pca_result_with
+    # _guides verbatim (a guide absent from window 0 casts no votes
+    # there either).
     n_components = results[0].coords.shape[1] if results else 0
     for pc in range(n_components):
         decisions = [[0] * len(results) for _ in guide_samples]

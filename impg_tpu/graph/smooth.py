@@ -36,25 +36,27 @@ def _node_sites(gfa: Gfa, gfa_text: str) -> dict[str, int]:
     from impg_tpu.graph import bubbles as bubbles_mod
 
     dec = bubbles_mod.decompose_flubbles(gfa_text)
-    site_of: dict[str, int] = {}
+    site_of: dict[str, set[int]] = {}
     top = [s for s in dec.sites if s.level == 0]
     bounds = {
         (s.start[:-1], s.end[:-1]): i for i, s in enumerate(top)
     }
+    # Start-node -> site, computed once (not a per-step linear scan).
+    starts = {s.start[:-1]: i for i, s in enumerate(top)}
     for _, steps in gfa.paths:
         active: int | None = None
         for sid, _ in steps:
-            started = None
-            for (a, b), i in bounds.items():
-                if sid == a:
-                    started = i
+            started = starts.get(sid)
             if active is not None:
-                site_of.setdefault(sid, active)
+                # Boundary anchors belong to BOTH adjacent sites: a block
+                # boundary between a shared anchor and either site's
+                # interior would split a variation site.
+                site_of.setdefault(sid, set()).add(active)
                 end_sid = top[active].end[:-1]
                 if sid == end_sid:
                     active = None
             if started is not None:
-                site_of.setdefault(sid, started)
+                site_of.setdefault(sid, set()).add(started)
                 active = started
     return site_of
 
@@ -97,17 +99,19 @@ def smooth_gfa(
     block_of: dict[str, int] = {}
     cur_block = 0
     cur_w = 0
-    prev_site: int | None = None
+    prev_sites: set[int] = set()
     for sid in gfa.segments:
         node_w = len(gfa.segments[sid]) * max(depth[sid], 1)
-        site = site_of.get(sid, -1)
-        same_site = site != -1 and site == prev_site
+        sites = site_of.get(sid, set())
+        # Consecutive nodes sharing ANY site must stay in one block (a
+        # shared boundary anchor belongs to both adjacent sites).
+        same_site = bool(sites & prev_sites)
         if cur_w > 0 and cur_w + node_w > max_block_weight and not same_site:
             cur_block += 1
             cur_w = 0
         block_of[sid] = cur_block
         cur_w += node_w
-        prev_site = site
+        prev_sites = sites
     n_blocks = cur_block + 1
 
     # Per block: list of (path_name, start_bp, sequence bytes).

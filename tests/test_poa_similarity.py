@@ -260,3 +260,42 @@ def test_cli_similarity_pca_polarized_windows(tmp_path):
         same = all(abs(a - b) < 1e-9 for a, b in zip(r0, p0))
         flip = all(abs(a + b) < 1e-9 for a, b in zip(r0, p0))
         assert same or flip, (region, r0, p0)
+
+
+def test_group_intersection_matches_scalar_oracle():
+    """Vectorized histogram intersection == the per-character loop."""
+    import random
+
+    from impg_tpu.commands.similarity import group_intersection
+
+    def oracle(msa, idx_a, idx_b):
+        total = 0
+        for pos in range(len(msa[0])):
+            matches = 0
+            count_a = 0
+            for ia in idx_a:
+                ca = msa[ia][pos]
+                if ca == "-":
+                    continue
+                count_a += 1
+                for ib in idx_b:
+                    cb = msa[ib][pos]
+                    if cb != "-" and ca == cb:
+                        matches += 1
+            count_b = sum(1 for ib in idx_b if msa[ib][pos] != "-")
+            total += min(matches, count_a, count_b)
+        return total
+
+    rng = random.Random(3)
+    for _ in range(20):
+        n_rows = rng.randint(2, 6)
+        n_cols = rng.randint(1, 40)
+        msa = [
+            "".join(rng.choice("ACGTN-") for _ in range(n_cols))
+            for _ in range(n_rows)
+        ]
+        ia = [i for i in range(n_rows) if rng.random() < 0.5] or [0]
+        ib = [i for i in range(n_rows) if rng.random() < 0.5] or [
+            n_rows - 1
+        ]
+        assert group_intersection(msa, ia, ib) == oracle(msa, ia, ib)

@@ -34,8 +34,9 @@ def test_flubble_block_source_keeps_sites_whole():
     the bubble's nodes land in one site; spellings stay exact either way."""
     g = topological_sort(Gfa.parse(BUBBLE_GFA))
     sites = _node_sites(g, g.write())
-    # The bubble site m..z covers all four nodes.
-    assert len({sites[sid] for sid in sites}) == 1
+    # The bubble site m..z covers all four nodes (site sets: boundary
+    # anchors may belong to two adjacent sites; here there is one site).
+    assert {frozenset(v) for v in sites.values()} == {frozenset({0})}
     assert len(sites) == 4
 
     for source in ("fixed", "flubble"):
