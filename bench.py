@@ -10,22 +10,39 @@ The device path batches every walk's per-depth stab+projection into one
 jitted TPU step (engine.query_transitive_bfs_many); visited-range
 bookkeeping stays on host, as in the reference.
 
+Hardening (round 2):
+  * The TPU backend is probed in a SUBPROCESS with retry + backoff before
+    the main process ever touches jax — one flaky relay moment no longer
+    erases the round's evidence, and a hard failure emits structured JSON
+    (`"tpu_unavailable": true`, `"error": ...`) instead of a traceback.
+  * The device measurement is best-of-N in-process reps with a reported
+    relative spread (the shared chip varies 2-3x between runs).
+  * The baseline is HONEST: the reference engine is multithreaded (rayon
+    over trees/records, impg.rs:1553-1633), so we report the speedup vs
+    both the single-threaded host engine (`vs_baseline_1t`) and a fork-pool
+    all-cores host run of the same semantics (`vs_baseline`, the headline).
+
 Prints ONE JSON line:
   metric       "transitive_queries_per_sec_per_chip"
-  value        steady-state depth-2 transitive queries/s (batched device)
+  value        steady-state depth-2 transitive queries/s (batched device;
+               best of N reps)
   unit         "queries/s"
-  vs_baseline  speedup vs the single-threaded host (numpy) engine on the
-               same workload — a stand-in for the reference Rust path, which
-               cannot be built in this image (no cargo).
+  vs_baseline  speedup vs the strongest CPU run of the same semantics
+               (all-cores fork-pool host engine) — the closest available
+               stand-in for the rayon-parallel Rust reference, which cannot
+               be built in this image (no cargo).
 """
 
 from __future__ import annotations
 
 import json
+import multiprocessing
 import os
 import random
+import subprocess
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -38,10 +55,15 @@ BATCH = 1024
 N_BATCHES_TIMED = 5
 RANGE_MIN, RANGE_MAX = 10_000, 100_000
 MAX_DEPTH = 2
+DEVICE_REPS = 4  # best-of-N (shared axon chip: throughput varies 2-3x)
+HOST_1T_BUDGET_S = 45.0
+HOST_MT_BUDGET_S = 60.0
+PROBE_BACKOFFS_S = (0.0, 20.0, 45.0, 90.0)  # retry schedule for relay init
+PROBE_TIMEOUT_S = 300.0  # per attempt (cold axon init can take minutes)
 
 
 def build_workload():
-    from impg_tpu.index.impg_index import ImpgIndex, load_or_build
+    from impg_tpu.index.impg_index import load_or_build
     from tests import datagen
 
     # Cache the synthetic PAF so repeated bench runs measure the engine,
@@ -81,7 +103,111 @@ def build_workload():
     return index, batches
 
 
-def bench_device(index, batches, approximate=False):
+# ── TPU probe ────────────────────────────────────────────────────────────
+
+_PROBE_SRC = """
+import sys, time
+t0 = time.time()
+import jax, jax.numpy as jnp
+devs = jax.devices()
+plat = devs[0].platform
+y = (jnp.ones((128, 128)) @ jnp.ones((128, 128))).block_until_ready()
+print("PROBE_OK platform=%s n=%d init_s=%.1f" % (plat, len(devs), time.time() - t0))
+sys.exit(0 if plat not in ("cpu",) else 3)
+"""
+
+
+def probe_tpu():
+    """Probe TPU init in a subprocess with retry + backoff.
+
+    A failed jax backend init is cached process-wide, so probing in the
+    main process would poison the real run; a subprocess probe is free to
+    fail and retry. Returns (ok, diagnostics-dict).
+    """
+    attempts = []
+    for i, backoff in enumerate(PROBE_BACKOFFS_S):
+        if backoff:
+            time.sleep(backoff)
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True, text=True, timeout=PROBE_TIMEOUT_S,
+            )
+            out = (proc.stdout + proc.stderr).strip().splitlines()
+            tail = out[-1][:300] if out else ""
+            attempts.append({
+                "rc": proc.returncode, "seconds": round(time.time() - t0, 1),
+                "tail": tail,
+            })
+            if proc.returncode == 0 and "PROBE_OK" in proc.stdout:
+                return True, {"attempts": attempts}
+        except subprocess.TimeoutExpired:
+            attempts.append({
+                "rc": None, "seconds": round(time.time() - t0, 1),
+                "tail": "probe timeout after %.0fs" % PROBE_TIMEOUT_S,
+            })
+    return False, {"attempts": attempts}
+
+
+# ── Host baselines ───────────────────────────────────────────────────────
+
+def bench_host_1t(index, batches, budget_s: float = HOST_1T_BUDGET_S):
+    from impg_tpu.query import engine
+
+    t0 = time.perf_counter()
+    done = 0
+    for walk in batches[1:]:
+        for tid, s, e in walk:
+            engine.query_transitive_bfs(index, tid, s, e, max_depth=MAX_DEPTH)
+            done += 1
+            if time.perf_counter() - t0 > budget_s:
+                return done / (time.perf_counter() - t0)
+    return done / (time.perf_counter() - t0)
+
+
+_MT_INDEX = None  # set in the parent pre-fork; inherited by workers (COW)
+
+
+def _mt_worker(chunk):
+    from impg_tpu.query import engine
+
+    for tid, s, e in chunk:
+        engine.query_transitive_bfs(_MT_INDEX, tid, s, e, max_depth=MAX_DEPTH)
+    return len(chunk)
+
+
+def bench_host_mt(index, batches, qps_1t: float,
+                  budget_s: float = HOST_MT_BUDGET_S):
+    """All-cores host run: fork-pool over walks, same engine semantics.
+
+    Models the reference's rayon parallelism (impg.rs:1553-1633: data-
+    parallel iterators over trees/records). Fork inherits the built index
+    with no pickling; must run BEFORE any jax backend init in this process.
+    """
+    global _MT_INDEX
+    nproc = os.cpu_count() or 1
+    queries = [q for walk in batches[1:] for q in walk]
+    # Size the run to the budget from the measured 1t rate (perfect-scaling
+    # upper bound estimate), so a slow box doesn't blow the bench budget.
+    want = int(max(nproc * 4, qps_1t * nproc * budget_s * 0.8))
+    queries = queries[:max(nproc, min(len(queries), want))]
+    n_chunks = nproc * 4  # oversplit for load balance, rayon-style
+    chunks = [queries[i::n_chunks] for i in range(n_chunks)]
+    chunks = [c for c in chunks if c]
+    _MT_INDEX = index
+    ctx = multiprocessing.get_context("fork")
+    t0 = time.perf_counter()
+    with ctx.Pool(nproc) as pool:
+        done = sum(pool.map(_mt_worker, chunks))
+    dt = time.perf_counter() - t0
+    _MT_INDEX = None
+    return done / dt, nproc
+
+
+# ── Device benches ───────────────────────────────────────────────────────
+
+def bench_device(index, batches, approximate=False, reps=DEVICE_REPS):
     from impg_tpu.query import engine
     from impg_tpu.query.device import DeviceEngine
 
@@ -99,30 +225,20 @@ def bench_device(index, batches, approximate=False):
         index, walks, max_depth=MAX_DEPTH, device_engine=dev,
         approximate=approximate, columnar=True,
     )
-    t0 = time.perf_counter()
-    # Columnar result blocks: rows stay flat arrays (the engine's native
-    # currency); Row objects only materialize in writers that need them.
-    res = engine.query_transitive_bfs_many(
-        index, walks, max_depth=MAX_DEPTH, device_engine=dev,
-        approximate=approximate, columnar=True,
-    )
-    rows = sum(len(r) for r in res)
-    dt = time.perf_counter() - t0
-    return len(walks) / dt, rows, dt
-
-
-def bench_host(index, batches, budget_s: float = 60.0):
-    from impg_tpu.query import engine
-
-    t0 = time.perf_counter()
-    done = 0
-    for walk in batches[1:]:
-        for tid, s, e in walk:
-            engine.query_transitive_bfs(index, tid, s, e, max_depth=MAX_DEPTH)
-            done += 1
-            if time.perf_counter() - t0 > budget_s:
-                return done / (time.perf_counter() - t0)
-    return done / (time.perf_counter() - t0)
+    rep_qps, rows, best_dt = [], 0, None
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        # Columnar result blocks: rows stay flat arrays (the engine's native
+        # currency); Row objects only materialize in writers that need them.
+        res = engine.query_transitive_bfs_many(
+            index, walks, max_depth=MAX_DEPTH, device_engine=dev,
+            approximate=approximate, columnar=True,
+        )
+        dt = time.perf_counter() - t0
+        rows = sum(len(r) for r in res)
+        rep_qps.append(len(walks) / dt)
+        best_dt = dt if best_dt is None else min(best_dt, dt)
+    return rep_qps, rows, best_dt
 
 
 def bench_headlines():
@@ -182,32 +298,82 @@ def bench_headlines():
 
 def main():
     index, batches = build_workload()
-    qps_device, rows, dt = bench_device(index, batches)
-    index.ensure_tracepoints(100)
-    qps_approx, _, _ = bench_device(index, batches, approximate=True)
-    qps_host = bench_host(index, batches)
+
+    # Host baselines FIRST (fork-safe: no jax backend in this process yet).
+    qps_1t = bench_host_1t(index, batches)
+    qps_mt, nproc = bench_host_mt(index, batches, qps_1t)
+
     syng_build_ms, gfa_parse_mibs = bench_headlines()
+
+    detail = {
+        "directed_records": len(index.records),
+        "arena_runs": int(index.arena.n_ops),
+        "batch": BATCH,
+        "batches_timed": N_BATCHES_TIMED,
+        "max_depth": MAX_DEPTH,
+        "host_engine_qps_1t": round(qps_1t, 2),
+        "host_engine_qps_mt": round(qps_mt, 2),
+        "host_threads": nproc,
+        "baseline_note": (
+            "vs_baseline = device qps / all-cores fork-pool host engine "
+            "(same semantics; stand-in for the rayon-parallel Rust "
+            "reference, which cannot be built in this image)"
+        ),
+        "syng_build_ms_c4_scale_4t": syng_build_ms,
+        "gfa_native_tokenize_mib_s": gfa_parse_mibs,
+    }
+
+    ok, probe = probe_tpu()
+    detail["tpu_probe"] = probe
+    if not ok:
+        # Structured degradation: headline falls back to the strongest CPU
+        # number with an explicit unavailability flag — never a traceback.
+        result = {
+            "metric": "transitive_queries_per_sec_per_chip",
+            "value": round(qps_mt, 2),
+            "unit": "queries/s",
+            "vs_baseline": 1.0,
+            "tpu_unavailable": True,
+            "error": "axon TPU backend failed to initialize after "
+                     f"{len(PROBE_BACKOFFS_S)} probe attempts",
+            "detail": detail,
+        }
+        print(json.dumps(result))
+        return
+
+    index.ensure_tracepoints(100)
+    rep_qps, rows, best_dt = bench_device(index, batches)
+    approx_reps, _, _ = bench_device(index, batches, approximate=True, reps=2)
+    qps_device = max(rep_qps)
+
+    detail.update({
+        "result_rows": int(rows),
+        "result_rows_per_sec": round(rows / best_dt, 2),
+        "device_reps_qps": [round(q, 2) for q in rep_qps],
+        "device_qps_spread": round(max(rep_qps) / max(min(rep_qps), 1e-9), 2),
+        "approximate_mode_qps": round(max(approx_reps), 2),
+        "vs_baseline_1t": round(qps_device / qps_1t, 2),
+    })
     result = {
         "metric": "transitive_queries_per_sec_per_chip",
         "value": round(qps_device, 2),
         "unit": "queries/s",
-        "vs_baseline": round(qps_device / qps_host, 2),
-        "detail": {
-            "directed_records": len(index.records),
-            "arena_runs": int(index.arena.n_ops),
-            "batch": BATCH,
-            "batches_timed": N_BATCHES_TIMED,
-            "max_depth": MAX_DEPTH,
-            "result_rows": int(rows),
-            "result_rows_per_sec": round(rows / dt, 2),
-            "host_engine_qps": round(qps_host, 2),
-            "approximate_mode_qps": round(qps_approx, 2),
-            "syng_build_ms_c4_scale_4t": syng_build_ms,
-            "gfa_native_tokenize_mib_s": gfa_parse_mibs,
-        },
+        "vs_baseline": round(qps_device / qps_mt, 2),
+        "detail": detail,
     }
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # never a bare traceback on the record
+        print(json.dumps({
+            "metric": "transitive_queries_per_sec_per_chip",
+            "value": 0,
+            "unit": "queries/s",
+            "vs_baseline": 0,
+            "error": f"{type(exc).__name__}: {exc}",
+            "trace_tail": traceback.format_exc()[-1500:],
+        }))
+        sys.exit(0)
