@@ -73,6 +73,16 @@ def _anchor_chain(ref_steps, alt_steps) -> list[tuple[int, int]]:
     return out
 
 
+_INFO_HEADER_AC = (
+    '##INFO=<ID=AC,Number=A,Type=Integer,'
+    'Description="Allele count in genotypes">'
+)
+_INFO_HEADER_AN = (
+    '##INFO=<ID=AN,Number=1,Type=Integer,'
+    'Description="Total number of alleles in called genotypes">'
+)
+
+
 @dataclass
 class VcfRecord:
     chrom: str
@@ -119,12 +129,17 @@ def gfa_to_vcf(gfa_text: str, reference_path: str | None = None) -> str:
 
     records: dict[tuple[int, str, str], VcfRecord] = {}
     sample_names = [n for n, _ in gfa.paths if n != ref_name]
+    # Paths that never anchor to the reference walk carry no evidence
+    # either way: genotype them missing ('.'), not reference ('0') —
+    # same contract as gfa_to_vcf_flubbles for non-traversing paths.
+    no_chain: set[str] = set()
 
     for alt_name, alt_steps in gfa.paths:
         if alt_name == ref_name:
             continue
         chain = _anchor_chain(ref_steps, alt_steps)
         if not chain:
+            no_chain.add(alt_name)
             continue
         for (ri, ai), (rj, aj) in zip(chain, chain[1:]):
             if rj == ri + 1 and aj == ai + 1:
@@ -174,18 +189,23 @@ def gfa_to_vcf(gfa_text: str, reference_path: str | None = None) -> str:
     out = [
         "##fileformat=VCFv4.2",
         f"##reference={ref_name}",
+        _INFO_HEADER_AC,
+        _INFO_HEADER_AN,
         '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
         + "\t".join(sample_names),
     ]
+    an = sum(1 for name in sample_names if name not in no_chain)
     for key in sorted(records):
         rec = records[key]
         gts = "\t".join(
-            "1" if name in rec.carriers else "0" for name in sample_names
+            "." if name in no_chain
+            else ("1" if name in rec.carriers else "0")
+            for name in sample_names
         )
         out.append(
             f"{rec.chrom}\t{rec.pos}\t.\t{rec.ref}\t{rec.alt}\t.\t.\t"
-            f"AC={len(rec.carriers)};AN={len(sample_names)}\tGT\t{gts}"
+            f"AC={len(rec.carriers)};AN={an}\tGT\t{gts}"
         )
     return "\n".join(out) + "\n"
 
@@ -316,6 +336,8 @@ def gfa_to_vcf_flubbles(
     out = [
         "##fileformat=VCFv4.2",
         f"##reference={ref_name}",
+        _INFO_HEADER_AC,
+        _INFO_HEADER_AN,
         '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
         + "\t".join(sample_names),

@@ -50,6 +50,16 @@ def create_agz(
                 if base.endswith(suf):
                     base = base[: -len(suf)]
             sample_names.append(base)
+    # Two FASTAs may share a basename stem (same name, different dirs):
+    # writing both under one sample key would orphan the first file's
+    # blocks silently. Refuse up front.
+    dupes = {s for s in sample_names if sample_names.count(s) > 1}
+    if dupes:
+        raise ValueError(
+            "duplicate sample name(s) in agz create: "
+            + ", ".join(sorted(dupes))
+            + " — pass explicit sample_names to disambiguate"
+        )
     directory: dict = {"samples": {}}
     n_contigs = 0
     with open(out_path, "wb") as fh:

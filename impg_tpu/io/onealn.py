@@ -3,9 +3,13 @@
 Record lines mirror what the reference's onealn.rs consumes (onealn.rs:551
 parse_single_alignment): `A qid qs qe tid ts te` coordinates, `R` for
 reverse strand (target coords stored in the flipped frame, onealn.rs:654),
-`T`/`X` integer lists (query-bp advance and differences per target trace
-segment, count-prefixed like ONEcode ASCII lists), `D` total differences,
-and a `t <spacing>` header (onealn.rs:54).  The binary form uses the
+`T`/`X` integer lists (count-prefixed like ONEcode ASCII lists), `D` total
+differences, and a `t <spacing>` header (onealn.rs:54).  T/X follow the
+reference's FASTGA axis convention (impg.rs:714-746): T[i] is the TARGET
+bp consumed across query-grid segment i, where the query grid's first
+interior boundary is the next absolute multiple of trace_spacing after
+q_start and subsequent boundaries step by trace_spacing; X[i] is the edit
+bp in that segment.  The binary form uses the
 ONEcode-structured container in `io/onecode.py` (ASCII header + embedded
 schema, varint line stream, footer object index) giving O(1) per-record
 seek like the reference's `file.goto('A', i+1)` fetch path
@@ -47,7 +51,63 @@ ALN_SCHEMA = {
 }
 
 
-def _emit_lines(seq_index: SequenceIndex, records, tp, spacing: int):
+def query_grid_bounds(qs: int, qe: int, spacing: int) -> np.ndarray:
+    """Absolute query-axis segment boundaries for the FASTGA convention.
+
+    First interior boundary is the next absolute multiple of `spacing`
+    after qs (impg.rs:717 first_boundary = ((qs/ts)+1)*ts - qs, expressed
+    there as a delta); boundaries then step by `spacing` up to qe.
+    """
+    fb = ((qs // spacing) + 1) * spacing
+    if fb >= qe:
+        return np.asarray([qs, qe], np.int64)
+    interior = np.arange(fb, qe, spacing, dtype=np.int64)
+    return np.concatenate([[qs], interior, [qe]])
+
+
+def _fastga_lists(runs: np.ndarray, qs: int, qe: int, spacing: int,
+                  rev: bool):
+    """(T, X, D) for one record: T[i] = target bp per query-grid segment,
+    X[i] = edit bp per segment, both in query-ascending (file) order;
+    D = total edit bp. Matches the reference's FASTGA consumption
+    (impg.rs:714-746: T values are TARGET deltas on a fixed-query-spacing
+    grid anchored at absolute multiples of trace_spacing)."""
+    lens = (runs & np.uint32(cigar.LEN_MASK)).astype(np.int64)
+    kind = (runs >> np.uint32(29)).astype(np.int64)
+    dq = np.where(kind != cigar.OP_D, lens, 0)
+    dt = np.where(kind != cigar.OP_I, lens, 0)
+    dx = np.where(
+        (kind == cigar.OP_X) | (kind == cigar.OP_I) | (kind == cigar.OP_D),
+        lens, 0,
+    )
+    cq = np.concatenate([[0], np.cumsum(dq)])
+    ct = np.concatenate([[0], np.cumsum(dt)])
+    cx = np.concatenate([[0], np.cumsum(dx)])
+
+    bounds = query_grid_bounds(qs, qe, spacing)
+    # Walk progress of each boundary: forward strand walks qs->qe, reverse
+    # walks qe->qs (original-frame run order), so progress = b-qs or qe-b.
+    p = (bounds - qs) if not rev else (qe - bounds)
+    j = np.clip(np.searchsorted(cq[:-1], p, side="right") - 1, 0, None)
+    frac = p - cq[j]
+    kj = kind[j] if kind.size else np.zeros_like(j)
+    t_adv = np.where(kj != cigar.OP_I, frac, 0) if kind.size else frac * 0
+    x_adv = (
+        np.where((kj == cigar.OP_X) | (kj == cigar.OP_I), frac, 0)
+        if kind.size else frac * 0
+    )
+    tvals = ct[j] + t_adv
+    xvals = cx[j] + x_adv
+    T = np.abs(np.diff(tvals))
+    X = np.abs(np.diff(xvals))
+    return (
+        [int(x) for x in T],
+        [int(x) for x in X],
+        int(cx[-1]) if kind.size else 0,
+    )
+
+
+def _emit_lines(seq_index: SequenceIndex, records, arena, spacing: int):
     """Yield the 1aln line stream as (linetype, fields) tuples."""
     yield "t", (spacing,)
     for i in range(len(seq_index)):
@@ -65,18 +125,17 @@ def _emit_lines(seq_index: SequenceIndex, records, tp, spacing: int):
             ts_f, te_f = tlen - te, tlen - ts
         else:
             ts_f, te_f = ts, te
-        off = int(tp.seg_off[r])
-        nseg = int(tp.n_seg[r])
-        qb = tp.q_bound[off : off + nseg + 1].astype(np.int64)
-        pd = tp.pre_diffs[off : off + nseg + 1].astype(np.int64)
-        advances = np.abs(np.diff(qb))
-        diffs = np.diff(pd)
+        off = int(records.op_off[r])
+        cnt = int(records.op_cnt[r])
+        T, X, D = _fastga_lists(
+            arena.runs[off : off + cnt], qs, qe, spacing, rev
+        )
         yield "A", (qid, qs, qe, tid, ts_f, te_f)
         if rev:
             yield "R", ()
-        yield "T", ([int(x) for x in advances],)
-        yield "X", ([int(x) for x in diffs],)
-        yield "D", (int(pd[-1]),)
+        yield "T", (T,)
+        yield "X", (X,)
+        yield "D", (D,)
 
 
 def write_1aln(
@@ -100,13 +159,13 @@ def write_1aln(
             path, "aln", 1, 1,
             schema=ALN_SCHEMA, indexed=("A",), provenance="impg_tpu",
         ) as w:
-            for lt, fields in _emit_lines(seq_index, records, tp, spacing):
+            for lt, fields in _emit_lines(seq_index, records, arena, spacing):
                 w.write(lt, *fields)
                 n_written += lt == "A"
         return n_written
     with open(path, "w") as fh:
         fh.write("1 3 aln 1 1\n")
-        for lt, fields in _emit_lines(seq_index, records, tp, spacing):
+        for lt, fields in _emit_lines(seq_index, records, arena, spacing):
             if lt in ("T", "X"):
                 vals = fields[0]
                 fh.write(
@@ -246,17 +305,39 @@ def parse_1aln(
         if cur_rev:
             tlen = seq_index.get_len_from_id(tid)
             ts, te = tlen - te, tlen - ts
-        advances = cur_T or []
-        diffs = cur_X or [0] * len(advances)
-        if len(diffs) < len(advances):
-            diffs = diffs + [0] * (len(advances) - len(diffs))
-        # Target segment lengths on the forward target grid.
-        n_seg = max(len(advances), 1)
-        bounds = [ts + i * spacing for i in range(n_seg)] + [te]
-        bounds = [min(b, te) for b in bounds]
-        if not advances:
+        # FASTGA convention (impg.rs:714-746): T values are TARGET deltas
+        # per query-grid segment (first boundary at the next absolute
+        # multiple of trace_spacing from qs; then every spacing bp).
+        t_deltas = cur_T or []
+        diffs = cur_X or [0] * len(t_deltas)
+        if len(diffs) < len(t_deltas):
+            diffs = diffs + [0] * (len(t_deltas) - len(diffs))
+        if not t_deltas:
             advances = [abs(qe - qs)]
             diffs = [0]
+            bounds = [ts, te]
+        else:
+            qb = query_grid_bounds(qs, qe, spacing)
+            advances = [int(x) for x in np.diff(qb)]
+            if len(advances) != len(t_deltas):
+                # Tolerate grid/count mismatch (foreign spacing): pad or
+                # truncate query advances to the T list length.
+                if len(advances) < len(t_deltas):
+                    advances += [0] * (len(t_deltas) - len(advances))
+                else:
+                    advances = advances[: len(t_deltas) - 1] + [
+                        sum(advances[len(t_deltas) - 1 :])
+                    ]
+            if cur_rev:
+                # reconstruct_runs walks the ORIGINAL target frame forward
+                # (query descending from qe): reverse the file-order lists.
+                t_deltas = t_deltas[::-1]
+                advances = advances[::-1]
+                diffs = diffs[::-1]
+            bounds = [ts] + [
+                int(x) for x in ts + np.cumsum(np.asarray(t_deltas, np.int64))
+            ]
+            bounds[-1] = te  # guard rounding on foreign files
         packed = reconstruct_runs(
             seq_index, qid, qs, qe, tid, cur_rev,
             advances, diffs, bounds, seq_fetch,

@@ -57,16 +57,36 @@ def _run_axes(runs: np.ndarray):
     return lens * consumes_q, lens * consumes_t, lens * is_diff
 
 
-def _fastga_segments(runs: np.ndarray, spacing: int):
+def _fastga_first_boundary(spacing: int, qs: int, qe: int, rev: bool) -> int:
+    """Walk-relative offset of the first query-grid boundary.
+
+    The reference anchors the fixed-query grid at ABSOLUTE multiples of
+    spacing (impg.rs:717 first_boundary = ((qs/ts)+1)*ts - qs), not at the
+    alignment start.  Forward walks start at qs; reverse-strand walks run
+    from qe downward, so their first boundary is the distance down to the
+    largest multiple strictly below qe.
+    """
+    if rev:
+        return qe - ((qe - 1) // spacing) * spacing if qe > 0 else spacing
+    return ((qs // spacing) + 1) * spacing - qs
+
+
+def _fastga_segments(runs: np.ndarray, spacing: int, qs: int, qe: int,
+                     rev: bool):
     """(diffs, t_delta) per fixed-QUERY-spacing segment (the tpa Fastga
-    encoding: pairs (num_diffs, target_delta), tpa_parser.rs:164)."""
+    encoding: pairs (num_diffs, target_delta), tpa_parser.rs:164), with
+    the grid anchored at absolute multiples of spacing."""
     dq, dt, dd = _run_axes(runs)
     cq = np.concatenate([[0], np.cumsum(dq)])
     ct = np.concatenate([[0], np.cumsum(dt)])
     cd = np.concatenate([[0], np.cumsum(dd)])
     total_q = int(cq[-1])
-    n_seg = max(int(np.ceil(total_q / spacing)), 1)
-    bounds = np.minimum(np.arange(1, n_seg + 1) * spacing, total_q)
+    first = min(_fastga_first_boundary(spacing, qs, qe, rev), total_q)
+    if total_q <= first:
+        bounds = np.asarray([total_q], np.int64)
+    else:
+        interior = np.arange(first, total_q, spacing, dtype=np.int64)
+        bounds = np.concatenate([interior, [total_q]])
     # Run containing each query boundary: last run start <= b.
     j = np.searchsorted(cq[1:], bounds, side="left")
     j = np.minimum(j, len(dq) - 1)
@@ -121,7 +141,11 @@ def write_tpa(
         cnt = int(records.op_cnt[r])
         runs = arena.runs[off : off + cnt]
         if tp_type == "fastga":
-            diffs, t_deltas = _fastga_segments(runs, spacing)
+            diffs, t_deltas = _fastga_segments(
+                runs, spacing,
+                int(records.q_start[r]), int(records.q_end[r]),
+                int(records.strand[r]) == 1,
+            )
             tp_a.extend(int(x) for x in diffs)
             tp_b.extend(int(x) for x in t_deltas)
             n_items = len(diffs)
@@ -251,7 +275,13 @@ def parse_tpa(path: str, seq_index: SequenceIndex, seq_fetch=None):
             elif tp_type in ("fastga", "fastga-nodiff"):
                 # Fixed query spacing; pair = (diffs, target_delta)
                 # (tpa_parser.rs:164; FastgaNoDiff drops the diff counts).
-                advances.append(min(spacing, max(total_q - sum(advances), 0)))
+                # Grid anchored at absolute multiples of spacing: the first
+                # segment is shorter (impg.rs:717 first_boundary).
+                step = (
+                    _fastga_first_boundary(spacing, qs, qe, rev)
+                    if not advances else spacing
+                )
+                advances.append(min(step, max(total_q - sum(advances), 0)))
                 t_deltas.append(bi)
                 diffs.append(ai if tp_type == "fastga" else 0)
             elif tp_type == "variable":

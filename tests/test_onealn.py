@@ -44,13 +44,20 @@ def test_export_format(roundtrip):
     a_lines = [l for l in lines if l.startswith("A ")]
     t_lines = [l for l in lines if l.startswith("T ")]
     assert len(a_lines) == len(t_lines) > 0
-    # T lists are count-prefixed and consume exactly the query span.
+    # T lists are count-prefixed TARGET deltas over the query grid
+    # (impg.rs:714-746 FASTGA convention): they sum to the target span and
+    # there is one entry per query-grid segment (first boundary at the next
+    # absolute multiple of spacing after q_start).
+    from impg_tpu.io.onealn import query_grid_bounds
+
     for al, tl in zip(a_lines, t_lines):
         af = al.split()
         tf = tl.split()
         assert int(tf[1]) == len(tf) - 2
-        q_span = abs(int(af[3]) - int(af[2]))
-        assert sum(int(x) for x in tf[2:]) == q_span
+        qs, qe = int(af[2]), int(af[3])
+        t_span = abs(int(af[6]) - int(af[5]))
+        assert sum(int(x) for x in tf[2:]) == t_span
+        assert len(tf) - 2 == len(query_grid_bounds(qs, qe, 100)) - 1
 
 
 def _rows_by_coords(index, rows):
