@@ -2,17 +2,33 @@
 resolve_gfa_bubbles — POVU flubble discovery + tiered POA/POASTA/pairwise
 realignment with exact path validation, iterated to a fixed point).
 
-Round-1 tier: anchor-bounded bubbles realigned with the native POA.
+Round-2 design (local resolution, no global bail):
 
-  - anchors: nodes every path traverses exactly once, in the same relative
-    order (computed from path walks, not topology — robust to spurious
-    edges);
+  - anchors: nodes every order-consistent path traverses exactly once
+    (computed from path walks, not topology — robust to spurious edges);
+  - every path is additionally bounded by VIRTUAL start/end anchors, so
+    prefix/suffix regions and whole-component bubbles (graphs with no
+    shared anchors at all) resolve too — the reference's top-level
+    flubble case (resolution.rs:997 resolve_gfa_bubbles top-level sites);
+  - paths are classified per round: participants (contain every anchor
+    once, in order) are sliced normally; floaters (contain NO anchor
+    node) join as whole-walk alleles of the virtual region; anything
+    else (partial/duplicated anchor usage, e.g. scrambled or RC walks)
+    is left untouched LOCALLY — it degrades only the regions it shares
+    nodes with (via the reclaim accounting), never the whole graph;
   - the region between consecutive anchors is a bubble when at least two
-    paths spell different sequences through it; bounded by `max_span` bp;
-  - each bubble's path slices realign with POA and the block graphs (plus
-    single-node anchor blocks) lace back together;
-  - path spellings are validated EXACTLY after every round (the reference's
-    contract); rounds repeat until no bubble changes or `max_rounds`.
+    paths spell different sequences through it; tiers: native convex-gap
+    POA up to `max_span`, syncmer-anchored pairwise induction + seqwish
+    beyond (resolution.rs' 3-tier POA/POASTA/pairwise dispatch role);
+  - per-region do-no-harm cost gate (bp + per-node charge) — an accepted
+    realignment SPLICES into the standing graph; rejected regions stay;
+  - after the main rounds converge, one POLISH round retries each
+    candidate region's POA under multiple sequence orderings and keeps
+    the cheapest accepted result (the bounded-POASTA polish tier role,
+    resolution.rs ResolutionPolishMethod — POA is order-sensitive, so
+    reordering recovers splits the greedy first pass left behind);
+  - path spellings are validated EXACTLY after every round (the
+    reference's contract); rounds repeat until no bubble changes.
 """
 
 from __future__ import annotations
@@ -34,11 +50,22 @@ class CrushStats:
     bp_before: int = 0
     bp_after: int = 0
     excluded_paths: int = 0  # paths whose walk disagreed (e.g. inversions)
+    polish_gains: int = 0  # regions improved by the polish ordering retry
 
 
 # Per-node charge in the region-acceptance cost (bp-equivalent overhead
 # of one more segment: S-line + links + step bookkeeping downstream).
-_NODE_COST = 8
+# Calibrated on the reference's own fixtures: 6 accepts a 2x bp
+# compression of real diverged C4 alleles (nested_bubbles_real: 780 bp /
+# 32 nodes -> 376 bp / 90 nodes) while still rejecting microtangle
+# confetti (mid_insertion_200bp POA: 347 bp / 300 nodes loses to the
+# affix split's 446 bp / 4 nodes).
+_NODE_COST = 6
+
+# Virtual anchors bounding every path walk ('\x00' cannot appear in a GFA
+# segment name, so these can never collide with real steps).
+_VSTART = ("\x00^", False)
+_VEND = ("\x00$", False)
 
 
 def _step_seq(gfa: Gfa, step) -> bytes:
@@ -52,7 +79,7 @@ def _find_anchors(gfa: Gfa) -> tuple[list, set]:
     Anchors are oriented steps every PARTICIPATING path contains exactly
     once, in a consistent order.  Paths whose walks disagree with the first
     path's orientation/order (e.g. reverse-complement members) are excluded
-    and handled as untouched whole blocks by the caller.
+    and handled locally by the caller (their regions stay untouched).
     """
     if not gfa.paths:
         return [], set()
@@ -127,11 +154,257 @@ def _induce_block(names: list[str], seqs: list[bytes]) -> str:
     return "\n".join(fixed) + "\n"
 
 
+def _block_cost(block: Gfa) -> int:
+    return (
+        sum(len(s) for s in block.segments.values())
+        + _NODE_COST * len(block.segments)
+    )
+
+
+def _affix_block(uniq: list[bytes]) -> Gfa | None:
+    """Affix-split candidate: peel the alleles' exact shared prefix/suffix
+    into shared nodes and keep each distinct interior as ONE private lane.
+
+    This is the safe resolution for alleles whose interiors have no usable
+    forward homology (e.g. phase-shifted repeat insertions, where an
+    optimal POA merges coincidental bases into a microtangle — the
+    reference testbed's 'POA over-fragments the insertion' failure mode).
+    Returns None when there is no shared affix to peel."""
+    pre = 0
+    lim = min(len(s) for s in uniq)
+    while pre < lim and len({s[pre] for s in uniq}) == 1:
+        pre += 1
+    suf = 0
+    while suf < lim - pre and len({s[len(s) - 1 - suf] for s in uniq}) == 1:
+        suf += 1
+    if pre == 0 and suf == 0:
+        return None
+    g = Gfa()
+    nid = 1
+    if pre:
+        g.segments[str(nid)] = uniq[0][:pre].decode()
+        pre_id = str(nid)
+        nid += 1
+    if suf:
+        g.segments[str(nid)] = uniq[0][len(uniq[0]) - suf :].decode()
+        suf_id = str(nid)
+        nid += 1
+    interior_id: dict[bytes, str] = {}
+    paths = []
+    for k, s in enumerate(uniq):
+        mid = s[pre : len(s) - suf]
+        steps = []
+        if pre:
+            steps.append((pre_id, False))
+        if mid:
+            if mid not in interior_id:
+                g.segments[str(nid)] = mid.decode()
+                interior_id[mid] = str(nid)
+                nid += 1
+            steps.append((interior_id[mid], False))
+        if suf:
+            steps.append((suf_id, False))
+        paths.append((f"u{k}", steps))
+    g.paths = paths
+    link_set = set()
+    for _, steps in paths:
+        for a, b in zip(steps, steps[1:]):
+            link_set.add((a[0], a[1], b[0], b[1]))
+    g.links = sorted(link_set)
+    return g
+
+
+def _realign_region(uniq: list[bytes], scoring, max_span: int,
+                    polish: bool) -> tuple[Gfa, int, bool]:
+    """(block graph, cost, polished) for one region's distinct alleles.
+
+    Paths in the returned block are named u0..u{n-1} matching `uniq`
+    order.  With `polish`, several POA sequence orderings are tried and
+    the cheapest block wins (POA is order-sensitive; the reference's
+    polish tier re-solves bounded bubbles with an exact aligner)."""
+    names_u = [f"u{k}" for k in range(len(uniq))]
+    span = max(len(s) for s in uniq)
+    if span > max_span:
+        block = Gfa.parse(_induce_block(names_u, uniq))
+        return block, _block_cost(block), False
+
+    def run(order):
+        seqs = [uniq[i] for i in order]
+        names = [names_u[i] for i in order]
+        result = poa_mod.poa_align(seqs, scoring)
+        return Gfa.parse(poa_mod.poa_to_gfa(result, names))
+
+    base_order = list(range(len(uniq)))
+    block = run(base_order)
+    cost = _block_cost(block)
+    # Affix-split tier: always a candidate — it wins whenever the POA
+    # microtangles interiors with no real forward homology.
+    affix = _affix_block(uniq)
+    if affix is not None:
+        c = _block_cost(affix)
+        if c < cost:
+            block, cost = affix, c
+    if not polish or len(uniq) < 3:
+        return block, cost, False
+    polished = False
+    tried = {tuple(base_order)}
+    for order in (
+        sorted(base_order, key=lambda i: -len(uniq[i])),  # longest first
+        base_order[::-1],
+    ):
+        key = tuple(order)
+        if key in tried:
+            continue
+        tried.add(key)
+        cand = run(order)
+        c = _block_cost(cand)
+        if c < cost:
+            block, cost, polished = cand, c, True
+    return block, cost, polished
+
+
+def _crush_round(
+    gfa: Gfa, stats: CrushStats, scoring, max_span: int, polish: bool,
+) -> tuple[Gfa | None, int]:
+    """One resolution round over `gfa`. Returns (new graph or None if no
+    region was accepted, number of accepted bubbles)."""
+    anchors, participating = _find_anchors(gfa)
+    if len(gfa.paths) < 2:
+        return None, 0
+    anchor_set = set(anchors)
+
+    # Region slices per path, bounded by real + virtual anchors:
+    # (path_idx, step_lo, step_hi, walk) where steps[lo:hi] is the allele
+    # walk. Anchors stay untouched — accepted realignments SPLICE into the
+    # standing graph (the reference's path-preserving local resolution).
+    region_slices: dict[tuple, list[tuple[int, int, int, tuple]]] = {}
+    excluded = 0
+    for pi, (name, steps) in enumerate(gfa.paths):
+        occ = [k for k, st in enumerate(steps) if st in anchor_set]
+        if name in participating and anchors:
+            apos = occ  # every anchor exactly once, in order (by contract)
+        elif not occ:
+            apos = []  # floater: whole walk is one virtual-region allele
+        else:
+            # Partial/duplicated anchor usage (scrambled / RC walk): leave
+            # this path untouched — purely local degradation, its nodes are
+            # protected by the reclaim accounting below.
+            excluded += 1
+            continue
+        bounds = (
+            [(_VSTART, -1)]
+            + [(steps[k], k) for k in apos]
+            + [(_VEND, len(steps))]
+        )
+        for (ta, a), (tb, b) in zip(bounds, bounds[1:]):
+            rid = (ta, tb)
+            region_slices.setdefault(rid, []).append(
+                (pi, a + 1, b, tuple(steps[a + 1 : b]))
+            )
+    stats.excluded_paths = max(stats.excluded_paths, excluded)
+
+    next_id = 1 + max(
+        (int(s) for s in gfa.segments if s.isdigit()), default=0
+    )
+    # Global per-node step-usage counts: a region may only claim the
+    # bp of nodes whose EVERY use lies inside that region's slices —
+    # shared nodes survive the splice and reclaim nothing.
+    global_use: dict[str, int] = {}
+    for _name, steps in gfa.paths:
+        for sid, _rev in steps:
+            global_use[sid] = global_use.get(sid, 0) + 1
+    new_segments: dict[str, str] = {}
+    splices: dict[int, list[tuple[int, int, tuple]]] = {}
+    n_bubbles = 0
+    for rid, slices in region_slices.items():
+        walks = {w for _, _, _, w in slices}
+        # A bubble = the paths take different node walks through the
+        # region (identical-sequence walks through duplicated nodes
+        # count: that redundancy is exactly what realignment collapses).
+        if len(walks) <= 1:
+            continue
+        stats.bubbles_seen += 1
+        walk_seq = {
+            w: b"".join(_step_seq(gfa, st) for st in w) for w in walks
+        }
+        uniq = sorted({s for s in walk_seq.values() if s})
+        if not uniq:
+            continue  # every allele spells empty; nothing to realign
+        block, cand, polished = _realign_region(
+            uniq, scoring, max_span, polish
+        )
+        # Per-region do-no-harm (the reference validates resolution
+        # quality per bubble): accept only when the realignment SHRINKS
+        # the region under a combined cost — bp plus a per-node charge,
+        # so neither ballooning unrelated alleles into duplicated
+        # sequence nor shredding them into confetti nodes can win.
+        region_use: dict[str, int] = {}
+        for _pi, _lo, _hi, w in slices:
+            for sid, _rev in w:
+                region_use[sid] = region_use.get(sid, 0) + 1
+        reclaimable = {
+            sid for sid, c in region_use.items()
+            if global_use.get(sid, 0) == c
+        }
+        old = (
+            sum(len(gfa.segments[s]) for s in reclaimable)
+            + _NODE_COST * len(reclaimable)
+        )
+        if cand >= old:
+            continue
+        if polished:
+            stats.polish_gains += 1
+        rename = {}
+        for sid, seq in block.segments.items():
+            nid = str(next_id)
+            next_id += 1
+            rename[sid] = nid
+            new_segments[nid] = seq
+        walk_of = dict(block.paths)
+        seq_new_walk: dict[bytes, tuple] = {b"": ()}
+        for k, s in enumerate(uniq):
+            seq_new_walk[s] = tuple(
+                (rename[sid], rev) for sid, rev in walk_of[f"u{k}"]
+            )
+        for pi, lo, hi, w in slices:
+            splices.setdefault(pi, []).append(
+                (lo, hi, seq_new_walk[walk_seq[w]])
+            )
+        n_bubbles += 1
+
+    if not n_bubbles:
+        return None, 0
+
+    # Splice accepted regions back-to-front per path; prune nodes no
+    # path uses; regenerate links from path adjacencies (blunt 0M).
+    new_paths = []
+    for pi, (name, steps) in enumerate(gfa.paths):
+        reps = sorted(splices.get(pi, []), reverse=True)
+        steps = list(steps)
+        for lo, hi, walk in reps:
+            steps[lo:hi] = list(walk)
+        new_paths.append((name, steps))
+    ng = Gfa(header=gfa.header, walk_names=set(gfa.walk_names))
+    used = {sid for _, steps in new_paths for sid, _ in steps}
+    merged = {**gfa.segments, **new_segments}
+    ng.segments = {
+        sid: seq for sid, seq in merged.items() if sid in used
+    }
+    link_set = set()
+    for _, steps in new_paths:
+        for a, b in zip(steps, steps[1:]):
+            link_set.add((a[0], a[1], b[0], b[1]))
+    ng.links = sorted(link_set)
+    ng.paths = new_paths
+    return ng, n_bubbles
+
+
 def crush_gfa(
     gfa_text: str,
     max_span: int = 10_000,
     max_rounds: int = 4,
     scoring=poa_mod.DEFAULT_SCORING,
+    polish: bool = True,
 ) -> tuple[str, CrushStats]:
     stats = CrushStats()
     g0 = Gfa.parse(gfa_text)
@@ -140,7 +413,7 @@ def crush_gfa(
     # Pre-groom (spelling-preserving majority-orientation flips): paths
     # that traverse the shared backbone reverse-complemented become
     # forward walks, so they can participate in anchor slicing instead of
-    # forcing the do-no-harm no-op below.
+    # being excluded from their regions.
     from impg_tpu.graph.sortgfa import groom
 
     gfa_text = groom(g0).write()
@@ -154,145 +427,34 @@ def crush_gfa(
     before_spell = spell_all(g0)
     text = gfa_text
 
-    for _round in range(max_rounds):
+    do_polish = False  # main rounds first; polish after convergence
+    rounds_left = max_rounds
+    while rounds_left > 0:
         gfa = Gfa.parse(text)
-        anchors, participating = _find_anchors(gfa)
-        # Do-no-harm: rebuilding the graph from per-path blocks duplicates
-        # the sequence of any path we can't slice at anchors (losing its node
-        # sharing), so only proceed when EVERY path participates.
-        stats.excluded_paths = len(gfa.paths) - len(participating)
-        if len(anchors) < 2 or stats.excluded_paths:
-            break
-        anchor_set = set(anchors)
-
-        # Interior slices STRICTLY between consecutive anchor steps, per
-        # path: (path_idx, step_lo, step_hi, walk) where steps[lo:hi] is
-        # the allele walk (anchors stay untouched — accepted realignments
-        # SPLICE into the standing graph, the reference's path-preserving
-        # local resolution, instead of relacing the whole graph).
-        region_slices: dict[tuple, list[tuple[int, int, int, tuple]]] = {}
-        for pi, (name, steps) in enumerate(gfa.paths):
-            apos = [k for k, st in enumerate(steps) if st in anchor_set]
-            for a, b in zip(apos, apos[1:]):
-                rid = (steps[a], steps[b])
-                region_slices.setdefault(rid, []).append(
-                    (pi, a + 1, b, tuple(steps[a + 1 : b]))
-                )
-
-        next_id = 1 + max(
-            (int(s) for s in gfa.segments if s.isdigit()), default=0
+        ng, n_bubbles = _crush_round(
+            gfa, stats, scoring, max_span, do_polish
         )
-        # Global per-node step-usage counts: a region may only claim the
-        # bp of nodes whose EVERY use lies inside that region's slices —
-        # shared nodes survive the splice and reclaim nothing.
-        global_use: dict[str, int] = {}
-        for _name, steps in gfa.paths:
-            for sid, _rev in steps:
-                global_use[sid] = global_use.get(sid, 0) + 1
-        new_segments: dict[str, str] = {}
-        splices: dict[int, list[tuple[int, int, tuple]]] = {}
-        n_bubbles = 0
-        for rid, slices in region_slices.items():
-            walks = {w for _, _, _, w in slices}
-            # A bubble = the paths take different node walks through the
-            # region (identical-sequence walks through duplicated nodes
-            # count: that redundancy is exactly what realignment collapses).
-            if len(walks) <= 1:
+        if ng is None:
+            if polish and not do_polish:
+                # Converged: one extra pass retrying POA orderings on the
+                # remaining candidate regions (the polish tier).
+                do_polish = True
                 continue
-            stats.bubbles_seen += 1
-            walk_seq = {
-                w: b"".join(_step_seq(gfa, st) for st in w) for w in walks
-            }
-            uniq = sorted({s for s in walk_seq.values() if s})
-            if not uniq:
-                continue  # every allele spells empty; nothing to realign
-            span = max(len(s) for s in uniq)
-            names_u = [f"u{k}" for k in range(len(uniq))]
-            if span > max_span:
-                # Large-bubble tier (resolution.rs 3-tier dispatch role:
-                # bubbles beyond the POA budget route to pairwise
-                # induction): syncmer-anchored native pairwise alignment +
-                # seqwish induction — scales far beyond O(n*m) POA.
-                block_text = _induce_block(names_u, uniq)
-            else:
-                result = poa_mod.poa_align(uniq, scoring)
-                block_text = poa_mod.poa_to_gfa(result, names_u)
-            block = Gfa.parse(block_text)
-            # Per-region do-no-harm (the reference validates resolution
-            # quality per bubble): accept only when the realignment SHRINKS
-            # the region under a combined cost — bp plus a per-node charge,
-            # so neither ballooning unrelated alleles into duplicated
-            # sequence nor shredding them into confetti nodes can win.
-            cand = (
-                sum(len(s) for s in block.segments.values())
-                + _NODE_COST * len(block.segments)
-            )
-            region_use: dict[str, int] = {}
-            for _pi, _lo, _hi, w in slices:
-                for sid, _rev in w:
-                    region_use[sid] = region_use.get(sid, 0) + 1
-            reclaimable = {
-                sid for sid, c in region_use.items()
-                if global_use.get(sid, 0) == c
-            }
-            old = (
-                sum(len(gfa.segments[s]) for s in reclaimable)
-                + _NODE_COST * len(reclaimable)
-            )
-            if cand >= old:
-                continue
-            rename = {}
-            for sid, seq in block.segments.items():
-                nid = str(next_id)
-                next_id += 1
-                rename[sid] = nid
-                new_segments[nid] = seq
-            walk_of = dict(block.paths)
-            seq_new_walk: dict[bytes, tuple] = {b"": ()}
-            for k, s in enumerate(uniq):
-                seq_new_walk[s] = tuple(
-                    (rename[sid], rev) for sid, rev in walk_of[f"u{k}"]
-                )
-            for pi, lo, hi, w in slices:
-                splices.setdefault(pi, []).append(
-                    (lo, hi, seq_new_walk[walk_seq[w]])
-                )
-            n_bubbles += 1
-
-        if not n_bubbles:
             break
-
-        # Splice accepted regions back-to-front per path; prune nodes no
-        # path uses; regenerate links from path adjacencies (blunt 0M).
-        new_paths = []
-        for pi, (name, steps) in enumerate(gfa.paths):
-            reps = sorted(splices.get(pi, []), reverse=True)
-            steps = list(steps)
-            for lo, hi, walk in reps:
-                steps[lo:hi] = list(walk)
-            new_paths.append((name, steps))
-        ng = Gfa(header=gfa.header, walk_names=set(gfa.walk_names))
-        used = {sid for _, steps in new_paths for sid, _ in steps}
-        merged = {**gfa.segments, **new_segments}
-        ng.segments = {
-            sid: seq for sid, seq in merged.items() if sid in used
-        }
-        link_set = set()
-        for _, steps in new_paths:
-            for a, b in zip(steps, steps[1:]):
-                link_set.add((a[0], a[1], b[0], b[1]))
-        ng.links = sorted(link_set)
-        ng.paths = new_paths
         # Exact path validation (the reference's contract): refuse an
         # invalid round and keep the previous text.
         if spell_all(ng) != before_spell:
             break
         new_text = ng.write()
         if new_text == text:
+            if polish and not do_polish:
+                do_polish = True
+                continue
             break
         stats.rounds += 1
         stats.bubbles_resolved += n_bubbles
         text = new_text
+        rounds_left -= 1
 
     final = Gfa.parse(text)
     stats.nodes_after = len(final.segments)

@@ -51,12 +51,36 @@ def test_crush_collapses_redundant_bubble():
     assert _spell(out) == _spell(gfa)
 
 
-def test_crush_noop_on_inversion_path():
+def test_crush_inversion_path_degrades_locally():
+    """An RC walk no longer bails the whole crush (round-2 contract): it
+    floats outside the anchor frame, pins the nodes it uses (m1 stays
+    unreclaimable), and the cost gate keeps the bubble unresolved —
+    a local no-op, with spellings intact."""
     gfa = _bubble_gfa(["P\tp3\ta2-,m1-,a1-\t*"])
     out, st = crush_gfa(gfa)
     assert st.rounds == 0
+    assert st.excluded_paths == 0  # floater, not a global bail
+    assert _spell(out) == _spell(gfa)
+    assert st.bp_after == st.bp_before
+
+
+def test_crush_resolves_despite_excluded_path():
+    """A path with partial/duplicated anchor usage is excluded LOCALLY:
+    regions it does not touch still resolve (kill-the-global-bail,
+    resolution.rs:997 per-bubble contract)."""
+    seg_extra = {"x1": "TTAACC"}
+    extra = [
+        f"S\tx1\t{seg_extra['x1']}",
+        "L\ta1\t+\tx1\t+\t0M", "L\tx1\t+\ta1\t+\t0M",
+        # a1 appears twice -> not once-per-path -> excluded from slicing
+        "P\tp3\ta1+,x1+,a1+\t*",
+    ]
+    gfa = _bubble_gfa(extra)
+    out, st = crush_gfa(gfa)
     assert st.excluded_paths == 1
-    assert out == gfa  # untouched
+    assert st.rounds >= 1 and st.bubbles_resolved >= 1
+    assert st.bp_after < st.bp_before  # m1/m2 redundancy collapsed
+    assert _spell(out) == _spell(gfa)
 
 
 def test_crush_preserves_spellings_on_real_graph(tmp_path):
