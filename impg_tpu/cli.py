@@ -227,6 +227,75 @@ def _original_length_lookup(args):
     return lookup
 
 
+def _resolve_compute_engine(args, index, approximate: bool = False,
+                            n_targets: int = 0):
+    """Map --compute-engine host|device|mesh|auto onto an engine object.
+
+    host -> None (numpy engine).  device -> single-chip jitted batched
+    engine.  mesh -> `jax.sharding.Mesh` over every visible device
+    (parallel/sharding.ShardedEngine); with IMPG_COORDINATOR set the
+    process joins the multi-process runtime first and the mesh spans the
+    GLOBAL device set (parallel/distributed.DistributedEngine — launch one
+    process per host with IMPG_COORDINATOR=host:port, IMPG_NUM_PROCESSES,
+    IMPG_PROCESS_ID; only process 0 writes output).  auto -> mesh/device
+    when the batch is large enough to amortize dispatch and a non-CPU
+    backend is reachable, else host.
+    """
+    spec = getattr(args, "compute_engine", "host") or "host"
+    if spec == "host":
+        return None
+    import os
+
+    # Multi-process runtime must be joined BEFORE the backend initializes.
+    want_dist = spec in ("mesh", "auto") and bool(
+        os.environ.get("IMPG_COORDINATOR")
+    )
+    if want_dist:
+        from impg_tpu.parallel import distributed
+
+        distributed.initialize()
+
+    import jax
+
+    plat = os.environ.get("IMPG_TPU_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    try:
+        devs = jax.devices()
+    except RuntimeError:
+        if spec == "auto":
+            return None  # no backend: stay on host
+        # Configured platform unavailable (e.g. env names a TPU plugin
+        # that was never registered): auto-choose.
+        jax.config.update("jax_platforms", "")
+        devs = jax.devices()
+    if spec == "auto":
+        if devs[0].platform == "cpu" or n_targets < 64:
+            return None
+        spec = "mesh" if len(devs) > 1 or want_dist else "device"
+    if spec == "device":
+        from impg_tpu.query.device import DeviceEngine
+
+        return DeviceEngine(index, with_tracepoints=approximate)
+    if want_dist:
+        from impg_tpu.parallel.distributed import DistributedEngine
+
+        return DistributedEngine(index, with_tracepoints=approximate)
+    from impg_tpu.parallel.sharding import ShardedEngine
+
+    return ShardedEngine(index, with_tracepoints=approximate)
+
+
+def _is_output_process() -> bool:
+    """False on non-primary processes of a multi-process mesh run."""
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 def cmd_query(args) -> int:
     from impg_tpu.query import engine, outputs
     from impg_tpu.query.subset import SubsetFilter
@@ -331,25 +400,17 @@ def cmd_query(args) -> int:
         return 2
     merge_strands = not args.consider_strandness  # BED default merges strands
 
-    device_engine = None
-    if args.compute_engine == "device":
+    device_engine = _resolve_compute_engine(
+        args, index, approximate=args.approximate, n_targets=len(targets)
+    )
+    if device_engine is not None and not _is_output_process():
+        # Multi-process mesh run: every process computes the identical
+        # result; only process 0 emits it.
+        if out is not sys.stdout:
+            out.close()
         import os
 
-        import jax
-
-        plat = os.environ.get("IMPG_TPU_PLATFORM")
-        if plat:
-            jax.config.update("jax_platforms", plat)
-        else:
-            try:
-                jax.devices()
-            except RuntimeError:
-                # Configured platform unavailable (e.g. env names a TPU
-                # plugin that was never registered): auto-choose.
-                jax.config.update("jax_platforms", "")
-        from impg_tpu.query.device import DeviceEngine
-
-        device_engine = DeviceEngine(index)
+        out = open(os.devnull, "w")
 
     # Resolve + validate all targets up front (needed for batched walks).
     resolved = []
@@ -573,18 +634,10 @@ def cmd_partition(args) -> int:
         sequence_index = UnifiedSequenceIndex.from_files(files)
     index = _load_index(args)
 
-    device_engine = None
-    if args.compute_engine == "device":
-        import os
-
-        import jax
-
-        plat = os.environ.get("IMPG_TPU_PLATFORM")
-        if plat:
-            jax.config.update("jax_platforms", plat)
-        from impg_tpu.query.device import DeviceEngine
-
-        device_engine = DeviceEngine(index)
+    device_engine = _resolve_compute_engine(
+        args, index,
+        n_targets=1 + len(index.seq_index) // 4,  # windows per round
+    )
 
     partition_mod.partition_alignments(
         index,
@@ -658,7 +711,12 @@ def cmd_refine(args) -> int:
         subset_match=subset.matches if subset else None,
         blacklist=blacklist,
     )
-    records = refine_mod.run_refine(index, targets, config)
+    device_engine = _resolve_compute_engine(
+        args, index, n_targets=len(targets) * 8  # flank-grid candidates
+    )
+    records = refine_mod.run_refine(
+        index, targets, config, device_engine=device_engine
+    )
     support_out = open(args.support_output, "w") if args.support_output else None
     try:
         refine_mod.write_refine_output(records, sys.stdout, support_out)
@@ -2270,9 +2328,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_query.add_argument(
         "--compute-engine",
-        choices=["host", "device"],
+        choices=["host", "device", "mesh", "auto"],
         default="host",
-        help="host: numpy engine; device: jitted TPU batched engine",
+        help="host: numpy engine; device: jitted TPU batched engine; "
+        "mesh: sharded engine over every visible device (multi-process "
+        "with IMPG_COORDINATOR); auto: device/mesh for large batches "
+        "when a backend is reachable",
     )
     p_query.set_defaults(func=cmd_query)
 
@@ -2316,7 +2377,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_part.add_argument("--output-folder")
     p_part.add_argument(
-        "--compute-engine", choices=["host", "device"], default="host"
+        "--compute-engine",
+        choices=["host", "device", "mesh", "auto"],
+        default="host",
     )
     p_part.set_defaults(func=cmd_partition)
 
@@ -2344,6 +2407,11 @@ def build_parser() -> argparse.ArgumentParser:
     p_ref.add_argument("--min-transitive-len", type=int, default=101)
     p_ref.add_argument("--min-distance-between-ranges", type=int, default=10)
     p_ref.add_argument("--subset-sequence-list")
+    p_ref.add_argument(
+        "--compute-engine",
+        choices=["host", "device", "mesh", "auto"],
+        default="host",
+    )
     p_ref.set_defaults(func=cmd_refine)
 
     p_sim = sub.add_parser(

