@@ -30,15 +30,28 @@ def _walk_seq(gfa: Gfa, steps) -> bytes:
 
 def _anchor_chain(ref_steps, alt_steps) -> list[tuple[int, int]]:
     """(ref_idx, alt_idx) pairs of shared oriented nodes, increasing in both
-    walks (LIS over reference positions of alt's shared nodes)."""
-    ref_pos: dict[tuple[str, bool], list[int]] = {}
-    for i, s in enumerate(ref_steps):
-        ref_pos.setdefault(s, []).append(i)
-    # Candidates in alt order, choosing greedily increasing ref positions via
-    # patience LIS over the flattened (alt_idx, ref_idx) candidates.
+    walks (LIS over reference positions of alt's shared nodes).
+
+    Anchors are restricted to steps occurring EXACTLY ONCE in each walk
+    (crush's anchor rule): repeated nodes become bubble interiors instead
+    of candidates, which keeps the candidate set linear — an all-pairs
+    enumeration over repeat nodes is quadratic on real pangenomes
+    (observed 144M candidates on a 32k-node yeast chrV graph)."""
+    ref_count: dict[tuple[str, bool], int] = {}
+    for s in ref_steps:
+        ref_count[s] = ref_count.get(s, 0) + 1
+    alt_count: dict[tuple[str, bool], int] = {}
+    for s in alt_steps:
+        alt_count[s] = alt_count.get(s, 0) + 1
+    ref_pos = {
+        s: i for i, s in enumerate(ref_steps)
+        if ref_count[s] == 1 and alt_count.get(s) == 1
+    }
+    # Candidates in alt order; patience LIS over (alt_idx, ref_idx).
     cands: list[tuple[int, int]] = []
     for j, s in enumerate(alt_steps):
-        for i in ref_pos.get(s, []):
+        i = ref_pos.get(s)
+        if i is not None:
             cands.append((j, i))
     # LIS on ref_idx over alt-ordered candidates (strictly increasing both).
     tails: list[int] = []

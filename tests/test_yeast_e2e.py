@@ -1,0 +1,221 @@
+"""Real-data end-to-end pipeline on the reference's 7-strain yeast chrV
+fixture (tests/test_data/yeast.chrV.fa.gz — the reference's
+test_pipeline_integration.rs:57 drives wfmash -> index -> partition ->
+graph -> lace on it; here the whole chain runs on this framework's own
+aligner and engines, with STRONGER assertions: exact path spellings,
+quantitative partition coverage, VCF sanity, and a syng-vs-paf backend
+coverage comparison (the role of the reference's
+tests/validation/compare_syng_vs_paf.sh battery)).
+
+Runtime ~2 min (7 x ~580 kb chromosomes); every step is the real CLI.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+YEAST = "/root/reference/tests/test_data/yeast.chrV.fa.gz"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(YEAST), reason="yeast fixture not mounted"
+)
+
+
+def run_cli(*args, cwd=None):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["IMPG_TPU_PLATFORM"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-m", "impg_tpu.cli", *args],
+        capture_output=True, text=True, cwd=cwd, env=env,
+    )
+
+
+def _read_fasta(path: str) -> dict[str, str]:
+    seqs: dict[str, str] = {}
+    name = None
+    parts: list[str] = []
+    for line in open(path):
+        line = line.strip()
+        if line.startswith(">"):
+            if name:
+                seqs[name] = "".join(parts)
+            name = line[1:].split()[0]
+            parts = []
+        elif line:
+            parts.append(line)
+    if name:
+        seqs[name] = "".join(parts)
+    return seqs
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory):
+    """align -> index -> partition -> graph per partition -> lace."""
+    tmp = tmp_path_factory.mktemp("yeast")
+    fa = str(tmp / "seqs.fa")
+    with gzip.open(YEAST, "rb") as src, open(fa, "wb") as dst:
+        dst.write(src.read())
+    seqs = _read_fasta(fa)
+    assert len(seqs) == 7  # 7 strains
+
+    paf = str(tmp / "aln.paf")
+    r = run_cli("align", "-f", fa, "-o", paf)
+    assert r.returncode == 0, r.stderr
+    n_rows = sum(1 for _ in open(paf))
+    assert n_rows >= 100, f"too few alignments: {n_rows}"
+
+    pdir = tmp / "partitions"
+    pdir.mkdir()
+    r = run_cli(
+        "partition", "-a", paf, "-w", "200000", "-d", "100000",
+        "--sequence-files", fa, "-o", "fasta",
+        "--output-folder", str(pdir), "--separate-files",
+    )
+    assert r.returncode == 0, r.stderr
+    parts = sorted(pdir.glob("*.fasta"))
+    assert parts, "no partitions created"
+
+    gdir = tmp / "gfas"
+    gdir.mkdir()
+    for p in parts:
+        out = str(gdir / (p.stem + ".gfa"))
+        r = run_cli("graph", "-f", str(p), "-g", out)
+        assert r.returncode == 0, f"{p.stem}: {r.stderr}"
+    gfas = sorted(gdir.glob("*.gfa"))
+    assert len(gfas) == len(parts)
+
+    gfa_list = str(tmp / "gfa_list.txt")
+    with open(gfa_list, "w") as fh:
+        for g in gfas:
+            fh.write(str(g) + "\n")
+    pangenome = str(tmp / "pangenome.gfa")
+    r = run_cli(
+        "lace", "--gfa-list", gfa_list, "--sequence-files", fa,
+        "--fill-gaps", "--output", pangenome,
+    )
+    assert r.returncode == 0, r.stderr
+    return tmp, fa, paf, seqs, [str(p) for p in parts], pangenome
+
+
+def test_partition_coverage(pipeline):
+    """Partitions tile ~the whole genome set (quantitative threshold the
+    reference's test lacks: it only counts files)."""
+    tmp, fa, paf, seqs, parts, pangenome = pipeline
+    covered: dict[str, list[tuple[int, int]]] = {}
+    for p in parts:
+        for name in _read_fasta(p):
+            # partition FASTA records are NAME:START-END slices
+            base, _, rng = name.rpartition(":")
+            s, _, e = rng.partition("-")
+            covered.setdefault(base, []).append((int(s), int(e)))
+    total = sum(len(v) for v in seqs.values())
+    got = 0
+    for base, ivs in covered.items():
+        ivs.sort()
+        cur_s, cur_e = ivs[0]
+        for s, e in ivs[1:]:
+            if s > cur_e:
+                got += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        got += cur_e - cur_s
+    assert got / total >= 0.95, f"partition coverage {got}/{total}"
+    assert set(covered) == set(seqs), "a strain is missing from partitions"
+
+
+def test_pangenome_structure_and_spellings(pipeline):
+    """The reference asserts >=10 nodes and 7 paths; additionally every
+    laced path must spell its input chromosome BIT-EXACTLY."""
+    tmp, fa, paf, seqs, parts, pangenome = pipeline
+    from impg_tpu.graph.gfa import Gfa
+    from impg_tpu.io.fasta import reverse_complement
+
+    g = Gfa.parse(open(pangenome).read())
+    assert len(g.segments) >= 10
+    assert len(g.paths) == 7
+    # Sharing happened: graph bp well below total path bp.
+    seg_bp = sum(len(s) for s in g.segments.values())
+    path_bp = sum(len(v) for v in seqs.values())
+    assert seg_bp < 0.5 * path_bp, (seg_bp, path_bp)
+    for pname, steps in g.paths:
+        spelled = b"".join(
+            reverse_complement(g.segments[sid].encode()) if rev
+            else g.segments[sid].encode()
+            for sid, rev in steps
+        ).decode()
+        base = pname.split(":")[0]
+        assert base in seqs and spelled == seqs[base], pname
+
+
+def test_gfa2vcf_sanity(pipeline):
+    tmp, fa, paf, seqs, parts, pangenome = pipeline
+    r = run_cli("gfa2vcf", pangenome, "-r", "S288C#1#chrV")
+    assert r.returncode == 0, r.stderr
+    header, records = [], []
+    for line in r.stdout.splitlines():
+        (header if line.startswith("#") else records).append(line)
+    assert any(l.startswith("##INFO=<ID=AC") for l in header)
+    assert len(records) >= 1000, f"suspiciously few variants: {len(records)}"
+    ref_len = len(seqs["S288C#1#chrV"])
+    for line in records[:2000]:
+        f = line.split("\t")
+        pos, ref, alt = int(f[1]), f[3], f[4]
+        assert 1 <= pos <= ref_len
+        assert ref and alt and ref != alt
+        # REF allele matches the reference chromosome at POS (1-based).
+        assert seqs["S288C#1#chrV"][pos - 1 : pos - 1 + len(ref)] == ref, line
+
+
+def test_syng_vs_paf_backend_coverage(pipeline):
+    """The compare_syng_vs_paf.sh role: the alignment-free backend's
+    per-strain coverage of a queried locus must approximate the PAF
+    backend's (>=80% reciprocal bp overlap per strain)."""
+    tmp, fa, paf, seqs, parts, pangenome = pipeline
+    prefix = str(tmp / "y")
+    r = run_cli("syng", "-f", fa, "-o", prefix)
+    assert r.returncode == 0, r.stderr
+
+    region = "S288C#1#chrV:200000-260000"
+
+    def rows(backend_args):
+        r = run_cli(
+            "query", *backend_args, "-r", region, "-d", "2000", "-o", "bed",
+        )
+        assert r.returncode == 0, r.stderr
+        out: dict[str, list[tuple[int, int]]] = {}
+        for line in r.stdout.splitlines():
+            f = line.split("\t")
+            out.setdefault(f[0].split(":")[0], []).append(
+                (int(f[1]), int(f[2]))
+            )
+        return out
+
+    paf_cov = rows(["-a", paf])
+    syng_cov = rows(["-a", prefix + ".syngt", "--sequence-files", fa])
+    assert set(paf_cov) == set(seqs), paf_cov.keys()
+
+    def bp(ivs):
+        ivs = sorted(ivs)
+        total, cur_s, cur_e = 0, *ivs[0]
+        for s, e in ivs[1:]:
+            if s > cur_e:
+                total += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        return total + (cur_e - cur_s)
+
+    for strain in seqs:
+        p = bp(paf_cov[strain]) if strain in paf_cov else 0
+        s = bp(syng_cov[strain]) if strain in syng_cov else 0
+        assert p > 0, strain
+        ratio = min(p, s) / max(p, s)
+        assert ratio >= 0.8, f"{strain}: paf={p} syng={s} ratio={ratio:.2f}"
