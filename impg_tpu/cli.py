@@ -105,6 +105,58 @@ def cmd_index(args) -> int:
     return 0
 
 
+def _clip_terminal_n_runs(index, results, seq_idx, min_run: int):
+    """Clip each result interval's terminal N-runs of >= min_run bases
+    against the real sequence; drop intervals left empty
+    (graph.rs:69 terminal_n_clip_span / :93 clip_intervals_terminal_n_runs).
+    """
+    import dataclasses
+
+    def is_n(b):
+        return b in (78, 110)  # 'N' / 'n'
+
+    out = []
+    kept_bp = 0
+    before_bp = 0
+    for r in results:
+        lo, hi = (
+            (r.q_first, r.q_last) if r.q_first <= r.q_last
+            else (r.q_last, r.q_first)
+        )
+        before_bp += hi - lo
+        if hi <= lo:
+            continue
+        name = index.seq_index.get_name(r.q_id)
+        seq = seq_idx.fetch_sequence(name, lo, hi)
+        if min_run <= 0:
+            out.append(r)
+            kept_bp += hi - lo
+            continue
+        pre = 0
+        while pre < len(seq) and is_n(seq[pre]):
+            pre += 1
+        suf = 0
+        while suf < len(seq) - pre and is_n(seq[len(seq) - 1 - suf]):
+            suf += 1
+        start = lo + (pre if pre >= min_run else 0)
+        end = hi - (suf if suf >= min_run else 0)
+        if start >= end:
+            continue
+        kept_bp += end - start
+        if (start, end) == (lo, hi):
+            out.append(r)
+        elif r.q_first <= r.q_last:
+            out.append(dataclasses.replace(r, q_first=start, q_last=end))
+        else:
+            out.append(dataclasses.replace(r, q_first=end, q_last=start))
+    print(
+        f"terminal N clipping: min-run={min_run} kept {len(out)} / "
+        f"{len(results)} interval(s), {before_bp} -> {kept_bp} bp",
+        file=sys.stderr,
+    )
+    return out
+
+
 def _emit_region_format(
     index, results, out, fmt, args, seq_idx, gfa_stages, target_id,
     merge_distance,
@@ -133,6 +185,16 @@ def _emit_region_format(
     scoring = tuple(
         int(x) for x in args.poa_scoring.replace("/", ",").split(",")
     )
+    # cut-n=N is a PRE-engine stage: clip each gathered interval's terminal
+    # N-runs (>= N bases) against the real sequence before the GFA engine
+    # runs (lib.rs:963-979 terminal_n_clip; graph.rs:69 terminal_n_clip_span).
+    cut_stage = next((s for s in gfa_stages if s.name == "cut-n"), None)
+    if cut_stage is not None:
+        min_run = int(cut_stage.param("min-run") or cut_stage.value or 100)
+        results = _clip_terminal_n_runs(
+            index, results, seq_idx, min_run
+        )
+        gfa_stages = [s for s in gfa_stages if s.name != "cut-n"]
     # gfa/maf merge strands by default; fasta-aln keeps them separate
     # (main.rs:4395-4399).
     ms = (
@@ -187,6 +249,22 @@ def _emit_region_format(
                 from impg_tpu.graph import normalize as norm_mod
 
                 text = norm_mod.normalize_gfa(text)
+            elif stage.name == "crush":
+                from impg_tpu.graph import crush as crush_mod
+
+                max_span = int(stage.param("max-span") or 10_000)
+                text, cst = crush_mod.crush_gfa(text, max_span=max_span)
+                print(
+                    f"crush: {cst.bubbles_resolved} resolved across "
+                    f"{cst.rounds} rounds, {cst.bp_before} -> "
+                    f"{cst.bp_after} bp",
+                    file=sys.stderr,
+                )
+            elif stage.name in ("selfloops", "self-loops"):
+                from impg_tpu.graph import selfloops as sl_mod
+
+                max_unit = int(stage.param("max-unit-len") or 0)
+                text, _sl = sl_mod.normalize_self_loops(text, max_unit)
     out.write(text)
 
 
@@ -352,7 +430,10 @@ def cmd_query(args) -> int:
             print(f"error: invalid -o pipeline spec: {e}", file=sys.stderr)
             return 2
         fmt = "gfa"
-        supported = {"gfa", "sort", "sgd", "smooth", "normalize"}
+        supported = {
+            "gfa", "sort", "sgd", "smooth", "normalize", "crush",
+            "selfloops", "self-loops", "cut-n",
+        }
         for stage in spec.stages[1:]:
             if stage.name not in supported:
                 print(
@@ -2068,6 +2149,8 @@ def cmd_syng2gfa(args) -> int:
         drop_top_fraction=args.drop_top_fraction,
         max_occurrences=args.max_occurrences,
         mode=args.mode,
+        cut_n_gaps=args.cut_ns,
+        cut_n_min_run=args.cut_n_min_run,
     )
     if args.gfa_version == "1.1":
         from impg_tpu.syng.syng2gfa import paths_to_walks
@@ -2902,6 +2985,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--mode", choices=["blunt", "raw"], default="blunt",
         help="blunt: 0M links with truncated pieces; raw: native syng "
         "overlap graph (full RC-shared syncmer nodes, (k-offset)M links)",
+    )
+    p_s2g.add_argument(
+        "--cut-ns", action="store_true",
+        help="Drop ambiguous N-runs from fetched gap DNA and split emitted "
+        "paths there (parts named NAME|partN); blunt mode only",
+    )
+    p_s2g.add_argument(
+        "--cut-n-min-run", type=int, default=10,
+        help="Minimum N-run length that triggers --cut-ns splitting",
     )
     p_s2g.add_argument("-o", "--output", help="Output GFA (default stdout)")
     p_s2g.set_defaults(func=cmd_syng2gfa)

@@ -19,11 +19,19 @@ def _normalize_name(raw: str) -> str:
 class GraphPipelineStage:
     name: str
     params: list[tuple[str, str]] = field(default_factory=list)
+    # Inline stage value for `name=value` heads (reference grammar:
+    # `gfa:cut-n=100:pggb:crush`, main.rs:164 shorthand expansion).
+    value: str | None = None
 
     @classmethod
     def parse(cls, raw: str, stage_idx: int) -> "GraphPipelineStage":
         pieces = [p.strip() for p in raw.split(",")]
-        name = _normalize_name(pieces[0])
+        head = pieces[0]
+        head_value = None
+        if "=" in head:
+            head, _, hv_raw = head.partition("=")
+            head_value = hv_raw.strip() or None
+        name = _normalize_name(head)
         if not name:
             raise ValueError(f"empty stage name at position {stage_idx + 1}")
         params: list[tuple[str, str]] = []
@@ -48,7 +56,7 @@ class GraphPipelineStage:
                 raise ValueError(f"stage '{name}' repeats parameter '{key}'")
             seen.add(key)
             params.append((key, value))
-        return cls(name=name, params=params)
+        return cls(name=name, params=params, value=head_value)
 
     def param(self, key: str):
         key = _normalize_name(key)
@@ -58,7 +66,8 @@ class GraphPipelineStage:
         return None
 
     def to_spec(self) -> str:
-        parts = [self.name] + [f"{k}={v}" for k, v in self.params]
+        head = self.name if self.value is None else f"{self.name}={self.value}"
+        parts = [head] + [f"{k}={v}" for k, v in self.params]
         return ",".join(parts)
 
 

@@ -23,12 +23,58 @@ from impg_tpu.syng.index import SyngIndex
 DEFAULT_DROP_TOP_FRACTION = 0.0005
 
 
+def _split_n_runs(piece: bytes, min_run: int):
+    """(pieces, starts_with_cut, ends_with_cut): split `piece` at N-runs of
+    at least `min_run` (syng2gfa.rs push_gap_with_n_cutting: ambiguous gap
+    DNA is dropped and the path BREAKS there; shorter N runs stay)."""
+    import re
+
+    spans = [
+        m.span() for m in re.finditer(rb"[Nn]{%d,}" % min_run, piece)
+    ]
+    if not spans:
+        return [piece], False, False
+    pieces = []
+    prev = 0
+    for s, e in spans:
+        if s > prev:
+            pieces.append(piece[prev:s])
+        prev = e
+    if prev < len(piece):
+        pieces.append(piece[prev:])
+    return pieces, spans[0][0] == 0, spans[-1][1] == len(piece)
+
+
+_BREAK = None  # path-break marker inside step lists
+
+
+def _emit_path_parts(name: str, steps: list) -> list:
+    """Split `steps` at _BREAK markers; emit one P line per non-empty part
+    (named `name|partN` when split, syng2gfa.rs
+    test_walked_path_segments_are_named_when_split)."""
+    parts: list[list] = [[]]
+    for st in steps:
+        if st is _BREAK:
+            if parts[-1]:
+                parts.append([])
+        else:
+            parts[-1].append(st)
+    parts = [p for p in parts if p]
+    out = []
+    for idx, part in enumerate(parts):
+        pname = name if len(parts) == 1 else f"{name}|part{idx + 1}"
+        out.append((pname, part))
+    return out
+
+
 def syng_to_gfa(
     syng: SyngIndex,
     seq_idx,
     drop_top_fraction: float = DEFAULT_DROP_TOP_FRACTION,
     max_occurrences: int | None = None,
     mode: str = "blunt",
+    cut_n_gaps: bool = False,
+    cut_n_min_run: int = 10,
 ) -> str:
     """GFA 1.0 text for the whole index; `seq_idx` provides source bases.
 
@@ -93,8 +139,22 @@ def syng_to_gfa(
             if hi <= lo:
                 return
             piece = seq[lo:hi]
-            key = ("gap", left_ctx, right_ctx, piece)
-            steps.append((node_for(key, piece), False))
+            if not cut_n_gaps:
+                key = ("gap", left_ctx, right_ctx, piece)
+                steps.append((node_for(key, piece), False))
+                return
+            pieces, starts_cut, ends_cut = _split_n_runs(
+                piece, max(cut_n_min_run, 1)
+            )
+            if starts_cut:
+                steps.append(_BREAK)
+            for j, sub in enumerate(pieces):
+                if j:
+                    steps.append(_BREAK)
+                key = ("gap", left_ctx, right_ctx, sub, j)
+                steps.append((node_for(key, sub), False))
+            if ends_cut:
+                steps.append(_BREAK)
 
         prev_end = 0
         for i in range(pos.size):
@@ -121,9 +181,10 @@ def syng_to_gfa(
         add_gap(
             prev_end, L, signed[-1] if signed else None, None
         )
-        for a, b in zip(steps, steps[1:]):
-            links.add((a[0], a[1], b[0], b[1]))
-        paths.append((name, steps))
+        for pname, part in _emit_path_parts(name, steps):
+            for a, b in zip(part, part[1:]):
+                links.add((a[0], a[1], b[0], b[1]))
+            paths.append((pname, part))
 
     lines = ["H\tVN:Z:1.0"]
     for i, s in enumerate(segments):

@@ -466,3 +466,68 @@ def test_native_gfa_parse_matches_python_oracle():
         assert a.header == b.header
         assert a.walk_names == b.walk_names
         assert report(a) == report_columns(gc)
+
+
+def test_pipeline_spec_inline_value():
+    spec = GraphPipelineSpec.parse("gfa:cut-n=100:pggb:crush")
+    assert [s.name for s in spec.stages] == ["gfa", "cut-n", "pggb", "crush"]
+    assert spec.stages[1].value == "100"
+    assert spec.to_spec() == "gfa:cut-n=100:pggb:crush"
+
+
+def _n_flank_workload(tmp_path):
+    """Two sequences with terminal N runs inside the queried span, aligned
+    end-to-end (all-= CIGAR keeps coordinates trivial)."""
+    import random
+
+    rng = random.Random(77)
+    core = "".join(rng.choice("ACGT") for _ in range(800))
+    alt_core = list(core)
+    for p in range(0, 800, 97):
+        alt_core[p] = "T" if core[p] != "T" else "A"
+    ref = "N" * 100 + core + "N" * 100
+    alt = "N" * 100 + "".join(alt_core) + "N" * 100
+    fa = str(tmp_path / "n.fa")
+    with open(fa, "w") as fh:
+        fh.write(f">ref\n{ref}\n>alt\n{alt}\n")
+    paf = str(tmp_path / "n.paf")
+    with open(paf, "w") as fh:
+        fh.write(
+            f"alt\t1000\t0\t1000\t+\tref\t1000\t0\t1000\t900\t1000\t60"
+            f"\tcg:Z:1000M\n"
+        )
+    return fa, paf
+
+
+def test_cli_gfa_pipeline_cut_n_crush_selfloops(tmp_path):
+    """The reference's `-o gfa:cut-n=100:...:crush` composition
+    (lib.rs:963-979 terminal-N clipping + :855 transform chain): N flanks
+    are clipped BEFORE the engine, crush and selfloops run as stages."""
+    fa, paf = _n_flank_workload(tmp_path)
+    r = run_cli(
+        "query", "-a", paf, "-r", "ref:0-1000", "-d", "100", "-x",
+        "-o", "gfa:cut-n=50:crush:selfloops:sort", "--sequence-files", fa,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "terminal N clipping" in r.stderr
+    g = Gfa.parse(r.stdout)
+    # No N bases survive into the graph (flanks were clipped pre-engine).
+    assert all("N" not in s for s in g.segments.values()), g.segments
+    # Both clipped intervals are present as paths covering the cores.
+    names = sorted(n for n, _ in g.paths)
+    assert names == ["alt:100-900", "ref:100-900"]
+    # Sorted stage ran: ids renumbered 1..N.
+    s_ids = sorted(int(i) for i in g.segments)
+    assert s_ids == list(range(1, len(s_ids) + 1))
+
+
+def test_cli_gfa_pipeline_cut_n_drops_all_n_interval(tmp_path):
+    """An interval that is entirely N vanishes after clipping."""
+    fa, paf = _n_flank_workload(tmp_path)
+    r = run_cli(
+        "query", "-a", paf, "-r", "ref:0-90", "--no-merge",
+        "-o", "gfa:cut-n=10", "--sequence-files", fa,
+    )
+    assert r.returncode == 0, r.stderr
+    g = Gfa.parse(r.stdout)
+    assert not g.paths  # everything clipped away

@@ -218,3 +218,54 @@ def test_cli_gfa_version_11(tmp_path):
         for s, rev in steps
     )
     assert spelled == seqs["hg#1#chrX"].encode()
+
+
+def test_cut_ns_splits_paths_at_n_runs(tmp_path):
+    """--cut-ns: gap DNA N-runs >= min-run are dropped and paths break
+    there into NAME|partN pieces (syng2gfa.rs push_gap_with_n_cutting +
+    test_walked_path_segments_are_named_when_split)."""
+    rng = random.Random(9)
+    left = "".join(rng.choice("ACGT") for _ in range(2000))
+    right = "".join(rng.choice("ACGT") for _ in range(2000))
+    seq_data = {
+        "s1": left + "N" * 50 + right,
+        "s2": left + "N" * 50 + right[:1500],
+    }
+    fa = str(tmp_path / "n.fa")
+    datagen.write_fasta(fa, seq_data)
+    syng = SyngIndex.build_from_fasta([fa])
+    seq_idx = UnifiedSequenceIndex.from_files([fa])
+
+    plain = Gfa.parse(syng_to_gfa(syng, seq_idx))
+    assert sorted(n for n, _ in plain.paths) == ["s1", "s2"]
+    assert any("N" * 50 in s for s in plain.segments.values())
+
+    cut = Gfa.parse(syng_to_gfa(syng, seq_idx, cut_n_gaps=True,
+                                cut_n_min_run=10))
+    names = sorted(n for n, _ in cut.paths)
+    assert names == ["s1|part1", "s1|part2", "s2|part1", "s2|part2"]
+    # The ambiguous run is gone; short runs would be kept.
+    assert all("N" * 10 not in s for s in cut.segments.values())
+    # Each part spells a contiguous slice of its source around the N-run.
+    spells = _spell(cut)
+    for base, full in seq_data.items():
+        joined = (spells[f"{base}|part1"] + spells[f"{base}|part2"]).decode()
+        assert joined == full.replace("N", "")
+
+
+def test_cli_syng2gfa_cut_ns(tmp_path):
+    rng = random.Random(10)
+    core = "".join(rng.choice("ACGT") for _ in range(1500))
+    seq_data = {"s1": core + "N" * 30 + core[::-1].replace("N", "A")}
+    fa = str(tmp_path / "c.fa")
+    datagen.write_fasta(fa, seq_data)
+    prefix = str(tmp_path / "c")
+    r = run_cli("syng", "-f", fa, "-o", prefix)
+    assert r.returncode == 0, r.stderr
+    r = run_cli(
+        "syng2gfa", "-a", prefix + ".syngt", "--sequence-files", fa,
+        "--cut-ns", "--cut-n-min-run", "10",
+    )
+    assert r.returncode == 0, r.stderr
+    g = Gfa.parse(r.stdout)
+    assert sorted(n for n, _ in g.paths) == ["s1|part1", "s1|part2"]
