@@ -181,6 +181,20 @@ class FastaIndex:
         return raw.replace(b"\n", b"").replace(b"\r", b"").upper()
 
 
+def _looks_like_upstream_agc(path: str) -> bool:
+    """Content sniff for real AGC archives (agc/ragc): a version byte pair
+    followed by a zstd frame magic (0x28 0xB5 0x2F 0xFD) in the first few
+    bytes, and not this framework's own .agz magic."""
+    try:
+        with open(path, "rb") as fh:
+            head = fh.read(16)
+    except OSError:
+        return False
+    if head[:8] == b"IAGZ\x01\x00\x00\x00":  # our own .agz
+        return False
+    return b"\x28\xb5\x2f\xfd" in head[:8]
+
+
 class UnifiedSequenceIndex:
     """Sequence access over FASTA files or .agz archives (reference:
     sequence_index.rs UnifiedSequenceIndex over faidx/AGC backends; mixed
@@ -192,11 +206,15 @@ class UnifiedSequenceIndex:
     @classmethod
     def from_files(cls, files: list[str]) -> "UnifiedSequenceIndex":
         is_agz = [f.endswith(".agz") for f in files]
-        if any(f.endswith(".agc") for f in files):
-            raise ValueError(
-                "upstream .agc archives need the unpublished ragc codec; "
-                "repackage with `impg-tpu agz create` (.agz)"
-            )
+        for f in files:
+            if f.endswith(".agc") or _looks_like_upstream_agc(f):
+                raise ValueError(
+                    f"{f}: upstream AGC archive (agc/ragc toolchain) — its "
+                    "byte layout is unpublished and unsupported here. "
+                    "Convert with the agc binary (`agc getcol archive.agc "
+                    "> seqs.fa`) and repackage via `impg-tpu agz create "
+                    "-o seqs.agz seqs.fa`, or pass the FASTA directly."
+                )
         if any(is_agz) and not all(is_agz):
             raise ValueError(
                 "Mixed file types not supported. All files must be either "

@@ -300,6 +300,16 @@ def parse_1aln(
         if cur is None:
             return
         qid_f, qs, qe, tid_f, ts, te = cur
+        if qid_f not in name_of or tid_f not in name_of:
+            raise ValueError(
+                f"{path}: alignment references sequence id "
+                f"{qid_f if qid_f not in name_of else tid_f} but the file "
+                "carries no embedded name table ('N' lines). Upstream "
+                ".1aln files resolve names through an external .1gdb "
+                "skeleton (onealn.rs:230), which is not supported — "
+                "convert the alignment set to PAF (ALNtoPAF) or re-export "
+                "with `impg-tpu export-1aln`."
+            )
         qid = name_of[qid_f]
         tid = name_of[tid_f]
         if cur_rev:
@@ -399,6 +409,22 @@ def iter_1aln_lines(path: str):
     if onecode.is_onecode_binary(path):
         yield from onecode.OneBinaryReader(path)
         return
+    # Upstream ONElib BINARY .1aln detection: an ASCII "1 3 aln" header
+    # followed by binary payload bytes, without this framework's container
+    # footer. Error with the conversion path instead of misparsing
+    # (onealn.rs:50 reads these via the onecode crate; ONElib's binary
+    # codec spec is not published in this environment).
+    with open(path, "rb") as fh:
+        head = fh.read(4096)
+    if head[:1] == b"1" and any(
+        b > 0x7E or (b < 0x09 and b != 0) or b == 0 for b in head
+    ):
+        raise ValueError(
+            f"{path}: upstream ONElib binary .1aln container is not "
+            "supported. Convert to ASCII with the ONEcode toolchain "
+            "(`ONEview file.1aln > file.1aln.txt`) or re-export from this "
+            "framework (`impg-tpu export-1aln --binary`)."
+        )
     with open(path) as fh:
         for line in fh:
             parts = line.split()

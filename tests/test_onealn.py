@@ -240,3 +240,26 @@ def test_cli_export_binary_and_query(roundtrip, tmp_path):
     ra = run_cli("query", "-a", out, "-r", f"ref:0-{L}", "-d", "100", "-x")
     assert rb.returncode == 0, rb.stderr
     assert rb.stdout == ra.stdout  # binary ingest == ASCII ingest
+
+
+def test_upstream_binary_1aln_rejected(tmp_path):
+    """A ONElib-style binary .1aln (ASCII header + binary payload, no
+    framework footer) errors with the ONEview conversion path."""
+    p = tmp_path / "up.1aln"
+    p.write_bytes(b"1 3 aln 3 1\n" + bytes(range(256)) * 4)
+    with pytest.raises(ValueError, match="ONEview"):
+        list(onealn.iter_1aln_lines(str(p)))
+
+
+def test_ascii_1aln_without_name_table_rejected(tmp_path):
+    """Upstream ASCII .1aln resolves names via an external .1gdb skeleton;
+    without embedded N lines the parser must error precisely, not emit
+    bogus ids."""
+    from impg_tpu.core.seqidx import SequenceIndex
+
+    p = tmp_path / "ext.1aln"
+    p.write_text(
+        "1 3 aln 1 1\nt 100\nA 0 0 500 1 0 500\nT 1 500\nX 1 3\nD 3\n"
+    )
+    with pytest.raises(ValueError, match="1gdb"):
+        onealn.parse_1aln(str(p), SequenceIndex())
