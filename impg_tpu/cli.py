@@ -1792,6 +1792,11 @@ def cmd_infer(args) -> int:
         from impg_tpu.syng.read_index import ReadSyncmerIndex
 
         read_index = ReadSyncmerIndex.load(args.read_index)
+    # Per-read GAF MEMs are region-independent: parse + GBWT-match ONCE
+    # and reuse the evidence across every BED row.
+    gaf_evidence = args.gaf
+    if args.gaf and args.read_link_weight > 0.0 and len(regions) > 1:
+        gaf_evidence = infer_mod.GafEvidence(index, args.gaf)
     any_calls = False
     windows = path = segments = None
     for ri, (chrom, start, end) in enumerate(regions):
@@ -1805,7 +1810,7 @@ def cmd_infer(args) -> int:
             read_index=read_index,
             read_link_weight=args.read_link_weight,
             min_read_link_anchors=args.min_read_link_anchors,
-            gaf_path=args.gaf,
+            gaf_path=gaf_evidence,
         )
         if not windows:
             print(

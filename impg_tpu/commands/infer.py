@@ -249,9 +249,74 @@ def _lis_len(values) -> int:
     return len(tails)
 
 
+class GafEvidence:
+    """Region-independent read evidence from a syng-map GAF, computed ONCE
+    per (gaf, index): parsed walks and their GBWT MEMs in both
+    orientations. `infer -b partitions.bed --gaf reads.gaf` reuses one
+    instance across every BED row instead of re-parsing + re-MEM-matching
+    per region (O(reads) total, was O(rows x reads))."""
+
+    def __init__(self, index: SyngIndex, gaf_path: str):
+        import gzip
+
+        import numpy as np
+
+        from impg_tpu.syng.gbwt import gbwt_for_index
+
+        gbwt = gbwt_for_index(index)
+        syncmer_len = index.syncmer_len
+        # Each read: ("mems", [(nodes, bpos, mems), ...both orientations])
+        # or ("walk", signed_nodes).
+        self.reads: list[tuple] = []
+        opener = gzip.open if gaf_path.endswith(".gz") else open
+        with opener(gaf_path, "rt") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#"):
+                    continue
+                fields = line.split("\t")
+                if len(fields) < 6:
+                    raise ValueError("GAF line has fewer than 6 fields")
+                signed_nodes = _parse_gaf_path(fields[5])
+                qp = None
+                for f in fields[12:]:
+                    if f.startswith("qp:B:I"):
+                        body = f[6:].lstrip(",")
+                        qp = (
+                            [int(x) for x in body.split(",")] if body else []
+                        )
+                        break
+                if qp is not None and len(qp) == len(signed_nodes):
+                    order = sorted(
+                        range(len(qp)),
+                        key=lambda i: (qp[i], signed_nodes[i]),
+                    )
+                    nodes = np.array(
+                        [signed_nodes[i] for i in order], np.int32
+                    )
+                    bpos = np.array([qp[i] for i in order], np.uint64)
+                    qlen = int(fields[1])
+                    rev_nodes = (-nodes[::-1]).copy()
+                    rev_bpos = np.maximum(
+                        qlen - syncmer_len - bpos[::-1].astype(np.int64), 0
+                    ).astype(np.uint64)
+                    self.reads.append((
+                        "mems",
+                        [
+                            (nodes, bpos, gbwt.mems_for_walk(nodes, bpos)),
+                            (
+                                rev_nodes, rev_bpos,
+                                gbwt.mems_for_walk(rev_nodes, rev_bpos),
+                            ),
+                        ],
+                    ))
+                else:
+                    self.reads.append(("walk", signed_nodes))
+
+
 def gaf_read_walk_rewards(
     index: SyngIndex,
-    gaf_path: str,
+    gaf: "str | GafEvidence",
     windows: list[WindowCall],
     weight: float,
     min_anchors: int = 3,
@@ -269,18 +334,18 @@ def gaf_read_walk_rewards(
     ``weight * 10 * log10(1 + anchor_weight)`` (infer.rs:1094).  Rows
     without a ``qp:B:I`` tag fall back to orientation-aware LIS hits
     (infer.rs:871 add_whole_walk_hits).
+
+    `gaf` may be a path or a pre-built `GafEvidence` (parse + MEM cost is
+    region-independent; build once, reuse across BED rows).
     """
-    import gzip
     import math
 
-    import numpy as np
-
-    from impg_tpu.syng.gbwt import gbwt_for_index
     from impg_tpu.syng.map import index_universe
 
-    gbwt = gbwt_for_index(index)
+    evidence = gaf if isinstance(gaf, GafEvidence) else GafEvidence(
+        index, gaf
+    )
     universe = index_universe(index)
-    syncmer_len = index.syncmer_len
 
     walk_index: dict[int, list[tuple[int, int, int]]] = {}
     cand_walks: dict[tuple[int, int], tuple] = {}
@@ -328,71 +393,41 @@ def gaf_read_walk_rewards(
 
     anchor_weight: dict[tuple[int, int], float] = {}
     link_anchor: dict[tuple, float] = {}
-    opener = gzip.open if gaf_path.endswith(".gz") else open
-    with opener(gaf_path, "rt") as fh:
-        for line in fh:
-            line = line.rstrip("\n")
-            if not line or line.startswith("#"):
+    for kind, payload in evidence.reads:
+        counts: dict[tuple[int, int], int] = {}
+        if kind == "mems":
+            for nodes, bpos, mems in payload:
+                _mem_hits(counts, nodes, bpos, mems)
+        else:
+            _whole_walk_hits(counts, payload)
+        # Per-read normalization across supported candidates of a call.
+        by_call: dict[int, list[tuple[int, int]]] = {}
+        for (wi, ci), c in counts.items():
+            if c >= max(min_anchors, 1):
+                by_call.setdefault(wi, []).append((ci, c))
+        for wi, hits in by_call.items():
+            denom = float(len(hits))
+            for ci, c in hits:
+                anchor_weight[(wi, ci)] = (
+                    anchor_weight.get((wi, ci), 0.0) + c / denom
+                )
+        # Link rewards only for ADJACENT supported windows — stitch
+        # looks up ((wi-1, pc), (wi, cc)) transitions exclusively, so
+        # links across a skipped window would be dead keys (evidence
+        # spanning an unsupported window is consciously dropped).
+        ordered_calls = sorted(by_call)
+        for wa, wb in zip(ordered_calls, ordered_calls[1:]):
+            if wb != wa + 1:
                 continue
-            fields = line.split("\t")
-            if len(fields) < 6:
-                raise ValueError("GAF line has fewer than 6 fields")
-            signed_nodes = _parse_gaf_path(fields[5])
-            qp = None
-            for f in fields[12:]:
-                if f.startswith("qp:B:I"):
-                    body = f[6:].lstrip(",")
-                    qp = [int(x) for x in body.split(",")] if body else []
-                    break
-            counts: dict[tuple[int, int], int] = {}
-            if qp is not None and len(qp) == len(signed_nodes):
-                order = sorted(
-                    range(len(qp)), key=lambda i: (qp[i], signed_nodes[i])
-                )
-                nodes = np.array(
-                    [signed_nodes[i] for i in order], np.int32
-                )
-                bpos = np.array([qp[i] for i in order], np.uint64)
-                _mem_hits(counts, nodes, bpos, gbwt.mems_for_walk(nodes, bpos))
-                qlen = int(fields[1])
-                rev_nodes = (-nodes[::-1]).copy()
-                rev_bpos = np.maximum(
-                    qlen - syncmer_len - bpos[::-1].astype(np.int64), 0
-                ).astype(np.uint64)
-                _mem_hits(
-                    counts, rev_nodes, rev_bpos,
-                    gbwt.mems_for_walk(rev_nodes, rev_bpos),
-                )
-            else:
-                _whole_walk_hits(counts, signed_nodes)
-            # Per-read normalization across supported candidates of a call.
-            by_call: dict[int, list[tuple[int, int]]] = {}
-            for (wi, ci), c in counts.items():
-                if c >= max(min_anchors, 1):
-                    by_call.setdefault(wi, []).append((ci, c))
-            for wi, hits in by_call.items():
-                denom = float(len(hits))
-                for ci, c in hits:
-                    anchor_weight[(wi, ci)] = (
-                        anchor_weight.get((wi, ci), 0.0) + c / denom
+            prev_hits, curr_hits = by_call[wa], by_call[wb]
+            pair_denom = float(len(prev_hits) * len(curr_hits))
+            for ci, c1 in prev_hits:
+                for cj, c2 in curr_hits:
+                    key = ((wa, ci), (wb, cj))
+                    link_anchor[key] = (
+                        link_anchor.get(key, 0.0)
+                        + min(c1, c2) / pair_denom
                     )
-            # Link rewards only for ADJACENT supported windows — stitch
-            # looks up ((wi-1, pc), (wi, cc)) transitions exclusively, so
-            # links across a skipped window would be dead keys (evidence
-            # spanning an unsupported window is consciously dropped).
-            ordered_calls = sorted(by_call)
-            for wa, wb in zip(ordered_calls, ordered_calls[1:]):
-                if wb != wa + 1:
-                    continue
-                prev_hits, curr_hits = by_call[wa], by_call[wb]
-                pair_denom = float(len(prev_hits) * len(curr_hits))
-                for ci, c1 in prev_hits:
-                    for cj, c2 in curr_hits:
-                        key = ((wa, ci), (wb, cj))
-                        link_anchor[key] = (
-                            link_anchor.get(key, 0.0)
-                            + min(c1, c2) / pair_denom
-                        )
 
     for wi, w in enumerate(windows):
         rewards = {
@@ -449,7 +484,7 @@ def run_infer(
     read_index=None,
     read_link_weight: float = 0.0,
     min_read_link_anchors: int = 3,
-    gaf_path: str | None = None,
+    gaf_path: "str | GafEvidence | None" = None,
 ) -> tuple[list[WindowCall], list[tuple], list[MosaicSegment]]:
     if window <= 0:
         raise ValueError(f"window must be positive (got {window})")

@@ -725,3 +725,37 @@ def test_render_bundle_regional_syng(panel, tmp_path):
     nodes, bpos, _ = g.best_orientation_walk(frag)
     mems = g.mems_for_walk(nodes, bpos)
     assert mems and max(me.anchors for me in mems) == nodes.size
+
+
+def test_infer_gaf_evidence_cache_matches_path(panel, tmp_path):
+    """GafEvidence (parse + GBWT MEM once, reuse across BED rows) must
+    produce identical windows/rewards/path to the per-call gaf_path
+    route."""
+    from impg_tpu.commands import infer as infer_mod
+    from impg_tpu.syng import map as syng_map
+    from impg_tpu.syng.pack import map_reads
+
+    tmp, fa, idx, seq_data, fastq = panel
+    gaf = tmp_path / "reads.gaf"
+    with open(gaf, "w") as fh:
+        for row in syng_map.map_reads_gaf(idx, [fastq]):
+            fh.write(row + "\n")
+    pack, _, _ = map_reads(idx, [fastq])
+    evidence = infer_mod.GafEvidence(idx, str(gaf))
+    assert evidence.reads
+
+    kwargs = dict(
+        window=4000, read_link_weight=1.0, min_read_link_anchors=1,
+    )
+    for region in (("ref", 0, 12_000), ("ref", 2000, 10_000)):
+        w_a, p_a, s_a = infer_mod.run_infer(
+            idx, pack, *region, gaf_path=str(gaf), **kwargs
+        )
+        w_b, p_b, s_b = infer_mod.run_infer(
+            idx, pack, *region, gaf_path=evidence, **kwargs
+        )
+        assert p_a == p_b
+        assert [w.rewards for w in w_a] == [w.rewards for w in w_b]
+        assert [(w.start, w.end) for w in w_a] == [
+            (w.start, w.end) for w in w_b
+        ]
