@@ -212,8 +212,13 @@ class OneBinaryReader:
     """
 
     def __init__(self, path: str):
+        import mmap
+
         with open(path, "rb") as fh:
-            data = fh.read()
+            try:
+                data = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+            except (ValueError, OSError):  # empty file / exotic fs
+                data = fh.read()
         if data[-len(MAGIC):] != MAGIC:
             raise ValueError(f"{path}: not a ONEcode binary container")
         (footer_off,) = _FOOTER_FIXED.unpack(
@@ -229,7 +234,9 @@ class OneBinaryReader:
         self.provenance: list[str] = []
         pos = 0
         while True:
-            nl = data.index(b"\n", pos)
+            nl = data.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError(f"{path}: truncated header")
             line = data[pos:nl].decode()
             pos = nl + 1
             parts = line.split()
