@@ -424,8 +424,24 @@ def crush_gfa(
             for name, steps in g.paths
         }
 
-    before_spell = spell_all(g0)
+    from impg_tpu.graph import columnar_ops
+
+    before_spell = columnar_ops.path_spellings_of_text(gfa_text)
+    if before_spell is None:
+        before_spell = spell_all(g0)
     text = gfa_text
+
+    def round_valid(ng: Gfa, new_text: str) -> bool:
+        # Exact path validation (the reference's contract). The columnar
+        # validator (native spell kernel over the written text) replaces
+        # the per-step dict-model join — the round's hottest pass on
+        # 50 MiB-class graphs (graph/columnar_ops.py).
+        from impg_tpu.graph import columnar_ops
+
+        ok = columnar_ops.validate_text_spellings(new_text, before_spell)
+        if ok is None:
+            return spell_all(ng) == before_spell
+        return ok
 
     do_polish = False  # main rounds first; polish after convergence
     rounds_left = max_rounds
@@ -441,11 +457,10 @@ def crush_gfa(
                 do_polish = True
                 continue
             break
-        # Exact path validation (the reference's contract): refuse an
-        # invalid round and keep the previous text.
-        if spell_all(ng) != before_spell:
-            break
         new_text = ng.write()
+        # Refuse an invalid round and keep the previous text.
+        if not round_valid(ng, new_text):
+            break
         if new_text == text:
             if polish and not do_polish:
                 do_polish = True

@@ -69,7 +69,11 @@ def normalize_self_loops(
     gfa_text: str, max_unit_len: int = 0
 ) -> tuple[str, SelfLoopStats]:
     gfa = Gfa.parse(gfa_text)
-    before = _path_spellings(gfa)
+    from impg_tpu.graph import columnar_ops
+
+    before = columnar_ops.path_spellings_of_text(gfa_text)
+    if before is None:
+        before = _path_spellings(gfa)
     stats = SelfLoopStats()
     stats.input_self_loop_edges = sum(
         1 for l in gfa.links if l[0] == l[2]
@@ -147,8 +151,10 @@ def normalize_self_loops(
     gfa.links = kept
 
     out_text = gfa.write()
-    after = _path_spellings(Gfa.parse(out_text))
-    if before != after:
+    ok = columnar_ops.validate_text_spellings(out_text, before)
+    if ok is None:
+        ok = _path_spellings(Gfa.parse(out_text)) == before
+    if not ok:
         raise ValueError(
             "self-loop normalization changed one or more GFA path spellings"
         )

@@ -13,6 +13,11 @@ from typing import Optional
 
 import numpy as np
 
+_SRC_NAMES = (
+    "paf_parser.cpp", "poa.cpp", "align.cpp", "seqwish_uf.cpp", "gbwt.cpp",
+    "seqwish_emit.cpp", "visited.cpp", "syncmer.cpp", "gfa_parser.cpp",
+    "spellc.cpp",
+)
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "libimpg_native.so")
 
@@ -21,7 +26,7 @@ _load_attempted = False
 
 
 def _build() -> bool:
-    srcs = [os.path.join(_NATIVE_DIR, f) for f in ("paf_parser.cpp", "poa.cpp", "align.cpp", "seqwish_uf.cpp", "gbwt.cpp", "seqwish_emit.cpp", "visited.cpp", "syncmer.cpp", "gfa_parser.cpp")]
+    srcs = [os.path.join(_NATIVE_DIR, f) for f in _SRC_NAMES]
     if not all(os.path.exists(s) for s in srcs):
         return False
     try:
@@ -48,7 +53,7 @@ def load():
     if not os.path.exists(_SO_PATH) or (
         os.path.exists(os.path.join(_NATIVE_DIR, "paf_parser.cpp"))
         and os.path.getmtime(_SO_PATH)
-        < max(os.path.getmtime(os.path.join(_NATIVE_DIR, f)) for f in ("paf_parser.cpp", "poa.cpp", "align.cpp", "seqwish_uf.cpp", "gbwt.cpp", "seqwish_emit.cpp", "visited.cpp", "syncmer.cpp", "gfa_parser.cpp"))
+        < max(os.path.getmtime(os.path.join(_NATIVE_DIR, f)) for f in _SRC_NAMES)
     ):
         if not _build():
             return None
@@ -188,8 +193,66 @@ def load():
     lib.sx_free.restype = None
     lib.sx_free.argtypes = [ctypes.c_void_p]
 
+    if hasattr(lib, "impg_spell_steps"):
+        lib.impg_spell_steps.restype = None
+        lib.impg_spell_steps.argtypes = [
+            ctypes.c_char_p,                      # seq blob
+            ctypes.POINTER(ctypes.c_int64),       # seg offsets [n_segs+1]
+            ctypes.POINTER(ctypes.c_int32),       # step rows
+            ctypes.POINTER(ctypes.c_uint8),       # step rev
+            ctypes.c_int64,                       # n_steps
+            ctypes.POINTER(ctypes.c_int64),       # out offsets [n_steps+1]
+            ctypes.POINTER(ctypes.c_uint8),       # out
+            ctypes.c_int32,                       # n_threads
+        ]
+
     _lib = lib
     return _lib
+
+
+_spell_scratch = np.zeros(0, np.uint8)  # grow-only (page faults are
+# expensive on this kernel; a fresh 400 MB output per call costs ~1.2 s
+# of first-touch alone)
+
+
+def spell_steps(blob: bytes, seg_off, step_row, step_rev, out_off,
+                threads: int = 0, reuse: bool = True):
+    """Native single-pass path spelling; None when unavailable.
+
+    With `reuse` (default) the returned array is a view into a grow-only
+    module scratch buffer: it is INVALIDATED by the next call — copy
+    (`.tobytes()`) anything you keep."""
+    global _spell_scratch
+    lib = load()
+    if lib is None or not hasattr(lib, "impg_spell_steps"):
+        return None
+    import os as _os
+
+    seg_off = np.ascontiguousarray(seg_off, np.int64)
+    step_row = np.ascontiguousarray(step_row, np.int32)
+    step_rev = np.ascontiguousarray(step_rev, np.uint8)
+    out_off = np.ascontiguousarray(out_off, np.int64)
+    total = int(out_off[-1]) if out_off.size else 0
+    if not reuse:
+        out = np.empty(total, np.uint8)
+    else:
+        if _spell_scratch.size < total:
+            _spell_scratch = np.empty(
+                max(total, _spell_scratch.size * 2), np.uint8
+            )
+        out = _spell_scratch[:total]
+    if step_row.size:
+        lib.impg_spell_steps(
+            blob,
+            seg_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            step_row.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            step_rev.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(step_row.size),
+            out_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int32(threads or _os.cpu_count() or 1),
+        )
+    return out
 
 
 def _as_array(ptr, n, dtype):

@@ -1,0 +1,114 @@
+"""Columnar transform hot passes (graph/columnar_ops.py) vs the dict
+model oracle: path spelling (native spellc.cpp kernel + numpy fallback),
+zero-copy validation, and packed link regeneration."""
+
+import random
+
+import numpy as np
+import pytest
+
+from impg_tpu.graph import columnar_ops as co
+from impg_tpu.graph.gfa import Gfa
+from impg_tpu.graph.gfa_columns import parse_gfa_columns
+from impg_tpu.io.fasta import reverse_complement
+
+
+def _random_gfa(seed=5, n_nodes=60, n_paths=6) -> str:
+    rng = random.Random(seed)
+    lines = ["H\tVN:Z:1.0"]
+    for i in range(1, n_nodes + 1):
+        L = rng.randint(1, 40)
+        lines.append(
+            f"S\tn{i}\t" + "".join(rng.choice("ACGTN") for _ in range(L))
+        )
+    for p in range(n_paths):
+        steps = [
+            f"n{rng.randint(1, n_nodes)}{rng.choice('+-')}"
+            for _ in range(rng.randint(1, 50))
+        ]
+        lines.append(f"P\tp{p}\t" + ",".join(steps) + "\t*")
+    # links (content irrelevant to these passes)
+    lines.append("L\tn1\t+\tn2\t+\t0M")
+    return "\n".join(lines) + "\n"
+
+
+def _dict_spell(g: Gfa) -> dict[str, bytes]:
+    out = {}
+    for name, steps in g.paths:
+        out[name] = b"".join(
+            reverse_complement(g.segments[s].encode()) if r
+            else g.segments[s].encode()
+            for s, r in steps
+        )
+    return out
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+def test_spell_paths_matches_dict_model(seed):
+    text = _random_gfa(seed)
+    gc = parse_gfa_columns(text)
+    assert gc is not None
+    want = _dict_spell(Gfa.parse(text))
+    got = co.path_spellings(gc)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_spell_numpy_fallback_matches(seed):
+    text = _random_gfa(seed)
+    gc = parse_gfa_columns(text)
+    rows = gc.seg_row_of_name()[gc.step_name_idx]
+    lens = gc.seg_lens()[rows].astype(np.int64)
+    bp_off = np.concatenate([[0], np.cumsum(lens)])
+    out = co._spell_numpy(gc, rows, lens, bp_off)
+    path_bp = bp_off[gc.path_off]
+    want = _dict_spell(Gfa.parse(text))
+    for p, name in enumerate(gc.path_names):
+        assert (
+            out[int(path_bp[p]) : int(path_bp[p + 1])].tobytes()
+            == want[name]
+        ), name
+
+
+def test_validate_spellings():
+    text = _random_gfa(7)
+    gc = parse_gfa_columns(text)
+    want = _dict_spell(Gfa.parse(text))
+    assert co.validate_spellings(gc, want)
+    # Any single-byte corruption must fail.
+    name = next(iter(want))
+    bad = dict(want)
+    b = bytearray(bad[name] or b"A")
+    b[0] = ord("A") if b[0] != ord("A") else ord("C")
+    bad[name] = bytes(b)
+    if bad[name] != want[name]:
+        assert not co.validate_spellings(gc, bad)
+    # Missing / extra paths fail.
+    assert not co.validate_spellings(gc, {})
+    extra = dict(want)
+    extra["ghost"] = b"A"
+    assert not co.validate_spellings(gc, extra)
+    # Text-level entry point agrees.
+    assert co.validate_text_spellings(text, want) in (True, None)
+
+
+def test_links_from_paths_matches_dict_model():
+    text = _random_gfa(9, n_nodes=40, n_paths=8)
+    gc = parse_gfa_columns(text)
+    g = Gfa.parse(text)
+    want = set()
+    for _, steps in g.paths:
+        for a, b in zip(steps, steps[1:]):
+            want.add((a[0], a[1], b[0], b[1]))
+    packed = co.links_from_paths(gc)
+    got = set(co.unpack_links(gc, packed))
+    assert got == want
+
+
+def test_spell_missing_segment_raises():
+    text = "H\tVN:Z:1.0\nS\tn1\tACGT\nP\tp\tn1+,nX-\t*\n"
+    gc = parse_gfa_columns(text)
+    if gc is None:
+        pytest.skip("native tokenizer unavailable")
+    with pytest.raises(ValueError, match="nX"):
+        co.spell_paths(gc)
