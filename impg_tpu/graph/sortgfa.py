@@ -62,9 +62,22 @@ def path_sgd_order(
     if n <= 1 or not gfa.paths:
         return sids
     step_node, step_pos, bounds, node_ord = _path_arrays(gfa)
+    order = _sgd_order_core(
+        n, step_node, step_pos, bounds, epochs, batch_per_step,
+        eta_max, eta_min, rng, backend,
+    )
+    return [sids[k] for k in order]
+
+
+def _sgd_order_core(
+    n, step_node, step_pos, bounds, epochs=30, batch_per_step=8,
+    eta_max=None, eta_min=0.01, rng=None, backend="auto",
+) -> np.ndarray:
+    """Node ordinals ordered by the converged 1D layout (shared by the
+    dict-model and columnar drivers)."""
     n_steps = step_node.size
-    if n_steps < 2:
-        return sids
+    if n <= 1 or n_steps < 2:
+        return np.arange(n)
     rng = rng or np.random.default_rng(42)
 
     # Initial positions: first-seen path position per node (stable and
@@ -102,8 +115,9 @@ def path_sgd_order(
                 x, step_node, step_pos, pstart, pend, epochs, batch,
                 float(eta_max), float(lam),
             )
-            order = sorted(range(n), key=lambda k: (x[k], k))
-            return [sids[k] for k in order]
+            return np.asarray(
+                sorted(range(n), key=lambda k: (x[k], k)), np.int64
+            )
         except Exception:
             if backend == "jax":
                 raise
@@ -141,8 +155,7 @@ def path_sgd_order(
         np.add.at(cnt, b, 1.0)
         x -= acc / np.maximum(cnt, 1.0)
 
-    order = sorted(range(n), key=lambda k: (x[k], k))
-    return [sids[k] for k in order]
+    return np.asarray(sorted(range(n), key=lambda k: (x[k], k)), np.int64)
 
 
 def _sgd_epochs_jax(
@@ -297,11 +310,76 @@ def _topo_priority(gfa: Gfa) -> Gfa:
     return out
 
 
+def sgd_order_columns(gc, backend: str = "auto") -> np.ndarray:
+    """Path-SGD segment-row order on the columnar model."""
+    rows = gc.seg_row_of_name()[gc.step_name_idx]
+    lens = gc.seg_lens()
+    step_node = rows.astype(np.int64)
+    step_len = np.where(rows >= 0, lens[np.maximum(rows, 0)], 0).astype(
+        np.float64
+    )
+    # bp midpoint of each step along its path
+    ends = np.cumsum(step_len)
+    path_base = np.zeros_like(step_len)
+    po = gc.path_off
+    for p in range(gc.n_paths):
+        lo, hi = int(po[p]), int(po[p + 1])
+        if lo < hi:
+            base = ends[lo - 1] if lo else 0.0
+            path_base[lo:hi] = base
+    step_pos = ends - path_base - step_len / 2.0
+    bounds = [
+        (int(po[p]), int(po[p + 1])) for p in range(gc.n_paths)
+    ]
+    return _sgd_order_core(
+        gc.n_segs, step_node, step_pos, bounds, backend=backend
+    )
+
+
+def _sort_pipeline_columns(gfa_text: str, pipeline: str,
+                           sgd_backend: str) -> str | None:
+    """Columnar fast path for `sort_pipeline` (native tokenizer + spell /
+    topo kernels); None when the tokenizer is unavailable."""
+    from impg_tpu.graph import columnar_ops as co
+    from impg_tpu.graph.gfa_columns import parse_gfa_columns
+
+    try:
+        gc = parse_gfa_columns(gfa_text)
+    except ValueError:
+        raise
+    except Exception:
+        return None
+    if gc is None:
+        return None
+    if gc.n_segs <= 1:
+        return gfa_text
+    for c in pipeline:
+        if c == "Y":
+            order = sgd_order_columns(gc, backend=sgd_backend)
+            gc = co.reorder_segments_columns(gc, np.asarray(order, np.int32))
+        elif c == "g":
+            gc = co.groom_columns(gc)
+        elif c == "s":
+            gc = co.topo_priority_columns(gc)
+        else:
+            raise ValueError(
+                f"unsupported sort pipeline step '{c}' (expected Y, g, s)"
+            )
+    return co.write_columns(gc)
+
+
 def sort_pipeline(
     gfa_text: str, pipeline: str = "Ygs", sgd_backend: str = "auto"
 ) -> str:
     """Apply the gfasort-style pipeline: Y = path-SGD order, g = groom,
-    s = priority topological sort (+ renumber).  Unknown steps error."""
+    s = priority topological sort (+ renumber).  Unknown steps error.
+
+    Runs on the columnar model (native tokenizer + spell/topo kernels)
+    when available; the dict-model loop below is the semantics oracle and
+    fallback."""
+    out = _sort_pipeline_columns(gfa_text, pipeline, sgd_backend)
+    if out is not None:
+        return out
     gfa = Gfa.parse(gfa_text)
     if len(gfa.segments) <= 1:
         return gfa_text

@@ -193,6 +193,27 @@ def load():
     lib.sx_free.restype = None
     lib.sx_free.argtypes = [ctypes.c_void_p]
 
+    if hasattr(lib, "impg_concat_tokens"):
+        lib.impg_concat_tokens.restype = None
+        lib.impg_concat_tokens.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),  # tok_start
+            ctypes.POINTER(ctypes.c_int64),  # tok_len
+            ctypes.POINTER(ctypes.c_int64),  # rows
+            ctypes.c_int64,                  # n_rows
+            ctypes.POINTER(ctypes.c_int64),  # out_off
+            ctypes.POINTER(ctypes.c_uint8),  # out
+        ]
+    if hasattr(lib, "impg_topo_priority"):
+        lib.impg_topo_priority.restype = None
+        lib.impg_topo_priority.argtypes = [
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),  # edge_a
+            ctypes.POINTER(ctypes.c_int32),  # edge_b
+            ctypes.c_int64,                  # n_edges
+            ctypes.POINTER(ctypes.c_int32),  # prio
+            ctypes.POINTER(ctypes.c_int32),  # order out
+        ]
     if hasattr(lib, "impg_spell_steps"):
         lib.impg_spell_steps.restype = None
         lib.impg_spell_steps.argtypes = [
@@ -213,6 +234,51 @@ def load():
 _spell_scratch = np.zeros(0, np.uint8)  # grow-only (page faults are
 # expensive on this kernel; a fresh 400 MB output per call costs ~1.2 s
 # of first-touch alone)
+
+
+def concat_tokens(blob: bytes, tok_start, tok_len, rows):
+    """Native token-stream concatenation; (out, out_off) or None."""
+    lib = load()
+    if lib is None or not hasattr(lib, "impg_concat_tokens"):
+        return None
+    tok_start = np.ascontiguousarray(tok_start, np.int64)
+    tok_len = np.ascontiguousarray(tok_len, np.int64)
+    rows = np.ascontiguousarray(rows, np.int64)
+    lens = tok_len[rows]
+    out_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    out = np.empty(int(out_off[-1]), np.uint8)
+    if rows.size:
+        lib.impg_concat_tokens(
+            blob,
+            tok_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            tok_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(rows.size),
+            out_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+    return out, out_off
+
+
+def topo_priority(n: int, edge_a, edge_b, prio):
+    """Native priority topological sort; None when unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "impg_topo_priority"):
+        return None
+    edge_a = np.ascontiguousarray(edge_a, np.int32)
+    edge_b = np.ascontiguousarray(edge_b, np.int32)
+    prio = np.ascontiguousarray(prio, np.int32)
+    order = np.empty(n, np.int32)
+    if n:
+        lib.impg_topo_priority(
+            ctypes.c_int32(n),
+            edge_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            edge_b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.c_int64(edge_a.size),
+            prio.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    return order
 
 
 def spell_steps(blob: bytes, seg_off, step_row, step_rev, out_off,

@@ -13,6 +13,8 @@
 #include <cstring>
 #include <thread>
 #include <vector>
+#include <algorithm>
+#include <utility>
 
 namespace {
 
@@ -81,6 +83,81 @@ void impg_spell_steps(const uint8_t* blob, const int64_t* seg_off,
     lo = hi;
   }
   for (auto& th : threads) th.join();
+}
+
+// Token-stream concatenation: like impg_spell_steps but with explicit
+// (start, len) per token table entry (tokens may overlap in the blob),
+// no reverse-complement. Used by the columnar GFA writer.
+void impg_concat_tokens(const uint8_t* blob, const int64_t* tok_start,
+                        const int64_t* tok_len, const int64_t* rows,
+                        int64_t n_rows, const int64_t* out_off,
+                        uint8_t* out) {
+  for (int64_t i = 0; i < n_rows; ++i) {
+    const int64_t r = rows[i];
+    std::memcpy(out + out_off[i], blob + tok_start[r],
+                static_cast<size_t>(tok_len[r]));
+  }
+}
+
+// Priority topological sort (gfasort 's' stage role): Kahn's algorithm
+// with a min-heap keyed on each node's CURRENT order position, so ties
+// follow a preceding path-SGD layout (graph/sortgfa.py _topo_priority).
+// Self-edges are ignored; nodes left on cycles append in priority order.
+// order_out receives node ids (0..n-1) in sorted order.
+void impg_topo_priority(int32_t n, const int32_t* edge_a,
+                        const int32_t* edge_b, int64_t n_edges,
+                        const int32_t* prio, int32_t* order_out) {
+  std::vector<int64_t> head(static_cast<size_t>(n) + 1, 0);
+  std::vector<int32_t> indeg(n, 0);
+  for (int64_t e = 0; e < n_edges; ++e) {
+    const int32_t a = edge_a[e], b = edge_b[e];
+    if (a == b || a < 0 || b < 0 || a >= n || b >= n) continue;
+    ++head[a + 1];
+    ++indeg[b];
+  }
+  for (int32_t v = 0; v < n; ++v) head[v + 1] += head[v];
+  std::vector<int32_t> succ(head[n]);
+  {
+    std::vector<int64_t> at(head.begin(), head.end() - 1);
+    for (int64_t e = 0; e < n_edges; ++e) {
+      const int32_t a = edge_a[e], b = edge_b[e];
+      if (a == b || a < 0 || b < 0 || a >= n || b >= n) continue;
+      succ[at[a]++] = b;
+    }
+  }
+  // Binary min-heap of (prio, node).
+  std::vector<std::pair<int32_t, int32_t>> heap;
+  heap.reserve(n);
+  auto cmp = [](const std::pair<int32_t, int32_t>& x,
+                const std::pair<int32_t, int32_t>& y) { return x > y; };
+  for (int32_t v = 0; v < n; ++v)
+    if (indeg[v] == 0) heap.emplace_back(prio[v], v);
+  std::make_heap(heap.begin(), heap.end(), cmp);
+  std::vector<uint8_t> seen(n, 0);
+  int64_t out_at = 0;
+  while (!heap.empty()) {
+    std::pop_heap(heap.begin(), heap.end(), cmp);
+    const int32_t v = heap.back().second;
+    heap.pop_back();
+    if (seen[v]) continue;
+    seen[v] = 1;
+    order_out[out_at++] = v;
+    for (int64_t i = head[v]; i < head[v + 1]; ++i) {
+      const int32_t w = succ[i];
+      if (--indeg[w] == 0 && !seen[w]) {
+        heap.emplace_back(prio[w], w);
+        std::push_heap(heap.begin(), heap.end(), cmp);
+      }
+    }
+  }
+  if (out_at < n) {
+    // Cycle remnants: stable in priority order.
+    std::vector<std::pair<int32_t, int32_t>> rest;
+    for (int32_t v = 0; v < n; ++v)
+      if (!seen[v]) rest.emplace_back(prio[v], v);
+    std::sort(rest.begin(), rest.end());
+    for (auto& pv : rest) order_out[out_at++] = pv.second;
+  }
 }
 
 }  // extern "C"

@@ -112,3 +112,70 @@ def test_spell_missing_segment_raises():
         pytest.skip("native tokenizer unavailable")
     with pytest.raises(ValueError, match="nX"):
         co.spell_paths(gc)
+
+
+def _pipeline_gfa(seed=21, n_nodes=120, n_paths=5) -> str:
+    """Graph where every step references a real segment (sort pipelines
+    drop dangling refs; parity needs clean input)."""
+    rng = random.Random(seed)
+    lines = ["H\tVN:Z:1.0"]
+    for i in range(1, n_nodes + 1):
+        L = rng.randint(1, 30)
+        lines.append(
+            f"S\ts{i}\t" + "".join(rng.choice("ACGT") for _ in range(L))
+        )
+    links = set()
+    for p in range(n_paths):
+        steps = []
+        for _ in range(rng.randint(2, 60)):
+            steps.append((f"s{rng.randint(1, n_nodes)}", rng.choice([True, False])))
+        for a, b in zip(steps, steps[1:]):
+            links.add((a[0], a[1], b[0], b[1]))
+        lines.append(
+            f"P\tp{p}\t"
+            + ",".join(f"{s}{'-' if r else '+'}" for s, r in steps)
+            + "\t*"
+        )
+    for a, ar, b, br in sorted(links):
+        lines.append(
+            f"L\t{a}\t{'-' if ar else '+'}\t{b}\t{'-' if br else '+'}\t0M"
+        )
+    return "\n".join(lines) + "\n"
+
+
+@pytest.mark.parametrize("pipeline", ["gs", "s", "g", "Ygs"])
+@pytest.mark.parametrize("seed", [21, 22])
+def test_sort_pipeline_columns_matches_dict(pipeline, seed):
+    """The columnar fast path of sort_pipeline must produce byte-identical
+    text to the dict-model loop (same groom votes, same priority topo tie
+    rules, same writer formats)."""
+    from impg_tpu.graph import sortgfa
+
+    text = _pipeline_gfa(seed)
+    fast = sortgfa._sort_pipeline_columns(text, pipeline, "numpy")
+    if fast is None:
+        pytest.skip("native tokenizer unavailable")
+    # dict-model oracle (the old body)
+    g = Gfa.parse(text)
+    for c in pipeline:
+        if c == "Y":
+            order = sortgfa.path_sgd_order(g, backend="numpy")
+            rank = {sid: k for k, sid in enumerate(order)}
+            g.segments = dict(
+                sorted(g.segments.items(), key=lambda kv: rank[kv[0]])
+            )
+        elif c == "g":
+            g = sortgfa.groom(g)
+        elif c == "s":
+            g = sortgfa._topo_priority(g)
+    assert fast == g.write()
+
+
+def test_sort_pipeline_columns_preserves_spellings():
+    from impg_tpu.graph import sortgfa
+
+    text = _pipeline_gfa(33)
+    before = _dict_spell(Gfa.parse(text))
+    out = sortgfa.sort_pipeline(text, "Ygs")
+    after = _dict_spell(Gfa.parse(out))
+    assert before == after
