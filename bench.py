@@ -291,8 +291,43 @@ def bench_headlines():
             lib.impg_gfa_free(h)
             best = dt2 if best is None else min(best, dt2)
         gfa_mibs = len(raw) / 2**20 / best
-    return round(syng_ms, 1), (
-        round(gfa_mibs, 1) if gfa_mibs is not None else None
+
+    # Columnar transform passes on the same graph (reference anchors:
+    # docs/crush-perf-report.md — parse 50 ms / validate 136 ms / render
+    # 317 ms on a 115 MiB graph): spelling validation (the crush round's
+    # hot pass) and the full columnar gs sort pipeline.
+    validate_ms = sort_ms = None
+    try:
+        from impg_tpu.graph import columnar_ops as co
+        from impg_tpu.graph import sortgfa
+        from impg_tpu.graph.gfa_columns import parse_gfa_columns
+
+        text = raw.decode()
+        gc = parse_gfa_columns(text)
+        if gc is not None:
+            expected = co.path_spellings(gc)
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                co.validate_text_spellings(text, expected)
+                dt2 = time.perf_counter() - t0
+                best = dt2 if best is None else min(best, dt2)
+            validate_ms = best * 1e3
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                sortgfa.sort_pipeline(text, "gs")
+                dt2 = time.perf_counter() - t0
+                best = dt2 if best is None else min(best, dt2)
+            sort_ms = best * 1e3
+    except Exception:
+        pass
+    return (
+        round(syng_ms, 1),
+        round(gfa_mibs, 1) if gfa_mibs is not None else None,
+        round(validate_ms, 1) if validate_ms is not None else None,
+        round(sort_ms, 1) if sort_ms is not None else None,
+        round(len(raw) / 2**20, 1),
     )
 
 
@@ -303,7 +338,8 @@ def main():
     qps_1t = bench_host_1t(index, batches)
     qps_mt, nproc = bench_host_mt(index, batches, qps_1t)
 
-    syng_build_ms, gfa_parse_mibs = bench_headlines()
+    (syng_build_ms, gfa_parse_mibs, gfa_validate_ms, gfa_sort_ms,
+     gfa_size_mib) = bench_headlines()
 
     detail = {
         "directed_records": len(index.records),
@@ -321,6 +357,9 @@ def main():
         ),
         "syng_build_ms_c4_scale_4t": syng_build_ms,
         "gfa_native_tokenize_mib_s": gfa_parse_mibs,
+        "gfa_bench_graph_mib": gfa_size_mib,
+        "gfa_columnar_validate_ms": gfa_validate_ms,
+        "gfa_columnar_sort_gs_ms": gfa_sort_ms,
     }
 
     ok, probe = probe_tpu()
