@@ -154,6 +154,78 @@ def _induce_block(names: list[str], seqs: list[bytes]) -> str:
     return "\n".join(fixed) + "\n"
 
 
+def _pair_block(s0: bytes, s1: bytes) -> tuple[Gfa, int] | None:
+    """(block, shared bp) from one native pairwise alignment: '=' runs
+    are shared nodes, X/I/D runs private lanes. Consecutive
+    same-membership runs merge (unchop). None when the native aligner is
+    unavailable."""
+    from impg_tpu.core import cigar as cigar_mod
+
+    try:
+        from impg_tpu.ops.align import align_pair
+
+        runs = align_pair(s0, s1)
+    except (RuntimeError, ValueError):
+        return None
+    lens = cigar_mod.run_len(runs)
+    ops = cigar_mod.run_op(runs)
+    g = Gfa()
+    steps0: list[tuple[str, bool]] = []
+    steps1: list[tuple[str, bool]] = []
+    p0 = p1 = 0
+    nid = 0
+    # Pending private pieces merge until a shared node flushes them.
+    pend0: list[bytes] = []
+    pend1: list[bytes] = []
+
+    def flush():
+        nonlocal nid
+        for pend, steps in ((pend0, steps0), (pend1, steps1)):
+            if pend:
+                nid += 1
+                g.segments[str(nid)] = b"".join(pend).decode()
+                steps.append((str(nid), False))
+                pend.clear()
+
+    shared_bp = 0
+    for ln, op in zip(lens.tolist(), ops.tolist()):
+        if op == cigar_mod.OP_EQ:
+            flush()
+            nid += 1
+            g.segments[str(nid)] = s0[p0 : p0 + ln].decode()
+            steps0.append((str(nid), False))
+            steps1.append((str(nid), False))
+            shared_bp += ln
+            p0 += ln
+            p1 += ln
+        elif op == cigar_mod.OP_X:
+            pend0.append(s0[p0 : p0 + ln])
+            pend1.append(s1[p1 : p1 + ln])
+            p0 += ln
+            p1 += ln
+        elif op == cigar_mod.OP_I:  # consumes query (s0)
+            pend0.append(s0[p0 : p0 + ln])
+            p0 += ln
+        elif op == cigar_mod.OP_D:  # consumes target (s1)
+            pend1.append(s1[p1 : p1 + ln])
+            p1 += ln
+        else:  # 'M' — treat as aligned columns without match info
+            pend0.append(s0[p0 : p0 + ln])
+            pend1.append(s1[p1 : p1 + ln])
+            p0 += ln
+            p1 += ln
+    flush()
+    if p0 != len(s0) or p1 != len(s1):
+        return None  # defensive: runs did not cover the sequences
+    g.paths = [("u0", steps0), ("u1", steps1)]
+    link_set = set()
+    for _, steps in g.paths:
+        for a, b in zip(steps, steps[1:]):
+            link_set.add((a[0], a[1], b[0], b[1]))
+    g.links = sorted(link_set)
+    return g, shared_bp
+
+
 def _block_cost(block: Gfa) -> int:
     return (
         sum(len(s) for s in block.segments.values())
@@ -223,6 +295,32 @@ def _realign_region(uniq: list[bytes], scoring, max_span: int,
     the cheapest block wins (POA is order-sensitive; the reference's
     polish tier re-solves bounded bubbles with an exact aligner)."""
     names_u = [f"u{k}" for k in range(len(uniq))]
+    pair_cand = None
+    if len(uniq) == 2 and max(len(s) for s in uniq) <= max_span:
+        # Dominant bubble class: one native pairwise alignment builds the
+        # block directly (POA graph construction is pure overhead for two
+        # sequences; tens of thousands of these per round at C4 scale).
+        # Trusted alone only when sharing is near-total (near-identical
+        # alleles); otherwise the convex-gap POA below may align better
+        # (affine vs two-piece gaps) and the cheaper block wins.
+        got = _pair_block(uniq[0], uniq[1])
+        if got is not None:
+            block, shared_bp = got
+            frac = 2.0 * shared_bp / (len(uniq[0]) + len(uniq[1]))
+            if frac >= 0.98:
+                # Near-identical alleles: pairwise is provably as good as
+                # POA (redundancy collapse). Below the threshold POA may
+                # still find a cheaper block; keep pair as a candidate.
+                return block, _block_cost(block), False
+            pair_cand = block
+    if len(uniq) == 1:
+        # Pure duplicate redundancy: different node walks, one spelling —
+        # the block is a single shared node (the dominant case on real
+        # redundant graphs; no POA needed).
+        g = Gfa()
+        g.segments["1"] = uniq[0].decode()
+        g.paths = [("u0", [("1", False)])]
+        return g, _block_cost(g), False
     span = max(len(s) for s in uniq)
     if span > max_span:
         block = Gfa.parse(_induce_block(names_u, uniq))
@@ -232,7 +330,7 @@ def _realign_region(uniq: list[bytes], scoring, max_span: int,
         seqs = [uniq[i] for i in order]
         names = [names_u[i] for i in order]
         result = poa_mod.poa_align(seqs, scoring)
-        return Gfa.parse(poa_mod.poa_to_gfa(result, names))
+        return poa_mod.poa_to_block(result, names)
 
     base_order = list(range(len(uniq)))
     block = run(base_order)
@@ -244,6 +342,10 @@ def _realign_region(uniq: list[bytes], scoring, max_span: int,
         c = _block_cost(affix)
         if c < cost:
             block, cost = affix, c
+    if pair_cand is not None:
+        c = _block_cost(pair_cand)
+        if c < cost:
+            block, cost = pair_cand, c
     if not polish or len(uniq) < 3:
         return block, cost, False
     polished = False
@@ -265,9 +367,15 @@ def _realign_region(uniq: list[bytes], scoring, max_span: int,
 
 def _crush_round(
     gfa: Gfa, stats: CrushStats, scoring, max_span: int, polish: bool,
+    rejected: set | None = None,
 ) -> tuple[Gfa | None, int]:
     """One resolution round over `gfa`. Returns (new graph or None if no
-    region was accepted, number of accepted bubbles)."""
+    region was accepted, number of accepted bubbles).
+
+    `rejected` memoizes (alleles, reclaimable-cost, polish) keys whose
+    realignment lost the do-no-harm gate: identical inputs produce the
+    identical rejection, so convergence/polish rounds skip their POA
+    (on redundant 40 MiB graphs this is 2/3 of all realignment calls)."""
     anchors, participating = _find_anchors(gfa)
     if len(gfa.paths) < 2:
         return None, 0
@@ -330,9 +438,6 @@ def _crush_round(
         uniq = sorted({s for s in walk_seq.values() if s})
         if not uniq:
             continue  # every allele spells empty; nothing to realign
-        block, cand, polished = _realign_region(
-            uniq, scoring, max_span, polish
-        )
         # Per-region do-no-harm (the reference validates resolution
         # quality per bubble): accept only when the realignment SHRINKS
         # the region under a combined cost — bp plus a per-node charge,
@@ -350,7 +455,20 @@ def _crush_round(
             sum(len(gfa.segments[s]) for s in reclaimable)
             + _NODE_COST * len(reclaimable)
         )
+        memo_key = None
+        if rejected is not None:
+            # Polish only changes the outcome for >=3 alleles; below that
+            # a prior unpolished rejection stands (same key).
+            eff_polish = polish and len(uniq) >= 3
+            memo_key = (hash(tuple(uniq)), old, eff_polish)
+            if memo_key in rejected:
+                continue
+        block, cand, polished = _realign_region(
+            uniq, scoring, max_span, polish
+        )
         if cand >= old:
+            if rejected is not None and memo_key is not None:
+                rejected.add(memo_key)
             continue
         if polished:
             stats.polish_gains += 1
@@ -445,10 +563,11 @@ def crush_gfa(
 
     do_polish = False  # main rounds first; polish after convergence
     rounds_left = max_rounds
+    rejected: set = set()
     while rounds_left > 0:
         gfa = Gfa.parse(text)
         ng, n_bubbles = _crush_round(
-            gfa, stats, scoring, max_span, do_polish
+            gfa, stats, scoring, max_span, do_polish, rejected
         )
         if ng is None:
             if polish and not do_polish:

@@ -119,6 +119,14 @@ def poa_to_gfa(result: PoaResult, path_names: list[str]) -> str:
     """Emit a blunt GFA (S/L/P lines) from a POA result, unchopped:
     unbranched node chains are merged into single segments (reference:
     graph.rs unchop_gfa)."""
+    return poa_to_block(result, path_names).write()
+
+
+def poa_to_block(result: PoaResult, path_names: list[str]):
+    """The POA result as a `Gfa` object directly (no text round-trip —
+    crush realigns tens of thousands of tiny regions per round)."""
+    from impg_tpu.graph.gfa import Gfa
+
     n_nodes = len(result.node_bases)
     succs: dict[int, list[int]] = {}
     preds: dict[int, list[int]] = {}
@@ -163,28 +171,24 @@ def poa_to_gfa(result: PoaResult, path_names: list[str]) -> str:
             chain_id[v] = len(chains)
             chains.append([v])
 
-    lines = ["H\tVN:Z:1.0"]
+    g = Gfa()
+    bases = result.node_bases
     for ci, chain in enumerate(chains):
-        seq = "".join(chr(result.node_bases[v]) for v in chain)
-        lines.append(f"S\t{ci + 1}\t{seq}")
+        g.segments[str(ci + 1)] = "".join(chr(bases[v]) for v in chain)
     emitted = set()
     for a, b in result.edges:
         ca, cb = chain_id[int(a)], chain_id[int(b)]
-        if ca == cb:
+        if ca == cb or (ca, cb) in emitted:
             continue
-        key = (ca, cb)
-        if key in emitted:
-            continue
-        emitted.add(key)
-        lines.append(f"L\t{ca + 1}\t+\t{cb + 1}\t+\t0M")
+        emitted.add((ca, cb))
+        g.links.append((str(ca + 1), False, str(cb + 1), False))
     for name, path in zip(path_names, result.paths):
-        seen = []
+        steps = []
         last = -1
         for v in path:
             c = chain_id[int(v)]
             if c != last:
-                seen.append(c)
+                steps.append((str(c + 1), False))
                 last = c
-        segs = ",".join(f"{c + 1}+" for c in seen)
-        lines.append(f"P\t{name}\t{segs}\t*")
-    return "\n".join(lines) + "\n"
+        g.paths.append((name, steps))
+    return g
