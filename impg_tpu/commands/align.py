@@ -158,45 +158,15 @@ def align_sequence_pair(
         if sub:
             subchains.append(sub)
 
-        for sub in subchains:
-            if len(sub) < config.min_anchors:
-                continue
-            a0, a1 = sub[0], sub[-1]
-            if wq[a1] + L - wq[a0] < config.min_chain_span:
-                continue
-            runs_parts: list[np.ndarray] = []
-            prev_q = int(wq[a0])
-            prev_t = int(tp[a0])
-            row_q_start = prev_q
-            row_t_start = prev_t
-            ok = True
-            for idx in sub:
-                aq, at_ = int(wq[idx]), int(tp[idx])
-                if aq < prev_q or at_ < prev_t:
-                    continue  # overlapping anchor; skip
-                gap_q = work_q[prev_q:aq]
-                gap_t = t_seq[prev_t:at_]
-                if gap_q or gap_t:
-                    try:
-                        runs_parts.append(
-                            align_pair(gap_q, gap_t, config.scoring)
-                        )
-                    except ValueError:
-                        ok = False
-                        break
-                runs_parts.append(
-                    cigar.pack(
-                        np.array([L], np.int64),
-                        np.array([cigar.OP_EQ], np.uint32),
-                    )
-                )
-                prev_q, prev_t = aq + L, at_ + L
-            if not ok or not runs_parts:
-                continue
-            from impg_tpu.query.merge import merge_consecutive_runs
+        from impg_tpu.query.merge import merge_consecutive_runs
 
+        def emit(runs_parts, row_q_start, row_t_start, row_q_end,
+                 row_t_end):
+            if not runs_parts:
+                return
+            if row_q_end - row_q_start < config.min_chain_span:
+                return
             runs = merge_consecutive_runs(np.concatenate(runs_parts))
-            row_q_end, row_t_end = prev_q, prev_t
             # Map RC-frame coords back to forward query coords for PAF.
             if strand == "-":
                 pq_start = q_len - row_q_end
@@ -223,6 +193,46 @@ def align_sequence_pair(
                     runs=runs,
                 )
             )
+
+        for sub in subchains:
+            if len(sub) < config.min_anchors:
+                continue
+            a0, a1 = sub[0], sub[-1]
+            if wq[a1] + L - wq[a0] < config.min_chain_span:
+                continue
+            runs_parts: list[np.ndarray] = []
+            prev_q = int(wq[a0])
+            prev_t = int(tp[a0])
+            row_q_start = prev_q
+            row_t_start = prev_t
+            for idx in sub:
+                aq, at_ = int(wq[idx]), int(tp[idx])
+                if aq < prev_q or at_ < prev_t:
+                    continue  # overlapping anchor; skip
+                gap_q = work_q[prev_q:aq]
+                gap_t = t_seq[prev_t:at_]
+                if gap_q or gap_t:
+                    try:
+                        runs_parts.append(
+                            align_pair(gap_q, gap_t, config.scoring)
+                        )
+                    except ValueError:
+                        # Gap beyond the aligner's budget: SPLIT the chain
+                        # here (emit what accumulated, restart at this
+                        # anchor) instead of dropping the whole row.
+                        emit(runs_parts, row_q_start, row_t_start,
+                             prev_q, prev_t)
+                        runs_parts = []
+                        row_q_start, row_t_start = aq, at_
+                        prev_q, prev_t = aq, at_
+                runs_parts.append(
+                    cigar.pack(
+                        np.array([L], np.int64),
+                        np.array([cigar.OP_EQ], np.uint32),
+                    )
+                )
+                prev_q, prev_t = aq + L, at_ + L
+            emit(runs_parts, row_q_start, row_t_start, prev_q, prev_t)
     return rows
 
 

@@ -272,3 +272,47 @@ def test_align_run_joblist(tmp_path):
     outs = sorted(tmp_path.glob("pair_*.paf"))
     assert len(outs) == len(jobs)
     assert any(o.read_text().strip() for o in outs)
+
+
+def test_oversized_gap_splits_chain_instead_of_dropping(tmp_path):
+    """An inter-anchor gap beyond the native aligner's budget must SPLIT
+    the chain into two PAF rows (both flanks survive), not erase the
+    whole alignment (round-1 behavior dropped the row)."""
+    import random
+
+    import numpy as np
+
+    from impg_tpu.commands import align as align_mod
+    from impg_tpu.syng.index import SyngIndex
+
+    rng = random.Random(3)
+    flank_a = "".join(rng.choice("ACGT") for _ in range(4000))
+    flank_b = "".join(rng.choice("ACGT") for _ in range(4000))
+    ins_q = "".join(rng.choice("ACGT") for _ in range(30000))
+    ins_t = "".join(rng.choice("ACGT") for _ in range(30000))
+    seqs = {
+        "q": (flank_a + ins_q + flank_b).encode(),
+        "t": (flank_a + ins_t + flank_b).encode(),
+    }
+    index = SyngIndex.build(list(seqs.items()))
+    # max_gap large enough that chaining does NOT split at the insertion,
+    # forcing the aligner-budget path; cap the aligner via a monkeypatch.
+    cfg = align_mod.AlignConfig(max_gap=100_000)
+    orig = align_mod.align_pair
+
+    def capped(q, t, scoring=None):
+        if len(q) * len(t) > 1_000_000:
+            raise ValueError("segment too large (test cap)")
+        return orig(q, t) if scoring is None else orig(q, t, scoring)
+
+    align_mod_align_pair = align_mod.align_pair
+    align_mod.align_pair = capped
+    try:
+        rows = align_mod.align_sequence_pair(index, seqs, "q", "t", cfg)
+    finally:
+        align_mod.align_pair = align_mod_align_pair
+    fwd = [r for r in rows if r["strand"] == "+"]
+    assert len(fwd) >= 2, f"expected a split chain, got {len(fwd)} rows"
+    spans = sorted((r["qstart"], r["qend"]) for r in fwd)
+    # Both flanks are covered by separate rows.
+    assert spans[0][0] < 4000 and spans[-1][1] > 34000
