@@ -72,9 +72,10 @@ def path_spellings(gc: GfaColumns) -> dict[str, bytes]:
     return dict(zip(gc.path_names, spell_paths(gc)))
 
 
-def _spell_flat(gc: GfaColumns):
-    """(out u8 view, per-path bp offsets). `out` may alias the native
-    scratch buffer — invalidated by the next spelling call."""
+def _spell_flat(gc: GfaColumns, with_step_offsets: bool = False):
+    """(out u8 view, per-path bp offsets[, per-step bp offsets]). `out`
+    may alias the native scratch buffer — invalidated by the next
+    spelling call."""
     rows = gc.seg_row_of_name()[gc.step_name_idx]
     if rows.size and int(rows.min()) < 0:
         bad = int(gc.step_name_idx[int(np.argmin(rows))])
@@ -90,6 +91,8 @@ def _spell_flat(gc: GfaColumns):
     )
     if out is None:
         out = _spell_numpy(gc, rows, lens, bp_off)
+    if with_step_offsets:
+        return out, bp_off[gc.path_off], bp_off
     return out, bp_off[gc.path_off]
 
 

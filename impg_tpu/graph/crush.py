@@ -287,7 +287,8 @@ def _affix_block(uniq: list[bytes]) -> Gfa | None:
 
 
 def _realign_region(uniq: list[bytes], scoring, max_span: int,
-                    polish: bool) -> tuple[Gfa, int, bool]:
+                    polish: bool, budget: int | None = None
+                    ) -> tuple[Gfa, int, bool]:
     """(block graph, cost, polished) for one region's distinct alleles.
 
     Paths in the returned block are named u0..u{n-1} matching `uniq`
@@ -307,11 +308,23 @@ def _realign_region(uniq: list[bytes], scoring, max_span: int,
         if got is not None:
             block, shared_bp = got
             frac = 2.0 * shared_bp / (len(uniq[0]) + len(uniq[1]))
-            if frac >= 0.98:
-                # Near-identical alleles: pairwise is provably as good as
-                # POA (redundancy collapse). Below the threshold POA may
-                # still find a cheaper block; keep pair as a candidate.
-                return block, _block_cost(block), False
+            cost = _block_cost(block)
+            if frac >= 0.98 or (budget is not None and cost < budget):
+                # Near-identical alleles, or the pair block already WINS
+                # the caller's do-no-harm budget: POA could only shave a
+                # few more bp — skip it (tens of thousands of these per
+                # round at C4 scale).
+                return block, cost, False
+            if frac < 0.3:
+                # Hopeless divergence: the alleles share (almost) nothing
+                # forward — POA cannot conjure homology the pairwise
+                # aligner missed; settle between pair and affix split.
+                affix = _affix_block(uniq)
+                if affix is not None:
+                    ac = _block_cost(affix)
+                    if ac < cost:
+                        return affix, ac, False
+                return block, cost, False
             pair_cand = block
     if len(uniq) == 1:
         # Pure duplicate redundancy: different node walks, one spelling —
@@ -464,7 +477,7 @@ def _crush_round(
             if memo_key in rejected:
                 continue
         block, cand, polished = _realign_region(
-            uniq, scoring, max_span, polish
+            uniq, scoring, max_span, polish, budget=old
         )
         if cand >= old:
             if rejected is not None and memo_key is not None:
@@ -517,6 +530,275 @@ def _crush_round(
     return ng, n_bubbles
 
 
+def _find_anchors_columns(gc, keys, po):
+    """Columnar mirror of `_find_anchors` over packed step keys
+    (name_idx*2 + rev): (anchor keys in first-walk order, participating
+    path indices). Same participation and order-violation rules."""
+    import numpy as np
+
+    n_paths = gc.n_paths
+    once_sets = []
+    for p in range(n_paths):
+        kp = keys[po[p] : po[p + 1]]
+        u, c = np.unique(kp, return_counts=True)
+        once_sets.append(u[c == 1])
+
+    k0 = keys[po[0] : po[1]]
+    cand = once_sets[0]
+    order0 = k0[np.isin(k0, cand)]  # each cand key appears once in k0
+    sort_idx = np.argsort(order0, kind="stable")
+    sorted_keys = order0[sort_idx]
+    participating = [0]
+    for p in range(1, n_paths):
+        shared = np.intersect1d(once_sets[p], cand, assume_unique=True)
+        if not shared.size:
+            continue
+        kp = keys[po[p] : po[p + 1]]
+        vals = kp[np.isin(kp, shared)]
+        if not vals.size:
+            continue
+        seq = sort_idx[np.searchsorted(sorted_keys, vals)]
+        inc = int((np.diff(seq) > 0).sum()) if seq.size > 1 else 0
+        if seq.size < 2 or inc >= 0.5 * (seq.size - 1):
+            participating.append(p)
+    canf = once_sets[0]
+    for p in participating[1:]:
+        canf = np.intersect1d(canf, once_sets[p], assume_unique=True)
+    first = k0[np.isin(k0, canf)]
+    fsort = np.argsort(first, kind="stable")
+    fsorted = first[fsort]
+    ok = np.ones(first.size, bool)
+    for p in participating[1:]:
+        kp = keys[po[p] : po[p + 1]]
+        vals = kp[np.isin(kp, fsorted)]
+        if not vals.size:
+            continue
+        s = fsort[np.searchsorted(fsorted, vals)]
+        runmax = np.maximum.accumulate(s)
+        ok[s[s < runmax]] = False
+    return first[ok], participating
+
+
+def _crush_round_columns(
+    gc, stats: CrushStats, scoring, max_span: int, polish: bool,
+    rejected: set | None = None,
+):
+    """Columnar `_crush_round`: read passes (anchors, slicing, allele
+    grouping/spelling, reclaim accounting) run over GfaColumns arrays;
+    realignment and acceptance are shared with the dict round. Returns
+    (new GfaColumns or None, accepted bubble count). Semantics match the
+    dict round (fuzz-verified: identical stats/spellings; node NAMES may
+    number in a different order)."""
+    import numpy as np
+
+    from impg_tpu.graph import columnar_ops as co
+
+    if gc.n_paths < 2:
+        return None, 0
+    po = gc.path_off.astype(np.int64)
+    keys = gc.step_name_idx.astype(np.int64) * 2 + gc.step_rev
+    anchors, participating = _find_anchors_columns(gc, keys, po)
+    part_set = set(participating)
+    anchors_sorted = np.sort(anchors)
+
+    spelled, _pbp, bp_off = co._spell_flat(gc, with_step_offsets=True)
+    # The scratch may be reused by later spelling calls; slices copy below.
+
+    region_slices: dict[tuple, list[tuple[int, int, int]]] = {}
+    excluded = 0
+    for p in range(gc.n_paths):
+        kp = keys[po[p] : po[p + 1]]
+        occ = np.nonzero(np.isin(kp, anchors_sorted))[0]
+        if p in part_set and anchors_sorted.size:
+            apos = occ
+        elif occ.size == 0:
+            apos = occ[:0]
+        else:
+            excluded += 1
+            continue
+        bounds = np.concatenate([[-1], apos, [kp.size]])
+        toks = np.concatenate([[-1], kp[apos], [-2]])
+        for i in range(bounds.size - 1):
+            a, b = int(bounds[i]), int(bounds[i + 1])
+            rid = (int(toks[i]), int(toks[i + 1]))
+            region_slices.setdefault(rid, []).append((p, a + 1, b))
+    stats.excluded_paths = max(stats.excluded_paths, excluded)
+
+    names = gc.names
+    n_names = len(names)
+    global_use = np.bincount(gc.step_name_idx, minlength=n_names)
+    rows_of = gc.seg_row_of_name()
+    seg_lens = gc.seg_lens()
+
+    next_id = 1 + max(
+        (int(names[int(i)]) for i in gc.seg_name_idx
+         if names[int(i)].isdigit()),
+        default=0,
+    )
+    new_segments: list[tuple[str, bytes]] = []
+    new_name_base = n_names
+    splices: dict[int, list[tuple[int, int, np.ndarray]]] = {}
+    n_bubbles = 0
+    for rid, slices in region_slices.items():
+        wkeys = {}
+        for p, lo, hi in slices:
+            wk = keys[po[p] + lo : po[p] + hi].tobytes()
+            wkeys.setdefault(wk, (p, lo, hi))
+        if len(wkeys) <= 1:
+            continue
+        stats.bubbles_seen += 1
+        walk_seq: dict[bytes, bytes] = {}
+        for wk, (p, lo, hi) in wkeys.items():
+            walk_seq[wk] = spelled[
+                int(bp_off[po[p] + lo]) : int(bp_off[po[p] + hi])
+            ].tobytes()
+        uniq = sorted({s for s in walk_seq.values() if s})
+        if not uniq:
+            continue
+        if len(slices) == 1:
+            p, lo, hi = slices[0]
+            region_idx = gc.step_name_idx[po[p] + lo : po[p] + hi]
+        else:
+            region_idx = np.concatenate([
+                gc.step_name_idx[po[p] + lo : po[p] + hi]
+                for p, lo, hi in slices
+            ])
+        used_ids, counts = np.unique(region_idx, return_counts=True)
+        reclaim = used_ids[counts == global_use[used_ids]]
+        old = int(
+            seg_lens[rows_of[reclaim]].sum() + _NODE_COST * reclaim.size
+        )
+        memo_key = None
+        if rejected is not None:
+            eff_polish = polish and len(uniq) >= 3
+            memo_key = (hash(tuple(uniq)), old, eff_polish)
+            if memo_key in rejected:
+                continue
+        block, cand, polished = _realign_region(
+            uniq, scoring, max_span, polish, budget=old
+        )
+        if cand >= old:
+            if rejected is not None and memo_key is not None:
+                rejected.add(memo_key)
+            continue
+        if polished:
+            stats.polish_gains += 1
+        rename: dict[str, int] = {}
+        for sid, seq in block.segments.items():
+            rename[sid] = new_name_base + len(new_segments)
+            new_segments.append((str(next_id), seq.encode()))
+            next_id += 1
+        walk_of = dict(block.paths)
+        seq_new_walk: dict[bytes, np.ndarray] = {
+            b"": np.zeros(0, np.int64)
+        }
+        for k, s in enumerate(uniq):
+            seq_new_walk[s] = np.asarray(
+                [rename[sid] * 2 + rev for sid, rev in walk_of[f"u{k}"]],
+                np.int64,
+            )
+        for p, lo, hi in slices:
+            wk = keys[po[p] + lo : po[p] + hi].tobytes()
+            splices.setdefault(p, []).append(
+                (lo, hi, seq_new_walk[walk_seq[wk]])
+            )
+        n_bubbles += 1
+
+    if not n_bubbles:
+        return None, 0
+
+    # Rebuild columns: splice per path (back-to-front), prune unused
+    # segments, regenerate links from path adjacencies.
+    all_names = list(names) + [n for n, _ in new_segments]
+    new_keys_parts: list[np.ndarray] = []
+    new_path_off = [0]
+    for p in range(gc.n_paths):
+        kp = keys[po[p] : po[p + 1]]
+        reps = sorted(splices.get(p, []), reverse=True)
+        if reps:
+            pieces = []
+            at = kp.size
+            for lo, hi, walk in reps:
+                pieces.append(kp[hi:at])
+                pieces.append(walk)
+                at = lo
+            pieces.append(kp[:at])
+            kp = np.concatenate(pieces[::-1])
+        new_keys_parts.append(kp)
+        new_path_off.append(new_path_off[-1] + kp.size)
+    nk = (
+        np.concatenate(new_keys_parts)
+        if new_keys_parts else np.zeros(0, np.int64)
+    )
+    step_name_idx = (nk >> 1).astype(np.int32)
+    step_rev = (nk & 1).astype(bool)
+
+    used = np.unique(step_name_idx) if nk.size else np.zeros(0, np.int64)
+    used_set = set(int(u) for u in used)
+    # Old segments in original row order, then new ones (dict-merge order).
+    keep_rows = [
+        r for r in range(gc.n_segs)
+        if int(gc.seg_name_idx[r]) in used_set
+    ]
+    new_keep = [
+        j for j, _ in enumerate(new_segments)
+        if (new_name_base + j) in used_set
+    ]
+    from impg_tpu.io import native as native_mod
+
+    order = np.asarray(keep_rows, np.int32)
+    lens_keep = seg_lens[order] if order.size else np.zeros(0, np.int64)
+    off_keep = np.concatenate([[0], np.cumsum(lens_keep)]).astype(np.int64)
+    old_blob = native_mod.spell_steps(
+        gc.seq_blob, gc.seq_offsets, order,
+        np.zeros(order.size, np.uint8), off_keep, reuse=False,
+    )
+    if old_blob is None:
+        src = np.frombuffer(gc.seq_blob, np.uint8)
+        old_blob = np.empty(int(off_keep[-1]), np.uint8)
+        for k, r in enumerate(order):
+            s, e = int(gc.seq_offsets[r]), int(gc.seq_offsets[r + 1])
+            old_blob[int(off_keep[k]) : int(off_keep[k + 1])] = src[s:e]
+    new_blob = b"".join(new_segments[j][1] for j in new_keep)
+    blob = old_blob.tobytes() + new_blob
+    seg_name_idx = np.asarray(
+        [int(gc.seg_name_idx[r]) for r in keep_rows]
+        + [new_name_base + j for j in new_keep],
+        np.int32,
+    )
+    seq_offsets = np.concatenate([
+        off_keep,
+        int(off_keep[-1]) + np.cumsum(
+            np.asarray([len(new_segments[j][1]) for j in new_keep],
+                       np.int64)
+        ),
+    ]).astype(np.int64) if new_keep else off_keep
+
+    from dataclasses import replace
+
+    ng = replace(
+        gc,
+        names=all_names,
+        seg_name_idx=seg_name_idx,
+        seq_blob=blob,
+        seq_offsets=seq_offsets,
+        link_a=np.zeros(0, np.int32),
+        link_a_rev=np.zeros(0, bool),
+        link_b=np.zeros(0, np.int32),
+        link_b_rev=np.zeros(0, bool),
+        path_off=np.asarray(new_path_off, np.int64),
+        step_name_idx=step_name_idx,
+        step_rev=step_rev,
+        _seg_row_of_name=None,
+    )
+    packed = co.links_from_paths(ng)
+    ng.link_a = (packed >> 33).astype(np.int32)
+    ng.link_a_rev = ((packed >> 32) & 1).astype(bool)
+    ng.link_b = ((packed >> 1) & ((1 << 31) - 1)).astype(np.int32)
+    ng.link_b_rev = (packed & 1).astype(bool)
+    return ng, n_bubbles
+
+
 def crush_gfa(
     gfa_text: str,
     max_span: int = 10_000,
@@ -565,21 +847,45 @@ def crush_gfa(
     rounds_left = max_rounds
     rejected: set = set()
     while rounds_left > 0:
-        gfa = Gfa.parse(text)
-        ng, n_bubbles = _crush_round(
-            gfa, stats, scoring, max_span, do_polish, rejected
-        )
-        if ng is None:
-            if polish and not do_polish:
-                # Converged: one extra pass retrying POA orderings on the
-                # remaining candidate regions (the polish tier).
-                do_polish = True
-                continue
-            break
-        new_text = ng.write()
-        # Refuse an invalid round and keep the previous text.
-        if not round_valid(ng, new_text):
-            break
+        # Columnar round (native tokenizer + spell kernels); dict round
+        # is the semantics oracle and fallback.
+        gc = None
+        try:
+            from impg_tpu.graph.gfa_columns import parse_gfa_columns
+
+            gc = parse_gfa_columns(text)
+        except ValueError:
+            raise
+        except Exception:
+            gc = None
+        if gc is not None:
+            ng_c, n_bubbles = _crush_round_columns(
+                gc, stats, scoring, max_span, do_polish, rejected
+            )
+            if ng_c is None:
+                if polish and not do_polish:
+                    do_polish = True
+                    continue
+                break
+            if not columnar_ops.validate_spellings(ng_c, before_spell):
+                break
+            new_text = columnar_ops.write_columns(ng_c)
+        else:
+            gfa = Gfa.parse(text)
+            ng, n_bubbles = _crush_round(
+                gfa, stats, scoring, max_span, do_polish, rejected
+            )
+            if ng is None:
+                if polish and not do_polish:
+                    # Converged: one extra pass retrying POA orderings on
+                    # the remaining candidate regions (the polish tier).
+                    do_polish = True
+                    continue
+                break
+            new_text = ng.write()
+            # Refuse an invalid round and keep the previous text.
+            if not round_valid(ng, new_text):
+                break
         if new_text == text:
             if polish and not do_polish:
                 do_polish = True

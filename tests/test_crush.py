@@ -5,6 +5,8 @@ slice (inversions) must make the pass a no-op rather than degrade sharing."""
 
 import random
 
+import pytest
+
 from impg_tpu.graph.crush import crush_gfa
 from impg_tpu.graph.gfa import Gfa
 from impg_tpu.io.fasta import reverse_complement
@@ -294,3 +296,63 @@ def test_crush_refuses_to_balloon_unrelated_alleles():
     assert _spell(out) == _spell(text)
     assert st.nodes_after <= st.nodes_before
     assert st.bp_after <= st.bp_before
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13, 14, 15, 16])
+def test_crush_columnar_round_matches_dict(seed, monkeypatch):
+    """The columnar crush round must accept the same bubbles and produce
+    the same final bp/nodes and exact spellings as the dict-model round
+    (node NAMES may number in a different order)."""
+    import random as pyrand
+
+    from impg_tpu.graph import gfa_columns
+    from impg_tpu.io.fasta import reverse_complement
+
+    rng = pyrand.Random(seed)
+    g = Gfa()
+    n = rng.randint(4, 50)
+    for i in range(1, n + 1):
+        g.segments[str(i)] = "".join(
+            rng.choice("ACGT") for _ in range(rng.randint(1, 30))
+        )
+    for i in range(1, n // 3 + 1):  # duplicate-sequence nodes
+        g.segments[str(n + i)] = g.segments[str(i)]
+    total = n + n // 3
+    link_set = set()
+    for pi in range(rng.randint(2, 7)):
+        steps = [
+            (str(rng.randint(1, total)), rng.random() < 0.25)
+            for _ in range(rng.randint(2, 40))
+        ]
+        g.paths.append((f"p{pi}", steps))
+        for a, b in zip(steps, steps[1:]):
+            link_set.add((a[0], a[1], b[0], b[1]))
+    g.links = sorted(link_set)
+    text = g.write()
+
+    out_c, st_c = crush_gfa(text)
+
+    # Force the dict round by disabling the tokenizer inside crush.
+    monkeypatch.setattr(
+        gfa_columns, "parse_gfa_columns", lambda *_a, **_k: None
+    )
+    out_d, st_d = crush_gfa(text)
+
+    def spell(t):
+        gg = Gfa.parse(t)
+        return {
+            name: b"".join(
+                reverse_complement(gg.segments[s].encode()) if r
+                else gg.segments[s].encode()
+                for s, r in steps
+            )
+            for name, steps in gg.paths
+        }
+
+    assert spell(out_c) == spell(out_d) == spell(text)
+    assert (st_c.bubbles_resolved, st_c.rounds) == (
+        st_d.bubbles_resolved, st_d.rounds
+    ), (st_c, st_d)
+    assert (st_c.nodes_after, st_c.bp_after) == (
+        st_d.nodes_after, st_d.bp_after
+    ), (st_c, st_d)
