@@ -126,12 +126,12 @@ def _clip_terminal_n_runs(index, results, seq_idx, min_run: int):
         before_bp += hi - lo
         if hi <= lo:
             continue
-        name = index.seq_index.get_name(r.q_id)
-        seq = seq_idx.fetch_sequence(name, lo, hi)
         if min_run <= 0:
             out.append(r)
             kept_bp += hi - lo
             continue
+        name = index.seq_index.get_name(r.q_id)
+        seq = seq_idx.fetch_sequence(name, lo, hi)
         pre = 0
         while pre < len(seq) and is_n(seq[pre]):
             pre += 1

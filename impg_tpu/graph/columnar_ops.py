@@ -152,18 +152,24 @@ def validate_text_spellings(text: str, expected: dict[str, bytes]):
 
 def links_from_paths(gc: GfaColumns) -> np.ndarray:
     """Unique (a_idx, a_rev, b_idx, b_rev) adjacencies over all path
-    steps, packed per row into int64 (name idx < 2^31), sorted."""
+    steps, packed per row into uint64 (name idx < 2^31), sorted."""
     n_steps = gc.step_name_idx.size
     if n_steps == 0:
-        return np.zeros(0, np.int64)
+        return np.zeros(0, np.uint64)
     keep = np.ones(n_steps, bool)
     keep[gc.path_off[1:] - 1] = False  # last step of each path
     keep[-1] = False
-    a = gc.step_name_idx[:-1][keep[:-1]].astype(np.int64)
-    ar = gc.step_rev[:-1][keep[:-1]].astype(np.int64)
-    b = gc.step_name_idx[1:][keep[:-1]].astype(np.int64)
-    br = gc.step_rev[1:][keep[:-1]].astype(np.int64)
-    packed = (a << 33) | (ar << 32) | (b << 1) | br
+    # uint64 packing: bit 63..33 = a (31 bits), 32 = ar, 31..1 = b, 0 = br.
+    # int64 would flip sign at a >= 2^30 and corrupt the arithmetic-shift
+    # unpack, so the whole pack/unpack path stays unsigned.
+    a = gc.step_name_idx[:-1][keep[:-1]].astype(np.uint64)
+    ar = gc.step_rev[:-1][keep[:-1]].astype(np.uint64)
+    b = gc.step_name_idx[1:][keep[:-1]].astype(np.uint64)
+    br = gc.step_rev[1:][keep[:-1]].astype(np.uint64)
+    packed = (
+        (a << np.uint64(33)) | (ar << np.uint64(32))
+        | (b << np.uint64(1)) | br
+    )
     return np.unique(packed)
 
 
@@ -271,12 +277,10 @@ def topo_priority_columns(gc: GfaColumns) -> GfaColumns:
         )
 
     # Reorder the blob in one native pass (each segment = one fwd step).
-    from impg_tpu.io import native as nm
-
     lens = gc.seg_lens()
     new_lens = lens[order]
     new_off = np.concatenate([[0], np.cumsum(new_lens)]).astype(np.int64)
-    blob = nm.spell_steps(
+    blob = native_mod.spell_steps(
         gc.seq_blob, gc.seq_offsets, order.astype(np.int32),
         np.zeros(n, np.uint8), new_off, reuse=False,
     )
@@ -493,10 +497,11 @@ def write_columns(gc: GfaColumns) -> str:
 def unpack_links(gc: GfaColumns, packed: np.ndarray):
     """Packed adjacency rows -> [(name_a, rev_a, name_b, rev_b)] in the
     dict model's string/bool currency."""
-    a = (packed >> 33).astype(np.int64)
-    ar = ((packed >> 32) & 1).astype(bool)
-    b = ((packed >> 1) & ((1 << 31) - 1)).astype(np.int64)
-    br = (packed & 1).astype(bool)
+    packed = packed.astype(np.uint64)  # logical shifts (see links_from_paths)
+    a = (packed >> np.uint64(33)).astype(np.int64)
+    ar = ((packed >> np.uint64(32)) & np.uint64(1)).astype(bool)
+    b = ((packed >> np.uint64(1)) & np.uint64((1 << 31) - 1)).astype(np.int64)
+    br = (packed & np.uint64(1)).astype(bool)
     names = gc.names
     return [
         (names[int(x)], bool(xr), names[int(y)], bool(yr))

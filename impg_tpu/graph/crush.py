@@ -791,11 +791,13 @@ def _crush_round_columns(
         step_rev=step_rev,
         _seg_row_of_name=None,
     )
-    packed = co.links_from_paths(ng)
-    ng.link_a = (packed >> 33).astype(np.int32)
-    ng.link_a_rev = ((packed >> 32) & 1).astype(bool)
-    ng.link_b = ((packed >> 1) & ((1 << 31) - 1)).astype(np.int32)
-    ng.link_b_rev = (packed & 1).astype(bool)
+    packed = co.links_from_paths(ng)  # uint64-packed, logical shifts
+    ng.link_a = (packed >> np.uint64(33)).astype(np.int32)
+    ng.link_a_rev = ((packed >> np.uint64(32)) & np.uint64(1)).astype(bool)
+    ng.link_b = (
+        (packed >> np.uint64(1)) & np.uint64((1 << 31) - 1)
+    ).astype(np.int32)
+    ng.link_b_rev = (packed & np.uint64(1)).astype(bool)
     return ng, n_bubbles
 
 

@@ -248,7 +248,7 @@ def groom(gfa: Gfa) -> Gfa:
     }
     if not flip:
         return gfa
-    out = Gfa(header=gfa.header)
+    out = Gfa(header=gfa.header, walk_names=set(gfa.walk_names))
     for sid, seq in gfa.segments.items():
         out.segments[sid] = (
             reverse_complement(seq.encode()).decode() if sid in flip else seq
@@ -295,7 +295,7 @@ def _topo_priority(gfa: Gfa) -> Gfa:
         if sid not in seen:
             order.append(sid)
     rename = {old: str(i + 1) for i, old in enumerate(order)}
-    out = Gfa(header=gfa.header)
+    out = Gfa(header=gfa.header, walk_names=set(gfa.walk_names))
     for old in order:
         out.segments[rename[old]] = gfa.segments[old]
     out.links = [

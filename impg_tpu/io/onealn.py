@@ -98,6 +98,14 @@ def _fastga_lists(runs: np.ndarray, qs: int, qe: int, spacing: int,
     )
     tvals = ct[j] + t_adv
     xvals = cx[j] + x_adv
+    # Leading/trailing deletion runs advance the target (and edit count)
+    # at zero query progress, which the cq searchsorted walk cannot see:
+    # pin the walk-start boundary (p == 0) to the alignment start and the
+    # walk-end boundary (p == qe-qs) to the cumulative totals so that
+    # sum(T) == target span and the X totals include terminal deletions.
+    full = qe - qs
+    tvals = np.where(p == 0, 0, np.where(p == full, ct[-1], tvals))
+    xvals = np.where(p == 0, 0, np.where(p == full, cx[-1], xvals))
     T = np.abs(np.diff(tvals))
     X = np.abs(np.diff(xvals))
     return (
@@ -416,9 +424,7 @@ def iter_1aln_lines(path: str):
     # codec spec is not published in this environment).
     with open(path, "rb") as fh:
         head = fh.read(4096)
-    if head[:1] == b"1" and any(
-        b > 0x7E or (b < 0x09 and b != 0) or b == 0 for b in head
-    ):
+    if head[:1] == b"1" and any(b > 0x7E or b < 0x09 for b in head):
         raise ValueError(
             f"{path}: upstream ONElib binary .1aln container is not "
             "supported. Convert to ASCII with the ONEcode toolchain "

@@ -179,3 +179,28 @@ def test_sort_pipeline_columns_preserves_spellings():
     out = sortgfa.sort_pipeline(text, "Ygs")
     after = _dict_spell(Gfa.parse(out))
     assert before == after
+
+
+def test_sort_pipeline_walk_lines_parity():
+    """GFA 1.1 W-line graphs: groom/_topo_priority must keep walk_names so
+    the dict fallback emits W lines like the columnar writer (round-2
+    review: Gfa(header=...) copies dropped the set, silently rewriting W
+    as P depending on whether libimpg_native loaded)."""
+    from impg_tpu.graph import sortgfa
+
+    text = (
+        "H\tVN:Z:1.1\n"
+        "S\ta\tACGT\n"
+        "S\tb\tTTT\n"
+        "L\ta\t+\tb\t+\t0M\n"
+        "W\tsamp\t1\tchr1\t0\t7\t>a>b\n"
+    )
+    g = Gfa.parse(text)
+    g = sortgfa.groom(g)
+    g = sortgfa._topo_priority(g)
+    dict_out = g.write()
+    assert "\nW\t" in "\n" + dict_out
+    assert "\nP\t" not in "\n" + dict_out
+    fast = sortgfa._sort_pipeline_columns(text, "gs", "numpy")
+    if fast is not None:
+        assert fast == dict_out

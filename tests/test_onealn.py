@@ -263,3 +263,31 @@ def test_ascii_1aln_without_name_table_rejected(tmp_path):
     )
     with pytest.raises(ValueError, match="1gdb"):
         onealn.parse_1aln(str(p), SequenceIndex())
+
+
+def test_fastga_lists_terminal_deletions():
+    """Leading/trailing D runs advance the target at zero query progress;
+    T must still sum to the target span and X must count the deleted bp
+    (round-2 review: the cq searchsorted walk dropped them at the
+    alignment endpoints)."""
+    from impg_tpu.core import cigar
+    from impg_tpu.io.onealn import _fastga_lists
+
+    trail = cigar.pack(
+        np.asarray([10, 5], np.int64),
+        np.asarray([cigar.OP_EQ, cigar.OP_D], np.uint32),
+    )
+    lead = cigar.pack(
+        np.asarray([5, 10], np.int64),
+        np.asarray([cigar.OP_D, cigar.OP_EQ], np.uint32),
+    )
+    for runs in (trail, lead):
+        for spacing in (4, 100):
+            for rev in (False, True):
+                T, X, D = _fastga_lists(runs, 0, 10, spacing, rev)
+                assert sum(T) == 15, (runs, spacing, rev, T)
+                assert D == 5
+                assert sum(X) == 5, (runs, spacing, rev, X)
+    # Leading D belongs to the first query-grid segment.
+    T, X, D = _fastga_lists(lead, 0, 10, 4, False)
+    assert T == [9, 4, 2] and X == [5, 0, 0]
