@@ -57,6 +57,34 @@ def align_pair(
     return np.frombuffer(out, np.uint32, int(n)).copy()
 
 
+def align_pair_wfa(
+    query: bytes, target: bytes, scoring=DEFAULT_SCORING
+) -> np.ndarray | None:
+    """Direct wavefront (WFA) global alignment — same optimum as
+    `align_pair`'s Gotoh oracle by the score-domain transform (see
+    native/align.cpp align_wfa). Returns None when WFA declines
+    (unsupported scoring / divergence exceeds the cell budget)."""
+    lib = native.load()
+    if lib is None:
+        raise RuntimeError("native alignment library unavailable")
+    _bind(lib)
+    if not hasattr(lib, "_wfa_bound"):
+        lib.impg_align_wfa.restype = ctypes.c_int64
+        lib.impg_align_wfa.argtypes = lib.impg_align_pair.argtypes
+        lib._wfa_bound = True
+    m, x, go, ge = scoring
+    cap = len(query) + len(target) + 4
+    out = (ctypes.c_uint32 * cap)()
+    n = lib.impg_align_wfa(
+        query, len(query), target, len(target), m, x, go, ge, out, cap
+    )
+    if n == -3:
+        return None
+    if n < 0:
+        raise ValueError("WFA alignment failed (capacity)")
+    return np.frombuffer(out, np.uint32, int(n)).copy()
+
+
 def align_extend(
     query: bytes, target: bytes, scoring=DEFAULT_SCORING
 ) -> tuple[int, int]:

@@ -316,3 +316,90 @@ def test_oversized_gap_splits_chain_instead_of_dropping(tmp_path):
     spans = sorted((r["qstart"], r["qend"]) for r in fwd)
     # Both flanks are covered by separate rows.
     assert spans[0][0] < 4000 and spans[-1][1] > 34000
+
+
+def _score(runs: np.ndarray, q: bytes, t: bytes, scoring=(1, 4, 6, 2)) -> int:
+    m, x, go, ge = scoring
+    s = 0
+    for r in runs:
+        length = int(r & cigar.LEN_MASK)
+        op = int(r >> 29)
+        if op == cigar.OP_EQ:
+            s += m * length
+        elif op == cigar.OP_X:
+            s -= x * length
+        else:
+            s -= go + ge * (length - 1)
+    return s
+
+
+def test_wfa_matches_gotoh_optimum():
+    """WFA (score-domain transform) must reach the Gotoh optimum exactly
+    (native/align.cpp align_wfa; reference WFA2 role impg.rs:43-71)."""
+    from impg_tpu.ops.align import align_pair_wfa
+
+    rng = random.Random(7)
+    bases = "ACGT"
+    checked = 0
+    for _ in range(60):
+        n = rng.randrange(1, 300)
+        a = "".join(rng.choice(bases) for _ in range(n))
+        b = list(a)
+        for _ in range(rng.randrange(0, max(1, n // 4))):
+            p = rng.randrange(0, max(1, len(b)))
+            r = rng.random()
+            if r < 0.4 and b:
+                b[p] = rng.choice(bases)
+            elif r < 0.7:
+                b[p:p] = [rng.choice(bases) for _ in range(rng.randrange(1, 6))]
+            elif len(b) > 2:
+                del b[p : p + rng.randrange(1, 6)]
+        bs = "".join(b)
+        if not bs:
+            continue
+        qa, ta = a.encode(), bs.encode()
+        g = align_pair(qa, ta)
+        w = align_pair_wfa(qa, ta)
+        assert w is not None
+        validate_cigar(qa, ta, w)
+        assert _score(w, qa, ta) == _score(g, qa, ta)
+        checked += 1
+    assert checked > 40
+
+
+def test_wfa_handles_long_near_identical_pair():
+    """The regime Gotoh's O(n*m) guard rejects: long, near-identical pairs
+    (tracepoint reconstruction / chain-gap fills) — WFA is near-linear."""
+    rng = random.Random(11)
+    bases = "ACGT"
+    n = 120_000  # 120k x 120k = 14.4G cells: far past the Gotoh guard
+    a = "".join(rng.choice(bases) for _ in range(n))
+    b = list(a)
+    for _ in range(12):
+        p = rng.randrange(0, len(b) - 10)
+        r = rng.random()
+        if r < 0.5:
+            b[p] = rng.choice(bases)
+        elif r < 0.75:
+            b[p:p] = [rng.choice(bases) for _ in range(3)]
+        else:
+            del b[p : p + 3]
+    qa, ta = a.encode(), "".join(b).encode()
+    runs = align_pair(qa, ta)  # routed: WFA, no ValueError
+    validate_cigar(qa, ta, runs)
+    n_eq = sum(
+        int(r & cigar.LEN_MASK) for r in runs if (r >> 29) == cigar.OP_EQ
+    )
+    assert n_eq >= n - 200
+
+
+def test_wfa_declines_cleanly_on_divergent_pair():
+    """Fully divergent large pairs exceed the wavefront budget: WFA returns
+    None and align_pair falls back (here: past both guards -> ValueError,
+    which chain callers treat as a split point)."""
+    from impg_tpu.ops.align import align_pair_wfa
+
+    rng = random.Random(13)
+    a = "".join(rng.choice("ACGT") for _ in range(40_000)).encode()
+    b = "".join(rng.choice("ACGT") for _ in range(40_000)).encode()
+    assert align_pair_wfa(a, b) is None
