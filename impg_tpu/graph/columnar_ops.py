@@ -385,50 +385,65 @@ def write_columns(gc: GfaColumns) -> str:
     from impg_tpu.graph.gfa import _split_walk_name
 
     names = gc.names
-    blob = gc.seq_blob
     offs = gc.seq_offsets
     out_parts: list[bytes] = [gc.header.encode(), b"\n"]
-
-    # S lines (one small concat per segment; name bytes interned once).
     name_b = [n.encode() for n in names]
-    sni = gc.seg_name_idx
-    out_parts.append(b"".join([
-        b"S\t" + name_b[int(sni[k])] + b"\t"
-        + blob[int(offs[k]) : int(offs[k + 1])] + b"\n"
-        for k in range(gc.n_segs)
-    ]))
 
     # Shared-overlap token blob: chunk per name = "<" n "+," ">" n "-,".
     # Slices: <name @0, name+, @1, plain name @1, >name @len+3,
-    # name-, @len+4 (reusing the trailing "-,"). Constants appended.
+    # name-, @len+4 (reusing the trailing "-,"). Constants appended,
+    # then the raw sequence blob so S lines stream through the same
+    # kernel (one token per segment body).
     n_names = len(names)
     name_len = np.fromiter((len(b) for b in name_b), np.int64, n_names)
     chunk_len = 2 * name_len + 6
     chunk_off = np.concatenate([[0], np.cumsum(chunk_len)])
     tok_blob = (
         b"".join([b"<" + nb + b"+,>" + nb + b"-," for nb in name_b])
-        + b"L\t\t+\t\t-\t\t+\t0M\n\t-\t0M\n"
+        + b"L\t\t+\t\t-\t\t+\t0M\n\t-\t0M\nS\t\n"
+        + bytes(gc.seq_blob)
     )
     cbase = int(chunk_off[-1])
+    seq_base = cbase + 23
     # Token ids: [0,n) name+, ; [n,2n) name-, ; [2n,3n) <name ;
-    # [3n,4n) >name ; [4n,5n) plain name ; constants after.
+    # [3n,4n) >name ; [4n,5n) plain name ; constants; then one token
+    # per segment row (its sequence slice).
+    soffs = offs.astype(np.int64)
     tok_start = np.concatenate([
         chunk_off[:-1] + 1,                     # name+,
         chunk_off[:-1] + name_len + 4,          # name-,
         chunk_off[:-1],                         # <name
         chunk_off[:-1] + name_len + 3,          # >name
         chunk_off[:-1] + 1,                     # plain name
-        np.asarray([cbase, cbase + 2, cbase + 5, cbase + 8, cbase + 14],
-                   np.int64),
+        np.asarray([cbase, cbase + 2, cbase + 5, cbase + 8, cbase + 14,
+                    cbase + 20, cbase + 21, cbase + 22], np.int64),
+        seq_base + soffs[:-1],                  # segment sequences
     ])
     tok_len = np.concatenate([
         name_len + 2, name_len + 2, name_len + 1, name_len + 1, name_len,
-        np.asarray([2, 3, 3, 6, 6], np.int64),
+        np.asarray([2, 3, 3, 6, 6, 2, 1, 1], np.int64),
+        np.diff(soffs),
     ])
     C_L, C_SAP, C_SAM, C_SBP, C_SBM = (
         5 * n_names, 5 * n_names + 1, 5 * n_names + 2,
         5 * n_names + 3, 5 * n_names + 4,
     )
+    C_S, C_NL = 5 * n_names + 5, 5 * n_names + 7
+    SEQ0 = 5 * n_names + 8
+
+    # S lines: 5 tokens per segment in one stream ("S\t" name "\t" seq
+    # "\n"; the name+, token minus its trailing ",+" is "name\t"-shaped
+    # only by luck — use plain name + the shared tab constant instead).
+    if gc.n_segs:
+        srows5 = np.empty((gc.n_segs, 5), np.int64)
+        srows5[:, 0] = C_S
+        srows5[:, 1] = 4 * n_names + gc.seg_name_idx.astype(np.int64)
+        srows5[:, 2] = 5 * n_names + 6  # "\t"
+        srows5[:, 3] = SEQ0 + np.arange(gc.n_segs, dtype=np.int64)
+        srows5[:, 4] = C_NL
+        s_bytes, _ = _token_stream(tok_blob, tok_start, tok_len,
+                                   srows5.ravel())
+        out_parts.append(s_bytes.tobytes())
 
     # L lines: 5 tokens per link in one stream.
     if gc.link_a.size:
