@@ -206,21 +206,23 @@ class UnifiedSequenceIndex:
     @classmethod
     def from_files(cls, files: list[str]) -> "UnifiedSequenceIndex":
         is_agz = [f.endswith(".agz") for f in files]
-        for f in files:
-            if f.endswith(".agc") or _looks_like_upstream_agc(f):
-                raise ValueError(
-                    f"{f}: upstream AGC archive (agc/ragc toolchain) — its "
-                    "byte layout is unpublished and unsupported here. "
-                    "Convert with the agc binary (`agc getcol archive.agc "
-                    "> seqs.fa`) and repackage via `impg-tpu agz create "
-                    "-o seqs.agz seqs.fa`, or pass the FASTA directly."
-                )
-        if any(is_agz) and not all(is_agz):
+        is_agc = [f.endswith(".agc") or _looks_like_upstream_agc(f)
+                  for f in files]
+        kinds = {("agz" if z else "agc" if c else "fasta")
+                 for z, c in zip(is_agz, is_agc)}
+        if len(kinds) > 1:
             raise ValueError(
                 "Mixed file types not supported. All files must be either "
-                "FASTA or .agz"
+                "FASTA, .agz, or .agc (sequence_index.rs:56)"
             )
-        if all(is_agz) and files:
+        if kinds == {"agc"}:
+            # Real upstream AGC v3 archives (agc/ragc toolchain): parsed by
+            # the archaeology-derived reader; outside-envelope files raise
+            # AgcFormatError with the documented conversion path.
+            from impg_tpu.io.agc import AgcArchive
+
+            return cls([AgcArchive(f) for f in files])
+        if kinds == {"agz"}:
             from impg_tpu.io.agz import AgzArchive
 
             return cls([AgzArchive(f) for f in files])

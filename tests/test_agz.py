@@ -68,7 +68,7 @@ def test_unified_index_backend(archive):
     assert "chr1@sampleA" in names and "chr1@sampleB" in names
     with pytest.raises(ValueError, match="Mixed file types"):
         UnifiedSequenceIndex.from_files([out, "x.fa"])
-    with pytest.raises(ValueError, match="ragc"):
+    with pytest.raises(FileNotFoundError):
         UnifiedSequenceIndex.from_files(["x.agc"])
 
 
@@ -99,27 +99,101 @@ def test_cli_agz_and_query_sequences(archive, tmp_path):
     assert r.stdout.startswith(">")
 
 
-def test_upstream_agc_fixture_rejected_with_conversion_path():
-    """The reference's real test.agc (ragc toolchain) must be detected —
-    by extension AND by content — and rejected with the documented
-    conversion path (VERDICT round-1 interop contract)."""
+REF_AGC = "/root/reference/tests/test_data/test.agc"
+
+# Ground truth for the reference's test.agc, from the sibling FASTAs
+# (ref/a/b/c.fa) the archive was created from.
+_AGC_TRUTH = {
+    "ref": {
+        "chr1": "AGCTAGCTAGCTAGCT",
+        "chr2": "TAAAAAAAAAAATTT",
+        "chr3": "TGGGGGGGGGGTTT",
+        "seq": "TGTGTGTGTG",
+    },
+    "a": {"chr1a": "CTGAGCTGACTGA", "chr3a": "AGTTTAGCT"},
+    "b": {
+        "chr1": "AAAAAAAAA",
+        "g h i 21": "GGGAGGG",
+        "c": "CCCCCCCCC",
+        "t": "TTTTTTT",
+    },
+    "c": {"1": "TGTGTGTGTGTG", "2": "ACACACACA", "3": "TTTTCCCGGGAAAAAA"},
+}
+
+
+def _need_ref_agc():
     import os
-    import shutil
 
-    import pytest
-
-    from impg_tpu.io.fasta import UnifiedSequenceIndex
-
-    fixture = "/root/reference/tests/test_data/test.agc"
-    if not os.path.exists(fixture):
+    if not os.path.exists(REF_AGC):
         pytest.skip("reference fixture not mounted")
-    with pytest.raises(ValueError, match="agc getcol"):
-        UnifiedSequenceIndex.from_files([fixture])
-    # Content sniff: the same bytes renamed .agz must also be rejected.
+
+
+def test_real_agc_v3_reads_reference_fixture():
+    """Byte-level interop: the reference's own test.agc (written by AGC
+    v3.2.1 / consumed via ragc in agc_index.rs) decodes to exactly the
+    ground-truth FASTAs it was created from."""
+    _need_ref_agc()
+    from impg_tpu.io.agc import AgcArchive
+
+    a = AgcArchive(REF_AGC)
+    assert a.list_samples() == ["ref", "a", "b", "c"]
+    assert (a.kmer_length, a.segment_size) == (31, 60000)
+    for sample, contigs in _AGC_TRUTH.items():
+        assert a.list_contigs(sample) == list(contigs)
+        for contig, seq in contigs.items():
+            name = f"{contig}@{sample}"
+            assert a.get_sequence_length(name) == len(seq)
+            got = a.fetch_sequence(name, 0, len(seq))
+            assert got.decode() == seq, name
+    # range fetch + short-name addressing (agc_index.rs:142 parse_query)
+    assert a.fetch_sequence("chr1@ref", 4, 9) == b"AGCTA"
+    assert a.fetch_sequence("g@b", 0, 7) == b"GGGAGGG"
+    assert a.fetch_sequence("chr1a", 0, 3) == b"CTG"  # bare unique contig
+    # clamping
+    assert a.fetch_sequence("seq@ref", 5, 99) == b"GTGTG"
+
+
+def test_real_agc_through_unified_sequence_index():
+    """UnifiedSequenceIndex routes .agc (by extension and by content
+    sniff) to the real reader."""
+    _need_ref_agc()
+    import shutil
     import tempfile
 
+    idx = UnifiedSequenceIndex.from_files([REF_AGC])
+    assert idx.fetch_sequence("chr3@ref", 0, 14) == b"TGGGGGGGGGGTTT"
+    assert idx.get_sequence_length("2@c") == 9
+    # Content sniff: same bytes under a neutral extension still route to
+    # the AGC reader.
     with tempfile.TemporaryDirectory() as td:
-        renamed = os.path.join(td, "sneaky.agz")
-        shutil.copy(fixture, renamed)
-        with pytest.raises(ValueError, match="AGC archive"):
-            UnifiedSequenceIndex.from_files([renamed])
+        import os
+
+        renamed = os.path.join(td, "sneaky.bin")
+        shutil.copy(REF_AGC, renamed)
+        idx2 = UnifiedSequenceIndex.from_files([renamed])
+        assert idx2.fetch_sequence("t@b", 0, 7) == b"TTTTTTT"
+
+
+def test_agc_outside_envelope_raises_conversion_path():
+    """Outside the verified v3 envelope the reader must fail with the
+    documented conversion hint, never guess (VERDICT interop contract)."""
+    _need_ref_agc()
+    import os
+    import tempfile
+
+    from impg_tpu.io.agc import AgcArchive, AgcFormatError
+
+    raw = open(REF_AGC, "rb").read()
+    # Flip the recorded file_version_major "3" -> "2".
+    patched = raw.replace(b"file_version_major\x003\x00",
+                          b"file_version_major\x002\x00")
+    assert patched != raw
+    with tempfile.TemporaryDirectory() as td:
+        p2 = os.path.join(td, "v2.agc")
+        open(p2, "wb").write(patched)
+        with pytest.raises(AgcFormatError, match="agc getcol"):
+            AgcArchive(p2)
+        trunc = os.path.join(td, "trunc.agc")
+        open(trunc, "wb").write(raw[: len(raw) // 2])
+        with pytest.raises(ValueError, match="unsupported AGC archive"):
+            AgcArchive(trunc)
