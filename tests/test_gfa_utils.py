@@ -193,6 +193,107 @@ def test_normalize_preserves_paths_and_shrinks(tmp_path):
     assert path_seqs(r2.stdout) == before
 
 
+def test_normalize_shared_suffix_collapse():
+    """Symmetric (suffix-side) affix decomposition: two branches feeding
+    one child with a shared sequence suffix split so the suffix becomes a
+    single shared node (gfaffix collapses both affix sides)."""
+    from impg_tpu.graph.gfa import Gfa
+    from impg_tpu.graph.normalize import normalize_gfa
+
+    gfa = (
+        "H\tVN:Z:1.0\n"
+        "S\ts\tAA\nS\tx\tCGTTT\nS\ty\tGATTT\nS\te\tGG\n"
+        "L\ts\t+\tx\t+\t0M\nL\ts\t+\ty\t+\t0M\n"
+        "L\tx\t+\te\t+\t0M\nL\ty\t+\te\t+\t0M\n"
+        "P\tp1\ts+,x+,e+\t*\nP\tp2\ts+,y+,e+\t*\n"
+    )
+    out = normalize_gfa(gfa, pre_groom=False)
+    g = Gfa.parse(out)
+    # shared suffix TTT splits out of x/y, then TTT+e unchop; CG/GA stay.
+    total_bp = sum(len(s) for s in g.segments.values())
+    assert total_bp == 2 + 2 + 2 + 3 + 2  # AA,CG,GA,TTT,GG (pre-unchop bp)
+
+    def spell(text):
+        g2 = Gfa.parse(text)
+        return {
+            n: "".join(g2.segments[sid] for sid, rev in steps)
+            for n, steps in g2.paths
+        }
+
+    assert spell(out) == {"p1": "AACGTTTGG", "p2": "AAGATTTGG"}
+
+
+def test_normalize_unchop_is_path_endpoint_aware():
+    """Unbranched chains merge only when every walk crosses them whole:
+    a path ending mid-chain pins the boundary."""
+    from impg_tpu.graph.gfa import Gfa
+    from impg_tpu.graph.normalize import normalize_gfa
+
+    # a->b unbranched; p2 ends at a, so merging would change p2's bases.
+    gfa = (
+        "H\tVN:Z:1.0\n"
+        "S\ta\tAC\nS\tb\tGT\n"
+        "L\ta\t+\tb\t+\t0M\n"
+        "P\tp1\ta+,b+\t*\nP\tp2\ta+\t*\n"
+    )
+    g = Gfa.parse(normalize_gfa(gfa, pre_groom=False))
+    assert sorted(g.segments) == ["a", "b"]
+
+    # Without the endpoint, the chain merges (and reverse traversals
+    # re-spell through the merged node).
+    gfa2 = (
+        "H\tVN:Z:1.0\n"
+        "S\ta\tAC\nS\tb\tGT\n"
+        "L\ta\t+\tb\t+\t0M\n"
+        "P\tp1\ta+,b+\t*\nP\tp2\tb-,a-\t*\n"
+    )
+    out = normalize_gfa(gfa2, pre_groom=False)
+    g2 = Gfa.parse(out)
+    assert len(g2.segments) == 1
+    (seq,) = g2.segments.values()
+    assert seq == "ACGT"
+    paths = dict(g2.paths)
+    assert [rev for _sid, rev in paths["p2"]] == [True]
+
+
+def test_normalize_full_sweep_batches_many_parents():
+    """Many independent shared-prefix sites resolve in ONE fixpoint run
+    (the old implementation restarted after every single split and was
+    capped at max_rounds splits)."""
+    from impg_tpu.graph.gfa import Gfa
+    from impg_tpu.graph.normalize import normalize_gfa
+
+    lines = ["H\tVN:Z:1.0"]
+    paths1, paths2 = [], []
+    n_sites = 60
+    for i in range(n_sites):
+        p, x, y = f"p{i}", f"x{i}", f"y{i}"
+        lines += [f"S\t{p}\tAA", f"S\t{x}\tCCGA", f"S\t{y}\tCCTA"]
+        lines += [f"L\t{p}\t+\t{x}\t+\t0M", f"L\t{p}\t+\t{y}\t+\t0M"]
+        paths1 += [f"{p}+", f"{x}+"]
+        paths2 += [f"{p}+", f"{y}+"]
+    lines += [
+        "P\tw1\t" + ",".join(paths1) + "\t*",
+        "P\tw2\t" + ",".join(paths2) + "\t*",
+    ]
+    text = "\n".join(lines) + "\n"
+    out = normalize_gfa(text, max_rounds=6, pre_groom=False)
+    g = Gfa.parse(out)
+    # every site got its CC prefix shared within the round budget (the
+    # shared CC then unchops into its AA parent -> one AACC per site)
+    shared = [s for s in g.segments.values() if s in ("CC", "AACC")]
+    assert len(shared) >= n_sites
+
+    def spell(t):
+        g2 = Gfa.parse(t)
+        return {
+            n: "".join(g2.segments[sid] for sid, _ in steps)
+            for n, steps in g2.paths
+        }
+
+    assert spell(out) == spell(text)
+
+
 def test_self_loop_normalization(tmp_path):
     from impg_tpu.graph.selfloops import diagnose, normalize_self_loops
     from impg_tpu.graph.gfa import Gfa
@@ -319,7 +420,9 @@ def test_normalize_grooms_reverse_duplicates():
     out = normalize_gfa(gfa)
     assert spell(out) == before
     g = Gfa.parse(out)
-    assert len(g.segments) == 3, out  # b and c merged
+    # b and c merge as duplicate siblings; the remaining unbranched
+    # a -> bc -> z chain then unchops into a single node.
+    assert len(g.segments) == 1, out
     # Without grooming the reverse-orientation pair stays untouched.
     out2 = normalize_gfa(gfa, pre_groom=False)
     assert len(Gfa.parse(out2).segments) == 4
