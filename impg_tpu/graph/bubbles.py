@@ -26,7 +26,9 @@ class Site:
     is_leaf: bool
     start: str  # boundary token, e.g. "12+"
     end: str
-    reference_start_step: int  # step index in the reference path walk
+    # Step index in the reference path walk; -1 when the site lies on a
+    # branch the reference walk never takes (nested alternate alleles).
+    reference_start_step: int
     reference_end_step: int
     n_alleles: int  # distinct interior walks among the paths through it
     # Site class (POVU flubble class role): "parallel" (same-orientation
@@ -91,7 +93,7 @@ def _anchors(walks: list[list]) -> list:
 
 def _decompose_level(
     walks: list[list],
-    ref_walk: list,
+    ref_walk: list | None,
     ref_offset: int,
     level: int,
     parent_id: str | None,
@@ -100,11 +102,17 @@ def _decompose_level(
     max_depth: int = 16,
 ) -> None:
     """Find sites among `walks` (all sharing the same boundary context);
-    recurse into each variable site's interior slices."""
+    recurse into each variable site's interior slices.
+
+    `ref_walk` is the true reference lineage's walk through this region
+    (== walks[0]) or None when the region lies on a branch the reference
+    never takes — then reference step coordinates are emitted as -1
+    instead of fabricating indices into a walk that skips the region."""
     anchors = _anchors(walks)
     if len(anchors) < 2 or level >= max_depth:
         return
     anchor_set = set(anchors)
+    on_ref = ref_walk is not None
     # Slice every walk between consecutive anchors (anchor-exclusive
     # interiors; anchors appear in walk order = anchors order by
     # construction).
@@ -120,18 +128,28 @@ def _decompose_level(
             elif cur is not None:
                 cur.append(st)
         per_walk_slices.append(slices)
-    # Reference step positions of each anchor.
-    ref_pos = {st: i for i, st in enumerate(ref_walk) if st in anchor_set}
+    # Reference step positions of each anchor (anchors are visited by
+    # every walk, so when on_ref each anchor is on the reference walk).
+    ref_pos = (
+        {st: i for i, st in enumerate(ref_walk) if st in anchor_set}
+        if on_ref else {}
+    )
     for ai in range(len(anchors) - 1):
-        interiors = [s[ai] for s in per_walk_slices if ai < len(s)]
-        distinct = {tuple(w) for w in interiors}
+        interiors = [
+            (wi, s[ai]) for wi, s in enumerate(per_walk_slices)
+            if ai < len(s)
+        ]
+        distinct = {tuple(w) for _wi, w in interiors}
         if len(distinct) <= 1:
             continue  # all paths agree: not a variation site
         counter[0] += 1
         sid = f"SB{counter[0]}"
         a, b = anchors[ai], anchors[ai + 1]
-        rs = ref_offset + ref_pos.get(a, 0)
-        re_ = ref_offset + ref_pos.get(b, 0)
+        if on_ref:
+            rs = ref_offset + ref_pos[a]
+            re_ = ref_offset + ref_pos[b]
+        else:
+            rs = re_ = -1
         site = Site(
             id=sid,
             parent_id=parent_id,
@@ -142,7 +160,7 @@ def _decompose_level(
             reference_start_step=rs,
             reference_end_step=re_,
             n_alleles=len(distinct),
-            site_class=_classify_site(interiors, a, b),
+            site_class=_classify_site([w for _wi, w in interiors], a, b),
         )
         sites.append(site)
         # Recurse into the interiors.  Alleles that skip the interior
@@ -150,21 +168,29 @@ def _decompose_level(
         # poison the shared-anchor set, so group traversing walks by their
         # (first, last) interior steps and nest within each group.
         groups: dict[tuple, list[list]] = {}
-        for w in interiors:
+        for wi, w in interiors:
             if w:
                 groups.setdefault((w[0], w[-1]), []).append(w)
+        ref_slice = next(
+            (w for wi, w in interiors if wi == 0), None
+        ) if on_ref else None
         before = len(sites)
-        for inner in groups.values():
+        for key, inner in groups.items():
             if len(inner) < 2 or len({tuple(w) for w in inner}) < 2:
                 continue
-            ref_inner = (
-                interiors[0] if interiors and interiors[0] in inner
-                else inner[0]
-            )
+            if ref_slice and (ref_slice[0], ref_slice[-1]) == key:
+                # The reference traverses this group: keep it as walks[0]
+                # and carry the true step offset of its first interior
+                # step (the step after anchor `a`).
+                inner = sorted(inner, key=lambda w: w != ref_slice)
+                new_ref: list | None = inner[0]
+                new_off = rs + 1
+            else:
+                new_ref, new_off = None, 0
             _decompose_level(
                 inner,
-                ref_inner,
-                rs + 1,
+                new_ref,
+                new_off,
                 level + 1,
                 sid,
                 sites,
@@ -210,6 +236,7 @@ def decompose_flubbles(
         return Decomposition(reference_path="")
     ref_idx = 0
     if reference_names:
+        ref_idx = -1
         for i, (name, _) in enumerate(gfa.paths):
             if any(
                 name == rn or name.startswith(rn + ":")
@@ -218,10 +245,33 @@ def decompose_flubbles(
             ):
                 ref_idx = i
                 break
+        if ref_idx < 0:
+            have = ", ".join(n for n, _ in gfa.paths[:5])
+            raise ValueError(
+                f"reference path(s) {reference_names} not found in GFA "
+                f"(paths: {have}{', ...' if len(gfa.paths) > 5 else ''})"
+            )
     ref_name, ref_walk = gfa.paths[ref_idx]
+    # Only paths in the reference's connected component (shared node ids,
+    # transitively) take part: a path disjoint from the reference (another
+    # chromosome in the same file) shares no steps, so it would empty the
+    # global exactly-once anchor intersection and wipe out every site.
+    node_sets = [
+        {sid for sid, _rev in steps} for _name, steps in gfa.paths
+    ]
+    in_comp = {ref_idx}
+    comp_nodes = set(node_sets[ref_idx])
+    changed = True
+    while changed:
+        changed = False
+        for i, ns in enumerate(node_sets):
+            if i not in in_comp and ns & comp_nodes:
+                in_comp.add(i)
+                comp_nodes |= ns
+                changed = True
     # Reference walk first: anchor order and interior slice [0] are then
     # reference-anchored at every nesting level.
-    order = [ref_idx] + [i for i in range(len(gfa.paths)) if i != ref_idx]
+    order = [ref_idx] + sorted(i for i in in_comp if i != ref_idx)
     walks = [list(gfa.paths[i][1]) for i in order]
     sites: list[Site] = []
     _decompose_level(

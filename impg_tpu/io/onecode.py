@@ -43,6 +43,11 @@ _FOOTER_FIXED = struct.Struct("<Q")  # footer byte offset
 
 
 def _zigzag(v: int) -> int:
+    if not (-(2**63) <= v < 2**63):
+        # Outside int64 the arithmetic-shift trick yields a NEGATIVE u,
+        # which would spin _write_varint forever (Python >> never
+        # reaches 0 for negatives).
+        raise OverflowError(f"INT field out of int64 range: {v}")
     return (v << 1) ^ (v >> 63) if v < 0 else (v << 1)
 
 
@@ -119,6 +124,8 @@ class OneBinaryWriter:
         self._closed = False
 
     def write(self, linetype: str, *fields) -> None:
+        if self._closed:
+            raise ValueError("writer is closed")
         spec = self.schema[linetype]
         if len(fields) != len(spec):
             raise ValueError(

@@ -22,6 +22,14 @@
 //     instead of O(log), which upstream seed-frequency filters keep small
 //     (mirroring the reference's own seed filtering, syng.rs:1866).
 //
+// Scaling measurement (round 2, C4-scale panel: 90 haplotypes x 77 kb =
+// 6.9 Mb, 150 bp read MEM matching, 4-core host): 12.8k reads/s on
+// unique-ish content; 4.7k reads/s when 40% of every haplotype is one
+// shared 171 bp tandem unit (visit lists ~16k entries/node); 1.8k
+// reads/s with reads drawn entirely from that repeat ocean.  The
+// adversarial regime costs ~7x, not orders of magnitude — acceptable
+// against the run-length-BWT alternative given the seed filters.
+//
 // Exposed via C ABI for ctypes (see impg_tpu/syng/gbwt.py).
 
 #include <cstdint>

@@ -52,6 +52,11 @@ class ShardedIndex:
     def build(
         cls, index: ImpgIndex, n_shards: int, with_tracepoints: bool = False
     ) -> "ShardedIndex":
+        if index.arena.n_ops >= 2**31:
+            # Same contract as DeviceIndex.build: the shard-local op_off
+            # columns are int32, so a >=2^31-op arena would wrap negative
+            # and gather garbage instead of failing loudly.
+            raise ValueError("arena too large for int32 offsets")
         n = len(index.records)
         n_seqs = len(index.seq_index)
         max_ops = int(index.records.op_cnt.max()) if n else 1
@@ -123,7 +128,13 @@ class ShardedIndex:
             # Shard the tracepoint arena exactly like the run arena:
             # per-record boundary slices gathered contiguously with
             # shard-local seg offsets (query/device.py DeviceIndex tp).
-            tpa = index.ensure_tracepoints()
+            # Reuse the index's cached arena whatever its spacing —
+            # ensure_tracepoints() with the default would silently REBUILD
+            # a differently-spaced arena (e.g. a .1aln's native spacing)
+            # and diverge from host/DeviceEngine steps.
+            tpa = index.tp if index.tp is not None else (
+                index.ensure_tracepoints()
+            )
             tp_spacing = tpa.spacing
             tp_cols = {
                 k: [] for k in (
@@ -250,6 +261,14 @@ class ShardedEngine:
     ):
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), ("shard",))
+        if len(mesh.devices.shape) != 1:
+            # P(axis) below shards along the first mesh axis only, while
+            # the index is split into prod(shape) shards — a multi-dim
+            # mesh would place shards inconsistently.
+            raise ValueError(
+                "ShardedEngine requires a 1-D mesh; got shape "
+                f"{mesh.devices.shape}"
+            )
         self.mesh = mesh
         self.index = index
         n_shards = int(np.prod(mesh.devices.shape))
@@ -257,7 +276,9 @@ class ShardedEngine:
             index, n_shards, with_tracepoints=with_tracepoints
         )
         self.k_max = initial_capacity
-        self._step = make_sharded_query_step(mesh)
+        # Honor the caller's axis name (a mesh named ('data',) must not
+        # trace shard_map over a nonexistent 'shard' axis).
+        self._step = make_sharded_query_step(mesh, mesh.axis_names[0])
         axis = mesh.axis_names[0]
         shard0 = NamedSharding(mesh, P(axis))
         self._repl_sharding = NamedSharding(mesh, P())
@@ -277,6 +298,14 @@ class ShardedEngine:
             if self.sharded.tp is not None
             else None
         )
+        # The stacked host copies exist only to feed placement; queries
+        # read just the scalars (rec_base/r_pad/iters/tp_spacing). Drop
+        # the arrays, which would otherwise keep a second full padded
+        # index in host RAM next to self.index + the device copies.
+        self.sharded.rec = {}
+        self.sharded.arena = {}
+        if self.sharded.tp is not None:
+            self.sharded.tp = {}
 
     # Placement hooks — DistributedEngine overrides these so each process
     # materializes only its addressable shards of the global arrays.

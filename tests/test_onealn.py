@@ -291,3 +291,23 @@ def test_fastga_lists_terminal_deletions():
     # Leading D belongs to the first query-grid segment.
     T, X, D = _fastga_lists(lead, 0, 10, 4, False)
     assert T == [9, 4, 2] and X == [5, 0, 0]
+
+
+def test_onecode_writer_guards(tmp_path):
+    """Round-2 review fixes: INT fields outside int64 raise instead of
+    spinning the varint loop forever; writes after close() raise instead
+    of silently dropping data."""
+    import pytest
+
+    from impg_tpu.io.onecode import T_INT, OneBinaryWriter
+
+    p = str(tmp_path / "g.1x")
+    w = OneBinaryWriter(p, "tst", schema={"A": (T_INT,)}, indexed=("A",))
+    w.write("A", -(2**63))  # int64 min is fine
+    with pytest.raises(OverflowError, match="int64"):
+        w.write("A", -(2**63) - 1)
+    with pytest.raises(OverflowError, match="int64"):
+        w.write("A", 2**63)
+    w.close()
+    with pytest.raises(ValueError, match="closed"):
+        w.write("A", 1)

@@ -47,8 +47,12 @@ def test_sharded_matches_host(setup):
 
 
 def test_shard_blocks_cover_all_records(setup):
+    from impg_tpu.parallel.sharding import ShardedIndex
+
     index, se, seqs = setup
-    si = se.sharded
+    # The engine drops its stacked host copies after device placement
+    # (only scalars are read post-init), so inspect a fresh build.
+    si = ShardedIndex.build(index, 8)
     assert si.n_shards == 8
     # Global record ids reconstructed from shard blocks must be a partition.
     n = len(index.records)
@@ -195,3 +199,37 @@ def test_transitive_columnar_over_sharded_engine():
         )
 
     assert [key(b.to_rows()) for b in mesh] == [key(r) for r in host]
+
+
+def test_sharded_engine_honors_custom_mesh_axis_name(setup):
+    """Round-2 review fix: a user mesh named something other than 'shard'
+    must work (the query step used to hard-code the axis name), and
+    multi-dim meshes are rejected up front."""
+    import jax
+    import pytest
+    from jax.sharding import Mesh
+
+    from impg_tpu.parallel.sharding import ShardedEngine
+
+    index, se, seqs = setup
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    se2 = ShardedEngine(index, mesh=mesh)
+    names = list(seqs)
+    tid = index.seq_index.get_id(names[0])
+    got = se2.query_batch(
+        np.asarray([tid], np.int32),
+        np.asarray([100], np.int64),
+        np.asarray([5000], np.int64),
+    )
+    want = se.query_batch(
+        np.asarray([tid], np.int32),
+        np.asarray([100], np.int64),
+        np.asarray([5000], np.int64),
+    )
+    assert [len(r) for r in got] == [len(r) for r in want]
+
+    with pytest.raises(ValueError, match="1-D mesh"):
+        ShardedEngine(
+            index, mesh=Mesh(np.array(jax.devices()).reshape(4, 2),
+                             ("a", "b")),
+        )
