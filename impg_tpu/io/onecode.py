@@ -117,6 +117,11 @@ class OneBinaryWriter:
         self.indexed = tuple(indexed)
         self.provenance = provenance
         self._body = bytearray()
+        # Large bodies spill to an anonymous temp file so writing a big
+        # binary container costs O(buffer) RAM, not O(file size).
+        self._spill = None
+        self._spilled_len = 0
+        self._spill_limit = 32 << 20
         self._offsets: dict[str, list[int]] = {lt: [] for lt in indexed}
         self._counts: dict[str, int] = {}
         self._list_max: dict[str, int] = {}
@@ -133,7 +138,9 @@ class OneBinaryWriter:
                 f"{len(fields)}"
             )
         if linetype in self._offsets:
-            self._offsets[linetype].append(len(self._body))
+            self._offsets[linetype].append(
+                self._spilled_len + len(self._body)
+            )
         self._counts[linetype] = self._counts.get(linetype, 0) + 1
         buf = self._body
         buf.append(ord(linetype))
@@ -159,6 +166,14 @@ class OneBinaryWriter:
                 )
             else:
                 raise ValueError(f"unknown field type {ftype}")
+        if len(buf) >= self._spill_limit:
+            if self._spill is None:
+                import tempfile
+
+                self._spill = tempfile.TemporaryFile()
+            self._spill.write(buf)
+            self._spilled_len += len(buf)
+            buf.clear()
 
     def close(self) -> None:
         if self._closed:
@@ -184,6 +199,13 @@ class OneBinaryWriter:
 
         with open(self.path, "wb") as fh:
             fh.write(header)
+            if self._spill is not None:
+                import shutil
+
+                self._spill.seek(0)
+                shutil.copyfileobj(self._spill, fh, 8 << 20)
+                self._spill.close()
+                self._spill = None
             fh.write(self._body)
             footer_off = fh.tell()
             foot = bytearray()

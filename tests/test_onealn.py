@@ -311,3 +311,24 @@ def test_onecode_writer_guards(tmp_path):
     w.close()
     with pytest.raises(ValueError, match="closed"):
         w.write("A", 1)
+
+
+def test_onecode_writer_spills_large_bodies(tmp_path):
+    """Bodies over the spill limit stream through a temp file; the output
+    bytes are identical to the all-in-RAM path."""
+    from impg_tpu.io.onecode import T_INT, T_STRING, OneBinaryWriter
+
+    def fill(path, limit=None):
+        w = OneBinaryWriter(
+            path, "tst", schema={"A": (T_INT, T_STRING)}, indexed=("A",)
+        )
+        if limit:
+            w._spill_limit = limit
+        for i in range(2000):
+            w.write("A", i * 7 - 3, "x" * (i % 40))
+        w.close()
+
+    p1, p2 = str(tmp_path / "a.bin"), str(tmp_path / "b.bin")
+    fill(p1)
+    fill(p2, limit=512)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
