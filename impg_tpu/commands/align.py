@@ -74,32 +74,23 @@ def _lis_chain(q_pos: np.ndarray, t_pos: np.ndarray) -> list[int]:
 
 
 def _pair_anchors(
-    index: SyngIndex, qname: str, tname: str
+    index: SyngIndex, qname: str, tname: str,
+    drop_top_fraction: float = 0.0005,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(q_pos, t_pos, rel_fwd) anchors between two indexed sequences."""
+    """(q_pos, t_pos, rel_fwd) anchors between two indexed sequences —
+    the vectorized, seed-frequency-filtered occurrence primitive
+    (occurrences_for_syncmers), restricted to the target sequence.  The
+    filter keeps high-copy repeat seeds from exploding anchor counts
+    (the reference's SyngSeedFilter role, syng.rs:1866)."""
     qid = index.seq_index.get_id(qname)
     tid = index.seq_index.get_id(tname)
     q_len = index.seq_index.get_len_from_id(qid)
     q_pos_all, ids, fwd = index.region_syncmers(qname, 0, q_len)
-    lo = np.searchsorted(index.occ_ids, ids, side="left")
-    hi = np.searchsorted(index.occ_ids, ids, side="right")
-    counts = hi - lo
-    total = int(counts.sum())
-    occ_idx = np.empty(total, np.int64)
-    q_of = np.empty(total, np.int64)
-    at = 0
-    for i in range(ids.size):
-        c = int(counts[i])
-        occ_idx[at : at + c] = np.arange(lo[i], hi[i])
-        q_of[at : at + c] = i
-        at += c
-    sel = index.occ_seq[occ_idx] == tid
-    occ_idx, q_of = occ_idx[sel], q_of[sel]
-    return (
-        q_pos_all[q_of],
-        index.occ_pos[occ_idx],
-        index.occ_fwd[occ_idx] == fwd[q_of],
+    q_abs, o_seq, o_pos, rel_fwd = index.occurrences_for_syncmers(
+        q_pos_all, ids, fwd, drop_top_fraction=drop_top_fraction
     )
+    sel = o_seq == tid
+    return q_abs[sel], o_pos[sel], rel_fwd[sel]
 
 
 def align_sequence_pair(
@@ -114,7 +105,9 @@ def align_sequence_pair(
     q_seq = seqs[qname]
     t_seq = seqs[tname]
     q_len, t_len = len(q_seq), len(t_seq)
-    q_pos, t_pos, rel_fwd = _pair_anchors(index, qname, tname)
+    q_pos, t_pos, rel_fwd = _pair_anchors(
+        index, qname, tname, drop_top_fraction=config.drop_top_fraction
+    )
     rows = []
 
     for strand, mask in (("+", rel_fwd), ("-", ~rel_fwd)):

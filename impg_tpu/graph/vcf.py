@@ -28,6 +28,49 @@ def _walk_seq(gfa: Gfa, steps) -> bytes:
     return b"".join(_step_seq(gfa, s) for s in steps)
 
 
+def _select_reference(paths, reference_path: str | None):
+    """Pick the reference walk: exact name first, then a prefix followed by
+    a PanSN/range separator (an earlier 'chr10:...' must not shadow an
+    exact or 'chr1:...' match for reference_path='chr1'); unknown names
+    raise instead of silently calling against the first path."""
+    if reference_path is None:
+        return paths[0]
+    for name, steps in paths:
+        if name == reference_path:
+            return name, steps
+    for name, steps in paths:
+        if name.startswith(reference_path + ":") or name.startswith(
+            reference_path + "#"
+        ):
+            return name, steps
+    have = ", ".join(n for n, _ in paths[:5])
+    raise ValueError(
+        f"reference path '{reference_path}' not found in GFA (paths: "
+        f"{have}{', ...' if len(paths) > 5 else ''})"
+    )
+
+
+def _ref_frame(ref_name: str) -> tuple[str, int]:
+    """CHROM + base offset from a `name:start-end` path name."""
+    if ":" in ref_name:
+        base, _, rng = ref_name.rpartition(":")
+        if "-" in rng:
+            s, _, _e = rng.partition("-")
+            try:
+                return base, int(s)
+            except ValueError:
+                pass
+    return ref_name, 0
+
+
+def _ref_offsets(gfa: Gfa, ref_steps) -> list[int]:
+    """Cumulative bp offset at each reference step boundary."""
+    off = [0]
+    for s in ref_steps:
+        off.append(off[-1] + len(gfa.segments[s[0]]))
+    return off
+
+
 def _anchor_chain(ref_steps, alt_steps) -> list[tuple[int, int]]:
     """(ref_idx, alt_idx) pairs of shared oriented nodes, increasing in both
     walks (LIS over reference positions of alt's shared nodes).
@@ -115,30 +158,12 @@ def gfa_to_vcf(gfa_text: str, reference_path: str | None = None) -> str:
     gfa = Gfa.parse(gfa_text)
     if not gfa.paths:
         return "##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
-    ref_name, ref_steps = gfa.paths[0]
-    if reference_path is not None:
-        for name, steps in gfa.paths:
-            if name == reference_path or name.startswith(reference_path):
-                ref_name, ref_steps = name, steps
-                break
+    ref_name, ref_steps = _select_reference(gfa.paths, reference_path)
 
     # Reference coordinates: cumulative bp offset at each step boundary.
-    ref_off = [0]
-    for s in ref_steps:
-        ref_off.append(ref_off[-1] + len(gfa.segments[s[0]]))
+    ref_off = _ref_offsets(gfa, ref_steps)
     ref_seq = _walk_seq(gfa, ref_steps).decode()
-
-    chrom = ref_name
-    base_offset = 0
-    if ":" in ref_name:
-        base, _, rng = ref_name.rpartition(":")
-        if "-" in rng:
-            s, _, _e = rng.partition("-")
-            try:
-                base_offset = int(s)
-                chrom = base
-            except ValueError:
-                pass
+    chrom, base_offset = _ref_frame(ref_name)
 
     records: dict[tuple[int, str, str], VcfRecord] = {}
     sample_names = [n for n, _ in gfa.paths if n != ref_name]
@@ -146,6 +171,9 @@ def gfa_to_vcf(gfa_text: str, reference_path: str | None = None) -> str:
     # either way: genotype them missing ('.'), not reference ('0') —
     # same contract as gfa_to_vcf_flubbles for non-traversing paths.
     no_chain: set[str] = set()
+    # Reference bp span each path's anchor chain covers: outside it the
+    # path has no evidence, so records there genotype '.', not '0'.
+    span: dict[str, tuple[int, int]] = {}
 
     for alt_name, alt_steps in gfa.paths:
         if alt_name == ref_name:
@@ -154,6 +182,9 @@ def gfa_to_vcf(gfa_text: str, reference_path: str | None = None) -> str:
         if not chain:
             no_chain.add(alt_name)
             continue
+        span[alt_name] = (
+            ref_off[chain[0][0]], ref_off[chain[-1][0] + 1]
+        )
         for (ri, ai), (rj, aj) in zip(chain, chain[1:]):
             if rj == ri + 1 and aj == ai + 1:
                 continue  # contiguous: no bubble
@@ -208,17 +239,23 @@ def gfa_to_vcf(gfa_text: str, reference_path: str | None = None) -> str:
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
         + "\t".join(sample_names),
     ]
-    an = sum(1 for name in sample_names if name not in no_chain)
     for key in sorted(records):
         rec = records[key]
-        gts = "\t".join(
-            "." if name in no_chain
-            else ("1" if name in rec.carriers else "0")
-            for name in sample_names
-        )
+        raw_pos = key[0]
+
+        def gt_of(name: str) -> str:
+            if name in rec.carriers:
+                return "1"
+            sp = span.get(name)
+            if sp is None or not (sp[0] <= raw_pos < sp[1]):
+                return "."  # no anchored evidence at this position
+            return "0"
+
+        gts = [gt_of(name) for name in sample_names]
+        an = sum(1 for g in gts if g != ".")
         out.append(
             f"{rec.chrom}\t{rec.pos}\t.\t{rec.ref}\t{rec.alt}\t.\t.\t"
-            f"AC={len(rec.carriers)};AN={an}\tGT\t{gts}"
+            f"AC={len(rec.carriers)};AN={an}\tGT\t" + "\t".join(gts)
         )
     return "\n".join(out) + "\n"
 
@@ -244,23 +281,10 @@ def gfa_to_vcf_flubbles(
     dec = bubbles_mod.decompose_flubbles(gfa_text, refs)
     ref_name = dec.reference_path
     ref_steps = dict(gfa.paths)[ref_name]
-    ref_off = [0]
-    for s in ref_steps:
-        ref_off.append(ref_off[-1] + len(gfa.segments[s[0]]))
+    ref_off = _ref_offsets(gfa, ref_steps)
     ref_pos_of_step = {s: i for i, s in enumerate(ref_steps)}
     ref_seq = _walk_seq(gfa, ref_steps).decode()
-
-    chrom = ref_name
-    base_offset = 0
-    if ":" in ref_name:
-        base, _, rng = ref_name.rpartition(":")
-        if "-" in rng:
-            s, _, _e = rng.partition("-")
-            try:
-                base_offset = int(s)
-                chrom = base
-            except ValueError:
-                pass
+    chrom, base_offset = _ref_frame(ref_name)
 
     def parse_token(tok: str):
         return (tok[:-1], tok.endswith("-"))

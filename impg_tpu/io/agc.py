@@ -149,19 +149,25 @@ class AgcArchive:
         self._load_file_type_info()
         self._load_params()
         self._load_collection()
-        # contig@sample exact; bare contig + short contig when unique
-        # (agc_index.rs:94-120 interning).
+        # contig@sample exact; bare contig + short contig ONLY when unique
+        # across samples (agc_index.rs:94-120 interning / parse_query);
+        # ambiguous bare names map to None and raise at lookup.
         self._exact: dict[str, tuple[str, str]] = {}
-        self._bare: dict[str, tuple[str, str]] = {}
+        self._bare: dict[str, tuple[str, str] | None] = {}
+
+        def note_bare(key: str, val: tuple[str, str]) -> None:
+            cur = self._bare.get(key, val)
+            self._bare[key] = val if cur == val else None
+
         for sample in self.samples:
             for contig in self._contigs[sample]:
                 self._exact[f"{contig}@{sample}"] = (sample, contig)
-                self._bare.setdefault(contig, (sample, contig))
+                note_bare(contig, (sample, contig))
                 short = contig.split()[0] if contig.split() else contig
                 if short != contig:
                     self._exact.setdefault(f"{short}@{sample}",
                                            (sample, contig))
-                    self._bare.setdefault(short, (sample, contig))
+                    note_bare(short, (sample, contig))
 
     # ---- container -------------------------------------------------------
 
@@ -430,7 +436,13 @@ class AgcArchive:
         if name in self._exact:
             return self._exact[name]
         if name in self._bare:
-            return self._bare[name]
+            hit = self._bare[name]
+            if hit is None:
+                raise KeyError(
+                    f"sequence '{name}' is ambiguous in {self.path} "
+                    "(present in multiple samples) — use contig@sample"
+                )
+            return hit
         raise KeyError(f"sequence '{name}' not found in {self.path}")
 
     def get_sequence_length(self, name: str) -> int:

@@ -60,6 +60,11 @@ def create_agz(
             + ", ".join(sorted(dupes))
             + " — pass explicit sample_names to disambiguate"
         )
+    if len(sample_names) != len(fasta_files):
+        raise ValueError(
+            f"sample_names has {len(sample_names)} entries for "
+            f"{len(fasta_files)} FASTA files"
+        )
     directory: dict = {"samples": {}}
     n_contigs = 0
     with open(out_path, "wb") as fh:
@@ -67,6 +72,14 @@ def create_agz(
         for f, sample in zip(fasta_files, sample_names):
             contigs = {}
             for name, seq in read_sequences(f):
+                if name in contigs:
+                    # Overwriting would orphan the first contig's blocks
+                    # silently (names are whitespace-truncated, so
+                    # '>chr1 foo' and '>chr1 bar' collide).
+                    raise ValueError(
+                        f"{f}: duplicate contig name '{name}' within "
+                        f"sample '{sample}'"
+                    )
                 blocks = []
                 for off in range(0, max(len(seq), 1), block_raw):
                     raw = seq[off : off + block_raw]
@@ -104,17 +117,25 @@ class AgzArchive:
         # contig@sample exact; bare contig + short contig when unique
         # (agc_index.rs:94-120 interning).
         self._exact: dict[str, tuple[str, str]] = {}
-        self._bare: dict[str, tuple[str, str]] = {}
+        # Bare contig resolution is only valid when unique across samples
+        # (agc_index.rs parse_query); ambiguous names map to None and
+        # raise at lookup instead of silently picking the first sample.
+        self._bare: dict[str, tuple[str, str] | None] = {}
+
+        def note_bare(key: str, val: tuple[str, str]) -> None:
+            cur = self._bare.get(key, val)
+            self._bare[key] = val if cur == val else None
+
         for sample, contigs in self._samples.items():
             for contig in contigs:
                 self._exact[f"{contig}@{sample}"] = (sample, contig)
-                self._bare.setdefault(contig, (sample, contig))
+                note_bare(contig, (sample, contig))
                 short = contig.split()[0] if contig.split() else contig
                 if short != contig:
                     self._exact.setdefault(
                         f"{short}@{sample}", (sample, contig)
                     )
-                    self._bare.setdefault(short, (sample, contig))
+                    note_bare(short, (sample, contig))
 
     def close(self) -> None:
         self._fh.close()
@@ -138,7 +159,13 @@ class AgzArchive:
         if name in self._exact:
             return self._exact[name]
         if name in self._bare:
-            return self._bare[name]
+            hit = self._bare[name]
+            if hit is None:
+                raise KeyError(
+                    f"sequence '{name}' is ambiguous in {self.path} "
+                    "(present in multiple samples) — use contig@sample"
+                )
+            return hit
         raise KeyError(f"sequence '{name}' not found in {self.path}")
 
     def get_sequence_length(self, name: str) -> int:

@@ -76,6 +76,10 @@ def _fastga_segments(runs: np.ndarray, spacing: int, qs: int, qe: int,
     """(diffs, t_delta) per fixed-QUERY-spacing segment (the tpa Fastga
     encoding: pairs (num_diffs, target_delta), tpa_parser.rs:164), with
     the grid anchored at absolute multiples of spacing."""
+    if runs.size == 0:
+        # Degenerate record (no CIGAR runs): nothing to segment; the
+        # bound-to-run search below would index an empty array otherwise.
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
     dq, dt, dd = _run_axes(runs)
     cq = np.concatenate([[0], np.cumsum(dq)])
     ct = np.concatenate([[0], np.cumsum(dt)])
@@ -103,12 +107,13 @@ def _fastga_segments(runs: np.ndarray, spacing: int, qs: int, qe: int,
 
 
 def _standard_segments(tp, r: int):
-    """(q_delta, t_delta) pairs from the target-grid tracepoint arena."""
+    """Per-segment query advances from the target-grid tracepoint arena
+    (the standard encoding's `a` values; the caller synthesizes the
+    target deltas from the fixed target grid)."""
     off = int(tp.seg_off[r])
     nseg = int(tp.n_seg[r])
     qb = tp.q_bound[off : off + nseg + 1].astype(np.int64)
-    q_deltas = np.abs(np.diff(qb))
-    return q_deltas
+    return np.abs(np.diff(qb))
 
 
 def write_tpa(
@@ -151,7 +156,6 @@ def write_tpa(
             n_items = len(diffs)
         else:
             q_deltas = _standard_segments(tp, r)
-            soff = int(tp.seg_off[r])
             nseg = int(tp.n_seg[r])
             ts = int(records.t_start[r])
             te = int(records.t_end[r])
@@ -160,7 +164,6 @@ def write_tpa(
             )
             bounds[-1] = te
             t_deltas = np.diff(bounds)
-            del soff
             tp_a.extend(int(x) for x in q_deltas)
             tp_b.extend(int(x) for x in t_deltas)
             n_items = len(q_deltas)
@@ -256,6 +259,7 @@ def parse_tpa(path: str, seq_index: SequenceIndex, seq_fetch=None):
         t_deltas: list[int] = []
         literal: list = []
         total_q = abs(qe - qs)
+        q_used = 0  # running sum(advances): keeps this loop linear
         for i in range(len(kinds)):
             if int(kinds[i]) == KIND_CIGAR:
                 op = int(a[i])
@@ -263,6 +267,7 @@ def parse_tpa(path: str, seq_index: SequenceIndex, seq_fetch=None):
                 dq = ln if op != cigar.OP_D else 0
                 dt = ln if op != cigar.OP_I else 0
                 advances.append(dq)
+                q_used += dq
                 t_deltas.append(dt)
                 diffs.append(0)
                 literal.append([(ln, op)])
@@ -270,6 +275,7 @@ def parse_tpa(path: str, seq_index: SequenceIndex, seq_fetch=None):
             ai, bi = int(a[i]), int(b[i])
             if tp_type == "standard":
                 advances.append(ai)
+                q_used += ai
                 t_deltas.append(bi)
                 diffs.append(0)
             elif tp_type in ("fastga", "fastga-nodiff"):
@@ -281,20 +287,25 @@ def parse_tpa(path: str, seq_index: SequenceIndex, seq_fetch=None):
                     _fastga_first_boundary(spacing, qs, qe, rev)
                     if not advances else spacing
                 )
-                advances.append(min(step, max(total_q - sum(advances), 0)))
+                adv = min(step, max(total_q - q_used, 0))
+                advances.append(adv)
+                q_used += adv
                 t_deltas.append(bi)
                 diffs.append(ai if tp_type == "fastga" else 0)
             elif tp_type == "variable":
                 # (target_delta, optional query_delta); absent second value
                 # (-1) means the fixed spacing (tpa_parser.rs:180).
                 t_deltas.append(ai)
-                advances.append(
+                adv = (
                     bi if bi >= 0
-                    else min(spacing, max(total_q - sum(advances), 0))
+                    else min(spacing, max(total_q - q_used, 0))
                 )
+                advances.append(adv)
+                q_used += adv
                 diffs.append(0)
             else:  # mixed pair item: (query_delta, target_delta)
                 advances.append(ai)
+                q_used += ai
                 t_deltas.append(bi)
                 diffs.append(0)
             literal.append(None)

@@ -37,7 +37,7 @@ def test_listing_and_lengths(archive):
     assert arc.list_contigs("sampleA") == ["chr1", "chr2"]
     assert arc.get_sequence_length("chr1@sampleA") == 700_000
     assert arc.get_sequence_length("chr1@sampleB") == 5000
-    # Bare contig resolves to the first sample carrying it; chr2 is unique.
+    # Bare contig resolution requires uniqueness; chr2 is unique.
     assert arc.get_sequence_length("chr2") == 1234
 
 
@@ -197,3 +197,33 @@ def test_agc_outside_envelope_raises_conversion_path():
         open(trunc, "wb").write(raw[: len(raw) // 2])
         with pytest.raises(ValueError, match="unsupported AGC archive"):
             AgcArchive(trunc)
+
+
+def test_agz_duplicate_contigs_and_bare_ambiguity(tmp_path):
+    """Round-2 review fixes: duplicate contig names within one sample
+    refuse at create (the second used to orphan the first's blocks);
+    ambiguous bare contig lookups raise instead of silently picking the
+    first sample; sample_names length mismatches refuse."""
+    fa1 = tmp_path / "s1.fa"
+    fa1.write_text(">chr1\nACGT\n>chr2\nGGTT\n")
+    fa2 = tmp_path / "s2.fa"
+    fa2.write_text(">chr1\nTTTT\n")
+    out = str(tmp_path / "p.agz")
+    create_agz(out, [str(fa1), str(fa2)], sample_names=["s1", "s2"])
+    a = AgzArchive(out)
+    assert a.fetch_sequence("chr1@s1", 0, 4) == b"ACGT"
+    assert a.fetch_sequence("chr1@s2", 0, 4) == b"TTTT"
+    assert a.fetch_sequence("chr2", 0, 4) == b"GGTT"  # unique bare is fine
+    with pytest.raises(KeyError, match="ambiguous"):
+        a.fetch_sequence("chr1", 0, 4)
+
+    dup = tmp_path / "dup.fa"
+    dup.write_text(">chr1 foo\nAAAA\n>chr1 bar\nCCCC\n")
+    with pytest.raises(ValueError, match="duplicate contig"):
+        create_agz(str(tmp_path / "d.agz"), [str(dup)])
+
+    with pytest.raises(ValueError, match="sample_names"):
+        create_agz(
+            str(tmp_path / "m.agz"), [str(fa1), str(fa2)],
+            sample_names=["only-one"],
+        )

@@ -211,3 +211,63 @@ def test_cli_gfa2vcf_multiple_references(tmp_path):
     assert sum(1 for l in lines if l.startswith("##fileformat")) == 1
     chroms = {l.split("\t")[0] for l in lines if l and not l.startswith("#")}
     assert chroms == {"p1", "p2"}
+
+
+def test_reference_selection_exact_beats_prefix_shadow():
+    """Round-2 review fix: 'chr1' must not select 'chr10:...' (bare-prefix
+    shadowing); unknown references raise instead of silently using the
+    first path."""
+    import pytest
+
+    from impg_tpu.graph.vcf import gfa_to_vcf
+
+    gfa = (
+        "H\tVN:Z:1.0\n"
+        "S\t1\tACGTACGTAC\nS\t2\tG\nS\t3\tT\nS\t4\tCCGGCCGGCC\n"
+        "L\t1\t+\t2\t+\t0M\nL\t1\t+\t3\t+\t0M\n"
+        "L\t2\t+\t4\t+\t0M\nL\t3\t+\t4\t+\t0M\n"
+        "P\tchr10:0-100\t1+,2+,4+\t*\n"
+        "P\tchr1:0-100\t1+,3+,4+\t*\n"
+    )
+    out = gfa_to_vcf(gfa, reference_path="chr1")
+    assert "##reference=chr1:0-100" in out
+    recs = [l for l in out.splitlines() if l and not l.startswith("#")]
+    assert recs and all(l.split("\t")[0] == "chr1" for l in recs)
+    with pytest.raises(ValueError, match="not found"):
+        gfa_to_vcf(gfa, reference_path="chr2")
+
+
+def test_non_covering_paths_genotyped_missing_outside_span():
+    """Round-2 review fix: a path whose anchor chain covers only part of
+    the reference must genotype '.', not '0', at sites outside its span
+    (matching the flubble emitter's non-traversing contract)."""
+    from impg_tpu.graph.vcf import gfa_to_vcf
+
+    # ref = A,B1,C,B2,E ; pvar differs at B1 (early) and B2 (late);
+    # pleft anchors only A..C (covers the early site, not the late one).
+    gfa = (
+        "H\tVN:Z:1.0\n"
+        "S\tA\tACGTACGTAC\nS\tB1\tG\nS\tX1\tT\nS\tC\tCCGGCCGGCC\n"
+        "S\tB2\tA\nS\tX2\tC\nS\tE\tGGTTGGTTGG\n"
+        "P\tref\tA+,B1+,C+,B2+,E+\t*\n"
+        "P\tpvar\tA+,X1+,C+,X2+,E+\t*\n"
+        "P\tpleft\tA+,B1+,C+\t*\n"
+    )
+    out = gfa_to_vcf(gfa, reference_path="ref")
+    recs = [
+        l.split("\t") for l in out.splitlines()
+        if l and not l.startswith("#")
+    ]
+    assert len(recs) == 2
+    header = [
+        l for l in out.splitlines() if l.startswith("#CHROM")
+    ][0].split("\t")
+    i_pvar = header.index("pvar")
+    i_pleft = header.index("pleft")
+    early, late = sorted(recs, key=lambda r: int(r[1]))
+    # early site: pleft covers it and agrees with ref -> '0'
+    assert early[i_pvar] == "1" and early[i_pleft] == "0"
+    # late site: pleft's chain ends at C -> '.', and AN counts only
+    # samples with evidence there
+    assert late[i_pvar] == "1" and late[i_pleft] == "."
+    assert "AN=1" in late[7] and "AN=2" in early[7]
