@@ -26,12 +26,14 @@ majority-reverse paths forward first so that subset covers more.
 from __future__ import annotations
 
 from impg_tpu.graph.gfa import Gfa
-
-_RC = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+from impg_tpu.io.fasta import reverse_complement
 
 
 def _rc(seq: str) -> str:
-    return "".join(_RC.get(c, "N") for c in reversed(seq))
+    # IUPAC-aware (lowercase, ambiguity codes): unmapped bytes pass through
+    # the translate table unchanged, so the suffix-sweep's double mirror
+    # (_reverse_gfa twice) is lossless on every legal GFA sequence.
+    return reverse_complement(seq.encode("ascii")).decode("ascii")
 
 
 def _children(gfa: Gfa) -> dict[str, list[str]]:
