@@ -50,10 +50,21 @@ Collection (v3 semantic layer):
     a series of 0xFF-terminated entries, entry 0 of part 0 being a
     one-byte ``0x7f`` group header; bases are coded 0..3 = ACGT.
 
+Multi-segment contigs (every real chromosome: AGC segments at splitter
+k-mers near ``segment_size``) are stitched with the AGC overlap rule:
+consecutive segments share the k-long splitter, so
+``contig = seg0 + seg1[k:] + seg2[k:] + ...`` and
+``len(contig) = sum(seg_lens) - (n_seg - 1) * kmer_length``.  Because no
+multi-segment sample archive exists in this environment, the stitch
+VERIFIES the k-base overlap actually matches and raises
+``AgcFormatError`` (with the conversion path) on mismatch instead of
+emitting silently-wrong bases; synthetic archives written to this exact
+layout round-trip in tests/test_agz.py.
+
 Anything outside this verified envelope (file_version_major != 3,
-multi-segment contigs, segment reuse deltas != 1, non-ACGT symbol codes,
-missing group streams) raises ``AgcFormatError`` naming the limitation
-and the supported conversion path, instead of guessing.
+segment reuse deltas != 1, non-ACGT symbol codes, missing group
+streams) raises ``AgcFormatError`` naming the limitation and the
+supported conversion path, instead of guessing.
 """
 
 from __future__ import annotations
@@ -68,6 +79,8 @@ except ImportError:  # pragma: no cover
 
 ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
 _BASES = b"ACGT"
+# 0..3 -> ACGT; higher codes pass through (rejected by a max() check first)
+_CODE_TO_BASE = bytes.maketrans(bytes(range(4)), _BASES)
 _COMPLEMENT = bytes.maketrans(b"ACGT", b"TGCA")
 
 CONVERSION_HINT = (
@@ -151,23 +164,27 @@ class AgcArchive:
         self._load_collection()
         # contig@sample exact; bare contig + short contig ONLY when unique
         # across samples (agc_index.rs:94-120 interning / parse_query);
-        # ambiguous bare names map to None and raise at lookup.
-        self._exact: dict[str, tuple[str, str]] = {}
+        # ambiguous names (bare OR short@sample, when two contigs in one
+        # sample share a whitespace-truncated short name) map to None and
+        # raise at lookup instead of silently picking the first.
+        self._exact: dict[str, tuple[str, str] | None] = {}
         self._bare: dict[str, tuple[str, str] | None] = {}
 
-        def note_bare(key: str, val: tuple[str, str]) -> None:
-            cur = self._bare.get(key, val)
-            self._bare[key] = val if cur == val else None
+        def note(table: dict, key: str, val: tuple[str, str]) -> None:
+            cur = table.get(key, val)
+            table[key] = val if cur == val else None
 
         for sample in self.samples:
             for contig in self._contigs[sample]:
-                self._exact[f"{contig}@{sample}"] = (sample, contig)
-                note_bare(contig, (sample, contig))
+                note(self._bare, contig, (sample, contig))
                 short = contig.split()[0] if contig.split() else contig
                 if short != contig:
-                    self._exact.setdefault(f"{short}@{sample}",
-                                           (sample, contig))
-                    note_bare(short, (sample, contig))
+                    note(self._exact, f"{short}@{sample}",
+                         (sample, contig))
+                    note(self._bare, short, (sample, contig))
+        for sample in self.samples:  # full names win over short aliases
+            for contig in self._contigs[sample]:
+                self._exact[f"{contig}@{sample}"] = (sample, contig)
 
     # ---- container -------------------------------------------------------
 
@@ -325,11 +342,6 @@ class AgcArchive:
         self._segments: dict[tuple[str, str], list[tuple[int, int, int, int]]]
         self._segments = {}
         for s, c, n_seg in seg_counts:
-            if n_seg != 1:
-                raise _err(self.path,
-                           f"contig {c!r}@{s!r} has {n_seg} segments; only "
-                           "single-segment contigs are in the verified AGC "
-                           "v3 envelope")
             segs = []
             for _ in range(n_seg):
                 g, gpos = _rd_varint(groups, gpos)
@@ -394,12 +406,11 @@ class AgcArchive:
             raise _err(self.path, f"{where}: segment length {len(codes)} != "
                        f"recorded {raw_len} (pack layout outside the "
                        "verified envelope)")
-        try:
-            seq = bytes(_BASES[b] for b in codes)
-        except IndexError:
-            bad = max(codes)
-            raise _err(self.path, f"{where}: symbol code {bad} (only "
-                       "A/C/G/T codes 0-3 are in the verified envelope)")
+        if codes and max(codes) > 3:
+            raise _err(self.path, f"{where}: symbol code {max(codes)} "
+                       "(only A/C/G/T codes 0-3 are in the verified "
+                       "envelope)")
+        seq = codes.translate(_CODE_TO_BASE)
         if orient:
             seq = seq.translate(_COMPLEMENT)[::-1]
         return seq
@@ -408,9 +419,27 @@ class AgcArchive:
         key = (sample, contig)
         got = self._contig_cache.get(key)
         if got is None:
-            (g, in_group, raw_len, orient), = self._segments[key]
-            got = self._decode_segment(g, in_group, raw_len, orient,
-                                       f"{contig}@{sample}")
+            where = f"{contig}@{sample}"
+            k = self.kmer_length
+            buf = bytearray()
+            for i, (g, in_group, raw_len, orient) in enumerate(
+                    self._segments[key]):
+                seg = self._decode_segment(g, in_group, raw_len, orient,
+                                           where)
+                if i:
+                    # AGC stitch rule: consecutive segments share the
+                    # k-long splitter k-mer.  Verify instead of trusting —
+                    # a wrong stitch must fail loudly, not corrupt bases.
+                    if len(seg) < k or seg[:k] != bytes(buf[-k:]):
+                        raise _err(self.path,
+                                   f"{where}: segment {i} does not overlap "
+                                   "the previous segment by kmer_length "
+                                   "(stitch layout outside the verified "
+                                   "envelope)")
+                    buf += seg[k:]
+                else:
+                    buf += seg
+            got = bytes(buf)
             self._contig_cache[key] = got
         return got
 
@@ -433,22 +462,25 @@ class AgcArchive:
     # ---- access -------------------------------------------------------------
 
     def _resolve(self, name: str) -> tuple[str, str]:
-        if name in self._exact:
-            return self._exact[name]
-        if name in self._bare:
-            hit = self._bare[name]
-            if hit is None:
-                raise KeyError(
-                    f"sequence '{name}' is ambiguous in {self.path} "
-                    "(present in multiple samples) — use contig@sample"
-                )
-            return hit
+        for table, how in ((self._exact, "as a short name within the "
+                            "sample — use the full contig name"),
+                           (self._bare, "present in multiple samples — "
+                            "use contig@sample")):
+            if name in table:
+                hit = table[name]
+                if hit is None:
+                    raise KeyError(f"sequence '{name}' is ambiguous in "
+                                   f"{self.path} ({how})")
+                return hit
         raise KeyError(f"sequence '{name}' not found in {self.path}")
 
     def get_sequence_length(self, name: str) -> int:
         sample, contig = self._resolve(name)
-        # O(1) from the recorded raw_length (single-segment envelope).
-        return self._segments[(sample, contig)][0][2]
+        # O(1) from the recorded raw_lengths: consecutive segments share
+        # the k-long splitter, so the stitched length drops (n-1)*k.
+        segs = self._segments[(sample, contig)]
+        total = sum(raw_len for _, _, raw_len, _ in segs)
+        return total - (len(segs) - 1) * self.kmer_length
 
     def fetch_sequence(self, name: str, start: int, end: int) -> bytes:
         sample, contig = self._resolve(name)

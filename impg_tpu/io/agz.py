@@ -116,26 +116,29 @@ class AgzArchive:
         self._samples: dict[str, dict] = directory["samples"]
         # contig@sample exact; bare contig + short contig when unique
         # (agc_index.rs:94-120 interning).
-        self._exact: dict[str, tuple[str, str]] = {}
+        self._exact: dict[str, tuple[str, str] | None] = {}
         # Bare contig resolution is only valid when unique across samples
-        # (agc_index.rs parse_query); ambiguous names map to None and
-        # raise at lookup instead of silently picking the first sample.
+        # (agc_index.rs parse_query); ambiguous names — bare OR
+        # short@sample when two contigs in one sample share a
+        # whitespace-truncated short name — map to None and raise at
+        # lookup instead of silently picking the first.
         self._bare: dict[str, tuple[str, str] | None] = {}
 
-        def note_bare(key: str, val: tuple[str, str]) -> None:
-            cur = self._bare.get(key, val)
-            self._bare[key] = val if cur == val else None
+        def note(table: dict, key: str, val: tuple[str, str]) -> None:
+            cur = table.get(key, val)
+            table[key] = val if cur == val else None
 
         for sample, contigs in self._samples.items():
             for contig in contigs:
-                self._exact[f"{contig}@{sample}"] = (sample, contig)
-                note_bare(contig, (sample, contig))
+                note(self._bare, contig, (sample, contig))
                 short = contig.split()[0] if contig.split() else contig
                 if short != contig:
-                    self._exact.setdefault(
-                        f"{short}@{sample}", (sample, contig)
-                    )
-                    note_bare(short, (sample, contig))
+                    note(self._exact, f"{short}@{sample}",
+                         (sample, contig))
+                    note(self._bare, short, (sample, contig))
+        for sample, contigs in self._samples.items():
+            for contig in contigs:  # full names win over short aliases
+                self._exact[f"{contig}@{sample}"] = (sample, contig)
 
     def close(self) -> None:
         self._fh.close()
@@ -156,16 +159,16 @@ class AgzArchive:
     # ---- access ----------------------------------------------------------
 
     def _resolve(self, name: str) -> tuple[str, str]:
-        if name in self._exact:
-            return self._exact[name]
-        if name in self._bare:
-            hit = self._bare[name]
-            if hit is None:
-                raise KeyError(
-                    f"sequence '{name}' is ambiguous in {self.path} "
-                    "(present in multiple samples) — use contig@sample"
-                )
-            return hit
+        for table, how in ((self._exact, "as a short name within the "
+                            "sample — use the full contig name"),
+                           (self._bare, "present in multiple samples — "
+                            "use contig@sample")):
+            if name in table:
+                hit = table[name]
+                if hit is None:
+                    raise KeyError(f"sequence '{name}' is ambiguous in "
+                                   f"{self.path} ({how})")
+                return hit
         raise KeyError(f"sequence '{name}' not found in {self.path}")
 
     def get_sequence_length(self, name: str) -> int:
