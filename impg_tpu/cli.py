@@ -19,6 +19,19 @@ import sys
 from impg_tpu.io import bed as bed_mod
 
 
+def _add_engine_opt(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--compute-engine",
+        choices=["host", "device", "mesh", "auto"],
+        default="auto",
+        help="host: numpy engine; device: jitted TPU batched engine; "
+        "mesh: sharded engine over every visible device (multi-process "
+        "with IMPG_COORDINATOR); auto (default): device/mesh when an "
+        "accelerator is reachable and the index is non-toy, else host "
+        "(IMPG_AUTO_MIN_RECORDS tunes the gate)",
+    )
+
+
 def _add_common_query_opts(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "-a",
@@ -348,7 +361,16 @@ def _resolve_compute_engine(args, index, approximate: bool = False,
         jax.config.update("jax_platforms", "")
         devs = jax.devices()
     if spec == "auto":
-        if devs[0].platform == "cpu" or n_targets < 64:
+        if devs[0].platform == "cpu":
+            return None  # no accelerator: numpy host engine
+        # Work-size gate on the INDEX, not the seed count: transitive
+        # queries expand one seed into thousands of frontier probes, so
+        # n_targets is a bad proxy for device work.  Tiny toy indexes
+        # stay on host (dispatch + first-compile dominates); any
+        # production-scale index runs on the device by default.
+        n_records = len(getattr(index, "records", ())) or n_targets
+        min_records = int(os.environ.get("IMPG_AUTO_MIN_RECORDS", "4096"))
+        if n_records < min_records and n_targets < 64:
             return None
         spec = "mesh" if len(devs) > 1 or want_dist else "device"
     if spec == "device":
@@ -862,6 +884,15 @@ def cmd_similarity(args) -> int:
     )
     subset_match = subset.matches if subset else None
 
+    # Device engine accelerates the region-gathering transitive BFS; the
+    # POA MSA + metric stages follow on host (the cosine/jaccard math is
+    # tiny compared to gathering).
+    device_engine = (
+        _resolve_compute_engine(args, index, n_targets=len(targets))
+        if args.transitive and not args.transitive_dfs
+        else None
+    )
+
     print(sim_mod.similarity_header(args.distances))
     pca_results: list = []
     for target_name, (start, end), name in targets:
@@ -878,8 +909,7 @@ def cmd_similarity(args) -> int:
                 if args.transitive_dfs
                 else engine.query_transitive_bfs
             )
-            results = walker(
-                index, tid, start, end,
+            kwargs = dict(
                 max_depth=args.max_depth,
                 min_transitive_len=args.min_transitive_len,
                 min_distance_between_ranges=args.min_distance_between_ranges,
@@ -887,6 +917,9 @@ def cmd_similarity(args) -> int:
                 min_identity=args.min_result_identity,
                 subset_match=subset_match,
             )
+            if device_engine is not None:
+                kwargs["device_engine"] = device_engine
+            results = walker(index, tid, start, end, **kwargs)
         else:
             results = engine.query(
                 index, tid, start, end, min_identity=args.min_result_identity
@@ -2308,8 +2341,49 @@ def cmd_graph_report(args) -> int:
     return 0
 
 
+def _stats_region_depth(args, index) -> int:
+    """`stats -r/-b`: per-region overlapping directed-record counts.
+
+    Reference role: per-tree interval accounting (main.rs:13194
+    print_stats), extended to arbitrary regions.  Device path is the
+    tiled pallas stab kernel (DeviceEngine.stab_counts); host path is the
+    index's own stab — both count the same closed-interval overlaps.
+    """
+    import numpy as np
+
+    if args.target_bed:
+        targets = bed_mod.parse_bed_file(args.target_bed)
+    else:
+        targets = [bed_mod.parse_target_range(args.target_range)]
+    tids, spans = [], []
+    for name, (s, e), _label in targets:
+        sid = index.seq_index.get_id(name)
+        if sid is None:
+            print(f"error: sequence '{name}' not found in index",
+                  file=sys.stderr)
+            return 2
+        tids.append(sid)
+        spans.append((s, e))
+    engine = _resolve_compute_engine(args, index, n_targets=len(targets))
+    if engine is not None and hasattr(engine, "stab_counts"):
+        counts = engine.stab_counts(
+            np.asarray(tids, np.int32),
+            np.asarray([s for s, _ in spans], np.int32),
+            np.asarray([e for _, e in spans], np.int32),
+        )
+    else:
+        counts = [index.stab(t, s, e).size
+                  for t, (s, e) in zip(tids, spans)]
+    print("Region\tOverlapping_records")
+    for (name, (s, e), _label), c in zip(targets, counts):
+        print(f"{name}:{s}-{e}\t{int(c)}")
+    return 0
+
+
 def cmd_stats(args) -> int:
     index = _load_index(args)
+    if getattr(args, "target_range", None) or getattr(args, "target_bed", None):
+        return _stats_region_depth(args, index)
     if args.list_sequences:
         print("Sequence\tLength")
         for i in range(len(index.seq_index)):
@@ -2414,20 +2488,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="Tracepoint-only projection: intervals + identity without run "
         "slicing (bed/bedpe output only)",
     )
-    p_query.add_argument(
-        "--compute-engine",
-        choices=["host", "device", "mesh", "auto"],
-        default="host",
-        help="host: numpy engine; device: jitted TPU batched engine; "
-        "mesh: sharded engine over every visible device (multi-process "
-        "with IMPG_COORDINATOR); auto: device/mesh for large batches "
-        "when a backend is reachable",
-    )
+    _add_engine_opt(p_query)
     p_query.set_defaults(func=cmd_query)
 
     p_stats = sub.add_parser("stats", help="Index statistics")
     _add_common_query_opts(p_stats)
     p_stats.add_argument("--list-sequences", action="store_true")
+    p_stats.add_argument(
+        "-r", "--target-range",
+        help="Report overlapping-record depth for one region "
+        "(seq:start-end) instead of whole-index stats",
+    )
+    p_stats.add_argument(
+        "-b", "--target-bed",
+        help="Report overlapping-record depth per BED region",
+    )
+    _add_engine_opt(p_stats)
     p_stats.set_defaults(func=cmd_stats)
 
     p_part = sub.add_parser(
@@ -2464,11 +2540,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--sequence-files)",
     )
     p_part.add_argument("--output-folder")
-    p_part.add_argument(
-        "--compute-engine",
-        choices=["host", "device", "mesh", "auto"],
-        default="host",
-    )
+    _add_engine_opt(p_part)
     p_part.set_defaults(func=cmd_partition)
 
     p_ref = sub.add_parser(
@@ -2495,11 +2567,7 @@ def build_parser() -> argparse.ArgumentParser:
     p_ref.add_argument("--min-transitive-len", type=int, default=101)
     p_ref.add_argument("--min-distance-between-ranges", type=int, default=10)
     p_ref.add_argument("--subset-sequence-list")
-    p_ref.add_argument(
-        "--compute-engine",
-        choices=["host", "device", "mesh", "auto"],
-        default="host",
-    )
+    _add_engine_opt(p_ref)
     p_ref.set_defaults(func=cmd_refine)
 
     p_sim = sub.add_parser(
@@ -2546,6 +2614,7 @@ def build_parser() -> argparse.ArgumentParser:
     p_sim.add_argument("--min-transitive-len", type=int, default=101)
     p_sim.add_argument("--min-distance-between-ranges", type=int, default=10)
     p_sim.add_argument("--subset-sequence-list")
+    _add_engine_opt(p_sim)
     p_sim.set_defaults(func=cmd_similarity)
 
     p_lace = sub.add_parser(
@@ -2653,6 +2722,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--max-hits", type=int, default=0,
         help="Maximum PAF hits per query (0 = no limit)",
     )
+    _add_engine_opt(p_map)
     p_map.set_defaults(func=cmd_map)
 
     p_gt = sub.add_parser(
@@ -2688,6 +2758,7 @@ def build_parser() -> argparse.ArgumentParser:
         default="overlapping",
     )
     p_gt.add_argument("--sample-name", default="sample")
+    _add_engine_opt(p_gt)
     p_gt.set_defaults(func=cmd_genotype)
 
     p_rnd = sub.add_parser(
@@ -2836,6 +2907,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="Text file listing sequence file paths (alternative to "
         "--sequence-files)",
     )
+    _add_engine_opt(p_inf)
     p_inf.set_defaults(func=cmd_infer)
 
     p_sm = sub.add_parser(

@@ -10,10 +10,12 @@ Kernel layout: the grid walks record tiles; each tile of record coordinates
 is DMA'd into VMEM once and tested against ALL B queries (queries stay
 VMEM-resident across the whole grid), accumulating per-query counts — the
 high work-per-HBM-byte schedule that makes batched stabbing bandwidth-
-efficient on TPU.  Used by the device engine as a validation/statistics
-primitive (`DeviceEngine.stab_counts`) and as the scaling pattern for future
-full-enumeration kernels; correctness is tested against numpy and the
-windowed stab.
+efficient on TPU.  Production consumer: `DeviceEngine.stab_counts`
+(query/device.py), which backs the `stats -r/-b` region-depth CLI; it is
+NOT on the query hot path — there the measured XLA gather/binary-search
+stab wins (see ROADMAP "Pallas fused stab+project kernel": the windowed
+gather touches ~2*log(L) values per pair vs whole-span DMA).  Correctness
+is tested against numpy, the windowed stab, and host-vs-device CLI output.
 """
 
 from __future__ import annotations

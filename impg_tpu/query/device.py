@@ -682,6 +682,36 @@ class DeviceEngine:
             out["pair_q"] = out["pair_q"] + off
             yield out
 
+    def stab_counts(self, q_tid, q_s, q_e) -> np.ndarray:
+        """Per-region overlapping directed-record counts (closed-interval
+        stab, coitrees semantics) via the tiled pallas kernel
+        (ops/pallas_stab.py) — the statistics primitive behind
+        `stats -r/-b` region depth.  Counts raw directed records before
+        projection/filters, so it matches the reference's per-tree
+        interval accounting (main.rs:13194 print_stats), not query hit
+        rows.  Pallas runs natively on TPU; on CPU backends the kernel
+        executes in interpret mode (correctness-tested either way)."""
+        from impg_tpu.ops import pallas_stab as ps
+
+        if not hasattr(self, "_stab_recs"):
+            r = self.index.records
+            self._stab_recs = tuple(
+                jnp.asarray(a) for a in ps.pad_records(
+                    r.target_id.astype(np.int32),
+                    r.t_start.astype(np.int32),
+                    r.t_end.astype(np.int32),
+                )
+            )
+        interpret = jax.devices()[0].platform == "cpu"
+        out = ps.stab_counts(
+            *self._stab_recs,
+            jnp.asarray(np.asarray(q_tid, np.int32)),
+            jnp.asarray(np.asarray(q_s, np.int32)),
+            jnp.asarray(np.asarray(q_e, np.int32)),
+            interpret=interpret,
+        )
+        return np.asarray(out)
+
     def query_batches(
         self, batches: list, clip_overlap: bool = False,
         approximate: bool = False,

@@ -241,3 +241,32 @@ def test_sequence_list_flag(tmp_path):
         "-o", "fasta", "--sequence-list", str(tmp_path / "nope.txt"),
     )
     assert missing.returncode == 2
+
+
+def test_cli_stats_region_depth(chain_paf, tmp_path):
+    """`stats -r/-b` prints per-region overlapping directed-record counts;
+    the pallas-backed device path (DeviceEngine.stab_counts) and the host
+    stab agree (reference role: main.rs:13194 print_stats accounting)."""
+    path, seqs, alns = chain_paf
+    host = run_cli("stats", "-a", path, "-r", "ref:500-1500",
+                   "--compute-engine", "host")
+    assert host.returncode == 0, host.stderr
+    lines = host.stdout.strip().splitlines()
+    assert lines[0] == "Region\tOverlapping_records"
+    region, count = lines[1].split("\t")
+    assert region == "ref:500-1500" and int(count) > 0
+    dev = run_cli("stats", "-a", path, "-r", "ref:500-1500",
+                  "--compute-engine", "device")
+    assert dev.returncode == 0, dev.stderr
+    assert dev.stdout == host.stdout
+    # BED batch
+    bed = tmp_path / "regions.bed"
+    bed.write_text("ref\t100\t400\nref\t500\t1500\n")
+    r = run_cli("stats", "-a", path, "-b", str(bed),
+                "--compute-engine", "device")
+    assert r.returncode == 0, r.stderr
+    assert len(r.stdout.strip().splitlines()) == 3
+    assert f"ref:500-1500\t{count}" in r.stdout
+    # unknown sequence errors like query
+    r = run_cli("stats", "-a", path, "-r", "nope:0-10")
+    assert r.returncode == 2
