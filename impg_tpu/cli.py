@@ -221,8 +221,7 @@ def _emit_region_format(
         "seqwish", "pggb", "syng-native"
     ):
         text = region_mod.generate_gfa_seqwish(
-            index, results, seq_idx,
-            sort_output=args.gfa_engine == "pggb",
+            index, results, seq_idx, engine=args.gfa_engine,
         )
     else:
         gen = {
@@ -968,17 +967,28 @@ def cmd_similarity(args) -> int:
 
 
 def cmd_lace(args) -> int:
-    from impg_tpu.graph import lace as lace_mod
-
     files: list[str] = []
-    for entry in args.gfa_files or []:
+    for entry in (args.gfa_files or []) + (args.files or []):
         files.extend(x for x in entry.split(",") if x)
-    if args.gfa_list:
-        with open(args.gfa_list) as fh:
-            files.extend(l.strip() for l in fh if l.strip())
+    for list_path in (args.gfa_list, args.file_list):
+        if list_path:
+            with open(list_path) as fh:
+                files.extend(
+                    l.strip() for l in fh
+                    if l.strip() and not l.strip().startswith("#")
+                )
     if not files:
-        print("error: no GFA files specified", file=sys.stderr)
+        print("error: no input files specified", file=sys.stderr)
         return 2
+    fmt = args.format
+    if fmt == "auto":
+        # Extension of the first file decides (main.rs determine_file_format)
+        first = files[0]
+        fmt = (
+            "vcf"
+            if first.endswith((".vcf", ".vcf.gz", ".vcf.zst", ".vcf.bgz"))
+            else "gfa"
+        )
     seq_idx = None
     if args.sequence_files:
         from impg_tpu.io.fasta import UnifiedSequenceIndex
@@ -987,10 +997,31 @@ def cmd_lace(args) -> int:
         for entry in args.sequence_files:
             sf.extend(x for x in entry.split(",") if x)
         seq_idx = UnifiedSequenceIndex.from_files(sf)
-    text = lace_mod.lace_files(files, args.fill_gaps, seq_idx)
-    with open(args.output, "w") as fh:
-        fh.write(text)
-    print(f"Laced {len(files)} GFAs -> {args.output}", file=sys.stderr)
+    if fmt == "vcf":
+        from impg_tpu.graph import vcf_lace
+
+        text = vcf_lace.lace_vcfs(files, seq_idx)
+    else:
+        from impg_tpu.graph import lace as lace_mod
+
+        text = lace_mod.lace_files(files, args.fill_gaps, seq_idx)
+    if args.output.endswith(".gz"):
+        import gzip as gzip_mod
+
+        with gzip_mod.open(args.output, "wt") as fh:
+            fh.write(text)
+    elif args.output.endswith(".zst"):
+        import zstandard
+
+        with open(args.output, "wb") as raw:
+            raw.write(zstandard.ZstdCompressor().compress(text.encode()))
+    else:
+        with open(args.output, "w") as fh:
+            fh.write(text)
+    print(
+        f"Laced {len(files)} {fmt.upper()}s -> {args.output}",
+        file=sys.stderr,
+    )
     return 0
 
 
@@ -1554,7 +1585,7 @@ def cmd_render(args) -> int:
         )
     if args.gfa_engine in ("seqwish", "pggb", "syng-native"):
         gfa_text = region_mod.generate_gfa_seqwish(
-            index, results, seq_idx, sort_output=args.gfa_engine == "pggb"
+            index, results, seq_idx, engine=args.gfa_engine
         )
     else:
         gfa_text = region_mod.generate_gfa(index, results, seq_idx)
@@ -2450,7 +2481,8 @@ def build_parser() -> argparse.ArgumentParser:
     p_query.add_argument("--poa-scoring", default="1,4,6,2,26,1")
     p_query.add_argument(
         "--gfa-engine", choices=["poa", "seqwish", "pggb", "syng-native"], default="poa",
-        help="Graph engine for -o gfa (pggb = seqwish + sort)",
+        help="Graph engine for -o gfa (pggb = seqwish + the automatic "
+        "sort/smooth/normalize chain, lib.rs:1015-1064)",
     )
     p_query.add_argument(
         "--sequence-files",
@@ -2618,12 +2650,24 @@ def build_parser() -> argparse.ArgumentParser:
     p_sim.set_defaults(func=cmd_similarity)
 
     p_lace = sub.add_parser(
-        "lace", help="Combine per-window GFAs into one graph"
+        "lace", help="Combine per-window GFAs (or VCFs) into one file"
     )
     p_lace.add_argument(
         "--gfa-files", action="append", help="GFA files (repeat/comma-separate)"
     )
     p_lace.add_argument("--gfa-list", help="File listing GFA paths, one per line")
+    p_lace.add_argument(
+        "--files", action="append",
+        help="Input files, GFA or VCF (reference --files naming)",
+    )
+    p_lace.add_argument(
+        "--file-list", help="File listing input paths, one per line"
+    )
+    p_lace.add_argument(
+        "--format", choices=["gfa", "vcf", "auto"], default="auto",
+        help="Input kind; auto = by first file's extension "
+        "(main.rs determine_file_format)",
+    )
     p_lace.add_argument("--output", required=True)
     p_lace.add_argument(
         "--fill-gaps", action="store_true",

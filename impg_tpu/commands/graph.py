@@ -7,9 +7,9 @@ sequence files (+ optional pre-computed PAF skipping the alignment step)
   * poa       → run_graph_build_poa (one POA over the whole sequences)
   * seqwish   → align (or take the given PAF) → seqwish induction
                 (commands/graph.rs:156 build_graph)
-  * pggb      → seqwish + Ygs sort (the reference then smooths/gfaffixes;
-                here those stay explicit `smooth`/`normalize` stages or
-                the partitioned pipeline's transforms)
+  * pggb      → seqwish + the reference's automatic chain: line-sort →
+                Ygs → smooth → gfaffix normalize → sort (lib.rs:1015-1064
+                via graph/pggb.py pggb_chain)
   * syng-native / syng-local → rejected with the reference's error
                 contract (main.rs:8794: only meaningful under
                 query/partition with selected intervals)
@@ -130,7 +130,7 @@ def build_graph_flat(
             fixed.append(line)
     gfa = "\n".join(fixed) + ("\n" if fixed else "")
     if engine == "pggb":
-        from impg_tpu.graph import sortgfa as sortgfa_mod
+        from impg_tpu.graph.pggb import pggb_chain
 
-        gfa = sortgfa_mod.sort_pipeline(gfa, "Ygs")
+        gfa = pggb_chain(gfa)
     return gfa

@@ -83,11 +83,16 @@ def generate_gfa_seqwish(
     rows: list[Row],
     seq_idx: UnifiedSequenceIndex,
     scoring=None,
-    sort_output: bool = False,
+    engine: str = "seqwish",
+    skip_normalize: bool = False,
 ) -> str:
     """Seqwish-engine region GFA: extract region sequences, all-vs-all align
     them natively, induce the variation graph (reference: GfaEngine::Seqwish,
-    graph.rs:1058 -> commands/graph.rs build_graph; Pggb = seqwish + sort)."""
+    graph.rs:1058 -> commands/graph.rs build_graph).  engine="pggb" runs
+    the reference's full automatic chain on top — line-sort, Ygs, smooth,
+    gfaffix normalize, sort (lib.rs:1015-1064; graph/pggb.py) — with the
+    normalize+final-sort skipped when the caller laces partitions
+    (skip_normalize, lib.rs:1060)."""
     from impg_tpu.commands import align as align_mod
     from impg_tpu.graph import seqwish as seqwish_mod
     from impg_tpu.syng.index import SyngIndex
@@ -118,10 +123,12 @@ def generate_gfa_seqwish(
         else:
             fixed.append(line)
     text = "\n".join(fixed) + "\n"
-    if sort_output:
-        from impg_tpu.graph import gfa as gfa_mod
+    if engine == "pggb":
+        from impg_tpu.graph.pggb import pggb_chain
 
-        text = gfa_mod.topological_sort(gfa_mod.Gfa.parse(text)).write()
+        text = pggb_chain(
+            text, scoring=scoring, skip_normalize=skip_normalize
+        )
     return text
 
 

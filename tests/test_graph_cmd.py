@@ -120,3 +120,29 @@ def test_graph_rejects_syng_engines(fasta):
     r = run_cli("graph", "-f", fa, "--gfa-engine", "syng-native")
     assert r.returncode != 0
     assert "query" in r.stderr and "partition" in r.stderr
+
+
+def test_graph_pggb_runs_full_auto_chain(fasta, tmp_path):
+    """pggb = seqwish -> line-sort -> Ygs -> smooth -> gfaffix normalize ->
+    sort (lib.rs:1015-1064), not seqwish+sort: spellings preserved, path
+    names unsuffixed, and the normalize stage leaves no shared-affix
+    sibling pairs under any parent."""
+    fa, seqs = fasta
+    r = run_cli("graph", "-f", fa, "--gfa-engine", "pggb")
+    assert r.returncode == 0, r.stderr
+    spelled = _spell(r.stdout)
+    assert set(spelled) == set(seqs)
+    for n in seqs:
+        assert spelled[n] == seqs[n], n
+    # The chain did more than seqwish+sort: the smoothed/normalized graph
+    # differs from the bare seqwish engine's.
+    r2 = run_cli("graph", "-f", fa, "--gfa-engine", "seqwish")
+    assert r2.returncode == 0, r2.stderr
+    assert set(r.stdout.splitlines()) != set(r2.stdout.splitlines())
+    # Ygs sort renumbered segments densely from 1
+    ids = sorted(
+        int(l.split("\t")[1])
+        for l in r.stdout.splitlines()
+        if l.startswith("S\t")
+    )
+    assert ids == list(range(1, len(ids) + 1))

@@ -271,3 +271,115 @@ def test_lace_splits_reverse_orientation_steps():
             t = reverse_complement(t.encode()).decode()
         s += t
     assert s == src
+
+
+# ---- VCF lacing (lace.rs:1404 run_vcf_lace) --------------------------------
+
+
+def _window_vcf(path, chrom_windows, samples, records, meta=()):
+    """records: list of (chrom_window, pos, ref, alt, gts)."""
+    lines = ["##fileformat=VCFv4.2", *meta]
+    lines.append("\t".join(["#CHROM", "POS", "ID", "REF", "ALT", "QUAL",
+                            "FILTER", "INFO", "FORMAT", *samples]))
+    for chrom, pos, ref, alt, gts in records:
+        lines.append("\t".join(
+            [chrom, str(pos), ".", ref, alt, ".", ".", ".", "GT", *gts]))
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def test_vcf_lace_merges_windows(tmp_path):
+    """Records lift to the base frame (POS += window start), samples union
+    sorted with ./. fill, ##contig regenerated from max window end, files
+    ordered by (chr, start) regardless of argument order."""
+    from impg_tpu.graph.vcf_lace import lace_vcfs
+
+    v1 = str(tmp_path / "w1.vcf")
+    v2 = str(tmp_path / "w2.vcf")
+    _window_vcf(v1, None, ["sampleA"],
+                [("ref#1#chr2:1000-2000", 5, "A", "T", ["1"])],
+                meta=("##source=impg-tpu-test",))
+    _window_vcf(v2, None, ["sampleB", "sampleA"],
+                [("ref#1#chr2:0-1000", 10, "G", "C", ["0", "1"]),
+                 ("ref#1#chr1:500-900", 3, "T", "G", ["1", "0"])])
+    # pass in "wrong" order; chr1 window (v2) sorts first
+    text = lace_vcfs([v1, v2])
+    lines = text.strip().splitlines()
+    assert lines[0] == "##fileformat=VCFv4.2"
+    contigs = [l for l in lines if l.startswith("##contig")]
+    assert contigs == [
+        "##contig=<ID=ref#1#chr1,length=900>",
+        "##contig=<ID=ref#1#chr2,length=2000>",
+    ]
+    header = [l for l in lines if l.startswith("#CHROM")][0]
+    assert header.endswith("FORMAT\tsampleA\tsampleB")
+    recs = [l.split("\t") for l in lines if not l.startswith("#")]
+    # v2 provides the meta-source file? No: v2 sorts first (chr1), so the
+    # ##source line from v1 is NOT copied (first sorted file's meta wins).
+    assert not any(l.startswith("##source") for l in lines)
+    # v2 (smallest key: chr1) writes first, keeping ITS record order —
+    # the reference sorts files, not records (lace.rs:1504, :1744).
+    assert recs[0][:2] == ["ref#1#chr2", "10"]
+    assert recs[0][9:] == ["1", "0"]          # (sampleA, sampleB)
+    assert recs[1][:2] == ["ref#1#chr1", "503"]
+    assert recs[1][9:] == ["0", "1"]
+    assert recs[2][:2] == ["ref#1#chr2", "1005"]
+    assert recs[2][9:] == ["1", "./."]        # sampleB missing in v1
+
+
+def test_vcf_lace_reference_lengths_and_gzip(tmp_path):
+    """--sequence-files overrides estimated contig lengths; gzip inputs
+    read transparently (lace.rs:1727, :1603)."""
+    import gzip
+
+    from impg_tpu.graph.vcf_lace import lace_vcfs
+
+    v1 = str(tmp_path / "w1.vcf")
+    _window_vcf(v1, None, ["s"], [("ctg:100-200", 7, "A", "G", ["1"])])
+    gz = str(tmp_path / "w1.vcf.gz")
+    with open(v1, "rb") as fh, gzip.open(gz, "wb") as out:
+        out.write(fh.read())
+
+    class FakeRef:
+        def get_sequence_length(self, name):
+            assert name == "ctg"
+            return 5000
+
+    text = lace_vcfs([gz], FakeRef())
+    assert "##contig=<ID=ctg,length=5000>" in text
+    assert "ctg\t107\t" in text
+
+
+def test_cli_lace_vcf_auto(tmp_path):
+    """CLI: lace --files *.vcf auto-routes to VCF lacing."""
+    from tests.test_cli import run_cli
+
+    v1 = tmp_path / "a.vcf"
+    _window_vcf(str(v1), None, ["s"],
+                [("chrX:50-80", 2, "C", "A", ["1"])])
+    out = tmp_path / "merged.vcf"
+    r = run_cli("lace", "--files", str(v1), "--output", str(out))
+    assert r.returncode == 0, r.stderr
+    body = out.read_text()
+    assert "chrX\t52\t" in body
+    assert "##contig=<ID=chrX,length=80>" in body
+
+
+def test_cli_partition_rejects_paf_like_reference(tmp_path):
+    """The reference validates partition output to bed/gfa/vcf/maf/fasta
+    ONLY (main.rs Args::Partition arm: validate_output_format(&output_format,
+    &["bed","gfa","vcf","maf","fasta"])) — there is no partition PAF writer
+    in partition.rs.  Pin that we mirror the rejection."""
+    import random
+
+    from tests import datagen
+    from tests.test_cli import run_cli
+
+    rng = random.Random(7)
+    text, seqs, alns = datagen.mutate_chain_paf(rng, n_seqs=3, seq_len=2000)
+    paf = tmp_path / "p.paf"
+    paf.write_text(text)
+    r = run_cli("partition", "-a", str(paf), "-w", "1000", "-d", "100",
+                "-o", "paf", cwd=str(tmp_path))
+    assert r.returncode == 2
+    assert "invalid choice" in r.stderr
