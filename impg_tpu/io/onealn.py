@@ -425,11 +425,19 @@ def iter_1aln_lines(path: str):
     with open(path, "rb") as fh:
         head = fh.read(4096)
     if head[:1] == b"1" and any(b > 0x7E or b < 0x09 for b in head):
+        # Header-first recognition (onecode.describe_onecode_header): the
+        # ASCII header grammar is shared with ONElib, so describe the file
+        # and the precise missing codec facts before erroring.
+        desc = onecode.describe_onecode_summary(path)
+        info = onecode.describe_onecode_header(path)
+        gaps = "; ".join(info["missing"]) if info else ""
         raise ValueError(
-            f"{path}: upstream ONElib binary .1aln container is not "
-            "supported. Convert to ASCII with the ONEcode toolchain "
-            "(`ONEview file.1aln > file.1aln.txt`) or re-export from this "
-            "framework (`impg-tpu export-1aln --binary`)."
+            f"{path}: recognized {desc or 'an upstream ONElib binary file'}"
+            f" — but its compressed line stream cannot be decoded here "
+            f"(missing codec facts: {gaps}). Convert to ASCII with the "
+            "ONEcode toolchain (`ONEview file.1aln > file.1aln.txt`) or "
+            "re-export from this framework (`impg-tpu export-1aln "
+            "--binary`)."
         )
     with open(path) as fh:
         for line in fh:

@@ -92,6 +92,129 @@ def is_onecode_binary(path: str) -> bool:
         return False
 
 
+def describe_onecode_header(path: str, max_bytes: int = 65536) -> dict | None:
+    """Header-first probe of a ONEcode file (ours OR upstream ONElib).
+
+    Every ONEcode file — ASCII or binary, ONElib-written or ours — begins
+    with an ASCII header (onealn.rs:50 reads it via OneFile::open_read;
+    the grammar is shared with this module's writer): a ``1`` first line
+    with the filetype + version, optional ``2`` subtype, ``!`` provenance,
+    ``#``/``@``/``+``/``%`` count lines, ``~`` embedded schema, and a
+    ``$`` line switching to the binary stream.  This parses exactly that
+    shared ASCII prefix and stops at the first binary byte, so upstream
+    ONElib binaries are RECOGNIZED AND DESCRIBED even though their line
+    stream cannot be decoded here.
+
+    Returns None when the file does not start with a ONEcode ``1`` line.
+    The dict carries: filetype, version, subtype, provenance (list of
+    ``!`` field tuples), counts (linetype -> declared total from ``#``),
+    schema (linetype -> raw schema tokens), binary (bool: saw ``$`` or
+    non-ASCII payload), header_lines (count parsed), and missing — the
+    codec facts still required for a byte-level upstream decode, kept
+    explicit per the interop contract:
+      * ONElib's per-field compression codecs (its vcEncode tables for
+        INT_LIST/DNA payloads) — no spec or sample in this environment;
+      * the binary line-record byte layout (linetype byte flag bits);
+      * the footer serialization behind ``goto`` (object index layout).
+    """
+    try:
+        with open(path, "rb") as fh:
+            head = fh.read(max_bytes)
+    except OSError:
+        return None
+    if not head.startswith(b"1 "):
+        return None
+    info: dict = {
+        "filetype": None, "version": None, "subtype": None,
+        "provenance": [], "counts": {}, "max_list": {}, "totals": {},
+        "schema": {}, "binary": False, "header_lines": 0,
+        "missing": [
+            "ONElib per-field compression codec tables",
+            "binary line-record byte layout (flag bits per linetype byte)",
+            "footer object-index serialization (goto index)",
+        ],
+    }
+
+    def _fields(rest: str) -> list[str]:
+        """ONEcode header tokens: `<len> <string>` pairs and bare ints."""
+        toks = rest.split()
+        out = []
+        i = 0
+        while i < len(toks):
+            if toks[i].isdigit() and i + 1 < len(toks) and not (
+                toks[i + 1].isdigit()
+            ):
+                out.append(toks[i + 1])
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    pos = 0
+    while pos < len(head):
+        nl = head.find(b"\n", pos)
+        raw = head[pos:nl] if nl >= 0 else head[pos:]
+        if any(b < 0x09 or b > 0x7E for b in raw):
+            info["binary"] = True  # reached the binary line stream
+            break
+        line = raw.decode("ascii", "replace").rstrip()
+        pos = (nl + 1) if nl >= 0 else len(head)
+        if not line:
+            continue
+        tag, _, rest = line.partition(" ")
+        info["header_lines"] += 1
+        if tag == "1":
+            f = _fields(rest)
+            info["filetype"] = f[0] if f else None
+            if len(f) >= 3:
+                info["version"] = f"{f[1]}.{f[2]}"
+        elif tag == "2":
+            f = _fields(rest)
+            info["subtype"] = f[0] if f else None
+        elif tag == "!":
+            info["provenance"].append(tuple(_fields(rest)))
+        elif tag == "#":
+            t = rest.split()
+            if len(t) >= 2:
+                info["counts"][t[0]] = int(t[1])
+        elif tag == "@":
+            t = rest.split()
+            if len(t) >= 2:
+                info["max_list"][t[0]] = int(t[1])
+        elif tag == "+":
+            t = rest.split()
+            if len(t) >= 2:
+                info["totals"][t[0]] = int(t[1])
+        elif tag == "~":
+            t = rest.split()
+            if len(t) >= 2:
+                info["schema"].setdefault(t[1] if t[0] in "ODG" else t[0],
+                                          t)
+        elif tag == "$":
+            info["binary"] = True
+            break
+        # other tags (%, <, >, .) are legal; counted but not interpreted
+    return info
+
+
+def describe_onecode_summary(path: str) -> str | None:
+    """One-line human description used in ingest error messages."""
+    info = describe_onecode_header(path)
+    if info is None:
+        return None
+    prog = info["provenance"][0][0] if info["provenance"] else "unknown tool"
+    counts = ", ".join(
+        f"{v} '{k}'" for k, v in sorted(info["counts"].items())
+    ) or "no declared counts"
+    return (
+        f"ONEcode {'binary' if info['binary'] else 'ASCII'} file, "
+        f"type '{info['filetype']}' v{info['version']}"
+        + (f" subtype '{info['subtype']}'" if info["subtype"] else "")
+        + f", written by {prog}; {counts}"
+    )
+
+
 class OneBinaryWriter:
     """Write a ONEcode-structured binary file.
 

@@ -332,3 +332,62 @@ def test_onecode_writer_spills_large_bodies(tmp_path):
     fill(p1)
     fill(p2, limit=512)
     assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_describe_onecode_header_on_own_export(roundtrip, tmp_path):
+    """The header probe reads our own binary container's ASCII header —
+    the grammar is shared with upstream ONElib (onealn.rs:50)."""
+    from impg_tpu.io import onecode
+
+    tmp, paf, fa, out, index, seqs, seq_data = roundtrip
+    bout = str(tmp_path / "d.1aln")
+    tp = index.ensure_tracepoints(100)
+    n = onealn.write_1aln(
+        bout, index.seq_index, index.records, index.arena, tp, binary=True
+    )
+    info = onecode.describe_onecode_header(bout)
+    assert info is not None
+    assert info["filetype"] == "aln"
+    assert info["binary"] is True
+    assert info["counts"].get("A") == n
+    assert "A" in info["schema"]
+    assert len(info["missing"]) == 3
+    summary = onecode.describe_onecode_summary(bout)
+    assert "type 'aln'" in summary and "binary" in summary
+
+
+def test_upstream_onelib_binary_recognized_and_described(tmp_path):
+    """A ONElib-style binary .1aln (ASCII header + compressed payload,
+    no container footer) is recognized and described in the ingest error
+    with the documented missing-codec gap list (VERDICT round-2 ask #7;
+    onealn.rs:14-93)."""
+    import pytest
+
+    p = str(tmp_path / "upstream.1aln")
+    header = (
+        b"1 3 aln 2 2\n"
+        b"2 3 sxs\n"
+        b"! 6 FastGA 5 1.0.2 9 <command> 8 20250101\n"
+        b"# A 42\n"
+        b"# T 42\n"
+        b"@ T 99\n"
+        b"$ 0\n"
+    )
+    with open(p, "wb") as fh:
+        fh.write(header + bytes(range(256)) * 8)
+    from impg_tpu.core.seqidx import SequenceIndex
+    from impg_tpu.io import onecode
+
+    info = onecode.describe_onecode_header(p)
+    assert info["filetype"] == "aln" and info["version"] == "2.2"
+    assert info["subtype"] == "sxs"
+    assert info["counts"] == {"A": 42, "T": 42}
+    assert info["binary"] is True
+    assert info["provenance"][0][0] == "FastGA"
+    with pytest.raises(ValueError) as ei:
+        onealn.parse_1aln(p, SequenceIndex())
+    msg = str(ei.value)
+    assert "recognized" in msg and "FastGA" in msg
+    assert "42 'A'" in msg
+    assert "missing codec facts" in msg and "footer" in msg
+    assert "ONEview" in msg  # conversion path still offered
