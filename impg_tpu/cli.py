@@ -385,6 +385,30 @@ def _resolve_compute_engine(args, index, approximate: bool = False,
     return ShardedEngine(index, with_tracepoints=approximate)
 
 
+def _device_wanted(args) -> bool:
+    """Engine-flag resolution for the syng-side commands (map/genotype/
+    infer): their device work is batched elementwise scans + matmuls
+    (ops/syncmer_jax.py, genotype/core.diploid_cosine_matrix_device), not
+    the interval engine, so the decision is just the flag + backend
+    reachability (host fallback stays automatic)."""
+    spec = getattr(args, "compute_engine", "auto") or "auto"
+    if spec == "host":
+        return False
+    if spec in ("device", "mesh"):
+        return True
+    import os
+
+    try:
+        import jax
+
+        plat = os.environ.get("IMPG_TPU_PLATFORM")
+        if plat:
+            jax.config.update("jax_platforms", plat)
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
 def _is_output_process() -> bool:
     """False on non-primary processes of a multi-process mesh run."""
     try:
@@ -1134,9 +1158,17 @@ def cmd_syng(args) -> int:
     files = []
     for entry in args.fasta_files:
         files.extend(x for x in entry.split(",") if x)
+    # Build extraction: the threaded native kernel wins on one-shot builds
+    # (no compile latency; README.md:315 headline conditions), so `auto`
+    # stays native here — the jitted scan is opt-in via an explicit
+    # device/mesh flag (bit-exact either way).
+    explicit_device = (
+        getattr(args, "compute_engine", "auto") in ("device", "mesh")
+    )
     idx = SyngIndex.build_from_fasta(
         files, k=args.syncmer_k, w=args.syncmer_w, seed=args.syncmer_seed,
         threads=getattr(args, "threads", 1) or 1,
+        extractor="device" if explicit_device else "native",
     )
     path = idx.save(args.output)
     print(
@@ -1403,7 +1435,14 @@ def cmd_map(args) -> int:
         print("error: map needs -a and -O (or --graph)", file=sys.stderr)
         return 2
     index = SyngIndex.load(args.alignment)
-    pack, n_reads, n_matched = map_reads(index, reads)
+    if _device_wanted(args):
+        # Fused device read->pack batches (extraction + dictionary lookup
+        # + segment-sum in one XLA program); bit-identical to map_reads.
+        from impg_tpu.ops.syncmer_jax import map_reads_batched
+
+        pack, n_reads, n_matched = map_reads_batched(index, reads)
+    else:
+        pack, n_reads, n_matched = map_reads(index, reads)
     if args.output_format == "pack-tsv":
         with open(args.output, "w") as fh:
             pack.write_tsv(fh)
@@ -1531,6 +1570,7 @@ def cmd_genotype(args) -> int:
         top_n=args.top_n,
         max_combinations=args.max_combinations,
         mode=args.candidate_mode,
+        device=_device_wanted(args),
     )
     if not results:
         print("error: no candidates found for region", file=sys.stderr)
@@ -2732,6 +2772,7 @@ def build_parser() -> argparse.ArgumentParser:
     p_syng.add_argument("--syncmer-k", type=int, default=8)
     p_syng.add_argument("--syncmer-w", type=int, default=55)
     p_syng.add_argument("--syncmer-seed", type=int, default=7)
+    _add_engine_opt(p_syng)
     p_syng.set_defaults(func=cmd_syng)
 
     p_map = sub.add_parser(

@@ -94,14 +94,38 @@ def genotype_cos(
     top_n: int = 10,
     max_combinations: int = 1_000_000,
     mode: str = "overlapping",
+    device: bool = False,
 ):
-    """Rank ploidy combinations of candidate haplotypes against the pack."""
+    """Rank ploidy combinations of candidate haplotypes against the pack.
+
+    `device=True` (--compute-engine device/mesh/auto with an accelerator)
+    scores ploidy-2 combinations as one jitted Gram matmul over densified
+    candidate vectors (genotype/core.run_diploid_search_dense) — the MXU
+    path of SURVEY §7 step 11; other ploidies stay on the sparse host
+    search (reference genotyping.rs:334 run_cosine_combination_search).
+    """
     candidates = find_candidates(index, target_name, start, end, mode=mode)
     if not candidates:
         return [], []
     universe = gt_core.feature_universe([c.features for c in candidates])
     uni_arr = np.asarray(universe, np.uint64)
     sample_counts_arr = pack.counts_for(uni_arr)
+    if device and ploidy == 2:
+        n = len(candidates)
+        if n * (n + 1) // 2 > max_combinations:
+            raise ValueError(
+                f"genotype combination search exceeded --max-combinations "
+                f"({max_combinations})"
+            )
+        feat_pos = {int(f): i for i, f in enumerate(universe)}
+        dense = np.zeros((n, len(universe)), np.float64)
+        for ci, cand in enumerate(candidates):
+            for fid, count in cand.features:
+                dense[ci, feat_pos[int(fid)]] += float(count)
+        results = gt_core.run_diploid_search_dense(
+            dense, sample_counts_arr.astype(np.float64), device=True
+        )
+        return candidates, results[:top_n]
     sample_counts = {
         int(f): int(c) for f, c in zip(universe, sample_counts_arr)
     }

@@ -172,13 +172,43 @@ def diploid_cosine_matrix(candidates: np.ndarray, sample: np.ndarray):
     return sim, dot, comb_norm
 
 
+def diploid_cosine_matrix_device(candidates: np.ndarray, sample: np.ndarray):
+    """`diploid_cosine_matrix` under jit: the Gram matrix and projection
+    run as float32 matmuls (MXU on TPU).  Scores may differ from the
+    float64 host path in the last ~7 significant digits; rankings agree
+    whenever combinations aren't float-tie-close (the genotype command
+    treats device scoring as a faithful accelerator, not a bit oracle —
+    reference role genotyping.rs:190 score_cosine_combination)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(c, s):
+        proj = c @ s
+        gram = c @ c.T
+        norms_sq = jnp.diagonal(gram)
+        dot = proj[:, None] + proj[None, :]
+        comb_norm = jnp.sqrt(
+            norms_sq[:, None] + norms_sq[None, :] + 2.0 * gram
+        )
+        denom = jnp.sqrt(s @ s) * comb_norm
+        sim = jnp.where(denom > 0, dot / denom, 0.0)
+        return sim, dot, comb_norm
+
+    sim, dot, comb_norm = step(
+        jnp.asarray(candidates, jnp.float32), jnp.asarray(sample, jnp.float32)
+    )
+    return np.asarray(sim), np.asarray(dot), np.asarray(comb_norm)
+
+
 def run_diploid_search_dense(
-    candidates: np.ndarray, sample: np.ndarray
+    candidates: np.ndarray, sample: np.ndarray, device: bool = False
 ) -> list[CombinationScore]:
     """Dense ploidy-2 search via `diploid_cosine_matrix` with reference
-    ordering."""
+    ordering; `device=True` computes the matrices under jit."""
     n = candidates.shape[0]
-    sim, dot, comb_norm = diploid_cosine_matrix(candidates, sample)
+    matrix = diploid_cosine_matrix_device if device else diploid_cosine_matrix
+    sim, dot, comb_norm = matrix(candidates, sample)
     sample_norm = math.sqrt(float(sample @ sample))
     results = []
     for i in range(n):

@@ -111,17 +111,28 @@ class SyngIndex:
         w: int = syncmer_mod.DEFAULT_W,
         seed: int = syncmer_mod.DEFAULT_SEED,
         threads: int = 1,
+        extractor: str = "native",
     ) -> "SyngIndex":
         seq_index = SequenceIndex()
         ids_parts, seq_parts, pos_parts, fwd_parts = [], [], [], []
         # `threads` parallelizes INSIDE the native extraction kernel
         # (native/syncmer.cpp phase threads, no GIL) — the reference's
         # 4-thread build headline conditions (README.md:315).
+        # extractor="device" runs the bit-exact jitted scan instead
+        # (ops/syncmer_jax.syncmer_scan; indexes are interchangeable).
+        if extractor == "device":
+            from impg_tpu.ops.syncmer_jax import extract_syncmers_jax
+
+            def extract(seq):
+                return extract_syncmers_jax(seq, k, w, seed)
+        else:
+            def extract(seq):
+                return syncmer_mod.extract_syncmers(
+                    seq, k, w, seed, threads=threads
+                )
         for name, seq in sequences:
             sid = seq_index.get_or_insert_id(name, len(seq))
-            positions, ids, fwd = syncmer_mod.extract_syncmers(
-                seq, k, w, seed, threads=threads
-            )
+            positions, ids, fwd = extract(seq)
             ids_parts.append(ids)
             seq_parts.append(np.full(ids.size, sid, np.int32))
             pos_parts.append(positions)
