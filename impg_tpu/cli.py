@@ -375,6 +375,18 @@ def _resolve_compute_engine(args, index, approximate: bool = False,
     if spec == "device":
         from impg_tpu.query.device import DeviceEngine
 
+        # Out-of-core tier: indexes whose resident tensors would overflow
+        # the chip's HBM route through target-sharded arena paging
+        # (query/paged.py, reference role: lazy tree cache
+        # impg.rs:1770-1784).  Budget override: IMPG_HBM_BUDGET_BYTES.
+        budget = int(
+            os.environ.get("IMPG_HBM_BUDGET_BYTES", str(12 << 30))
+        )
+        lean_bytes = index.arena.n_ops * 20 + len(index.records) * 36
+        if not approximate and lean_bytes > budget:
+            from impg_tpu.query.paged import PagedDeviceEngine
+
+            return PagedDeviceEngine(index, hbm_budget_bytes=budget)
         return DeviceEngine(index, with_tracepoints=approximate)
     if want_dist:
         from impg_tpu.parallel.distributed import DistributedEngine
@@ -389,24 +401,13 @@ def _device_wanted(args) -> bool:
     """Engine-flag resolution for the syng-side commands (map/genotype/
     infer): their device work is batched elementwise scans + matmuls
     (ops/syncmer_jax.py, genotype/core.diploid_cosine_matrix_device), not
-    the interval engine, so the decision is just the flag + backend
-    reachability (host fallback stays automatic)."""
+    the interval engine.  Unlike query (where `auto` probes the backend
+    against an index-size gate), these are typically ONE-SHOT CLI
+    invocations whose device win is smaller than backend init + one
+    compile per shape bucket — so `auto` stays host and the device path
+    is explicit (device/mesh), bit-identical either way."""
     spec = getattr(args, "compute_engine", "auto") or "auto"
-    if spec == "host":
-        return False
-    if spec in ("device", "mesh"):
-        return True
-    import os
-
-    try:
-        import jax
-
-        plat = os.environ.get("IMPG_TPU_PLATFORM")
-        if plat:
-            jax.config.update("jax_platforms", plat)
-        return jax.devices()[0].platform != "cpu"
-    except Exception:
-        return False
+    return spec in ("device", "mesh")
 
 
 def _is_output_process() -> bool:

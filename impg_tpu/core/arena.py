@@ -248,13 +248,18 @@ def build_directed(
     sw_offsets = np.concatenate(
         [np.zeros(1, np.int64), np.cumsum(sw_counts, dtype=np.int64)]
     )
-    gather = np.concatenate(
-        [
-            np.arange(run_offsets[i], run_offsets[i + 1], dtype=np.int64)
-            for i in sidx
-        ]
-        or [np.zeros(0, np.int64)]
-    )
+    # Piecewise-contiguous gather built with the repeat/arange trick —
+    # O(total) with no per-record Python work (multi-million-record builds).
+    total_sw = int(sw_offsets[-1])
+    if total_sw:
+        starts = run_offsets[sidx].astype(np.int64)
+        gather = (
+            np.arange(total_sw, dtype=np.int64)
+            - np.repeat(sw_offsets[:-1], sw_counts)
+            + np.repeat(starts, sw_counts)
+        )
+    else:
+        gather = np.zeros(0, np.int64)
     sw_runs = inv_runs_full[gather]
     # Reverse run order within reverse-strand swapped segments.
     rev_segs = np.nonzero(strand[sidx] == 1)[0]

@@ -16,7 +16,7 @@ import numpy as np
 _SRC_NAMES = (
     "paf_parser.cpp", "poa.cpp", "align.cpp", "seqwish_uf.cpp", "gbwt.cpp",
     "seqwish_emit.cpp", "visited.cpp", "syncmer.cpp", "gfa_parser.cpp",
-    "spellc.cpp",
+    "spellc.cpp", "host_engine.cpp",
 )
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "libimpg_native.so")

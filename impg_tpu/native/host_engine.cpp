@@ -1,0 +1,397 @@
+// Native transitive-query host engine: the CPU baseline of record.
+//
+// Purpose (bench honesty): BENCH headlines compare the TPU engine against
+// the strongest CPU implementation of the same query semantics we can
+// build in this image.  The reference is Rust (rayon over per-target
+// coitrees + a serial per-op CIGAR walk per projection,
+// impg.rs:1852-1928, 2311-2597, 2760-2898) and cannot be compiled here
+// (no cargo), so this file provides two C++ stand-ins:
+//
+//   mode 1 "walk"   — Rust-proxy cost model: O(log n + k) interval-tree
+//                     stab (coitrees role) + a LINEAR run walk from the
+//                     record start to the end of the requested range per
+//                     projection, exactly like the reference's
+//                     project_target_range_through_alignment.  Outputs
+//                     are finished with the shared closed-form boundary
+//                     math, so results are identical to the engine —
+//                     only the cost model mirrors the reference.
+//   mode 0 "closed" — our own algorithm on CPU: the same interval-tree
+//                     stab + the closed-form two-binary-search projection
+//                     (ops/projection.py scalar port).  This is the
+//                     strongest known CPU implementation of the query —
+//                     a HARDER baseline than the reference design.
+//
+// Both modes run the full depth-limited transitive BFS with the exact
+// bookkeeping semantics of query/engine.py (visited SortedRanges insert,
+// too-close pre-check, frontier sort+merge), reusing visited.cpp's
+// tested vb_* primitives.  Walks are data-parallel across threads
+// (one walk = one unit, like the reference's rayon over BED rows).
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+// visited.cpp primitives (same shared object).
+extern "C" {
+void* vb_create(int64_t n_seqs, const int64_t* seq_lens, int32_t masked_none);
+void vb_destroy(void* h);
+void vb_seed_many(void* h, const int64_t* walk, const int64_t* qid,
+                  const int64_t* s, const int64_t* e, int64_t n);
+void vb_process(void* h, const int64_t* walk, const int64_t* qid,
+                const int64_t* aq_s, const int64_t* aq_e,
+                const uint8_t* book, int64_t n, int64_t min_dist,
+                int64_t min_trans_len);
+int64_t vb_frontier_size(void* h);
+void vb_frontier_fetch(void* h, int64_t* w, int64_t* q, int64_t* s,
+                       int64_t* e);
+void vb_frontier_clear(void* h);
+}
+
+namespace {
+
+constexpr uint32_t LEN_MASK = (1u << 29) - 1;
+constexpr uint32_t OP_I = 2, OP_D = 3;
+// consumes_target: op != I.  (ops: 0 '=', 1 'X', 2 'I', 3 'D', 4 'M')
+
+struct HostEngine {
+    int64_t n_records = 0, n_seqs = 0, n_runs = 0;
+    const int32_t *tgt = nullptr, *qid = nullptr, *ts = nullptr,
+                  *te = nullptr;
+    const int8_t* strand = nullptr;
+    const int64_t* op_off = nullptr;
+    const int32_t* op_cnt = nullptr;
+    const int64_t* tgt_off = nullptr;
+    const int64_t* seq_lens = nullptr;
+    const uint32_t* runs = nullptr;
+    const int32_t *cum_t = nullptr, *cum_q = nullptr;
+    const int32_t *irb = nullptr, *ira = nullptr;
+    // Implicit-BST subtree max t_end per record position (built per target
+    // segment): O(log n + k) stabs, the coitrees role
+    // (reference impg.rs:394 per-target trees).
+    std::vector<int32_t> submax;
+    // Per-walk result rows, 6 int32 per row:
+    // (q_id, q_first, q_last, t_id, t_first, t_last).
+    std::vector<std::vector<int32_t>> rows;
+};
+
+int32_t build_submax(HostEngine& E, int64_t lo, int64_t hi) {
+    if (lo >= hi) return INT32_MIN;
+    int64_t mid = lo + (hi - lo) / 2;
+    int32_t m = E.te[mid];
+    m = std::max(m, build_submax(E, lo, mid));
+    m = std::max(m, build_submax(E, mid + 1, hi));
+    E.submax[mid] = m;
+    return m;
+}
+
+// In-order interval stab over a target segment: ascending t_start order
+// (ties resolve to array order), closed-interval semantics like
+// ImpgIndex.stab: t_start <= end AND t_end >= start.
+void stab_tree(const HostEngine& E, int64_t lo, int64_t hi, int32_t start,
+               int32_t end, std::vector<int64_t>& out) {
+    while (lo < hi) {
+        int64_t mid = lo + (hi - lo) / 2;
+        if (E.submax[mid] < start) return;  // whole subtree ends too early
+        stab_tree(E, lo, mid, start, end, out);
+        if (E.ts[mid] > end) return;  // mid and right subtree start too late
+        if (E.te[mid] >= start) out.push_back(mid);
+        lo = mid + 1;  // tail-recurse into the right subtree
+    }
+}
+
+struct Proj {
+    bool valid;
+    int32_t pq_s, pq_e, pt_s, pt_e;
+};
+
+// Shared boundary math given the first/last candidate runs (i0, j1):
+// the scalar port of ops/projection.py project_batch (same variable
+// names; int32 arithmetic end to end like the batched path).
+inline Proj finish(const HostEngine& E, int64_t k, int32_t rs, int32_t re,
+                   int32_t i0, int32_t j1) {
+    const int64_t off = E.op_off[k];
+    const int32_t n = E.op_cnt[k];
+    const int32_t ts_rec = E.ts[k], te_rec = E.te[k];
+    const int32_t last_t = std::min(te_rec, re);
+    Proj p{};
+    bool has_overlap = rs < te_rec && re > ts_rec && n > 0 && rs < re;
+    int32_t i0c = std::min(std::max(i0, 0), std::max(n - 1, 0));
+    int32_t j1c = std::min(std::max(j1, 0), std::max(n - 1, 0));
+
+    int32_t ts_i0 = E.cum_t[off + i0c];
+    int32_t f = (ts_i0 >= rs) ? i0c - E.irb[off + i0c] : i0c;
+    int32_t te_j1 = (j1c + 1 < n)
+                        ? E.cum_t[off + j1c + 1]
+                        : te_rec;
+    int32_t l = (te_j1 <= last_t) ? j1c + E.ira[off + j1c] : j1c;
+
+    const uint32_t run_f = E.runs[off + f];
+    const uint32_t run_l = E.runs[off + l];
+    const uint32_t kind_f = run_f >> 29, kind_l = run_l >> 29;
+    const int32_t len_l = (int32_t)(run_l & LEN_MASK);
+    const int32_t ts_f = E.cum_t[off + f], qs_f = E.cum_q[off + f];
+    const int32_t ts_l = E.cum_t[off + l], qs_l = E.cum_q[off + l];
+    const int32_t dir = (E.strand[k] == 0) ? 1 : -1;
+
+    const bool is_i_f = kind_f == OP_I, is_d_f = kind_f == OP_D;
+    const int32_t ov_s = std::max(ts_f, rs);
+    p.pt_s = is_i_f ? ts_f : ov_s;
+    p.pq_s = (is_i_f || is_d_f) ? qs_f : qs_f + (ov_s - ts_f) * dir;
+
+    const bool is_i_l = kind_l == OP_I, is_d_l = kind_l == OP_D;
+    const int32_t tdelta_l = is_i_l ? 0 : len_l;
+    const int32_t te_l = ts_l + tdelta_l;
+    const int32_t qdelta_l = is_d_l ? 0 : len_l * dir;
+    const int32_t ov_e = std::min(te_l, re);
+    p.pt_e = is_i_l ? ts_l : ov_e;
+    p.pq_e = is_i_l ? qs_l + qdelta_l
+                    : (is_d_l ? qs_l : qs_l + (ov_e - ts_l) * dir);
+
+    p.valid = has_overlap && p.pq_s != p.pq_e && p.pt_s != p.pt_e && f <= l;
+    return p;
+}
+
+// Closed-form projection: two binary searches over the record's cum_t
+// prefix (ops/projection.py _bisect), then the shared boundary math.
+Proj project_closed(const HostEngine& E, int64_t k, int32_t rs, int32_t re) {
+    const int64_t off = E.op_off[k];
+    const int32_t n = E.op_cnt[k];
+    const int32_t te_rec = E.te[k];
+    // i0: first run with run_te(i) > rs.
+    int32_t lo = 0, hi = n;
+    while (lo < hi) {
+        int32_t mid = lo + (hi - lo) / 2;
+        int32_t rte = (mid + 1 < n) ? E.cum_t[off + mid + 1] : te_rec;
+        if (rte > rs)
+            hi = mid;
+        else
+            lo = mid + 1;
+    }
+    const int32_t i0 = lo;
+    // j1: last run with cum_t < re  ==  lower_bound(cum_t >= re) - 1.
+    lo = 0;
+    hi = n;
+    while (lo < hi) {
+        int32_t mid = lo + (hi - lo) / 2;
+        if (E.cum_t[off + mid] >= re)
+            hi = mid;
+        else
+            lo = mid + 1;
+    }
+    return finish(E, k, rs, re, i0, lo - 1);
+}
+
+// Walk projection: the reference's cost model — scan runs linearly from
+// the record start, accumulating the target coordinate, until past the
+// range end (impg.rs:2760-2898 walks every op before and inside the
+// range).  i0/j1 fall out of the scan; outputs finish identically.
+Proj project_walk(const HostEngine& E, int64_t k, int32_t rs, int32_t re) {
+    const int64_t off = E.op_off[k];
+    const int32_t n = E.op_cnt[k];
+    const int32_t te_rec = E.te[k];
+    int32_t t = E.ts[k];
+    int32_t i0 = n, j1 = -1;
+    for (int32_t i = 0; i < n; ++i) {
+        const uint32_t run = E.runs[off + i];
+        const uint32_t op = run >> 29;
+        const int32_t tlen = (op == OP_I) ? 0 : (int32_t)(run & LEN_MASK);
+        if (t >= re) break;  // runs from here start past the range
+        const int32_t rte = (i + 1 < n) ? t + tlen : te_rec;
+        if (i0 == n && rte > rs) i0 = i;
+        j1 = i;  // last run with t (its start) < re
+        t += tlen;
+    }
+    return finish(E, k, rs, re, i0, j1);
+}
+
+struct Frontier {
+    int64_t q, s, e;
+};
+
+// One full transitive BFS walk (exact engine.py semantics; see module
+// docstring of query/engine.py for the reference mapping).
+void run_walk(const HostEngine& E, void* vb, int32_t tid0, int32_t s0,
+              int32_t e0, int32_t max_depth, int32_t min_trans_len,
+              int32_t min_dist, int32_t mode, std::vector<int32_t>& out) {
+    vb_frontier_clear(vb);
+    const int64_t w0 = 0, t64 = tid0, s64 = s0, e64 = e0;
+    vb_seed_many(vb, &w0, &t64, &s64, &e64, 1);
+    int64_t m = vb_frontier_size(vb);
+    std::vector<int64_t> fw(m), fq(m), fs(m), fe(m);
+    if (m) vb_frontier_fetch(vb, fw.data(), fq.data(), fs.data(), fe.data());
+    vb_frontier_clear(vb);
+
+    std::vector<Frontier> current;
+    for (int64_t i = 0; i < m; ++i) {
+        out.insert(out.end(),
+                   {(int32_t)fq[i], (int32_t)fs[i], (int32_t)fe[i],
+                    (int32_t)fq[i], (int32_t)fs[i], (int32_t)fe[i]});
+        if (std::llabs(fe[i] - fs[i]) >= min_trans_len)
+            current.push_back({fq[i], fs[i], fe[i]});
+    }
+
+    std::vector<int64_t> cand;
+    std::vector<int64_t> h_w, h_q, h_s, h_e;
+    std::vector<uint8_t> h_b;
+    int32_t depth = 0;
+    while (!current.empty() && (max_depth == 0 || depth < max_depth)) {
+        h_w.clear();
+        h_q.clear();
+        h_s.clear();
+        h_e.clear();
+        h_b.clear();
+        for (const Frontier& fr : current) {
+            const int64_t lo = E.tgt_off[fr.q], hi = E.tgt_off[fr.q + 1];
+            cand.clear();
+            if (lo < hi)
+                stab_tree(E, lo, hi, (int32_t)fr.s, (int32_t)fr.e, cand);
+            for (int64_t k : cand) {
+                const int32_t ov_s = std::max((int32_t)fr.s, E.ts[k]);
+                const int32_t ov_e = std::min((int32_t)fr.e, E.te[k]);
+                if (ov_s >= ov_e) continue;
+                const Proj p = (mode == 1) ? project_walk(E, k, ov_s, ov_e)
+                                           : project_closed(E, k, ov_s, ov_e);
+                if (!p.valid) continue;
+                const int32_t q = E.qid[k];
+                out.insert(out.end(), {q, p.pq_s, p.pq_e, (int32_t)fr.q,
+                                       p.pt_s, p.pt_e});
+                h_w.push_back(0);
+                h_q.push_back(q);
+                h_s.push_back(p.pq_s);
+                h_e.push_back(p.pq_e);
+                h_b.push_back(q != (int32_t)fr.q ? 1 : 0);
+            }
+        }
+        vb_frontier_clear(vb);
+        if (!h_q.empty())
+            vb_process(vb, h_w.data(), h_q.data(), h_s.data(), h_e.data(),
+                       h_b.data(), (int64_t)h_q.size(), min_dist,
+                       min_trans_len);
+        m = vb_frontier_size(vb);
+        ++depth;
+        current.clear();
+        if (!m) continue;
+        fw.resize(m);
+        fq.resize(m);
+        fs.resize(m);
+        fe.resize(m);
+        vb_frontier_fetch(vb, fw.data(), fq.data(), fs.data(), fe.data());
+        vb_frontier_clear(vb);
+        std::vector<Frontier> next(m);
+        for (int64_t i = 0; i < m; ++i) next[i] = {fq[i], fs[i], fe[i]};
+        std::sort(next.begin(), next.end(), [](const Frontier& a,
+                                               const Frontier& b) {
+            return a.q != b.q ? a.q < b.q : a.s < b.s;
+        });
+        for (const Frontier& fr : next) {
+            if (!current.empty() && current.back().q == fr.q &&
+                current.back().e >= fr.s) {
+                current.back().e = std::max(current.back().e, fr.e);
+            } else {
+                current.push_back(fr);
+            }
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* he_create(int64_t n_records, const int32_t* tgt, const int32_t* qid,
+                const int32_t* ts, const int32_t* te, const int8_t* strand,
+                const int64_t* op_off, const int32_t* op_cnt, int64_t n_seqs,
+                const int64_t* tgt_offsets, const int64_t* seq_lens,
+                int64_t n_runs, const uint32_t* runs, const int32_t* cum_t,
+                const int32_t* cum_q, const int32_t* irb,
+                const int32_t* ira) {
+    auto* E = new HostEngine();
+    E->n_records = n_records;
+    E->n_seqs = n_seqs;
+    E->n_runs = n_runs;
+    E->tgt = tgt;
+    E->qid = qid;
+    E->ts = ts;
+    E->te = te;
+    E->strand = strand;
+    E->op_off = op_off;
+    E->op_cnt = op_cnt;
+    E->tgt_off = tgt_offsets;
+    E->seq_lens = seq_lens;
+    E->runs = runs;
+    E->cum_t = cum_t;
+    E->cum_q = cum_q;
+    E->irb = irb;
+    E->ira = ira;
+    E->submax.assign((size_t)n_records, INT32_MIN);
+    for (int64_t s = 0; s < n_seqs; ++s)
+        build_submax(*E, tgt_offsets[s], tgt_offsets[s + 1]);
+    return E;
+}
+
+void he_destroy(void* h) { delete (HostEngine*)h; }
+
+// Run n transitive BFS walks across `threads` OS threads (one walk = one
+// unit, atomic work stealing).  mode: 0 closed-form, 1 reference walk.
+// Returns the total emitted row count; rows stay inside per-walk buffers
+// until fetched.
+int64_t he_run(void* h, const int32_t* q_tid, const int32_t* q_s,
+               const int32_t* q_e, int64_t n, int32_t max_depth,
+               int32_t min_trans_len, int32_t min_dist, int32_t mode,
+               int32_t threads) {
+    auto* E = (HostEngine*)h;
+    E->rows.assign((size_t)n, {});
+    std::atomic<int64_t> next(0);
+    const int nt = std::max(1, (int)threads);
+    auto worker = [&]() {
+        void* vb = vb_create(E->n_seqs, E->seq_lens, 1);
+        for (int64_t w = next.fetch_add(1); w < n; w = next.fetch_add(1)) {
+            run_walk(*E, vb, q_tid[w], q_s[w], q_e[w], max_depth,
+                     min_trans_len, min_dist, mode, E->rows[w]);
+            // Fresh bookkeeping per walk: recreate the visited book.
+            vb_destroy(vb);
+            vb = vb_create(E->n_seqs, E->seq_lens, 1);
+        }
+        vb_destroy(vb);
+    };
+    if (nt == 1) {
+        worker();
+    } else {
+        std::vector<std::thread> pool;
+        pool.reserve(nt);
+        for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+        for (auto& th : pool) th.join();
+    }
+    int64_t total = 0;
+    for (const auto& r : E->rows) total += (int64_t)r.size() / 6;
+    return total;
+}
+
+int64_t he_walk_rows(void* h, int64_t walk) {
+    auto* E = (HostEngine*)h;
+    return (int64_t)E->rows[(size_t)walk].size() / 6;
+}
+
+// Fetch one walk's rows as 6 parallel int32 columns.
+void he_fetch_walk(void* h, int64_t walk, int32_t* q_id, int32_t* q_first,
+                   int32_t* q_last, int32_t* t_id, int32_t* t_first,
+                   int32_t* t_last) {
+    auto* E = (HostEngine*)h;
+    const auto& r = E->rows[(size_t)walk];
+    const int64_t n = (int64_t)r.size() / 6;
+    for (int64_t i = 0; i < n; ++i) {
+        q_id[i] = r[i * 6 + 0];
+        q_first[i] = r[i * 6 + 1];
+        q_last[i] = r[i * 6 + 2];
+        t_id[i] = r[i * 6 + 3];
+        t_first[i] = r[i * 6 + 4];
+        t_last[i] = r[i * 6 + 5];
+    }
+}
+
+void he_clear(void* h) { ((HostEngine*)h)->rows.clear(); }
+
+}  // extern "C"

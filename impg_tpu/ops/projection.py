@@ -98,14 +98,14 @@ def project_batch(
     runs,
     cum_t,
     cum_q,
-    cum_match,
-    cum_mm,
-    cum_icnt,
-    cum_dcnt,
-    cum_ibp,
-    cum_dbp,
     irun_before,
     irun_after,
+    cum_match=None,
+    cum_mm=None,
+    cum_icnt=None,
+    cum_dcnt=None,
+    cum_ibp=None,
+    cum_dbp=None,
     op_off,
     op_cnt,
     t_start,
@@ -114,6 +114,7 @@ def project_batch(
     range_start,
     range_end,
     search_iters: int = _SEARCH_ITERS,
+    with_stats: bool = True,
 ) -> ProjectionResult:
     """Project `range_[start,end)` through a batch of directed records.
 
@@ -221,6 +222,28 @@ def project_batch(
     )
 
     valid = has_overlap & (pq_start != pq_end) & (pt_start != pt_end) & (f <= l)
+
+    if not with_stats:
+        # Lean mode (device LEAN_FIELDS path): skip the six stats prefix
+        # arrays entirely — they are then never touched in the traced
+        # program, so a lazily-uploading arena never ships them to HBM.
+        return ProjectionResult(
+            valid=valid,
+            pq_start=pq_start,
+            pq_end=pq_end,
+            pt_start=pt_start,
+            pt_end=pt_end,
+            first_run=f,
+            last_run=l,
+            first_clip=first_clip,
+            last_rem=last_rem,
+            matches=zero,
+            mismatches=zero,
+            i_count=zero,
+            d_count=zero,
+            i_bp=zero,
+            d_bp=zero,
+        )
 
     # ── identity statistics of the clipped slice ──
     def slice_stat(cum, own):

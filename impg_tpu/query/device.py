@@ -68,10 +68,20 @@ class DeviceIndex:
     tp: dict | None = None  # tracepoint arrays for device approximate mode
     tp_spacing: int = 0
 
+    PROJECTION_CORE = ("runs", "cum_t", "cum_q", "irun_before", "irun_after")
+    STATS_KEYS = (
+        "cum_match", "cum_mm", "cum_icnt", "cum_dcnt", "cum_ibp", "cum_dbp",
+    )
+
     @classmethod
     def build(
-        cls, index: ImpgIndex, with_tracepoints: bool = False
+        cls, index: ImpgIndex, with_tracepoints: bool = False,
+        stats: bool = True,
     ) -> "DeviceIndex":
+        """`stats=False` uploads only the five projection-core arena arrays
+        (runs/cum_t/cum_q/irun_*) — the identity-statistics prefix arrays
+        ship on demand via `ensure_stats` (they are 6/11 of the arena
+        bytes, dead weight for the lean BFS transfer path)."""
         if index.arena.n_ops >= 2**31:
             raise ValueError("arena too large for int32 offsets")
         n = len(index.records)
@@ -84,7 +94,9 @@ class DeviceIndex:
         )
 
         arena = {
-            k: jnp.asarray(v) for k, v in index.arena.projection_kwargs().items()
+            k: jnp.asarray(v)
+            for k, v in index.arena.projection_kwargs().items()
+            if stats or k in cls.PROJECTION_CORE
         }
         tp_arrays = None
         tp_spacing = 0
@@ -321,6 +333,59 @@ def query_step(
 
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k_slot", "cap", "clip_overlap", "approximate", "fields", "id_bits"
+    ),
+)
+def slot_query_step(
+    dindex: DeviceIndex,
+    slot_lo,
+    slot_k,
+    q_s,
+    q_e,
+    *,
+    k_slot: int,
+    cap: int | None = None,
+    clip_overlap: bool = False,
+    approximate: bool = False,
+    fields: tuple | None = None,
+    id_bits: int = 0,
+):
+    """Slotted projection step: host-computed candidate slots, fixed grid.
+
+    Inputs are [B] int32 slot columns (slot_lo = first record, slot_k =
+    records in this slot, q_s/q_e = the owning query's range).  Exactly one
+    executable per (B, k_slot, cap, fields) — there is no window-overflow
+    ladder.  `pair_q` in the packed result is the slot row index."""
+    out = _slot_core(
+        rec=dict(
+            target_id=dindex.target_id,
+            t_start=dindex.t_start,
+            t_end=dindex.t_end,
+            cummax_te=dindex.cummax_te,
+            strand=dindex.strand,
+            query_id=dindex.query_id,
+            op_off=dindex.op_off,
+            op_cnt=dindex.op_cnt,
+            tgt_offsets=dindex.tgt_offsets,
+        ),
+        arena=dindex.arena,
+        slot_lo=slot_lo,
+        slot_k=slot_k,
+        q_s=q_s,
+        q_e=q_e,
+        k_slot=k_slot,
+        clip_overlap=clip_overlap,
+        search_iters=dindex.search_iters,
+        n_records=dindex.n_records,
+        tp=dindex.tp if approximate else None,
+        tp_spacing=dindex.tp_spacing,
+    )
+    return pack_result(out, cap, fields, id_bits)
+
+
 def _project_approx_device(
     tp: dict, spacing: int, cand_c, r_ts, r_te, rng_s, rng_e
 ):
@@ -406,7 +471,46 @@ def _query_core(
     in_win = kk[None, :] < jnp.minimum(k, k_max)[:, None]
     cand_c = jnp.clip(cand, 0, max(n_records - 1, 0)).reshape(-1)
     pair_q = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k_max)
-    hit = in_win.reshape(-1) & (jnp.take(rec["t_end"], cand_c) >= jnp.take(q_s, pair_q))
+    return _lanes_core(
+        rec=rec, arena=arena, cand_c=cand_c, pair_q=pair_q,
+        in_mask=in_win.reshape(-1), q_s=q_s, q_e=q_e,
+        k_needed=k.max(), clip_overlap=clip_overlap,
+        search_iters=search_iters, tp=tp, tp_spacing=tp_spacing,
+    )
+
+
+def _slot_core(
+    *, rec, arena, slot_lo, slot_k, q_s, q_e, k_slot, clip_overlap,
+    search_iters, n_records, tp=None, tp_spacing=0,
+):
+    """Slotted kernel body: candidate windows are computed ON HOST
+    (vectorized searchsorted over the same sorted layout) and arrive as
+    fixed-width [B] slots of `k_slot` records each; big windows span
+    several consecutive slots.  No device-side stab, no k_max overflow
+    ladder — ONE executable per (chunk, k_slot, fields) forever, and the
+    dense grid wastes at most k_slot-1 lanes per query instead of
+    (max_tree - k) per query.  `pair_q` in the result is the SLOT index;
+    the host maps it back to query/frontier ids."""
+    b = slot_lo.shape[0]
+    kk = jnp.arange(k_slot, dtype=jnp.int32)
+    cand = slot_lo[:, None] + kk[None, :]
+    in_win = kk[None, :] < slot_k[:, None]
+    cand_c = jnp.clip(cand, 0, max(n_records - 1, 0)).reshape(-1)
+    pair_q = jnp.repeat(jnp.arange(b, dtype=jnp.int32), k_slot)
+    return _lanes_core(
+        rec=rec, arena=arena, cand_c=cand_c, pair_q=pair_q,
+        in_mask=in_win.reshape(-1), q_s=q_s, q_e=q_e,
+        k_needed=jnp.int32(0), clip_overlap=clip_overlap,
+        search_iters=search_iters, tp=tp, tp_spacing=tp_spacing,
+    )
+
+
+def _lanes_core(
+    *, rec, arena, cand_c, pair_q, in_mask, q_s, q_e, k_needed,
+    clip_overlap, search_iters, tp=None, tp_spacing=0,
+):
+    """Projection over a flat lane grid (candidate record x query pair)."""
+    hit = in_mask & (jnp.take(rec["t_end"], cand_c) >= jnp.take(q_s, pair_q))
 
     r_ts = jnp.take(rec["t_start"], cand_c)
     r_te = jnp.take(rec["t_end"], cand_c)
@@ -424,7 +528,7 @@ def _query_core(
         valid = a["valid"] & hit
         zero = jnp.zeros_like(cand_c)
         return dict(
-            k_needed=k.max(),
+            k_needed=k_needed,
             n_hits=valid.sum(dtype=jnp.int32),
             pair_rec=cand_c,
             pair_q=pair_q,
@@ -456,10 +560,11 @@ def _query_core(
         range_start=rng_s,
         range_end=rng_e,
         search_iters=search_iters,
+        with_stats="cum_match" in arena,
     )
     valid = res.valid & hit & (rng_s < rng_e)
     return dict(
-        k_needed=k.max(),
+        k_needed=k_needed,
         n_hits=valid.sum(dtype=jnp.int32),
         pair_rec=cand_c,
         pair_q=pair_q,
@@ -548,9 +653,12 @@ class DeviceEngine:
         initial_capacity: int | None = None,
         chunk: int = 1024,
         with_tracepoints: bool = False,
+        slotted: bool = True,
+        k_slot: int = 128,
+        slot_chunk: int = 2048,
     ):
         self.index = index
-        self.dindex = DeviceIndex.build(index, with_tracepoints)
+        self.dindex = DeviceIndex.build(index, with_tracepoints, stats=False)
         self.chunk = chunk
         if initial_capacity is None:
             tree_sizes = np.diff(index.tgt_offsets)
@@ -567,6 +675,91 @@ class DeviceEngine:
         self.id_bits = (
             seq_bits if _iters_for(chunk - 1) + seq_bits <= 31 else 0
         )
+        # ── slotted execution (the BFS stream default) ──
+        # Candidate windows are computed on host and packed into fixed
+        # k_slot-wide slots: one executable forever, dense-grid waste
+        # bounded by one partial slot per query (vs max_tree-k lanes per
+        # query under the windowed grid).  See _slot_core.
+        import os as _os
+
+        self.slotted = slotted and _os.environ.get(
+            "IMPG_NO_SLOTS", ""
+        ) != "1"
+        self.k_slot = k_slot
+        self.slot_chunk = slot_chunk
+        self.slot_cap = slot_chunk * 8
+        self.slot_id_bits = (
+            seq_bits if _iters_for(slot_chunk - 1) + seq_bits <= 31 else 0
+        )
+        self.inflight_chunks = 24  # dispatch-wave flow control
+        # Host copies for window computation (borrow the index's arrays).
+        self._h_ts = index.records.t_start
+        self._h_cummax = compute_cummax_te(
+            index.records.t_end, index.tgt_offsets
+        )
+        self._h_tgt_off = index.tgt_offsets
+
+    def _ensure_stats(self):
+        """Upload the identity-statistics arena arrays on first need (the
+        lean BFS path never touches them)."""
+        if "cum_match" in self.dindex.arena:
+            return
+        full = self.index.arena.projection_kwargs()
+        for key in DeviceIndex.STATS_KEYS:
+            self.dindex.arena[key] = jnp.asarray(full[key])
+
+    @staticmethod
+    def _fields_need_stats(fields) -> bool:
+        if fields is None:
+            return True
+        return any(
+            f in fields
+            for f in ("matches", "mismatches", "i_count", "d_count",
+                      "i_bp", "d_bp")
+        )
+
+    def _host_windows(self, q_tid, q_s, q_e):
+        """Per-query candidate windows (win_lo, k) — the host-side twin of
+        stab_windows (same sorted layout, same closed-interval bounds),
+        vectorized as two searchsorted calls per distinct target."""
+        n = q_tid.size
+        win_lo = np.zeros(n, np.int64)
+        k = np.zeros(n, np.int64)
+        if n == 0:
+            return win_lo, k
+        order = np.argsort(q_tid, kind="stable")
+        sorted_tid = q_tid[order]
+        bounds = np.nonzero(np.diff(sorted_tid))[0] + 1
+        for grp in np.split(order, bounds):
+            tid = int(q_tid[grp[0]])
+            if tid < 0 or tid + 1 >= self._h_tgt_off.size:
+                continue
+            lo, hi = int(self._h_tgt_off[tid]), int(self._h_tgt_off[tid + 1])
+            if lo == hi:
+                continue
+            lo2 = np.searchsorted(
+                self._h_cummax[lo:hi], q_s[grp], side="left"
+            )
+            cut = np.searchsorted(self._h_ts[lo:hi], q_e[grp], side="right")
+            win_lo[grp] = lo + lo2
+            k[grp] = np.maximum(cut - lo2, 0)
+        return win_lo, k
+
+    def _build_slots(self, win_lo, k):
+        """Split windows into k_slot-wide slots: (slot_lo, slot_k, slot_q),
+        slots ordered query-major (bookkeeping order is preserved)."""
+        K = self.k_slot
+        per = (k + K - 1) // K
+        total = int(per.sum())
+        slot_q = np.repeat(
+            np.arange(k.size, dtype=np.int64), per
+        )
+        starts = np.zeros(k.size + 1, np.int64)
+        np.cumsum(per, out=starts[1:])
+        j = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], per)
+        slot_lo = win_lo[slot_q] + j * K
+        slot_k = np.minimum(k[slot_q] - j * K, K)
+        return slot_lo, slot_k, slot_q
 
     @property
     def supports_approximate(self) -> bool:
@@ -612,10 +805,22 @@ class DeviceEngine:
         approximate: bool = False,
         fields: tuple | None = None,
     ):
-        """Generator over one batch's chunks: dispatch ALL chunks up front,
-        then yield each compacted chunk dict as its fetch lands (pair_q
-        already offset into the batch).  The caller's host bookkeeping for
-        chunk i overlaps the device compute/transfer of chunks i+1.."""
+        """Generator over one batch's chunks: dispatch chunks ahead of the
+        fetches, yield each compacted chunk dict as its fetch lands (pair_q
+        already mapped to batch query indices).  The caller's host
+        bookkeeping for chunk i overlaps the device compute/transfer of
+        chunks i+1..
+
+        Default path: slotted execution (host windows + fixed k_slot grid);
+        `IMPG_NO_SLOTS=1` or slotted=False falls back to the windowed grid.
+        """
+        if self._fields_need_stats(fields) and not approximate:
+            self._ensure_stats()
+        if self.slotted:
+            yield from self._stream_slotted(
+                q_tid, q_s, q_e, clip_overlap, approximate, fields
+            )
+            return
         chunks = self._chunk_batch((q_tid, q_s, q_e))
 
         def dispatch(cols, k_max, cap):
@@ -682,6 +887,95 @@ class DeviceEngine:
             out["pair_q"] = out["pair_q"] + off
             yield out
 
+    def _stream_slotted(
+        self, q_tid, q_s, q_e, clip_overlap, approximate, fields
+    ):
+        """Slotted chunk stream (see slot_query_step).  Dispatches in waves
+        of `inflight_chunks` so multi-million-slot depths don't enqueue an
+        unbounded number of device buffers."""
+        q_tid = np.ascontiguousarray(q_tid, np.int32)
+        q_s_arr = np.ascontiguousarray(q_s, np.int32)
+        q_e_arr = np.ascontiguousarray(q_e, np.int32)
+        win_lo, k = self._host_windows(q_tid, q_s_arr, q_e_arr)
+        slot_lo, slot_k, slot_q = self._build_slots(win_lo, k)
+        n_slots = slot_lo.size
+        if n_slots == 0:
+            return
+        SC = self.slot_chunk
+        pad = (-n_slots) % SC
+        if pad:
+            z = np.zeros(pad, np.int64)
+            slot_lo = np.concatenate([slot_lo, z])
+            slot_k = np.concatenate([slot_k, z])
+        sq_s = q_s_arr[slot_q]
+        sq_e = q_e_arr[slot_q]
+        if pad:
+            zero32 = np.zeros(pad, np.int32)
+            sq_s = np.concatenate([sq_s, zero32])
+            sq_e = np.concatenate([sq_e, zero32])
+        total = n_slots + pad
+
+        def dispatch(off, cap):
+            if cap is not None and cap >= SC * self.k_slot:
+                cap = None
+            cols = (
+                jnp.asarray(slot_lo[off:off + SC].astype(np.int32)),
+                jnp.asarray(slot_k[off:off + SC].astype(np.int32)),
+                jnp.asarray(sq_s[off:off + SC]),
+                jnp.asarray(sq_e[off:off + SC]),
+            )
+            return cap, slot_query_step(
+                self.dindex, *cols, k_slot=self.k_slot, cap=cap,
+                clip_overlap=clip_overlap, approximate=approximate,
+                fields=fields, id_bits=self.slot_id_bits,
+            )
+
+        offs = list(range(0, total, SC))
+        wave = self.inflight_chunks
+        inflight: list = []
+        next_i = 0
+
+        def fill():
+            nonlocal next_i
+            while next_i < len(offs) and len(inflight) < wave:
+                off = offs[next_i]
+                cap, mat = dispatch(off, self.slot_cap)
+                try:
+                    mat.copy_to_host_async()
+                except AttributeError:
+                    pass
+                inflight.append((off, cap, mat))
+                next_i += 1
+
+        fill()
+        while inflight:
+            off, cap_used, mat = inflight.pop(0)
+            fill()
+            m_host = np.asarray(mat)
+            n_hits = int(m_host[1, -1])
+            while cap_used is not None and n_hits > cap_used:
+                while self.slot_cap < 2 * n_hits:
+                    self.slot_cap *= 2
+                cap_used, mat2 = dispatch(off, self.slot_cap)
+                m_host = np.asarray(mat2)
+                n_hits = int(m_host[1, -1])
+            out = unpack_result(
+                m_host, fields, id_bits=self.slot_id_bits,
+                compacted=cap_used is not None,
+            )
+            keep = out["valid"]
+            if not bool(keep.all()):
+                out = {
+                    kk: (v[keep] if np.ndim(v) else v)
+                    for kk, v in out.items()
+                }
+            # Map slot rows back to batch query indices.
+            out["pair_q"] = slot_q[
+                np.minimum(out["pair_q"].astype(np.int64) + off,
+                           n_slots - 1)
+            ]
+            yield out
+
     def stab_counts(self, q_tid, q_s, q_e) -> np.ndarray:
         """Per-region overlapping directed-record counts (closed-interval
         stab, coitrees semantics) via the tiled pallas kernel
@@ -721,6 +1015,8 @@ class DeviceEngine:
         Overlaps device compute/transfer latency across batches; window
         overflows are detected after the fact and those chunks re-run.
         """
+        if not approximate:
+            self._ensure_stats()  # full RESULT_FIELDS includes identity stats
         per_batch_chunks = [self._chunk_batch(b) for b in batches]
         flat = [
             (bi, off, cnt, cols)

@@ -1,0 +1,152 @@
+"""Native C++ transitive-query engine binding (the CPU baseline of record).
+
+`NativeHostEngine` runs full depth-limited transitive BFS walks in C++
+(native/host_engine.cpp) with the exact semantics of
+`engine.query_transitive_bfs_many` (default filters: no CIGARs, no
+min_identity/subset/mask).  Two cost models:
+
+  * mode="walk"   — Rust-proxy baseline: interval-tree stab + the
+    reference's linear per-op CIGAR walk per projection
+    (impg.rs:2760-2898).  This is what BENCH reports `vs_baseline`
+    against — the closest buildable stand-in for the rayon-parallel
+    Rust reference.
+  * mode="closed" — our own closed-form algorithm on CPU: the strongest
+    known CPU implementation of the query (a harder baseline than the
+    reference design), reported alongside for honesty.
+
+Both are exact: results equal the host/device engines row for row
+(tests/test_host_native.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from impg_tpu.query.engine import RowBlock
+
+_bound = False
+
+MODES = {"closed": 0, "walk": 1}
+
+
+def _lib():
+    global _bound
+    from impg_tpu.io import native as native_mod
+
+    lib = native_mod.load()
+    if lib is None or not hasattr(lib, "he_create"):
+        return None
+    if not _bound:
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        lib.he_create.restype = ctypes.c_void_p
+        lib.he_create.argtypes = [
+            ctypes.c_int64, i32p, i32p, i32p, i32p, i8p, i64p, i32p,
+            ctypes.c_int64, i64p, i64p,
+            ctypes.c_int64, u32p, i32p, i32p, i32p, i32p,
+        ]
+        lib.he_destroy.restype = None
+        lib.he_destroy.argtypes = [ctypes.c_void_p]
+        lib.he_run.restype = ctypes.c_int64
+        lib.he_run.argtypes = [
+            ctypes.c_void_p, i32p, i32p, i32p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+        ]
+        lib.he_walk_rows.restype = ctypes.c_int64
+        lib.he_walk_rows.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.he_fetch_walk.restype = None
+        lib.he_fetch_walk.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, i32p, i32p, i32p, i32p, i32p,
+            i32p,
+        ]
+        lib.he_clear.restype = None
+        lib.he_clear.argtypes = [ctypes.c_void_p]
+        _bound = True
+    return lib
+
+
+class NativeHostEngine:
+    """ctypes wrapper owning the borrowed index arrays for the C++ engine."""
+
+    def __init__(self, index):
+        lib = _lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        r = index.records
+        a = index.arena
+        c = np.ascontiguousarray
+        # Keep every borrowed buffer alive on self.
+        self._keep = dict(
+            tgt=c(r.target_id, np.int32),
+            qid=c(r.query_id, np.int32),
+            ts=c(r.t_start, np.int32),
+            te=c(r.t_end, np.int32),
+            strand=c(r.strand, np.int8),
+            op_off=c(r.op_off, np.int64),
+            op_cnt=c(r.op_cnt, np.int32),
+            tgt_off=c(index.tgt_offsets, np.int64),
+            seq_lens=c(index.seq_index.lengths_array(), np.int64),
+            runs=c(a.runs, np.uint32),
+            cum_t=c(a.cum_t, np.int32),
+            cum_q=c(a.cum_q, np.int32),
+            irb=c(a.irun_before, np.int32),
+            ira=c(a.irun_after, np.int32),
+        )
+        k = self._keep
+        self._h = lib.he_create(
+            len(r), k["tgt"], k["qid"], k["ts"], k["te"], k["strand"],
+            k["op_off"], k["op_cnt"], len(index.seq_index), k["tgt_off"],
+            k["seq_lens"], a.n_ops, k["runs"], k["cum_t"], k["cum_q"],
+            k["irb"], k["ira"],
+        )
+
+    def close(self):
+        if self._h is not None:
+            self._lib.he_destroy(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def run_counts(
+        self,
+        targets,
+        max_depth: int = 2,
+        min_transitive_len: int = 101,
+        min_distance_between_ranges: int = 10,
+        mode: str = "walk",
+        threads: int = 1,
+    ) -> int:
+        """Run walks, return total result rows (rows retained natively)."""
+        q_tid = np.ascontiguousarray([t[0] for t in targets], np.int32)
+        q_s = np.ascontiguousarray([t[1] for t in targets], np.int32)
+        q_e = np.ascontiguousarray([t[2] for t in targets], np.int32)
+        return int(
+            self._lib.he_run(
+                self._h, q_tid, q_s, q_e, len(targets), max_depth,
+                min_transitive_len, min_distance_between_ranges,
+                MODES[mode], threads,
+            )
+        )
+
+    def run(self, targets, **kw) -> list[RowBlock]:
+        """Run walks and fetch per-walk RowBlocks (engine-identical)."""
+        self.run_counts(targets, **kw)
+        out = []
+        for w in range(len(targets)):
+            n = int(self._lib.he_walk_rows(self._h, w))
+            cols = [np.zeros(n, np.int32) for _ in range(6)]
+            if n:
+                self._lib.he_fetch_walk(self._h, w, *cols)
+            out.append(RowBlock(*(col.astype(np.int64) for col in cols)))
+        self._lib.he_clear(self._h)
+        return out

@@ -274,3 +274,86 @@ def write_fasta(path: str, seq_data: dict, width: int = 60) -> None:
             fh.write(f">{name}\n")
             for i in range(0, len(seq), width):
                 fh.write(seq[i : i + width] + "\n")
+
+
+def big_directed_index(
+    seed: int = 1,
+    n_seqs: int = 2000,
+    seq_len: int = 150_000,
+    n_aln: int = 2_500_000,
+    match_lo: int = 20,
+    match_hi: int = 120,
+    edit_hi: int = 6,
+):
+    """Fully vectorized at-scale synthetic index (bench workload).
+
+    Builds `n_aln` alignments between random sequence pairs directly as
+    run arrays (no PAF text round trip — generation must stay minutes-
+    fast so the driver can rebuild the gitignored cache from scratch).
+    Each alignment alternates '=' runs (match_lo..match_hi bp) with
+    single edit runs ('X'/'I'/'D', 1..edit_hi bp), anchored by matches
+    at both ends — the realistic op mix of the reference's headline
+    inputs.  Returns an ImpgIndex (bidirectional: ~2x directed records).
+    """
+    import numpy as np
+
+    from impg_tpu.core import arena as arena_mod
+    from impg_tpu.core import cigar
+    from impg_tpu.core.seqidx import SequenceIndex
+    from impg_tpu.index.impg_index import ImpgIndex
+
+    rng = np.random.default_rng(seed)
+    # Odd run counts: match runs at even positions, edits at odd ones.
+    m = rng.integers(4, 17, n_aln)  # edits per alignment
+    n_runs = 2 * m + 1
+    run_offsets = np.zeros(n_aln + 1, np.int64)
+    np.cumsum(n_runs, out=run_offsets[1:])
+    total = int(run_offsets[-1])
+
+    pos_in_aln = np.arange(total, dtype=np.int64) - np.repeat(
+        run_offsets[:-1], n_runs
+    )
+    is_match = (pos_in_aln & 1) == 0
+    lens = np.where(
+        is_match,
+        rng.integers(match_lo, match_hi + 1, total),
+        rng.integers(1, edit_hi + 1, total),
+    ).astype(np.int64)
+    # Edit ops: X 50%, I 25%, D 25%.
+    draw = rng.integers(0, 4, total)
+    ops = np.where(
+        is_match,
+        cigar.OP_EQ,
+        np.where(draw < 2, cigar.OP_X, np.where(draw == 2, cigar.OP_I,
+                                                cigar.OP_D)),
+    ).astype(np.uint32)
+    runs = cigar.pack(lens, ops)
+
+    tdelta = np.where(ops == cigar.OP_I, 0, lens)
+    qdelta = np.where(ops == cigar.OP_D, 0, lens)
+    t_len = np.add.reduceat(tdelta, run_offsets[:-1]).astype(np.int64)
+    q_len = np.add.reduceat(qdelta, run_offsets[:-1]).astype(np.int64)
+
+    target_id = rng.integers(0, n_seqs, n_aln).astype(np.int32)
+    query_id = (
+        (target_id + rng.integers(1, n_seqs, n_aln)) % n_seqs
+    ).astype(np.int32)
+    t_start = rng.integers(0, np.maximum(seq_len - t_len, 1)).astype(np.int64)
+    q_start = rng.integers(0, np.maximum(seq_len - q_len, 1)).astype(np.int64)
+    strand = (rng.random(n_aln) < 0.3).astype(np.int8)
+
+    seq_index = SequenceIndex()
+    for i in range(n_seqs):
+        seq_index.get_or_insert_id(f"g{i}#1#chr1", seq_len)
+    records, arena = arena_mod.build_directed(
+        query_id=query_id,
+        q_start=q_start.astype(np.int32),
+        q_end=(q_start + q_len).astype(np.int32),
+        target_id=target_id,
+        t_start=t_start.astype(np.int32),
+        t_end=(t_start + t_len).astype(np.int32),
+        strand=strand,
+        runs=runs,
+        run_offsets=run_offsets,
+    )
+    return ImpgIndex._finalize(seq_index, records, arena, [])

@@ -1,0 +1,99 @@
+"""Native C++ host engine (query/host_native.py): exact row parity with
+the Python/numpy engine on transitive BFS walks, in both cost models."""
+
+import random
+
+import numpy as np
+import pytest
+
+from impg_tpu.index.impg_index import ImpgIndex
+from impg_tpu.io import paf as paf_mod
+from impg_tpu.core.seqidx import SequenceIndex
+from impg_tpu.query import engine
+from impg_tpu.query.host_native import NativeHostEngine, _lib
+from tests import datagen
+
+
+pytestmark = pytest.mark.skipif(_lib() is None, reason="native lib missing")
+
+
+def _index(seed=11, n_seqs=14, seq_len=60_000, cross_links=5):
+    rng = random.Random(seed)
+    text, _seqs, _alns = datagen.pangenome_paf(
+        rng, n_seqs=n_seqs, seq_len=seq_len, cross_links=cross_links
+    )
+    seq_index = SequenceIndex()
+    parsed = paf_mod.parse_paf_bytes(text.encode(), seq_index)
+    recs, arena = __import__(
+        "impg_tpu.core.arena", fromlist=["build_directed"]
+    ).build_directed(
+        query_id=parsed.query_id, q_start=parsed.q_start,
+        q_end=parsed.q_end, target_id=parsed.target_id,
+        t_start=parsed.t_start, t_end=parsed.t_end, strand=parsed.strand,
+        runs=parsed.runs, run_offsets=parsed.run_offsets,
+    )
+    return ImpgIndex._finalize(seq_index, recs, arena, [])
+
+
+@pytest.fixture(scope="module")
+def setup():
+    index = _index()
+    qrng = np.random.default_rng(3)
+    targets = []
+    for _ in range(60):
+        tid = int(qrng.integers(0, len(index.seq_index)))
+        L = index.seq_index.get_len_from_id(tid)
+        span = int(qrng.integers(2_000, 20_000))
+        s = int(qrng.integers(0, max(1, L - span)))
+        targets.append((tid, s, min(s + span, L)))
+    return index, targets
+
+
+def _assert_blocks_equal(got, want, label):
+    assert len(got) == len(want)
+    for w, (g, h) in enumerate(zip(got, want)):
+        for col in ("q_id", "q_first", "q_last", "t_id", "t_first",
+                    "t_last"):
+            assert np.array_equal(
+                getattr(g, col), getattr(h, col)
+            ), f"{label}: walk {w} col {col}"
+
+
+@pytest.mark.parametrize("mode", ["closed", "walk"])
+@pytest.mark.parametrize("max_depth", [1, 2, 0])
+def test_native_engine_matches_python(setup, mode, max_depth):
+    index, targets = setup
+    oracle = engine.query_transitive_bfs_many(
+        index, targets, max_depth=max_depth, columnar=True
+    )
+    ne = NativeHostEngine(index)
+    got = ne.run(targets, max_depth=max_depth, mode=mode, threads=1)
+    _assert_blocks_equal(got, oracle, f"mode={mode} depth={max_depth}")
+    ne.close()
+
+
+def test_native_engine_threaded_matches_serial(setup):
+    index, targets = setup
+    ne = NativeHostEngine(index)
+    serial = ne.run(targets, mode="walk", threads=1)
+    threaded = ne.run(targets, mode="walk", threads=4)
+    _assert_blocks_equal(threaded, serial, "threads")
+    n = ne.run_counts(targets, mode="closed", threads=4)
+    assert n == sum(len(b) for b in serial)
+    ne.close()
+
+
+def test_native_engine_nonstandard_params(setup):
+    """min_transitive_len / min_distance knobs flow through identically."""
+    index, targets = setup
+    oracle = engine.query_transitive_bfs_many(
+        index, targets[:20], max_depth=2, min_transitive_len=500,
+        min_distance_between_ranges=50, columnar=True,
+    )
+    ne = NativeHostEngine(index)
+    got = ne.run(
+        targets[:20], max_depth=2, min_transitive_len=500,
+        min_distance_between_ranges=50, mode="walk",
+    )
+    _assert_blocks_equal(got, oracle, "params")
+    ne.close()

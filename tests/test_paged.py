@@ -1,0 +1,159 @@
+"""Out-of-core paged device engine (query/paged.py): row parity with the
+host engine under a budget forcing many pages and LRU eviction — the
+index is several times larger than the configured 'HBM'."""
+
+import random
+
+import numpy as np
+import pytest
+
+from impg_tpu.core import arena as arena_mod
+from impg_tpu.core.seqidx import SequenceIndex
+from impg_tpu.index.impg_index import ImpgIndex
+from impg_tpu.io import paf as paf_mod
+from impg_tpu.query import engine
+from impg_tpu.query.paged import PagedDeviceEngine
+from tests import datagen
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = random.Random(17)
+    text, _seqs, _alns = datagen.pangenome_paf(
+        rng, n_seqs=14, seq_len=60_000, cross_links=5
+    )
+    seq_index = SequenceIndex()
+    parsed = paf_mod.parse_paf_bytes(text.encode(), seq_index)
+    recs, arena = arena_mod.build_directed(
+        query_id=parsed.query_id, q_start=parsed.q_start,
+        q_end=parsed.q_end, target_id=parsed.target_id,
+        t_start=parsed.t_start, t_end=parsed.t_end, strand=parsed.strand,
+        runs=parsed.runs, run_offsets=parsed.run_offsets,
+    )
+    index = ImpgIndex._finalize(seq_index, recs, arena, [])
+    qr = np.random.default_rng(9)
+    targets = []
+    for _ in range(24):
+        tid = int(qr.integers(0, len(seq_index)))
+        span = int(qr.integers(2_000, 25_000))
+        s = int(qr.integers(0, 60_000 - span))
+        targets.append((tid, s, min(s + span, 60_000)))
+    return index, targets
+
+
+def _small_budget(index) -> int:
+    # Index bytes >= 2x 'HBM': budget = half the lean page payload.
+    total = index.arena.n_ops * 20 + len(index.records) * 24
+    return max(total // 2, 1 << 16)
+
+
+def test_paged_bfs_matches_host(setup):
+    index, targets = setup
+    host = engine.query_transitive_bfs_many(
+        index, targets, max_depth=2, columnar=True
+    )
+    eng = PagedDeviceEngine(
+        index, hbm_budget_bytes=_small_budget(index), k_slot=16,
+        slot_chunk=64,
+    )
+    assert eng.n_pages >= 4, "budget should force several pages"
+    got = engine.query_transitive_bfs_many(
+        index, targets, max_depth=2, columnar=True, device_engine=eng
+    )
+    for w, (g, h) in enumerate(zip(got, host)):
+        for col in ("q_id", "q_first", "q_last", "t_id", "t_first",
+                    "t_last"):
+            assert np.array_equal(
+                getattr(g, col), getattr(h, col)
+            ), f"walk {w} col {col}"
+    assert eng.evictions > 0, "LRU should have evicted under this budget"
+    assert eng.uploads > eng.n_pages or eng.evictions > 0
+
+
+def test_paged_respects_budget(setup):
+    index, targets = setup
+    budget = _small_budget(index)
+    eng = PagedDeviceEngine(
+        index, hbm_budget_bytes=budget, k_slot=16, slot_chunk=64
+    )
+    list(engine.query_transitive_bfs_many(
+        index, targets[:6], max_depth=2, columnar=True, device_engine=eng
+    ))
+    assert len(eng._pages) * eng.page_bytes_each <= budget
+
+
+def test_paged_single_hop_rows(setup):
+    """Depth-1 stream parity on a fresh engine (no warm pages)."""
+    index, targets = setup
+    eng = PagedDeviceEngine(
+        index, hbm_budget_bytes=_small_budget(index), k_slot=8,
+        slot_chunk=32,
+    )
+    host = engine.query_transitive_bfs_many(
+        index, targets, max_depth=1, columnar=True
+    )
+    got = engine.query_transitive_bfs_many(
+        index, targets, max_depth=1, columnar=True, device_engine=eng
+    )
+    for g, h in zip(got, host):
+        assert np.array_equal(g.q_id, h.q_id)
+        assert np.array_equal(g.q_first, h.q_first)
+
+
+def test_paged_stats_fields_guard(setup):
+    index, targets = setup
+    eng = PagedDeviceEngine(index, hbm_budget_bytes=_small_budget(index))
+    with pytest.raises(ValueError):
+        list(eng.query_batch_stream(
+            np.asarray([0], np.int32), np.asarray([0], np.int32),
+            np.asarray([100], np.int32), fields=engine.LEAN_STATS_FIELDS,
+        ))
+    # with_stats=True serves identity-statistics fields (min_identity).
+    eng2 = PagedDeviceEngine(
+        index, hbm_budget_bytes=2 * _small_budget(index), with_stats=True,
+        k_slot=16, slot_chunk=64,
+    )
+    host = engine.query_transitive_bfs_many(
+        index, targets[:8], max_depth=2, min_identity=0.9, columnar=True
+    )
+    got = engine.query_transitive_bfs_many(
+        index, targets[:8], max_depth=2, min_identity=0.9, columnar=True,
+        device_engine=eng2,
+    )
+    for g, h in zip(got, host):
+        assert np.array_equal(g.q_id, h.q_id)
+        assert np.array_equal(g.q_first, h.q_first)
+
+
+def test_cli_paged_engine_budget_env(setup, tmp_path, monkeypatch):
+    """--compute-engine device with a tiny IMPG_HBM_BUDGET_BYTES routes
+    through the paged engine and matches the host BED output."""
+    import subprocess
+    import sys
+    import os
+
+    rng = random.Random(23)
+    text, seqs, _alns = datagen.pangenome_paf(
+        rng, n_seqs=8, seq_len=40_000, cross_links=3
+    )
+    paf = tmp_path / "x.paf"
+    paf.write_text(text)
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    ), JAX_PLATFORMS="cpu")
+    base = [sys.executable, "-m", "impg_tpu.cli", "query", "-a", str(paf),
+            "-r", f"{list(seqs)[0]}:5000-20000", "-x", "-o", "bed",
+            "-d", "100"]
+    host = subprocess.run(
+        base + ["--compute-engine", "host"], capture_output=True,
+        text=True, env=env,
+    )
+    env_paged = dict(env, IMPG_HBM_BUDGET_BYTES="65536")
+    paged = subprocess.run(
+        base + ["--compute-engine", "device"], capture_output=True,
+        text=True, env=env_paged,
+    )
+    assert host.returncode == 0, host.stderr
+    assert paged.returncode == 0, paged.stderr
+    assert host.stdout == paged.stdout
+    assert len(host.stdout.splitlines()) > 2
