@@ -22,11 +22,13 @@ from impg_tpu.io import bed as bed_mod
 def _add_engine_opt(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--compute-engine",
-        choices=["host", "device", "mesh", "auto"],
+        choices=["host", "native", "device", "mesh", "auto"],
         default="auto",
-        help="host: numpy engine; device: jitted TPU batched engine; "
+        help="host: numpy engine; native: C++ transitive-BFS engine "
+        "(default filter set only); device: jitted TPU batched engine; "
         "mesh: sharded engine over every visible device (multi-process "
-        "with IMPG_COORDINATOR); auto (default): device/mesh when an "
+        "with IMPG_COORDINATOR); auto (default): the C++ engine for "
+        "default-filter transitive queries, else device/mesh when an "
         "accelerator is reachable and the index is non-toy, else host "
         "(IMPG_AUTO_MIN_RECORDS tunes the gate)",
     )
@@ -318,22 +320,54 @@ def _original_length_lookup(args):
 
 
 def _resolve_compute_engine(args, index, approximate: bool = False,
-                            n_targets: int = 0):
-    """Map --compute-engine host|device|mesh|auto onto an engine object.
+                            n_targets: int = 0, native_ok: bool = False):
+    """Map --compute-engine host|native|device|mesh|auto onto an engine.
 
-    host -> None (numpy engine).  device -> single-chip jitted batched
-    engine.  mesh -> `jax.sharding.Mesh` over every visible device
-    (parallel/sharding.ShardedEngine); with IMPG_COORDINATOR set the
-    process joins the multi-process runtime first and the mesh spans the
-    GLOBAL device set (parallel/distributed.DistributedEngine — launch one
-    process per host with IMPG_COORDINATOR=host:port, IMPG_NUM_PROCESSES,
-    IMPG_PROCESS_ID; only process 0 writes output).  auto -> mesh/device
-    when the batch is large enough to amortize dispatch and a non-CPU
-    backend is reachable, else host.
+    host -> None (numpy engine).  native -> the C++ transitive-BFS engine
+    (query/host_native.py; default filter set only).  device ->
+    single-chip jitted batched engine.  mesh -> `jax.sharding.Mesh` over
+    every visible device (parallel/sharding.ShardedEngine); with
+    IMPG_COORDINATOR set the process joins the multi-process runtime first
+    and the mesh spans the GLOBAL device set
+    (parallel/distributed.DistributedEngine — launch one process per host
+    with IMPG_COORDINATOR=host:port, IMPG_NUM_PROCESSES, IMPG_PROCESS_ID;
+    only process 0 writes output).
+
+    auto: when `native_ok` (the caller's workload uses the default filter
+    set the native engine covers) the C++ engine wins — the transitive
+    query is pointer-chasing + result materialization, measured fastest
+    on CPU at every scale (bench.py's executor survey) — and avoids any
+    accelerator-backend init for one-shot CLI runs.  Otherwise mesh/device
+    when a non-CPU backend is reachable and the index is large enough to
+    amortize dispatch, else host.
     """
     spec = getattr(args, "compute_engine", "host") or "host"
     if spec == "host":
         return None
+    if spec in ("native", "auto") and native_ok and not approximate:
+        try:
+            from impg_tpu.query.host_native import NativeHostEngine
+
+            return NativeHostEngine(index)
+        except RuntimeError:
+            if spec == "native":
+                print(
+                    "error: --compute-engine native requires the native "
+                    "library (impg_tpu/native/Makefile)",
+                    file=sys.stderr,
+                )
+                raise SystemExit(2)
+            # auto: fall through to the accelerator/host choice below.
+    elif spec == "native":
+        # Caller's workload uses filters the C++ engine doesn't cover
+        # (CIGARs, identity, subsets, masks, approximate): the engine
+        # would silently fall back, so reject the explicit request.
+        print(
+            "error: --compute-engine native supports the default filter "
+            "set only (no --approximate/CIGAR output/min-identity/subset)",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
     import os
 
     # Multi-process runtime must be joined BEFORE the backend initializes.
@@ -528,7 +562,16 @@ def cmd_query(args) -> int:
     merge_strands = not args.consider_strandness  # BED default merges strands
 
     device_engine = _resolve_compute_engine(
-        args, index, approximate=args.approximate, n_targets=len(targets)
+        args, index, approximate=args.approximate, n_targets=len(targets),
+        # The C++ engine covers exactly the default-filter transitive-BFS
+        # walk; any richer ask routes to the jitted/host engines.
+        native_ok=(
+            args.transitive and not args.transitive_dfs
+            and not store_cigar
+            and args.min_result_identity is None
+            and subset_match is None
+            and args.min_output_length is None
+        ),
     )
     if device_engine is not None and not _is_output_process():
         # Multi-process mesh run: every process computes the identical

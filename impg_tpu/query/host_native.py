@@ -21,6 +21,7 @@ Both are exact: results equal the host/device engines row for row
 from __future__ import annotations
 
 import ctypes
+import os
 
 import numpy as np
 
@@ -71,12 +72,23 @@ def _lib():
 
 
 class NativeHostEngine:
-    """ctypes wrapper owning the borrowed index arrays for the C++ engine."""
+    """ctypes wrapper owning the borrowed index arrays for the C++ engine.
 
-    def __init__(self, index):
+    `is_native_host` marks the object for `query_transitive_bfs_many`'s
+    dispatch (duck-typed to avoid a circular import).  `mode`/`threads`
+    set the default cost model and parallelism for dispatched runs:
+    closed-form on all cores — the fastest executor measured for this
+    pointer-chasing workload (see bench.py's executor survey).
+    """
+
+    is_native_host = True
+
+    def __init__(self, index, mode: str = "closed", threads: int = 0):
         lib = _lib()
         if lib is None:
             raise RuntimeError("native library unavailable")
+        self.mode = mode
+        self.threads = threads or (os.cpu_count() or 1)
         self._lib = lib
         r = index.records
         a = index.arena
@@ -123,10 +135,12 @@ class NativeHostEngine:
         max_depth: int = 2,
         min_transitive_len: int = 101,
         min_distance_between_ranges: int = 10,
-        mode: str = "walk",
-        threads: int = 1,
+        mode: str | None = None,
+        threads: int = 0,
     ) -> int:
         """Run walks, return total result rows (rows retained natively)."""
+        mode = mode or self.mode
+        threads = threads or self.threads
         q_tid = np.ascontiguousarray([t[0] for t in targets], np.int32)
         q_s = np.ascontiguousarray([t[1] for t in targets], np.int32)
         q_e = np.ascontiguousarray([t[2] for t in targets], np.int32)

@@ -51,11 +51,33 @@ def test_cli_device_query_bit_identical_to_host(mesh_workload):
     assert host == dev
 
 
-def test_cli_auto_on_cpu_stays_host(mesh_workload):
+def test_cli_auto_matches_host(mesh_workload):
+    """auto routes default-filter transitive queries to the C++ engine
+    (no accelerator init); output stays bit-identical to host."""
     paf, bed = mesh_workload
     host = _query(paf, bed, "host")
     auto = _query(paf, bed, "auto")
     assert host == auto
+
+
+def test_cli_native_engine_bit_identical_to_host(mesh_workload):
+    paf, bed = mesh_workload
+    host = _query(paf, bed, "host")
+    native = _query(paf, bed, "native")
+    assert host and host == native
+
+
+def test_cli_native_engine_rejects_unsupported_filters(mesh_workload):
+    """Explicit --compute-engine native with filters the C++ engine does
+    not cover (CIGAR-bearing PAF output) is a hard error, not a silent
+    fallback."""
+    paf, bed = mesh_workload
+    r = run_cli(
+        "query", "-a", paf, "-b", bed, "-d", "200", "-x", "-o", "paf",
+        "--compute-engine", "native",
+    )
+    assert r.returncode == 2
+    assert "default filter set" in r.stderr
 
 
 def test_cli_mesh_paf_output(mesh_workload):
