@@ -357,3 +357,87 @@ def big_directed_index(
         run_offsets=run_offsets,
     )
     return ImpgIndex._finalize(seq_index, records, arena, [])
+
+
+def big_blunt_gfa(
+    seed: int = 3,
+    backbone_bp: int = 6_000_000,
+    seg_lo: int = 96,
+    seg_hi: int = 192,
+    n_paths: int = 100,
+    dup_sites: int = 4000,
+    snp_sites: int = 2000,
+) -> str:
+    """Yeast-scale crushable blunt GFA in the seqwish-output shape.
+
+    A random backbone sequence is chopped into blunt segments.  At
+    `dup_sites` positions, half of the paths route through a PRIVATE
+    duplicate segment spelling the SAME sequence as the backbone segment
+    — the redundant-bubble shape seqwish emits when alignments miss a
+    join, i.e. exactly crush's target (reference resolution.rs role).
+    At `snp_sites` positions paths split over a genuinely different
+    allele, which crush must leave intact (do-no-harm).
+
+    Defaults produce a ~50 MiB graph (~45k backbone segments, 100 paths
+    x ~45k steps); scale knobs down for CI-speed variants.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, backbone_bp).astype(np.uint8)
+    table = np.frombuffer(b"ACGT", np.uint8)
+    seq = table[codes].tobytes().decode()
+
+    # Chop into segments.
+    bounds = [0]
+    while bounds[-1] < backbone_bp:
+        bounds.append(
+            min(backbone_bp, bounds[-1] + int(rng.integers(seg_lo, seg_hi)))
+        )
+    n_back = len(bounds) - 1
+    segs: list[str] = [
+        seq[bounds[i]:bounds[i + 1]] for i in range(n_back)
+    ]  # id i+1 = backbone segment i
+
+    # Bubble sites: interior backbone indices, disjoint.
+    n_sites = dup_sites + snp_sites
+    site_idx = rng.choice(
+        np.arange(1, n_back - 1), size=min(n_sites, n_back - 2),
+        replace=False,
+    )
+    dup_at = set(site_idx[:dup_sites].tolist())
+    snp_at = set(site_idx[dup_sites:].tolist())
+    alt_id: dict[int, int] = {}
+    next_id = n_back + 1
+    for i in sorted(dup_at | snp_at):
+        alt_id[i] = next_id
+        next_id += 1
+        if i in dup_at:
+            segs.append(segs[i])  # same spelling: crushable duplicate
+        else:
+            s = list(segs[i])
+            p = int(rng.integers(len(s)))
+            s[p] = "ACGT"[(("ACGT".index(s[p])) + 1) % 4]
+            segs.append("".join(s))  # true allele: must survive crush
+
+    # Paths: even-numbered paths take the alt at every site.
+    base_steps = np.arange(1, n_back + 1)
+    alt_steps = base_steps.copy()
+    for i, a in alt_id.items():
+        alt_steps[i] = a
+    out = ["H\tVN:Z:1.0"]
+    for sid, s in enumerate(segs, start=1):
+        out.append(f"S\t{sid}\t{s}")
+    links = {(int(a), int(b))
+             for a, b in zip(base_steps[:-1], base_steps[1:])}
+    for i, a in alt_id.items():
+        links.add((int(base_steps[i - 1]), a))
+        links.add((a, int(base_steps[i + 1])))
+    for a, b in sorted(links):
+        out.append(f"L\t{a}\t+\t{b}\t+\t0M")
+    for p in range(n_paths):
+        steps = alt_steps if p % 2 == 0 else base_steps
+        out.append(
+            f"P\thap{p}#1#chr1\t" + ",".join(f"{s}+" for s in steps) + "\t*"
+        )
+    return "\n".join(out) + "\n"

@@ -356,3 +356,35 @@ def test_crush_columnar_round_matches_dict(seed, monkeypatch):
     assert (st_c.nodes_after, st_c.bp_after) == (
         st_d.nodes_after, st_d.bp_after
     ), (st_c, st_d)
+
+
+def test_crush_blunt_scale_shape():
+    """CI-scale variant of the at-scale experiment (docs/crush-at-scale.md):
+    seqwish-shaped blunt graph with duplicate-spelling bubbles (crush's
+    target) and true SNP alleles (do-no-harm).  Spellings are preserved
+    exactly and the duplicated bases collapse."""
+    from tests.datagen import big_blunt_gfa
+
+    text = big_blunt_gfa(
+        backbone_bp=120_000, n_paths=8, dup_sites=30, snp_sites=15
+    )
+
+    def spell(t):
+        gg = Gfa.parse(t)
+        return {
+            name: b"".join(
+                reverse_complement(gg.segments[s].encode()) if r
+                else gg.segments[s].encode()
+                for s, r in steps
+            )
+            for name, steps in gg.paths
+        }
+
+    before = spell(text)
+    out, st = crush_gfa(text, max_rounds=4)
+    assert spell(out) == before
+    assert st.bubbles_resolved > 0
+    # Duplicate-spelling bubbles collapse; the 15 one-base SNP alleles are
+    # all that may legitimately remain beyond the backbone.
+    assert st.bp_after < st.bp_before
+    assert st.bp_after <= 120_000 + 15 + 1000  # backbone + SNPs + slack
