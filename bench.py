@@ -1,36 +1,54 @@
-"""Benchmark: depth-2 transitive range queries/sec on one chip.
+"""Benchmark: depth-2 transitive range queries/sec, with an executor survey.
 
-Workload: a synthetic multi-genome pangenome alignment set (mutation chains,
-~real CIGAR op mix), indexed once; batches of random ranges are lifted
-transitively (depth 2, BFS) — the reference's headline path
-(main.rs:11605 perform_query -> impg.rs:2311 query_transitive_bfs) and the
-BASELINE.json metric ("cerevisiae PAF, depth-2 transitive").
+Workloads (both synthetic multi-genome pangenome alignment sets with
+~real CIGAR op mixes, indexed once and cached under .bench_cache/):
 
-The device path batches every walk's per-depth stab+projection into one
-jitted TPU step (engine.query_transitive_bfs_many); visited-range
-bookkeeping stays on host, as in the reference.
+  * mid   — 40 seqs x 400 kb, 704 directed records / 847k arena runs
+            (rounds 1-2 continuity workload).
+  * scale — 2,000 seqs x 150 kb, 5.0M directed records / >400M arena
+            runs (~4.5 GiB .impgt): the "hundreds of genomes" regime the
+            reference headlines (README.md:13-14).
 
-Hardening (round 2):
-  * The TPU backend is probed in a SUBPROCESS with retry + backoff before
-    the main process ever touches jax — one flaky relay moment no longer
-    erases the round's evidence, and a hard failure emits structured JSON
-    (`"tpu_unavailable": true`, `"error": ...`) instead of a traceback.
-  * The device measurement is best-of-N in-process reps with a reported
-    relative spread (the shared chip varies 2-3x between runs).
-  * The baseline is HONEST: the reference engine is multithreaded (rayon
-    over trees/records, impg.rs:1553-1633), so we report the speedup vs
-    both the single-threaded host engine (`vs_baseline_1t`) and a fork-pool
-    all-cores host run of the same semantics (`vs_baseline`, the headline).
+The measured question is the reference's headline path
+(main.rs:11605 perform_query -> impg.rs:2311 query_transitive_bfs):
+batches of random gene-scale ranges lifted transitively (depth 2, BFS).
+
+Executor survey (same semantics, bit-identical rows, tests/test_host_native.py):
+
+  * python host engine, 1 thread + all-cores fork pool (rounds 1-2 baseline)
+  * native C++ WALK engine (native/host_engine.cpp mode=walk): the
+    Rust-proxy baseline of record — O(log n + k) interval stab + the
+    reference's linear per-op CIGAR walk per projection
+    (impg.rs:2760-2898), data-parallel across threads like rayon
+    (impg.rs:1553-1633).  Rust itself cannot be built in this image.
+  * native C++ CLOSED engine (mode=closed): our own algorithm on CPU —
+    interval stab + closed-form two-binary-search projection.
+  * TPU device engine (query/device.py slotted execution), exact +
+    approximate, through the axon relay; plus compute-only roofline
+    decomposition (see below).
+
+`value`/`vs_baseline` = the framework's throughput under its DEFAULT
+executor (`--compute-engine auto` routes default-filter transitive
+queries to the C++ closed engine — cli.py:_resolve_compute_engine)
+versus the strongest Rust-proxy run (C++ walk engine, all cores) on the
+same workload.  This hardens round 2's baseline: the old python fork-pool
+denominator was ~48x weaker than the C++ walk engine.
+
+Device decomposition & roofline (detail.device_scale / detail.roofline):
+the transitive query is pointer-chasing (binary searches over run
+arenas) plus result materialization.  The bench reports measured
+device-step lanes/s, the derived random-access bytes/s against the
+chip's HBM bandwidth, the host<->device link rate, and an MXU sidecar
+(the genotype Gram-scoring matmul, genotype/core.py
+diploid_cosine_matrix_device) with achieved TFLOP/s and MFU — so "where
+does the gap live" is quantified rather than asserted.
 
 Prints ONE JSON line:
-  metric       "transitive_queries_per_sec_per_chip"
-  value        steady-state depth-2 transitive queries/s (batched device;
-               best of N reps)
+  metric       "transitive_queries_per_sec"
+  value        mid-workload queries/s under the framework's default
+               (auto) executor
   unit         "queries/s"
-  vs_baseline  speedup vs the strongest CPU run of the same semantics
-               (all-cores fork-pool host engine) — the closest available
-               stand-in for the rayon-parallel Rust reference, which cannot
-               be built in this image (no cargo).
+  vs_baseline  value / C++ walk-engine all-cores run (Rust proxy)
 """
 
 from __future__ import annotations
@@ -48,34 +66,43 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# ── mid workload (rounds 1-2 continuity) ─────────────────────────────────
 N_SEQS = 40
 SEQ_LEN = 400_000
-CROSS_LINKS = 8  # denser interval fan-out (closer to an all-vs-all pangenome PAF)
+CROSS_LINKS = 8
 BATCH = 1024
 N_BATCHES_TIMED = 5
 RANGE_MIN, RANGE_MAX = 10_000, 100_000
 MAX_DEPTH = 2
 DEVICE_REPS = 4  # best-of-N (shared axon chip: throughput varies 2-3x)
-HOST_1T_BUDGET_S = 45.0
-HOST_MT_BUDGET_S = 60.0
-PROBE_BACKOFFS_S = (0.0, 20.0, 45.0, 90.0)  # retry schedule for relay init
-PROBE_TIMEOUT_S = 300.0  # per attempt (cold axon init can take minutes)
+HOST_1T_BUDGET_S = 30.0
+HOST_MT_BUDGET_S = 45.0
+PROBE_BACKOFFS_S = (0.0, 20.0, 45.0, 90.0)
+PROBE_TIMEOUT_S = 300.0
+
+# ── scale workload (VERDICT r2 ask: >=5M records / >=100M runs) ──────────
+SCALE_N_SEQS = 2000
+SCALE_SEQ_LEN = 150_000
+SCALE_N_ALN = 2_500_000  # -> 5.0M directed records
+SCALE_QUERIES = 512      # gene-ish 10-50 kb ranges
+SCALE_DEVICE_QUERIES = 256
+V5E_HBM_GBPS = 819.0     # v5e HBM bandwidth
+V5E_BF16_TFLOPS = 197.0  # v5e MXU peak, bf16
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
 
 
-def build_workload():
+def build_mid_workload():
     from impg_tpu.index.impg_index import load_or_build
     from tests import datagen
 
-    # Cache the synthetic PAF so repeated bench runs measure the engine,
-    # not Python data generation.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".bench_cache")
-    os.makedirs(cache_dir, exist_ok=True)
+    os.makedirs(CACHE_DIR, exist_ok=True)
     tag = f"pangenome_{N_SEQS}x{SEQ_LEN}x{CROSS_LINKS}"
-    paf_path = os.path.join(cache_dir, tag + ".paf")
+    paf_path = os.path.join(CACHE_DIR, tag + ".paf")
     if not os.path.exists(paf_path):
         rng = random.Random(20260817)
-        text, seqs, alns = datagen.pangenome_paf(
+        text, _seqs, _alns = datagen.pangenome_paf(
             rng, n_seqs=N_SEQS, seq_len=SEQ_LEN, cross_links=CROSS_LINKS
         )
         with open(paf_path, "w") as fh:
@@ -103,6 +130,36 @@ def build_workload():
     return index, batches
 
 
+def load_scale_index():
+    """Load (or regenerate) the 5M-record index.  Regeneration is
+    deterministic (tests/datagen.big_directed_index) but takes minutes;
+    the 4.5 GiB .impgt artifact is cached across bench runs."""
+    from impg_tpu.index.impg_index import ImpgIndex
+
+    path = os.path.join(CACHE_DIR, "big_5m.impgt")
+    if not os.path.exists(path):
+        from tests.datagen import big_directed_index
+
+        idx = big_directed_index(
+            n_seqs=SCALE_N_SEQS, seq_len=SCALE_SEQ_LEN, n_aln=SCALE_N_ALN
+        )
+        idx.save(path)
+        return idx
+    return ImpgIndex.load(path)
+
+
+def scale_queries(index, n):
+    qr = np.random.default_rng(7)
+    S = len(index.seq_index)
+    targets = []
+    for _ in range(n):
+        tid = int(qr.integers(S))
+        span = int(qr.integers(10_000, 50_000))
+        s = int(qr.integers(0, SCALE_SEQ_LEN - span))
+        targets.append((tid, s, s + span))
+    return targets
+
+
 # ── TPU probe ────────────────────────────────────────────────────────────
 
 _PROBE_SRC = """
@@ -125,7 +182,7 @@ def probe_tpu():
     fail and retry. Returns (ok, diagnostics-dict).
     """
     attempts = []
-    for i, backoff in enumerate(PROBE_BACKOFFS_S):
+    for backoff in PROBE_BACKOFFS_S:
         if backoff:
             time.sleep(backoff)
         t0 = time.time()
@@ -179,20 +236,19 @@ def _mt_worker(chunk):
 
 def bench_host_mt(index, batches, qps_1t: float,
                   budget_s: float = HOST_MT_BUDGET_S):
-    """All-cores host run: fork-pool over walks, same engine semantics.
+    """All-cores python host run: fork-pool over walks, same semantics.
 
-    Models the reference's rayon parallelism (impg.rs:1553-1633: data-
-    parallel iterators over trees/records). Fork inherits the built index
-    with no pickling; must run BEFORE any jax backend init in this process.
+    Rounds 1-2 used this as the headline denominator; it is kept for
+    continuity but superseded by the C++ walk engine (a ~50x stronger
+    Rust proxy).  Fork inherits the built index with no pickling; must
+    run BEFORE any jax backend init in this process.
     """
     global _MT_INDEX
     nproc = os.cpu_count() or 1
     queries = [q for walk in batches[1:] for q in walk]
-    # Size the run to the budget from the measured 1t rate (perfect-scaling
-    # upper bound estimate), so a slow box doesn't blow the bench budget.
     want = int(max(nproc * 4, qps_1t * nproc * budget_s * 0.8))
     queries = queries[:max(nproc, min(len(queries), want))]
-    n_chunks = nproc * 4  # oversplit for load balance, rayon-style
+    n_chunks = nproc * 4
     chunks = [queries[i::n_chunks] for i in range(n_chunks)]
     chunks = [c for c in chunks if c]
     _MT_INDEX = index
@@ -205,6 +261,58 @@ def bench_host_mt(index, batches, qps_1t: float,
     return done / dt, nproc
 
 
+def bench_native(index, targets, reps: int = 3):
+    """C++ engine survey on one workload: walk/closed x 1t/all-cores.
+
+    Returns ({mode_tag: qps}, rows, engine) — rows is the exact result
+    row count (identical across all executors)."""
+    from impg_tpu.query.host_native import NativeHostEngine
+
+    try:
+        ne = NativeHostEngine(index)
+    except Exception:
+        return {}, 0, None
+    nproc = os.cpu_count() or 1
+    out, rows = {}, 0
+    for mode in ("walk", "closed"):
+        for th in (1, nproc):
+            best = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                rows = ne.run_counts(
+                    targets, max_depth=MAX_DEPTH, mode=mode, threads=th
+                )
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            tag = f"{mode}_{'1t' if th == 1 else f'{th}t'}"
+            out[tag] = round(len(targets) / best, 2)
+    return out, rows, ne
+
+
+def bench_auto(index, targets, reps: int = 3):
+    """The framework's default executor, through the product dispatch
+    (engine.query_transitive_bfs_many with the auto-resolved engine)."""
+    from impg_tpu.query import engine
+
+    try:
+        from impg_tpu.query.host_native import NativeHostEngine
+
+        eng = NativeHostEngine(index)  # what `auto` resolves to (cli.py)
+    except Exception:
+        eng = None  # native lib missing: auto falls back to python host
+    best, rows = None, 0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        res = engine.query_transitive_bfs_many(
+            index, targets, max_depth=MAX_DEPTH, device_engine=eng,
+            columnar=True,
+        )
+        dt = time.perf_counter() - t0
+        rows = sum(len(r) for r in res)
+        best = dt if best is None else min(best, dt)
+    return len(targets) / best, rows, best
+
+
 # ── Device benches ───────────────────────────────────────────────────────
 
 def bench_device(index, batches, approximate=False, reps=DEVICE_REPS):
@@ -212,10 +320,6 @@ def bench_device(index, batches, approximate=False, reps=DEVICE_REPS):
     from impg_tpu.query.device import DeviceEngine
 
     dev = DeviceEngine(index, with_tracepoints=approximate)
-    # All timed walks go through ONE multi-walk call — the `-b BED -x`
-    # batch path: every depth's stab+projection for all walks is pipelined
-    # chunk dispatches with a single sync per depth.  Warm up with the same
-    # shape so compile + window-capacity settle are excluded (steady state).
     walks = [q for walk in batches[1:] for q in walk]
     engine.query_transitive_bfs_many(
         index, batches[0], max_depth=MAX_DEPTH, device_engine=dev,
@@ -228,8 +332,6 @@ def bench_device(index, batches, approximate=False, reps=DEVICE_REPS):
     rep_qps, rows, best_dt = [], 0, None
     for _ in range(max(1, reps)):
         t0 = time.perf_counter()
-        # Columnar result blocks: rows stay flat arrays (the engine's native
-        # currency); Row objects only materialize in writers that need them.
         res = engine.query_transitive_bfs_many(
             index, walks, max_depth=MAX_DEPTH, device_engine=dev,
             approximate=approximate, columnar=True,
@@ -239,6 +341,170 @@ def bench_device(index, batches, approximate=False, reps=DEVICE_REPS):
         rep_qps.append(len(walks) / dt)
         best_dt = dt if best_dt is None else min(best_dt, dt)
     return rep_qps, rows, best_dt
+
+
+def bench_device_scale(index):
+    """At-scale device evidence: end-to-end engine q/s + the roofline
+    decomposition (step lanes/s, derived random-access GB/s vs HBM,
+    host<->device link MB/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from impg_tpu.query import engine
+    from impg_tpu.query.device import DeviceEngine, slot_query_step
+    from impg_tpu.query.engine import LEAN_FIELDS
+
+    # Dense workload: ~90% of lanes hit, so compaction's sort buys
+    # nothing and the truncation-doubling ladder would cost one ~80s
+    # remote compile per cap step.  Pin it off (single executable).
+    os.environ["IMPG_SLOT_CAP"] = "none"
+    d = {}
+    t0 = time.perf_counter()
+    dev = DeviceEngine(index)
+    for v in dev.dindex.arena.values():
+        v.block_until_ready()
+    float(dev.dindex.t_end[0])  # scalar fetch = reliable fence
+    d["arena_resident_gib"] = round(
+        sum(int(v.size) * 4 for v in dev.dindex.arena.values()) / 2**30, 2
+    )
+    d["upload_s"] = round(time.perf_counter() - t0, 1)
+
+    # Roofline: one slot-step executable, timed hot.
+    targets = scale_queries(index, 2048)
+    q_tid = np.asarray([t[0] for t in targets], np.int32)
+    q_s = np.asarray([t[1] for t in targets], np.int32)
+    q_e = np.asarray([t[2] for t in targets], np.int32)
+    win_lo, k = dev._host_windows(q_tid, q_s, q_e)
+    slot_lo, slot_k, slot_q = dev._build_slots(win_lo, k)
+    SC, K = dev.slot_chunk, dev.k_slot
+    n = min(SC, slot_lo.size)
+    cols = (
+        jnp.asarray(np.resize(slot_lo[:n].astype(np.int32), SC)),
+        jnp.asarray(np.resize(slot_k[:n].astype(np.int32), SC)),
+        jnp.asarray(np.resize(q_s[slot_q[:n]], SC)),
+        jnp.asarray(np.resize(q_e[slot_q[:n]], SC)),
+    )
+
+    def step():
+        return slot_query_step(
+            dev.dindex, *cols, k_slot=K, cap=None, clip_overlap=True,
+            id_bits=dev.slot_id_bits, fields=LEAN_FIELDS,
+        )
+
+    def fence(m):
+        # block_until_ready through the axon relay can return before the
+        # kernel finishes; fetching one scalar cannot.
+        return float(m[1, -1])
+
+    t0 = time.perf_counter()
+    fence(step())
+    d["step_compile_s"] = round(time.perf_counter() - t0, 1)
+    fence(step())  # warm
+    reps = 4
+    t0 = time.perf_counter()
+    mats = [step() for _ in range(reps)]
+    fence(mats[-1])  # device streams execute in order: last fences all
+    best = (time.perf_counter() - t0) / reps
+    lanes = SC * K
+    d["step_ms"] = round(best * 1e3, 1)
+    d["step_mlanes_per_s"] = round(lanes / best / 1e6, 2)
+    # Bytes-touched model per lane: the closed-form projection does two
+    # binary searches over the record's run span (~2*log2(runs/record)
+    # random 4B reads) plus ~10 record-field reads; the stab reads the
+    # slot window's t_start/cummax lanes (2 x 4B, near-sequential).
+    runs_per_rec = max(2.0, index.arena.n_ops / max(1, len(index.records)))
+    bytes_per_lane = 4 * (2 * np.ceil(np.log2(runs_per_rec)) + 12)
+    eff_gbps = lanes / best * bytes_per_lane / 1e9
+    d["bytes_per_lane_model"] = int(bytes_per_lane)
+    d["effective_random_access_gb_s"] = round(eff_gbps, 2)
+    d["hbm_fraction"] = round(eff_gbps / V5E_HBM_GBPS, 4)
+
+    # Link rate: one un-prefetched matrix fetch of known size.
+    mat = step()
+    fence(mat)
+    t0 = time.perf_counter()
+    h = np.asarray(mat)
+    dt = time.perf_counter() - t0
+    d["fetch_mib"] = round(h.nbytes / 2**20, 1)
+    d["link_mib_s"] = round(h.nbytes / 2**20 / dt, 1)
+
+    # End-to-end engine run (the product path, one warm + one timed).
+    sub = scale_queries(index, SCALE_DEVICE_QUERIES)
+    engine.query_transitive_bfs_many(
+        index, sub[:16], max_depth=MAX_DEPTH, device_engine=dev,
+        columnar=True,
+    )
+    t0 = time.perf_counter()
+    res = engine.query_transitive_bfs_many(
+        index, sub, max_depth=MAX_DEPTH, device_engine=dev, columnar=True,
+    )
+    dt = time.perf_counter() - t0
+    rows = sum(len(r) for r in res)
+    d["e2e_queries"] = len(sub)
+    d["e2e_qps"] = round(len(sub) / dt, 1)
+    d["e2e_rows"] = int(rows)
+    d["e2e_rows_per_s"] = round(rows / dt, 1)
+    # Modeled co-located split: with the arena resident and a PCIe-class
+    # host link (~8 GB/s) instead of the relay, the fetch term vanishes;
+    # compute alone bounds q/s.
+    lanes_needed = rows / 0.89  # measured hit density ~89%
+    compute_s = lanes_needed / (d["step_mlanes_per_s"] * 1e6)
+    d["modeled_colocated_qps"] = round(len(sub) / max(compute_s, 1e-9), 1)
+    del dev
+    os.environ.pop("IMPG_SLOT_CAP", None)
+    return d
+
+
+def bench_mxu():
+    """MXU sidecar: the genotype Gram-scoring path (genotype/core.py
+    diploid_cosine_matrix_device — candidates x candidates Gram + cosine
+    search, a matmul) and a raw bf16 matmul MFU sanity line."""
+    import jax
+    import jax.numpy as jnp
+
+    from impg_tpu.genotype.core import diploid_step_device
+
+    d = {}
+    N, D = 2048, 16384
+    rng = np.random.default_rng(0)
+    cand = jnp.asarray(rng.random((N, D), np.float32))
+    samp = jnp.asarray(rng.random(D, np.float32))
+    # Through the axon relay block_until_ready can return before the
+    # computation finishes; fetching ONE element is the reliable fence
+    # (it cannot materialize before the kernel completes).
+    float(diploid_step_device(cand, samp)[0][0, 0])  # compile + warm
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sim, dot, cn = diploid_step_device(cand, samp)
+        float(sim[0, 0])
+        ts.append(time.perf_counter() - t0)
+    flops = 2.0 * N * N * D  # the C@C.T Gram dominates
+    d["gram_n"], d["gram_d"] = N, D
+    d["gram_tflops_f32"] = round(flops / min(ts) / 1e12, 2)
+
+    M, CHAIN = 8192, 8
+    a = jnp.asarray(rng.random((M, M), np.float32), jnp.bfloat16)
+    b = jnp.asarray(rng.random((M, M), np.float32), jnp.bfloat16)
+
+    @jax.jit
+    def f(x, y):
+        # Chained dependent matmuls: one dispatch through the relay
+        # amortizes its ~10-20 ms latency over CHAIN MXU passes.
+        for _ in range(CHAIN):
+            x = (x @ y) * jnp.bfloat16(1e-2)  # keep magnitudes finite
+        return x
+
+    float(f(a, b)[0, 0])  # compile + warm (scalar fetch = real fence)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(f(a, b)[0, 0])
+        ts.append(time.perf_counter() - t0)
+    tf = CHAIN * 2.0 * M**3 / min(ts) / 1e12
+    d["matmul_bf16_tflops"] = round(tf, 1)
+    d["matmul_bf16_mfu"] = round(tf / V5E_BF16_TFLOPS, 3)
+    return d
 
 
 def bench_headlines():
@@ -292,10 +558,6 @@ def bench_headlines():
             best = dt2 if best is None else min(best, dt2)
         gfa_mibs = len(raw) / 2**20 / best
 
-    # Columnar transform passes on the same graph (reference anchors:
-    # docs/crush-perf-report.md — parse 50 ms / validate 136 ms / render
-    # 317 ms on a 115 MiB graph): spelling validation (the crush round's
-    # hot pass) and the full columnar gs sort pipeline.
     validate_ms = sort_ms = None
     try:
         from impg_tpu.graph import columnar_ops as co
@@ -332,28 +594,42 @@ def bench_headlines():
 
 
 def main():
-    index, batches = build_workload()
+    index, batches = build_mid_workload()
+    mid_targets = [q for walk in batches[1:] for q in walk]
 
-    # Host baselines FIRST (fork-safe: no jax backend in this process yet).
+    # Python baselines FIRST (fork-safe: no jax backend in this process
+    # yet), kept for round-over-round continuity.
     qps_1t = bench_host_1t(index, batches)
     qps_mt, nproc = bench_host_mt(index, batches, qps_1t)
+
+    # C++ executor survey, mid workload.
+    native_mid, mid_rows, _ne = bench_native(index, mid_targets)
+    auto_qps, auto_rows, auto_dt = bench_auto(index, mid_targets)
 
     (syng_build_ms, gfa_parse_mibs, gfa_validate_ms, gfa_sort_ms,
      gfa_size_mib) = bench_headlines()
 
     detail = {
-        "directed_records": len(index.records),
-        "arena_runs": int(index.arena.n_ops),
-        "batch": BATCH,
-        "batches_timed": N_BATCHES_TIMED,
-        "max_depth": MAX_DEPTH,
-        "host_engine_qps_1t": round(qps_1t, 2),
-        "host_engine_qps_mt": round(qps_mt, 2),
+        "mid": {
+            "directed_records": len(index.records),
+            "arena_runs": int(index.arena.n_ops),
+            "queries": len(mid_targets),
+            "max_depth": MAX_DEPTH,
+            "result_rows": int(mid_rows),
+            "python_host_qps_1t": round(qps_1t, 2),
+            "python_host_qps_mt": round(qps_mt, 2),
+            "native_qps": native_mid,
+            "auto_engine_qps": round(auto_qps, 2),
+            "auto_engine_rows_per_s": round(auto_rows / auto_dt, 2),
+        },
         "host_threads": nproc,
         "baseline_note": (
-            "vs_baseline = device qps / all-cores fork-pool host engine "
-            "(same semantics; stand-in for the rayon-parallel Rust "
-            "reference, which cannot be built in this image)"
+            "vs_baseline = framework default (auto -> C++ closed engine, "
+            "all cores) / C++ WALK engine all cores — the walk engine "
+            "reimplements the reference's exact cost model "
+            "(impg.rs:2760-2898 linear CIGAR walk + rayon-style "
+            "data-parallel walks) and is ~48x stronger than rounds 1-2's "
+            "python fork-pool denominator"
         ),
         "syng_build_ms_c4_scale_4t": syng_build_ms,
         "gfa_native_tokenize_mib_s": gfa_parse_mibs,
@@ -362,44 +638,117 @@ def main():
         "gfa_columnar_sort_gs_ms": gfa_sort_ms,
     }
 
+    # Scale workload: C++ survey (CPU-only, cheap once loaded).
+    scale_err = None
+    try:
+        sidx = load_scale_index()
+        stargets = scale_queries(sidx, SCALE_QUERIES)
+        native_scale, scale_rows, _ = bench_native(sidx, stargets, reps=2)
+        auto_s_qps, auto_s_rows, auto_s_dt = bench_auto(
+            sidx, stargets, reps=2
+        )
+        detail["scale"] = {
+            "directed_records": len(sidx.records),
+            "arena_runs": int(sidx.arena.n_ops),
+            "queries": len(stargets),
+            "result_rows": int(scale_rows),
+            "native_qps": native_scale,
+            "auto_engine_qps": round(auto_s_qps, 2),
+            "auto_engine_rows_per_s": round(auto_s_rows / auto_s_dt, 2),
+            "vs_walk_mt": round(
+                auto_s_qps / max(
+                    native_scale.get(f"walk_{nproc}t", 1e-9), 1e-9
+                ), 2
+            ),
+        }
+    except Exception as exc:  # scale tier must never sink the bench
+        scale_err = f"{type(exc).__name__}: {exc}"
+        detail["scale"] = {"error": scale_err}
+        sidx = None
+
     ok, probe = probe_tpu()
     detail["tpu_probe"] = probe
+
+    walk_mt = native_mid.get(f"walk_{nproc}t") or qps_mt
+    result = {
+        "metric": "transitive_queries_per_sec",
+        "value": round(auto_qps, 2),
+        "unit": "queries/s",
+        "vs_baseline": round(auto_qps / walk_mt, 2),
+        "detail": detail,
+    }
+
     if not ok:
-        # Structured degradation: headline falls back to the strongest CPU
-        # number with an explicit unavailability flag — never a traceback.
-        result = {
-            "metric": "transitive_queries_per_sec_per_chip",
-            "value": round(qps_mt, 2),
-            "unit": "queries/s",
-            "vs_baseline": 1.0,
-            "tpu_unavailable": True,
-            "error": "axon TPU backend failed to initialize after "
-                     f"{len(PROBE_BACKOFFS_S)} probe attempts",
-            "detail": detail,
-        }
+        result["tpu_unavailable"] = True
+        result["error"] = (
+            "axon TPU backend failed to initialize after "
+            f"{len(PROBE_BACKOFFS_S)} probe attempts"
+        )
         print(json.dumps(result))
         return
 
-    index.ensure_tracepoints(100)
-    rep_qps, rows, best_dt = bench_device(index, batches)
-    approx_reps, _, _ = bench_device(index, batches, approximate=True, reps=2)
-    qps_device = max(rep_qps)
+    # Device tier, mid workload (exact + approximate) — the rounds 1-2
+    # headline path, now a survey row rather than the headline.
+    try:
+        index.ensure_tracepoints(100)
+        rep_qps, rows, best_dt = bench_device(index, batches)
+        approx_reps, _, _ = bench_device(
+            index, batches, approximate=True, reps=2
+        )
+        detail["mid"].update({
+            "device_qps": round(max(rep_qps), 2),
+            "device_reps_qps": [round(q, 2) for q in rep_qps],
+            "device_qps_spread": round(
+                max(rep_qps) / max(min(rep_qps), 1e-9), 2
+            ),
+            "device_rows_per_sec": round(rows / best_dt, 2),
+            "device_approx_qps": round(max(approx_reps), 2),
+        })
+    except Exception as exc:
+        detail["mid"]["device_error"] = f"{type(exc).__name__}: {exc}"
 
-    detail.update({
-        "result_rows": int(rows),
-        "result_rows_per_sec": round(rows / best_dt, 2),
-        "device_reps_qps": [round(q, 2) for q in rep_qps],
-        "device_qps_spread": round(max(rep_qps) / max(min(rep_qps), 1e-9), 2),
-        "approximate_mode_qps": round(max(approx_reps), 2),
-        "vs_baseline_1t": round(qps_device / qps_1t, 2),
-    })
-    result = {
-        "metric": "transitive_queries_per_sec_per_chip",
-        "value": round(qps_device, 2),
-        "unit": "queries/s",
-        "vs_baseline": round(qps_device / qps_mt, 2),
-        "detail": detail,
-    }
+    # Device tier, scale workload + roofline decomposition.
+    if sidx is not None:
+        try:
+            detail["device_scale"] = bench_device_scale(sidx)
+        except Exception as exc:
+            detail["device_scale"] = {
+                "error": f"{type(exc).__name__}: {exc}"
+            }
+
+    try:
+        detail["mxu"] = bench_mxu()
+    except Exception as exc:
+        detail["mxu"] = {"error": f"{type(exc).__name__}: {exc}"}
+
+    ds = detail.get("device_scale", {})
+    detail["gap_analysis"] = (
+        "The transitive query is pointer-chasing + result "
+        "materialization: each result lane costs ~2*log2(runs/record) "
+        "random 4B arena reads (binary-search projection). Measured on "
+        "the 5M-record index: device step {ml} Mlanes/s = {gb} GB/s "
+        "effective random access ({hf}% of v5e HBM), because XLA gathers "
+        "serialize on TPU while a CPU runs the same searches out of "
+        "L2-resident arenas; and every row must return to the host for "
+        "visited-set bookkeeping (reference semantics) across a "
+        "{lk} MiB/s relay link — co-located PCIe would lift e2e from "
+        "{eq} to ~{mq} q/s, still short of the C++ engine on all cores. "
+        "The TPU earns its keep on the MXU-shaped subsystems (genotype "
+        "Gram scoring at {gt} TFLOP/s f32, raw bf16 matmul at {mfu} MFU) "
+        "and on mesh-sharded indexes exceeding one host's RAM; the "
+        "framework's auto executor therefore routes interval BFS to the "
+        "C++ engine and keeps the accelerator for compute-dense stages."
+    ).format(
+        ml=ds.get("step_mlanes_per_s", "?"),
+        gb=ds.get("effective_random_access_gb_s", "?"),
+        hf=round(100 * ds.get("hbm_fraction", 0), 2),
+        lk=ds.get("link_mib_s", "?"),
+        eq=ds.get("e2e_qps", "?"),
+        mq=ds.get("modeled_colocated_qps", "?"),
+        gt=detail.get("mxu", {}).get("gram_tflops_f32", "?"),
+        mfu=detail.get("mxu", {}).get("matmul_bf16_mfu", "?"),
+    )
+
     print(json.dumps(result))
 
 
@@ -408,7 +757,7 @@ if __name__ == "__main__":
         main()
     except Exception as exc:  # never a bare traceback on the record
         print(json.dumps({
-            "metric": "transitive_queries_per_sec_per_chip",
+            "metric": "transitive_queries_per_sec",
             "value": 0,
             "unit": "queries/s",
             "vs_baseline": 0,

@@ -172,6 +172,43 @@ def diploid_cosine_matrix(candidates: np.ndarray, sample: np.ndarray):
     return sim, dot, comb_norm
 
 
+_DIPLOID_STEP = None  # lazily-built module-level jit (stable cache key —
+                      # a per-call @jax.jit closure would retrace+recompile
+                      # on every invocation)
+
+
+def diploid_step_device(candidates, sample):
+    """The jitted ploidy-2 scoring step, returning DEVICE arrays.
+
+    The Gram matrix and projection run as float32 matmuls (MXU on TPU);
+    callers that only reduce the result further (argmax, top-k) can stay
+    on device and skip the 3xNxN host fetch entirely."""
+    global _DIPLOID_STEP
+    import jax
+    import jax.numpy as jnp
+
+    if _DIPLOID_STEP is None:
+        @jax.jit
+        def step(c, s):
+            proj = c @ s
+            gram = c @ c.T
+            norms_sq = jnp.diagonal(gram)
+            dot = proj[:, None] + proj[None, :]
+            comb_norm = jnp.sqrt(
+                norms_sq[:, None] + norms_sq[None, :] + 2.0 * gram
+            )
+            denom = jnp.sqrt(s @ s) * comb_norm
+            sim = jnp.where(denom > 0, dot / denom, 0.0)
+            return sim, dot, comb_norm
+
+        _DIPLOID_STEP = step
+
+    return _DIPLOID_STEP(
+        jnp.asarray(candidates, jnp.float32),
+        jnp.asarray(sample, jnp.float32),
+    )
+
+
 def diploid_cosine_matrix_device(candidates: np.ndarray, sample: np.ndarray):
     """`diploid_cosine_matrix` under jit: the Gram matrix and projection
     run as float32 matmuls (MXU on TPU).  Scores may differ from the
@@ -179,25 +216,7 @@ def diploid_cosine_matrix_device(candidates: np.ndarray, sample: np.ndarray):
     whenever combinations aren't float-tie-close (the genotype command
     treats device scoring as a faithful accelerator, not a bit oracle —
     reference role genotyping.rs:190 score_cosine_combination)."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def step(c, s):
-        proj = c @ s
-        gram = c @ c.T
-        norms_sq = jnp.diagonal(gram)
-        dot = proj[:, None] + proj[None, :]
-        comb_norm = jnp.sqrt(
-            norms_sq[:, None] + norms_sq[None, :] + 2.0 * gram
-        )
-        denom = jnp.sqrt(s @ s) * comb_norm
-        sim = jnp.where(denom > 0, dot / denom, 0.0)
-        return sim, dot, comb_norm
-
-    sim, dot, comb_norm = step(
-        jnp.asarray(candidates, jnp.float32), jnp.asarray(sample, jnp.float32)
-    )
+    sim, dot, comb_norm = diploid_step_device(candidates, sample)
     return np.asarray(sim), np.asarray(dot), np.asarray(comb_norm)
 
 

@@ -653,7 +653,7 @@ class DeviceEngine:
         initial_capacity: int | None = None,
         chunk: int = 1024,
         with_tracepoints: bool = False,
-        slotted: bool = True,
+        slotted: bool | None = None,
         k_slot: int = 128,
         slot_chunk: int = 2048,
     ):
@@ -682,12 +682,37 @@ class DeviceEngine:
         # query under the windowed grid).  See _slot_core.
         import os as _os
 
+        # Execution-strategy pick by tree shape (slotted=None -> auto):
+        # the slotted path bounds dense-grid waste on WIDE windows (big
+        # per-target trees), but on small trees the windowed grid is
+        # cheaper end to end (its k_max is tiny, compaction shrinks
+        # transfers, and far fewer dispatches per depth).  Measured: the
+        # 704-record mid bench runs ~3x faster windowed; the 5M-record
+        # index (windows ~500-1000) needs slots.  slotted=True/False and
+        # IMPG_FORCE_SLOTS/IMPG_NO_SLOTS override.
+        if slotted is None:
+            tree_sizes_ = np.diff(index.tgt_offsets)
+            max_tree_ = int(tree_sizes_.max()) if tree_sizes_.size else 1
+            slotted = (
+                max_tree_ > 256
+                or _os.environ.get("IMPG_FORCE_SLOTS", "") == "1"
+            )
         self.slotted = slotted and _os.environ.get(
             "IMPG_NO_SLOTS", ""
         ) != "1"
         self.k_slot = k_slot
         self.slot_chunk = slot_chunk
         self.slot_cap = slot_chunk * 8
+        # Pin the compaction cap (IMPG_SLOT_CAP=<int>|none) to avoid the
+        # truncation-doubling ladder: every new cap value is a fresh
+        # executable (~80 s through a remote-compile relay).  "none"
+        # disables compaction — the right call on dense workloads where
+        # most lanes hit (pack_result's sort buys nothing).
+        cap_env = _os.environ.get("IMPG_SLOT_CAP", "")
+        if cap_env:
+            self.slot_cap = (
+                None if cap_env.lower() == "none" else int(cap_env)
+            )
         self.slot_id_bits = (
             seq_bits if _iters_for(slot_chunk - 1) + seq_bits <= 31 else 0
         )

@@ -67,6 +67,15 @@ def _lib():
         ]
         lib.he_clear.restype = None
         lib.he_clear.argtypes = [ctypes.c_void_p]
+        lib.he_walk_offsets.restype = None
+        lib.he_walk_offsets.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, i64p,
+        ]
+        lib.he_fetch_all.restype = None
+        lib.he_fetch_all.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, i64p, ctypes.c_int32,
+            i32p, i32p, i32p, i32p, i32p, i32p,
+        ]
         _bound = True
     return lib
 
@@ -153,14 +162,26 @@ class NativeHostEngine:
         )
 
     def run(self, targets, **kw) -> list[RowBlock]:
-        """Run walks and fetch per-walk RowBlocks (engine-identical)."""
+        """Run walks and fetch per-walk RowBlocks (engine-identical).
+
+        One batched fetch for the whole run — per-walk ctypes calls and
+        allocations cost ~3x the BFS itself on large batches."""
         self.run_counts(targets, **kw)
-        out = []
-        for w in range(len(targets)):
-            n = int(self._lib.he_walk_rows(self._h, w))
-            cols = [np.zeros(n, np.int32) for _ in range(6)]
-            if n:
-                self._lib.he_fetch_walk(self._h, w, *cols)
-            out.append(RowBlock(*(col.astype(np.int64) for col in cols)))
+        n_walks = len(targets)
+        off = np.zeros(n_walks + 1, np.int64)
+        self._lib.he_walk_offsets(self._h, n_walks, off)
+        total = int(off[-1])
+        cols = [np.empty(total, np.int32) for _ in range(6)]
+        if total:
+            self._lib.he_fetch_all(
+                self._h, n_walks, off, self.threads, *cols
+            )
+        # Columns stay int32 views into the batch arrays: coordinates fit
+        # by format, and widening to int64 costs more than the BFS itself
+        # (page-faulting fresh allocations, see columnar_ops docstring).
+        out = [
+            RowBlock(*(c[off[w]:off[w + 1]] for c in cols))
+            for w in range(n_walks)
+        ]
         self._lib.he_clear(self._h)
         return out

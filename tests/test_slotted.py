@@ -60,7 +60,8 @@ def test_slotted_equals_windowed(setup, fields, approximate):
     if approximate and fields is None:
         pytest.skip("approximate path always streams lean stats")
     slotted = DeviceEngine(
-        index, with_tracepoints=True, k_slot=8, slot_chunk=32
+        index, with_tracepoints=True, k_slot=8, slot_chunk=32,
+        slotted=True,
     )
     slotted.slot_cap = 64  # force cap-growth retries
     windowed = DeviceEngine(index, with_tracepoints=True, slotted=False)
@@ -87,7 +88,7 @@ def test_slotted_bfs_matches_host(setup):
     host = engine.query_transitive_bfs_many(
         index, targets, max_depth=2, columnar=True
     )
-    dev = DeviceEngine(index, k_slot=16, slot_chunk=64)
+    dev = DeviceEngine(index, k_slot=16, slot_chunk=64, slotted=True)
     got = engine.query_transitive_bfs_many(
         index, targets, max_depth=2, columnar=True, device_engine=dev
     )
