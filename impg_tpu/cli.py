@@ -807,6 +807,12 @@ def cmd_partition(args) -> int:
     device_engine = _resolve_compute_engine(
         args, index,
         n_targets=1 + len(index.seq_index) // 4,  # windows per round
+        # Partition's per-window walks carry masked regions (supported
+        # natively) but no CIGARs/identity/subset unless asked.
+        native_ok=(
+            not args.transitive_dfs
+            and args.min_result_identity is None
+        ),
     )
 
     partition_mod.partition_alignments(
@@ -882,7 +888,12 @@ def cmd_refine(args) -> int:
         blacklist=blacklist,
     )
     device_engine = _resolve_compute_engine(
-        args, index, n_targets=len(targets) * 8  # flank-grid candidates
+        args, index, n_targets=len(targets) * 8,  # flank-grid candidates
+        native_ok=(
+            args.transitive and not args.transitive_dfs
+            and args.min_result_identity is None
+            and not args.subset_sequence_list
+        ),
     )
     records = refine_mod.run_refine(
         index, targets, config, device_engine=device_engine

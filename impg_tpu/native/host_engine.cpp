@@ -38,6 +38,8 @@
 extern "C" {
 void* vb_create(int64_t n_seqs, const int64_t* seq_lens, int32_t masked_none);
 void vb_destroy(void* h);
+void vb_preload(void* h, int64_t walk, int64_t qid, int64_t s, int64_t e,
+                int64_t seq_len);
 void vb_seed_many(void* h, const int64_t* walk, const int64_t* qid,
                   const int64_t* s, const int64_t* e, int64_t n);
 void vb_process(void* h, const int64_t* walk, const int64_t* qid,
@@ -338,22 +340,39 @@ void he_destroy(void* h) { delete (HostEngine*)h; }
 // unit, atomic work stealing).  mode: 0 closed-form, 1 reference walk.
 // Returns the total emitted row count; rows stay inside per-walk buffers
 // until fetched.
+//
+// Masked regions (partition's pre-visited bookkeeping, partition.rs:978):
+// `masked` selects the masked-entry contract (lazily-created visited
+// entries clamp to length 0, impg.rs:2047); each walk's fresh visited
+// book is preloaded with the (qid, s, e, entry_seq_len) rows — a
+// zero-length row materializes an empty entry so its sequence_length
+// governs later inserts, exactly like a Python-side clone
+// (query/engine.py:847-859).
 int64_t he_run(void* h, const int32_t* q_tid, const int32_t* q_s,
                const int32_t* q_e, int64_t n, int32_t max_depth,
                int32_t min_trans_len, int32_t min_dist, int32_t mode,
-               int32_t threads) {
+               int32_t threads, int32_t masked, const int64_t* m_qid,
+               const int64_t* m_s, const int64_t* m_e,
+               const int64_t* m_len, int64_t n_mask) {
     auto* E = (HostEngine*)h;
     E->rows.assign((size_t)n, {});
     std::atomic<int64_t> next(0);
     const int nt = std::max(1, (int)threads);
+    const int32_t mnone = masked ? 0 : 1;
+    auto make_vb = [&]() {
+        void* vb = vb_create(E->n_seqs, E->seq_lens, mnone);
+        for (int64_t i = 0; i < n_mask; ++i)
+            vb_preload(vb, 0, m_qid[i], m_s[i], m_e[i], m_len[i]);
+        return vb;
+    };
     auto worker = [&]() {
-        void* vb = vb_create(E->n_seqs, E->seq_lens, 1);
+        void* vb = make_vb();
         for (int64_t w = next.fetch_add(1); w < n; w = next.fetch_add(1)) {
             run_walk(*E, vb, q_tid[w], q_s[w], q_e[w], max_depth,
                      min_trans_len, min_dist, mode, E->rows[w]);
             // Fresh bookkeeping per walk: recreate the visited book.
             vb_destroy(vb);
-            vb = vb_create(E->n_seqs, E->seq_lens, 1);
+            vb = make_vb();
         }
         vb_destroy(vb);
     };

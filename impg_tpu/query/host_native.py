@@ -56,7 +56,8 @@ def _lib():
         lib.he_run.argtypes = [
             ctypes.c_void_p, i32p, i32p, i32p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, i64p, i64p, i64p, i64p,
+            ctypes.c_int64,
         ]
         lib.he_walk_rows.restype = ctypes.c_int64
         lib.he_walk_rows.argtypes = [ctypes.c_void_p, ctypes.c_int64]
@@ -146,18 +147,45 @@ class NativeHostEngine:
         min_distance_between_ranges: int = 10,
         mode: str | None = None,
         threads: int = 0,
+        masked_regions=None,
     ) -> int:
-        """Run walks, return total result rows (rows retained natively)."""
+        """Run walks, return total result rows (rows retained natively).
+
+        `masked_regions` is the engine's dict[int, SortedRanges] contract
+        (partition's pre-visited bookkeeping): flattened into
+        (qid, s, e, entry_seq_len) preload rows; an entry with no ranges
+        becomes one zero-length row so its sequence_length still governs
+        later inserts (mirrors query/engine.py:847-859)."""
         mode = mode or self.mode
         threads = threads or self.threads
         q_tid = np.ascontiguousarray([t[0] for t in targets], np.int32)
         q_s = np.ascontiguousarray([t[1] for t in targets], np.int32)
         q_e = np.ascontiguousarray([t[2] for t in targets], np.int32)
+        m_qid, m_s, m_e, m_len = [], [], [], []
+        if masked_regions is not None:
+            for sid, sr in masked_regions.items():
+                slen = int(getattr(sr, "sequence_length", 0))
+                if not sr.ranges:
+                    m_qid.append(int(sid))
+                    m_s.append(0)
+                    m_e.append(0)
+                    m_len.append(slen)
+                for ms, me in sr.ranges:
+                    m_qid.append(int(sid))
+                    m_s.append(int(ms))
+                    m_e.append(int(me))
+                    m_len.append(slen)
         return int(
             self._lib.he_run(
                 self._h, q_tid, q_s, q_e, len(targets), max_depth,
                 min_transitive_len, min_distance_between_ranges,
                 MODES[mode], threads,
+                0 if masked_regions is None else 1,
+                np.ascontiguousarray(m_qid, np.int64),
+                np.ascontiguousarray(m_s, np.int64),
+                np.ascontiguousarray(m_e, np.int64),
+                np.ascontiguousarray(m_len, np.int64),
+                len(m_qid),
             )
         )
 

@@ -109,3 +109,34 @@ def test_cli_refine_mesh_matches_host(mesh_workload):
         r_host.stderr + r_mesh.stderr
     )
     assert r_host.stdout and r_host.stdout == r_mesh.stdout
+
+
+def test_cli_partition_native_matches_host(mesh_workload, tmp_path):
+    """Partition's masked per-window walks run natively (auto) with
+    bit-identical partitions.bed."""
+    paf, _bed = mesh_workload
+    outs = {}
+    for eng in ("host", "native"):
+        folder = tmp_path / f"parts_{eng}"
+        r = run_cli(
+            "partition", "-a", paf, "-w", "4000", "-d", "100",
+            "--min-missing-size", "200", "--min-boundary-distance", "200",
+            "--output-folder", str(folder), "--compute-engine", eng,
+        )
+        assert r.returncode == 0, r.stderr
+        outs[eng] = (folder / "partitions.bed").read_text()
+    assert outs["host"] and outs["host"] == outs["native"]
+
+
+def test_cli_refine_native_matches_host(mesh_workload):
+    paf, bed = mesh_workload
+    args = (
+        "refine", "-a", paf, "-b", bed, "-d", "200",
+        "--max-extension", "0.2", "-x",
+    )
+    r_host = run_cli(*args, "--compute-engine", "host")
+    r_nat = run_cli(*args, "--compute-engine", "native")
+    assert r_host.returncode == 0 and r_nat.returncode == 0, (
+        r_host.stderr + r_nat.stderr
+    )
+    assert r_host.stdout and r_host.stdout == r_nat.stdout

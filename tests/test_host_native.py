@@ -97,3 +97,40 @@ def test_native_engine_nonstandard_params(setup):
     )
     _assert_blocks_equal(got, oracle, "params")
     ne.close()
+
+
+def test_native_masked_walks_match_python(setup):
+    """Masked-region preload (partition's pre-visited bookkeeping):
+    native walks equal the python engine with the same mask dict."""
+    from impg_tpu.core.intervals import SortedRanges
+
+    index, targets = setup
+
+    def masks():
+        m = {}
+        # Mask a band on a few sequences, plus one EMPTY entry whose
+        # sequence_length must still govern later inserts.
+        for sid in range(0, min(6, len(index.seq_index))):
+            L = index.seq_index.get_len_from_id(sid) or 0
+            sr = SortedRanges(L, 0)
+            if sid % 3 != 2:
+                sr.insert((L // 4, L // 2))
+            m[sid] = sr
+        return m
+
+    ne = NativeHostEngine(index)
+    got = ne.run(targets[:25], max_depth=2, masked_regions=masks())
+    want = [
+        engine.query_transitive_bfs(
+            index, t, s, e, masked_regions=masks(), max_depth=2
+        )
+        for t, s, e in targets[:25]
+    ]
+    assert len(got) == len(want)
+    for w, (g, rows) in enumerate(zip(got, want)):
+        tup_g = list(zip(g.q_id.tolist(), g.q_first.tolist(),
+                         g.q_last.tolist(), g.t_id.tolist(),
+                         g.t_first.tolist(), g.t_last.tolist()))
+        tup_w = [(r.q_id, r.q_first, r.q_last, r.t_id, r.t_first, r.t_last)
+                 for r in rows]
+        assert tup_g == tup_w, f"walk {w}"
