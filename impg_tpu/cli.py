@@ -962,11 +962,18 @@ def cmd_similarity(args) -> int:
     )
     subset_match = subset.matches if subset else None
 
-    # Device engine accelerates the region-gathering transitive BFS; the
-    # POA MSA + metric stages follow on host (the cosine/jaccard math is
-    # tiny compared to gathering).
+    # Engine accelerates the region-gathering transitive BFS; the POA MSA
+    # + metric stages follow on host (the cosine/jaccard math is tiny
+    # compared to gathering).
     device_engine = (
-        _resolve_compute_engine(args, index, n_targets=len(targets))
+        _resolve_compute_engine(
+            args, index, n_targets=len(targets),
+            native_ok=(
+                args.min_result_identity is None
+                and subset_match is None
+                and args.min_output_length is None
+            ),
+        )
         if args.transitive and not args.transitive_dfs
         else None
     )

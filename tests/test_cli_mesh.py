@@ -140,3 +140,30 @@ def test_cli_refine_native_matches_host(mesh_workload):
         r_host.stderr + r_nat.stderr
     )
     assert r_host.stdout and r_host.stdout == r_nat.stdout
+
+
+def test_cli_similarity_native_matches_host(mesh_workload, tmp_path):
+    import random as _random
+
+    paf, bed = mesh_workload
+    # Similarity needs sequences; synthesize a FASTA matching the PAF's
+    # names/lengths (both engines read the same file).
+    from impg_tpu.index.impg_index import load_or_build
+
+    idx = load_or_build([paf])
+    rng = _random.Random(5)
+    fa = tmp_path / "seqs.fa"
+    with open(fa, "w") as fh:
+        for i in range(len(idx.seq_index)):
+            name = idx.seq_index.get_name(i)
+            L = idx.seq_index.get_len_from_id(i)
+            fh.write(f">{name}\n")
+            fh.write("".join(rng.choice("ACGT") for _ in range(L)) + "\n")
+    args = ("similarity", "-a", paf, "-b", bed, "-d", "200", "-x",
+            "--sequence-files", str(fa))
+    r_host = run_cli(*args, "--compute-engine", "host")
+    r_nat = run_cli(*args, "--compute-engine", "native")
+    assert r_host.returncode == 0 and r_nat.returncode == 0, (
+        r_host.stderr + r_nat.stderr
+    )
+    assert r_host.stdout and r_host.stdout == r_nat.stdout

@@ -78,7 +78,24 @@ def test_cross_engine_exactness(seed, tmp_path):
     )
     assert [_rows_key(index, b.to_rows()) for b in dev_blocks] == oracle
 
-    # 5. Approximate mode is self-consistent across host and device.
+    # 5. Full-native C++ engine (auto's default executor), both cost
+    # models, dispatched through the product entry point.
+    try:
+        from impg_tpu.query.host_native import NativeHostEngine
+
+        for mode in ("closed", "walk"):
+            ne = NativeHostEngine(index, mode=mode)
+            nat_blocks = engine.query_transitive_bfs_many(
+                index, targets, max_depth=2, device_engine=ne,
+                columnar=True,
+            )
+            assert [
+                _rows_key(index, b.to_rows()) for b in nat_blocks
+            ] == oracle, mode
+    except RuntimeError:
+        pass  # native lib unavailable
+
+    # 6. Approximate mode is self-consistent across host and device.
     index.ensure_tracepoints(100)
     host_ap = engine.query_transitive_bfs_many(
         index, targets, max_depth=2, approximate=True
