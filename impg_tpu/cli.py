@@ -364,7 +364,7 @@ def _resolve_compute_engine(args, index, approximate: bool = False,
         # would silently fall back, so reject the explicit request.
         print(
             "error: --compute-engine native supports the default filter "
-            "set only (no --approximate/CIGAR output/min-identity/subset)",
+            "set only (no --approximate/CIGAR output/subset filters)",
             file=sys.stderr,
         )
         raise SystemExit(2)
@@ -568,7 +568,6 @@ def cmd_query(args) -> int:
         native_ok=(
             args.transitive and not args.transitive_dfs
             and not store_cigar
-            and args.min_result_identity is None
             and subset_match is None
             and args.min_output_length is None
         ),
@@ -809,10 +808,7 @@ def cmd_partition(args) -> int:
         n_targets=1 + len(index.seq_index) // 4,  # windows per round
         # Partition's per-window walks carry masked regions (supported
         # natively) but no CIGARs/identity/subset unless asked.
-        native_ok=(
-            not args.transitive_dfs
-            and args.min_result_identity is None
-        ),
+        native_ok=not args.transitive_dfs,
     )
 
     partition_mod.partition_alignments(
@@ -891,7 +887,6 @@ def cmd_refine(args) -> int:
         args, index, n_targets=len(targets) * 8,  # flank-grid candidates
         native_ok=(
             args.transitive and not args.transitive_dfs
-            and args.min_result_identity is None
             and not args.subset_sequence_list
         ),
     )
@@ -969,8 +964,7 @@ def cmd_similarity(args) -> int:
         _resolve_compute_engine(
             args, index, n_targets=len(targets),
             native_ok=(
-                args.min_result_identity is None
-                and subset_match is None
+                subset_match is None
                 and args.min_output_length is None
             ),
         )

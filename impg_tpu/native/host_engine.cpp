@@ -70,6 +70,13 @@ struct HostEngine {
     const uint32_t* runs = nullptr;
     const int32_t *cum_t = nullptr, *cum_q = nullptr;
     const int32_t *irb = nullptr, *ira = nullptr;
+    // Identity-statistics prefix arrays ('before this run', arena.py):
+    // '='/'M' bp, 'X' bp, 'I' run count, 'D' run count.
+    const int32_t *cm = nullptr, *cmm = nullptr, *cic = nullptr,
+                  *cdc = nullptr;
+    // Per-run min-identity gate (gap-compressed, impg.rs:2952); active
+    // for the duration of one he_run when >= 0.
+    double min_ident = -1.0;
     // Implicit-BST subtree max t_end per record position (built per target
     // segment): O(log n + k) stabs, the coitrees role
     // (reference impg.rs:394 per-target trees).
@@ -153,6 +160,35 @@ inline Proj finish(const HostEngine& E, int64_t k, int32_t rs, int32_t re,
                     : (is_d_l ? qs_l : qs_l + (ov_e - ts_l) * dir);
 
     p.valid = has_overlap && p.pq_s != p.pq_e && p.pt_s != p.pt_e && f <= l;
+
+    // Gap-compressed identity gate (ops/projection.py slice_stat +
+    // gap_compressed_identity): prefix-sum differences over [f, l] with
+    // the same boundary corrections — matches/mismatches shrink by the
+    // front clip and grow by the (non-positive) tail remainder; indel
+    // RUN counts are not clipped.
+    if (p.valid && E.min_ident >= 0.0) {
+        const bool is_m_f = kind_f == 0 || kind_f == 4;
+        const bool is_x_f = kind_f == 1;
+        const bool is_m_l = kind_l == 0 || kind_l == 4;
+        const bool is_x_l = kind_l == 1;
+        const int32_t first_clip = is_i_f ? 0 : ov_s - ts_f;
+        const int32_t last_rem = is_i_l ? 0 : ov_e - te_l;
+        int64_t matches = (int64_t)E.cm[off + l] - E.cm[off + f] +
+                          (is_m_l ? len_l : 0) - (is_m_f ? first_clip : 0) +
+                          (is_m_l ? last_rem : 0);
+        int64_t mm = (int64_t)E.cmm[off + l] - E.cmm[off + f] +
+                     (is_x_l ? len_l : 0) - (is_x_f ? first_clip : 0) +
+                     (is_x_l ? last_rem : 0);
+        int64_t ic = (int64_t)E.cic[off + l] - E.cic[off + f] +
+                     (is_i_l ? 1 : 0);
+        int64_t dc = (int64_t)E.cdc[off + l] - E.cdc[off + f] +
+                     (is_d_l ? 1 : 0);
+        const int64_t total = matches + mm + ic + dc;
+        const double gci =
+            total > 0 ? (double)matches / (double)std::max<int64_t>(total, 1)
+                      : 0.0;
+        if (!(gci >= E.min_ident)) p.valid = false;
+    }
     return p;
 }
 
@@ -309,7 +345,9 @@ void* he_create(int64_t n_records, const int32_t* tgt, const int32_t* qid,
                 const int64_t* tgt_offsets, const int64_t* seq_lens,
                 int64_t n_runs, const uint32_t* runs, const int32_t* cum_t,
                 const int32_t* cum_q, const int32_t* irb,
-                const int32_t* ira) {
+                const int32_t* ira, const int32_t* cum_match,
+                const int32_t* cum_mm, const int32_t* cum_icnt,
+                const int32_t* cum_dcnt) {
     auto* E = new HostEngine();
     E->n_records = n_records;
     E->n_seqs = n_seqs;
@@ -328,6 +366,10 @@ void* he_create(int64_t n_records, const int32_t* tgt, const int32_t* qid,
     E->cum_q = cum_q;
     E->irb = irb;
     E->ira = ira;
+    E->cm = cum_match;
+    E->cmm = cum_mm;
+    E->cic = cum_icnt;
+    E->cdc = cum_dcnt;
     E->submax.assign((size_t)n_records, INT32_MIN);
     for (int64_t s = 0; s < n_seqs; ++s)
         build_submax(*E, tgt_offsets[s], tgt_offsets[s + 1]);
@@ -353,8 +395,9 @@ int64_t he_run(void* h, const int32_t* q_tid, const int32_t* q_s,
                int32_t min_trans_len, int32_t min_dist, int32_t mode,
                int32_t threads, int32_t masked, const int64_t* m_qid,
                const int64_t* m_s, const int64_t* m_e,
-               const int64_t* m_len, int64_t n_mask) {
+               const int64_t* m_len, int64_t n_mask, double min_identity) {
     auto* E = (HostEngine*)h;
+    E->min_ident = (E->cm != nullptr) ? min_identity : -1.0;
     E->rows.assign((size_t)n, {});
     std::atomic<int64_t> next(0);
     const int nt = std::max(1, (int)threads);

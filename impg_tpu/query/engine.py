@@ -653,19 +653,20 @@ def query_transitive_bfs_many(
     if getattr(device_engine, "is_native_host", False):
         # Full-native dispatch: the C++ engine (query/host_native.py) runs
         # the whole BFS — stab, closed-form projection, visited
-        # bookkeeping, masked-region preload — with zero Python per row.
-        # It covers the default filter set only; anything else falls back
-        # to the engines below.
+        # bookkeeping, masked-region preload, min-identity gate — with
+        # zero Python per row.  CIGAR materialization, subsets,
+        # min-output-length and approximate mode fall back to the engines
+        # below.
         if (
-            not store_cigar and min_identity is None
-            and subset_match is None and min_output_length is None
-            and not approximate
+            not store_cigar and subset_match is None
+            and min_output_length is None and not approximate
         ):
             blocks = device_engine.run(
                 targets, max_depth=max_depth,
                 min_transitive_len=min_transitive_len,
                 min_distance_between_ranges=min_distance_between_ranges,
                 masked_regions=masked_regions,
+                min_identity=min_identity,
             )
             return blocks if columnar else [b.to_rows() for b in blocks]
         device_engine = None

@@ -2,8 +2,9 @@
 
 `NativeHostEngine` runs full depth-limited transitive BFS walks in C++
 (native/host_engine.cpp) with the exact semantics of
-`engine.query_transitive_bfs_many` (default filters: no CIGARs, no
-min_identity/subset/mask).  Two cost models:
+`engine.query_transitive_bfs_many`, including masked-region preload and
+the gap-compressed min-identity gate (no CIGAR materialization, subsets
+or approximate mode — those fall back).  Two cost models:
 
   * mode="walk"   — Rust-proxy baseline: interval-tree stab + the
     reference's linear per-op CIGAR walk per projection
@@ -49,6 +50,7 @@ def _lib():
             ctypes.c_int64, i32p, i32p, i32p, i32p, i8p, i64p, i32p,
             ctypes.c_int64, i64p, i64p,
             ctypes.c_int64, u32p, i32p, i32p, i32p, i32p,
+            i32p, i32p, i32p, i32p,
         ]
         lib.he_destroy.restype = None
         lib.he_destroy.argtypes = [ctypes.c_void_p]
@@ -57,7 +59,7 @@ def _lib():
             ctypes.c_void_p, i32p, i32p, i32p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, i64p, i64p, i64p, i64p,
-            ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_double,
         ]
         lib.he_walk_rows.restype = ctypes.c_int64
         lib.he_walk_rows.argtypes = [ctypes.c_void_p, ctypes.c_int64]
@@ -119,13 +121,18 @@ class NativeHostEngine:
             cum_q=c(a.cum_q, np.int32),
             irb=c(a.irun_before, np.int32),
             ira=c(a.irun_after, np.int32),
+            cum_match=c(a.cum_match, np.int32),
+            cum_mm=c(a.cum_mm, np.int32),
+            cum_icnt=c(a.cum_icnt, np.int32),
+            cum_dcnt=c(a.cum_dcnt, np.int32),
         )
         k = self._keep
         self._h = lib.he_create(
             len(r), k["tgt"], k["qid"], k["ts"], k["te"], k["strand"],
             k["op_off"], k["op_cnt"], len(index.seq_index), k["tgt_off"],
             k["seq_lens"], a.n_ops, k["runs"], k["cum_t"], k["cum_q"],
-            k["irb"], k["ira"],
+            k["irb"], k["ira"], k["cum_match"], k["cum_mm"],
+            k["cum_icnt"], k["cum_dcnt"],
         )
 
     def close(self):
@@ -148,6 +155,7 @@ class NativeHostEngine:
         mode: str | None = None,
         threads: int = 0,
         masked_regions=None,
+        min_identity: float | None = None,
     ) -> int:
         """Run walks, return total result rows (rows retained natively).
 
@@ -186,6 +194,7 @@ class NativeHostEngine:
                 np.ascontiguousarray(m_e, np.int64),
                 np.ascontiguousarray(m_len, np.int64),
                 len(m_qid),
+                -1.0 if min_identity is None else float(min_identity),
             )
         )
 

@@ -167,3 +167,15 @@ def test_cli_similarity_native_matches_host(mesh_workload, tmp_path):
         r_host.stderr + r_nat.stderr
     )
     assert r_host.stdout and r_host.stdout == r_nat.stdout
+
+
+def test_cli_native_min_identity_matches_host(mesh_workload):
+    paf, bed = mesh_workload
+    args = ("query", "-a", paf, "-b", bed, "-d", "200", "-x", "-o", "bed",
+            "--min-result-identity", "0.9")
+    host = run_cli(*args, "--compute-engine", "host")
+    nat = run_cli(*args, "--compute-engine", "native")
+    assert host.returncode == 0 and nat.returncode == 0, (
+        host.stderr + nat.stderr
+    )
+    assert host.stdout and host.stdout == nat.stdout

@@ -134,3 +134,28 @@ def test_native_masked_walks_match_python(setup):
         tup_w = [(r.q_id, r.q_first, r.q_last, r.t_id, r.t_first, r.t_last)
                  for r in rows]
         assert tup_g == tup_w, f"walk {w}"
+
+
+def test_native_min_identity_matches_python(setup):
+    """Gap-compressed identity gate: native rows equal the python engine
+    for several thresholds (both cost models)."""
+    index, targets = setup
+    for thr in (0.5, 0.9, 0.97, 1.0):
+        for mode in ("closed", "walk"):
+            ne = NativeHostEngine(index, mode=mode)
+            got = ne.run(targets[:20], max_depth=2, min_identity=thr)
+            want = [
+                engine.query_transitive_bfs(
+                    index, t, s, e, max_depth=2, min_identity=thr
+                )
+                for t, s, e in targets[:20]
+            ]
+            for w, (g, rows) in enumerate(zip(got, want)):
+                tup_g = list(zip(g.q_id.tolist(), g.q_first.tolist(),
+                                 g.q_last.tolist(), g.t_id.tolist(),
+                                 g.t_first.tolist(), g.t_last.tolist()))
+                tup_w = [
+                    (r.q_id, r.q_first, r.q_last, r.t_id, r.t_first,
+                     r.t_last) for r in rows
+                ]
+                assert tup_g == tup_w, (thr, mode, w)
