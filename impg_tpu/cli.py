@@ -364,7 +364,7 @@ def _resolve_compute_engine(args, index, approximate: bool = False,
         # would silently fall back, so reject the explicit request.
         print(
             "error: --compute-engine native supports the default filter "
-            "set only (no --approximate/CIGAR output/subset filters)",
+            "set only (no --approximate or CIGAR-bearing output)",
             file=sys.stderr,
         )
         raise SystemExit(2)
@@ -568,8 +568,6 @@ def cmd_query(args) -> int:
         native_ok=(
             args.transitive and not args.transitive_dfs
             and not store_cigar
-            and subset_match is None
-            and args.min_output_length is None
         ),
     )
     if device_engine is not None and not _is_output_process():
@@ -885,10 +883,7 @@ def cmd_refine(args) -> int:
     )
     device_engine = _resolve_compute_engine(
         args, index, n_targets=len(targets) * 8,  # flank-grid candidates
-        native_ok=(
-            args.transitive and not args.transitive_dfs
-            and not args.subset_sequence_list
-        ),
+        native_ok=(args.transitive and not args.transitive_dfs),
     )
     records = refine_mod.run_refine(
         index, targets, config, device_engine=device_engine
@@ -963,10 +958,7 @@ def cmd_similarity(args) -> int:
     device_engine = (
         _resolve_compute_engine(
             args, index, n_targets=len(targets),
-            native_ok=(
-                subset_match is None
-                and args.min_output_length is None
-            ),
+            native_ok=True,
         )
         if args.transitive and not args.transitive_dfs
         else None

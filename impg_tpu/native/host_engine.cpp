@@ -77,6 +77,12 @@ struct HostEngine {
     // Per-run min-identity gate (gap-compressed, impg.rs:2952); active
     // for the duration of one he_run when >= 0.
     double min_ident = -1.0;
+    // Output-only gates for one he_run: subset sequence pass/fail (rows
+    // on non-subset sequences other than the walk's own target drop from
+    // results AND frontier, engine.py:748) and minimum output length
+    // (results only; frontier unaffected, engine.py:753).
+    const uint8_t* seq_ok = nullptr;
+    int64_t min_out_len = -1;
     // Implicit-BST subtree max t_end per record position (built per target
     // segment): O(log n + k) stabs, the coitrees role
     // (reference impg.rs:394 per-target trees).
@@ -294,8 +300,12 @@ void run_walk(const HostEngine& E, void* vb, int32_t tid0, int32_t s0,
                                            : project_closed(E, k, ov_s, ov_e);
                 if (!p.valid) continue;
                 const int32_t q = E.qid[k];
-                out.insert(out.end(), {q, p.pq_s, p.pq_e, (int32_t)fr.q,
-                                       p.pt_s, p.pt_e});
+                if (E.seq_ok != nullptr && q != tid0 && !E.seq_ok[q])
+                    continue;  // subset: drops result AND frontier
+                if (E.min_out_len < 0 ||
+                    std::llabs((int64_t)p.pq_e - p.pq_s) >= E.min_out_len)
+                    out.insert(out.end(), {q, p.pq_s, p.pq_e,
+                                           (int32_t)fr.q, p.pt_s, p.pt_e});
                 h_w.push_back(0);
                 h_q.push_back(q);
                 h_s.push_back(p.pq_s);
@@ -395,9 +405,13 @@ int64_t he_run(void* h, const int32_t* q_tid, const int32_t* q_s,
                int32_t min_trans_len, int32_t min_dist, int32_t mode,
                int32_t threads, int32_t masked, const int64_t* m_qid,
                const int64_t* m_s, const int64_t* m_e,
-               const int64_t* m_len, int64_t n_mask, double min_identity) {
+               const int64_t* m_len, int64_t n_mask, double min_identity,
+               int32_t subset_on, const uint8_t* seq_ok,
+               int64_t min_output_length) {
     auto* E = (HostEngine*)h;
     E->min_ident = (E->cm != nullptr) ? min_identity : -1.0;
+    E->seq_ok = subset_on ? seq_ok : nullptr;
+    E->min_out_len = min_output_length;
     E->rows.assign((size_t)n, {});
     std::atomic<int64_t> next(0);
     const int nt = std::max(1, (int)threads);

@@ -653,20 +653,25 @@ def query_transitive_bfs_many(
     if getattr(device_engine, "is_native_host", False):
         # Full-native dispatch: the C++ engine (query/host_native.py) runs
         # the whole BFS — stab, closed-form projection, visited
-        # bookkeeping, masked-region preload, min-identity gate — with
-        # zero Python per row.  CIGAR materialization, subsets,
-        # min-output-length and approximate mode fall back to the engines
+        # bookkeeping, masked-region preload, min-identity / subset /
+        # min-output-length gates — with zero Python per row.  Only CIGAR
+        # materialization and approximate mode fall back to the engines
         # below.
-        if (
-            not store_cigar and subset_match is None
-            and min_output_length is None and not approximate
-        ):
+        if not store_cigar and not approximate:
+            subset_ok = None
+            if subset_match is not None:
+                subset_ok = np.zeros(len(index.seq_index), np.uint8)
+                for sid in range(len(index.seq_index)):
+                    name = index.seq_index.get_name(sid)
+                    subset_ok[sid] = 1 if (name and subset_match(name)) else 0
             blocks = device_engine.run(
                 targets, max_depth=max_depth,
                 min_transitive_len=min_transitive_len,
                 min_distance_between_ranges=min_distance_between_ranges,
                 masked_regions=masked_regions,
                 min_identity=min_identity,
+                subset_seq_ok=subset_ok,
+                min_output_length=min_output_length,
             )
             return blocks if columnar else [b.to_rows() for b in blocks]
         device_engine = None

@@ -44,6 +44,7 @@ def _lib():
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
         lib.he_create.restype = ctypes.c_void_p
         lib.he_create.argtypes = [
@@ -59,7 +60,8 @@ def _lib():
             ctypes.c_void_p, i32p, i32p, i32p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, i64p, i64p, i64p, i64p,
-            ctypes.c_int64, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_int32, u8p,
+            ctypes.c_int64,
         ]
         lib.he_walk_rows.restype = ctypes.c_int64
         lib.he_walk_rows.argtypes = [ctypes.c_void_p, ctypes.c_int64]
@@ -156,6 +158,8 @@ class NativeHostEngine:
         threads: int = 0,
         masked_regions=None,
         min_identity: float | None = None,
+        subset_seq_ok=None,
+        min_output_length: int | None = None,
     ) -> int:
         """Run walks, return total result rows (rows retained natively).
 
@@ -195,6 +199,12 @@ class NativeHostEngine:
                 np.ascontiguousarray(m_len, np.int64),
                 len(m_qid),
                 -1.0 if min_identity is None else float(min_identity),
+                0 if subset_seq_ok is None else 1,
+                np.ascontiguousarray(
+                    subset_seq_ok if subset_seq_ok is not None else [],
+                    np.uint8,
+                ),
+                -1 if min_output_length is None else int(min_output_length),
             )
         )
 

@@ -179,3 +179,22 @@ def test_cli_native_min_identity_matches_host(mesh_workload):
         host.stderr + nat.stderr
     )
     assert host.stdout and host.stdout == nat.stdout
+
+
+def test_cli_native_subset_and_min_length_match_host(mesh_workload,
+                                                     tmp_path):
+    paf, bed = mesh_workload
+    from impg_tpu.index.impg_index import load_or_build
+
+    idx = load_or_build([paf])
+    sub = tmp_path / "subset.txt"
+    names = [idx.seq_index.get_name(i) for i in range(len(idx.seq_index))]
+    sub.write_text("\n".join(names[::2]) + "\n")
+    args = ("query", "-a", paf, "-b", bed, "-d", "200", "-x", "-o", "bed",
+            "--subset-sequence-list", str(sub), "-l", "500")
+    host = run_cli(*args, "--compute-engine", "host")
+    nat = run_cli(*args, "--compute-engine", "native")
+    assert host.returncode == 0 and nat.returncode == 0, (
+        host.stderr + nat.stderr
+    )
+    assert host.stdout and host.stdout == nat.stdout

@@ -159,3 +159,72 @@ def test_native_min_identity_matches_python(setup):
                      r.t_last) for r in rows
                 ]
                 assert tup_g == tup_w, (thr, mode, w)
+
+
+def test_native_subset_and_min_output_length_match_python(setup):
+    """Subset gate (drops result+frontier on non-subset sequences except
+    the walk's own target) and min-output-length (results only) — exact
+    parity via the product dispatch."""
+    index, targets = setup
+    # Subset: even-id sequence names pass.
+    names_ok = {
+        index.seq_index.get_name(sid)
+        for sid in range(0, len(index.seq_index), 2)
+    }
+
+    def subset_match(name):
+        return name in names_ok
+
+    subset_ok = np.zeros(len(index.seq_index), np.uint8)
+    for sid in range(len(index.seq_index)):
+        nm = index.seq_index.get_name(sid)
+        subset_ok[sid] = 1 if nm in names_ok else 0
+
+    ne = NativeHostEngine(index)
+    for kw_native, kw_py in (
+        (dict(subset_seq_ok=subset_ok), dict(subset_match=subset_match)),
+        (dict(min_output_length=3000), dict(min_output_length=3000)),
+        (dict(subset_seq_ok=subset_ok, min_output_length=2500,
+              min_identity=0.9),
+         dict(subset_match=subset_match, min_output_length=2500,
+              min_identity=0.9)),
+    ):
+        got = ne.run(targets[:20], max_depth=2, **kw_native)
+        want = [
+            engine.query_transitive_bfs(index, t, s, e, max_depth=2,
+                                        **kw_py)
+            for t, s, e in targets[:20]
+        ]
+        for w, (g, rows) in enumerate(zip(got, want)):
+            tup_g = list(zip(g.q_id.tolist(), g.q_first.tolist(),
+                             g.q_last.tolist(), g.t_id.tolist(),
+                             g.t_first.tolist(), g.t_last.tolist()))
+            tup_w = [(r.q_id, r.q_first, r.q_last, r.t_id, r.t_first,
+                      r.t_last) for r in rows]
+            assert tup_g == tup_w, (kw_py, w)
+
+
+def test_native_dispatch_full_filter_surface(setup):
+    """query_transitive_bfs_many with a native engine + subset +
+    min_output_length + min_identity returns the python engine's rows."""
+    index, targets = setup
+    keep = {index.seq_index.get_name(sid)
+            for sid in range(0, len(index.seq_index), 2)}
+    sm = lambda name: name in keep  # noqa: E731
+    ne = NativeHostEngine(index)
+    got = engine.query_transitive_bfs_many(
+        index, targets[:15], max_depth=2, min_identity=0.85,
+        subset_match=sm, min_output_length=1500, device_engine=ne,
+        columnar=True,
+    )
+    want = engine.query_transitive_bfs_many(
+        index, targets[:15], max_depth=2, min_identity=0.85,
+        subset_match=sm, min_output_length=1500,
+    )
+    for g, rows in zip(got, want):
+        tup_g = list(zip(g.q_id.tolist(), g.q_first.tolist(),
+                         g.q_last.tolist(), g.t_id.tolist(),
+                         g.t_first.tolist(), g.t_last.tolist()))
+        tup_w = [(r.q_id, r.q_first, r.q_last, r.t_id, r.t_first,
+                  r.t_last) for r in rows]
+        assert tup_g == tup_w
