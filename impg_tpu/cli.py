@@ -344,7 +344,7 @@ def _resolve_compute_engine(args, index, approximate: bool = False,
     spec = getattr(args, "compute_engine", "host") or "host"
     if spec == "host":
         return None
-    if spec in ("native", "auto") and native_ok and not approximate:
+    if spec in ("native", "auto") and native_ok:
         try:
             from impg_tpu.query.host_native import NativeHostEngine
 
@@ -359,12 +359,12 @@ def _resolve_compute_engine(args, index, approximate: bool = False,
                 raise SystemExit(2)
             # auto: fall through to the accelerator/host choice below.
     elif spec == "native":
-        # Caller's workload uses filters the C++ engine doesn't cover
-        # (CIGARs, identity, subsets, masks, approximate): the engine
-        # would silently fall back, so reject the explicit request.
+        # Caller's workload needs CIGAR materialization — the one thing
+        # the C++ engine doesn't produce; the engine would silently fall
+        # back, so reject the explicit request.
         print(
-            "error: --compute-engine native supports the default filter "
-            "set only (no --approximate or CIGAR-bearing output)",
+            "error: --compute-engine native does not produce CIGAR-bearing "
+            "output (paf/bedpe/fasta+paf); use host/device/mesh",
             file=sys.stderr,
         )
         raise SystemExit(2)

@@ -29,6 +29,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -83,6 +84,17 @@ struct HostEngine {
     // (results only; frontier unaffected, engine.py:753).
     const uint8_t* seq_ok = nullptr;
     int64_t min_out_len = -1;
+    bool approx = false;  // one-run approximate-mode flag
+    // Tracepoint arena for --approximate (index/tracepoints.py): uniform
+    // target-grid boundaries with query positions and edit/aligned
+    // prefix sums; set via he_set_tracepoints.
+    int32_t tp_spacing = 0;
+    const int64_t* tp_off = nullptr;
+    const int32_t* tp_nseg = nullptr;
+    const int32_t* tp_qb = nullptr;
+    const int64_t* tp_diffs = nullptr;
+    const int64_t* tp_aligned = nullptr;
+    const int32_t *qs_rec = nullptr, *qe_rec = nullptr;
     // Implicit-BST subtree max t_end per record position (built per target
     // segment): O(log n + k) stabs, the coitrees role
     // (reference impg.rs:394 per-target trees).
@@ -251,6 +263,57 @@ Proj project_walk(const HostEngine& E, int64_t k, int32_t rs, int32_t re) {
     return finish(E, k, rs, re, i0, j1);
 }
 
+// Approximate (tracepoint) projection: the scalar port of
+// index/tracepoints.py project_batch_approx — O(1) segment arithmetic,
+// boundary interpolation (np.round = round-half-even, hence nearbyint),
+// identity from the aligned/diff prefix sums.  pt = the requested
+// (overlap-clipped) range itself, matching impg.rs:1508.
+Proj project_approx(const HostEngine& E, int64_t k, int32_t rs, int32_t re) {
+    Proj p{};
+    const int64_t t0 = E.ts[k], te = E.te[k];
+    const int64_t q0 = E.qs_rec[k], qe = E.qe_rec[k];
+    const int64_t sp = E.tp_spacing;
+    const int64_t off = E.tp_off[k];
+    const int64_t nseg = E.tp_nseg[k];
+    p.valid = rs < te && re > t0 && rs < re;
+    const int64_t rs_c = std::min(std::max((int64_t)rs, t0), te - 1);
+    const int64_t re_c = std::min(std::max((int64_t)re, t0 + 1), te);
+    const int64_t i0 = std::min(std::max((rs_c - t0) / sp, (int64_t)0),
+                                nseg - 1);
+    const int64_t j1 = std::min(std::max((re_c - 1 - t0) / sp, (int64_t)0),
+                                nseg - 1);
+    const int64_t qlo = std::min(q0, qe), qhi = std::max(q0, qe);
+    auto boundary = [&](int64_t i) { return std::min(t0 + i * sp, te); };
+    auto refine = [&](int64_t i, int64_t pos) {
+        const int64_t seg_s = boundary(i), seg_e = boundary(i + 1);
+        const int64_t qp = E.tp_qb[off + i], qn = E.tp_qb[off + i + 1];
+        const int64_t t_delta = seg_e - seg_s;
+        double advance = 0.0;
+        if (t_delta > 0)
+            advance = std::nearbyint(
+                (double)(pos - seg_s) * (double)(qn - qp) /
+                (double)std::max(t_delta, (int64_t)1));
+        const int64_t refined = qp + (int64_t)advance;
+        return std::min(std::max(refined, qlo), qhi);
+    };
+    p.pq_s = (int32_t)refine(i0, std::max(boundary(i0), rs_c));
+    p.pq_e = (int32_t)refine(j1, std::min(boundary(j1 + 1), re_c));
+    p.pt_s = rs;
+    p.pt_e = re;
+    if (p.valid && E.min_ident >= 0.0) {
+        const int64_t aligned =
+            E.tp_aligned[off + j1 + 1] - E.tp_aligned[off + i0];
+        const int64_t diffs = E.tp_diffs[off + j1 + 1] - E.tp_diffs[off + i0];
+        const int64_t m = std::max(aligned - diffs, (int64_t)0);
+        const int64_t total = m + diffs;
+        const double gci =
+            total > 0 ? (double)m / (double)std::max<int64_t>(total, 1)
+                      : 0.0;
+        if (!(gci >= E.min_ident)) p.valid = false;
+    }
+    return p;
+}
+
 struct Frontier {
     int64_t q, s, e;
 };
@@ -296,8 +359,10 @@ void run_walk(const HostEngine& E, void* vb, int32_t tid0, int32_t s0,
                 const int32_t ov_s = std::max((int32_t)fr.s, E.ts[k]);
                 const int32_t ov_e = std::min((int32_t)fr.e, E.te[k]);
                 if (ov_s >= ov_e) continue;
-                const Proj p = (mode == 1) ? project_walk(E, k, ov_s, ov_e)
-                                           : project_closed(E, k, ov_s, ov_e);
+                const Proj p =
+                    E.approx ? project_approx(E, k, ov_s, ov_e)
+                    : (mode == 1) ? project_walk(E, k, ov_s, ov_e)
+                                  : project_closed(E, k, ov_s, ov_e);
                 if (!p.valid) continue;
                 const int32_t q = E.qid[k];
                 if (E.seq_ok != nullptr && q != tid0 && !E.seq_ok[q])
@@ -388,6 +453,24 @@ void* he_create(int64_t n_records, const int32_t* tgt, const int32_t* qid,
 
 void he_destroy(void* h) { delete (HostEngine*)h; }
 
+// Attach the tracepoint arena (index/tracepoints.py TracepointArena) for
+// --approximate runs; q_start/q_end are the directed records' query
+// endpoints (clip window for boundary refinement).
+void he_set_tracepoints(void* h, int32_t spacing, const int64_t* seg_off,
+                        const int32_t* n_seg, const int32_t* q_bound,
+                        const int64_t* pre_diffs, const int64_t* pre_aligned,
+                        const int32_t* q_start, const int32_t* q_end) {
+    auto* E = (HostEngine*)h;
+    E->tp_spacing = spacing;
+    E->tp_off = seg_off;
+    E->tp_nseg = n_seg;
+    E->tp_qb = q_bound;
+    E->tp_diffs = pre_diffs;
+    E->tp_aligned = pre_aligned;
+    E->qs_rec = q_start;
+    E->qe_rec = q_end;
+}
+
 // Run n transitive BFS walks across `threads` OS threads (one walk = one
 // unit, atomic work stealing).  mode: 0 closed-form, 1 reference walk.
 // Returns the total emitted row count; rows stay inside per-walk buffers
@@ -407,11 +490,13 @@ int64_t he_run(void* h, const int32_t* q_tid, const int32_t* q_s,
                const int64_t* m_s, const int64_t* m_e,
                const int64_t* m_len, int64_t n_mask, double min_identity,
                int32_t subset_on, const uint8_t* seq_ok,
-               int64_t min_output_length) {
+               int64_t min_output_length, int32_t approximate) {
     auto* E = (HostEngine*)h;
     E->min_ident = (E->cm != nullptr) ? min_identity : -1.0;
     E->seq_ok = subset_on ? seq_ok : nullptr;
     E->min_out_len = min_output_length;
+    E->approx = approximate != 0 && E->tp_off != nullptr;
+    if (approximate && E->tp_off == nullptr) return -1;
     E->rows.assign((size_t)n, {});
     std::atomic<int64_t> next(0);
     const int nt = std::max(1, (int)threads);

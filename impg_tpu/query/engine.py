@@ -652,12 +652,12 @@ def query_transitive_bfs_many(
         raise ValueError("columnar results do not carry CIGARs")
     if getattr(device_engine, "is_native_host", False):
         # Full-native dispatch: the C++ engine (query/host_native.py) runs
-        # the whole BFS — stab, closed-form projection, visited
-        # bookkeeping, masked-region preload, min-identity / subset /
-        # min-output-length gates — with zero Python per row.  Only CIGAR
-        # materialization and approximate mode fall back to the engines
-        # below.
-        if not store_cigar and not approximate:
+        # the whole BFS — stab, closed-form or tracepoint-approximate
+        # projection, visited bookkeeping, masked-region preload,
+        # min-identity / subset / min-output-length gates — with zero
+        # Python per row.  Only CIGAR materialization falls back to the
+        # engines below.
+        if not store_cigar:
             subset_ok = None
             if subset_match is not None:
                 subset_ok = np.zeros(len(index.seq_index), np.uint8)
@@ -672,6 +672,7 @@ def query_transitive_bfs_many(
                 min_identity=min_identity,
                 subset_seq_ok=subset_ok,
                 min_output_length=min_output_length,
+                approximate=approximate,
             )
             return blocks if columnar else [b.to_rows() for b in blocks]
         device_engine = None

@@ -61,7 +61,12 @@ def _lib():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, i64p, i64p, i64p, i64p,
             ctypes.c_int64, ctypes.c_double, ctypes.c_int32, u8p,
-            ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32,
+        ]
+        lib.he_set_tracepoints.restype = None
+        lib.he_set_tracepoints.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, i64p, i32p, i32p, i64p, i64p,
+            i32p, i32p,
         ]
         lib.he_walk_rows.restype = ctypes.c_int64
         lib.he_walk_rows.argtypes = [ctypes.c_void_p, ctypes.c_int64]
@@ -104,6 +109,8 @@ class NativeHostEngine:
         self.mode = mode
         self.threads = threads or (os.cpu_count() or 1)
         self._lib = lib
+        self._index = index
+        self._tp_set = False
         r = index.records
         a = index.arena
         c = np.ascontiguousarray
@@ -160,6 +167,7 @@ class NativeHostEngine:
         min_identity: float | None = None,
         subset_seq_ok=None,
         min_output_length: int | None = None,
+        approximate: bool = False,
     ) -> int:
         """Run walks, return total result rows (rows retained natively).
 
@@ -170,6 +178,8 @@ class NativeHostEngine:
         later inserts (mirrors query/engine.py:847-859)."""
         mode = mode or self.mode
         threads = threads or self.threads
+        if approximate and not self._tp_set:
+            self._attach_tracepoints()
         q_tid = np.ascontiguousarray([t[0] for t in targets], np.int32)
         q_s = np.ascontiguousarray([t[1] for t in targets], np.int32)
         q_e = np.ascontiguousarray([t[2] for t in targets], np.int32)
@@ -205,8 +215,32 @@ class NativeHostEngine:
                     np.uint8,
                 ),
                 -1 if min_output_length is None else int(min_output_length),
+                1 if approximate else 0,
             )
         )
+
+    def _attach_tracepoints(self):
+        """Upload the tracepoint arena (built on demand) for approximate
+        runs; borrowed buffers join the keep-alive dict."""
+        tp = self._index.ensure_tracepoints()
+        c = np.ascontiguousarray
+        r = self._index.records
+        self._keep.update(
+            tp_off=c(tp.seg_off, np.int64),
+            tp_nseg=c(tp.n_seg, np.int32),
+            tp_qb=c(tp.q_bound, np.int32),
+            tp_diffs=c(tp.pre_diffs, np.int64),
+            tp_aligned=c(tp.pre_aligned, np.int64),
+            q_start=c(r.q_start, np.int32),
+            q_end=c(r.q_end, np.int32),
+        )
+        k = self._keep
+        self._lib.he_set_tracepoints(
+            self._h, int(tp.spacing), k["tp_off"], k["tp_nseg"],
+            k["tp_qb"], k["tp_diffs"], k["tp_aligned"], k["q_start"],
+            k["q_end"],
+        )
+        self._tp_set = True
 
     def run(self, targets, **kw) -> list[RowBlock]:
         """Run walks and fetch per-walk RowBlocks (engine-identical).

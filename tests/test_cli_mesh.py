@@ -77,7 +77,7 @@ def test_cli_native_engine_rejects_unsupported_filters(mesh_workload):
         "--compute-engine", "native",
     )
     assert r.returncode == 2
-    assert "default filter set" in r.stderr
+    assert "CIGAR-bearing" in r.stderr
 
 
 def test_cli_mesh_paf_output(mesh_workload):
@@ -192,6 +192,18 @@ def test_cli_native_subset_and_min_length_match_host(mesh_workload,
     sub.write_text("\n".join(names[::2]) + "\n")
     args = ("query", "-a", paf, "-b", bed, "-d", "200", "-x", "-o", "bed",
             "--subset-sequence-list", str(sub), "-l", "500")
+    host = run_cli(*args, "--compute-engine", "host")
+    nat = run_cli(*args, "--compute-engine", "native")
+    assert host.returncode == 0 and nat.returncode == 0, (
+        host.stderr + nat.stderr
+    )
+    assert host.stdout and host.stdout == nat.stdout
+
+
+def test_cli_native_approximate_matches_host(mesh_workload):
+    paf, bed = mesh_workload
+    args = ("query", "-a", paf, "-b", bed, "-d", "200", "-x", "-o", "bed",
+            "--approximate")
     host = run_cli(*args, "--compute-engine", "host")
     nat = run_cli(*args, "--compute-engine", "native")
     assert host.returncode == 0 and nat.returncode == 0, (

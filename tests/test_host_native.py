@@ -228,3 +228,28 @@ def test_native_dispatch_full_filter_surface(setup):
         tup_w = [(r.q_id, r.q_first, r.q_last, r.t_id, r.t_first,
                   r.t_last) for r in rows]
         assert tup_g == tup_w
+
+
+def test_native_approximate_matches_python(setup):
+    """Tracepoint approximate mode: native walks equal the python engine
+    (same derived tracepoint arena, round-half-even interpolation)."""
+    index, targets = setup
+    index.ensure_tracepoints(100)
+    ne = NativeHostEngine(index)
+    for thr in (None, 0.9):
+        got = ne.run(targets[:25], max_depth=2, approximate=True,
+                     min_identity=thr)
+        want = [
+            engine.query_transitive_bfs(
+                index, t, s, e, max_depth=2, approximate=True,
+                min_identity=thr,
+            )
+            for t, s, e in targets[:25]
+        ]
+        for w, (g, rows) in enumerate(zip(got, want)):
+            tup_g = list(zip(g.q_id.tolist(), g.q_first.tolist(),
+                             g.q_last.tolist(), g.t_id.tolist(),
+                             g.t_first.tolist(), g.t_last.tolist()))
+            tup_w = [(r.q_id, r.q_first, r.q_last, r.t_id, r.t_first,
+                      r.t_last) for r in rows]
+            assert tup_g == tup_w, (thr, w)
