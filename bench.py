@@ -16,23 +16,35 @@ batches of random gene-scale ranges lifted transitively (depth 2, BFS).
 Executor survey (same semantics, bit-identical rows, tests/test_host_native.py):
 
   * python host engine, 1 thread + all-cores fork pool (rounds 1-2 baseline)
-  * native C++ WALK engine (native/host_engine.cpp mode=walk): the
-    Rust-proxy baseline of record — O(log n + k) interval stab + the
-    reference's linear per-op CIGAR walk per projection
-    (impg.rs:2760-2898), data-parallel across threads like rayon
+  * native C++ PAF engine (native/host_engine.cpp mode=paf): the
+    Rust-proxy baseline of record — the reference's DEFAULT-path cost
+    model: per projection, re-parse the record's whole ASCII cg:Z:
+    CIGAR (the reference preads + byte-scans it on every get_cigar_ops,
+    impg.rs:495-530, :2935 parse_cigar_to_delta), then walk linearly;
+    kept generous (ASCII resident in RAM — no pread syscall, no Vec
+    alloc).  Data-parallel across threads like rayon
     (impg.rs:1553-1633).  Rust itself cannot be built in this image.
+  * native C++ WALK engine (mode=walk): the reference design UPGRADED
+    with our resident-arena layout — interval stab + linear per-op run
+    walk over pre-parsed runs (impg.rs:2760-2898, minus the re-parse).
+    walk/paf isolates the resident-arena design win.
   * native C++ CLOSED engine (mode=closed): our own algorithm on CPU —
     interval stab + closed-form two-binary-search projection.
+    closed/walk isolates the algorithm win.
   * TPU device engine (query/device.py slotted execution), exact +
     approximate, through the axon relay; plus compute-only roofline
     decomposition (see below).
 
+Workloads: mid (continuity), scale (record count), deep (realistic
+long-CIGAR alignment shape — hundreds of genomes, 30-120 kb alignments,
+~2,500-run CIGARs, where per-projection CIGAR handling dominates).
+
 `value`/`vs_baseline` = the framework's throughput under its DEFAULT
 executor (`--compute-engine auto` routes default-filter transitive
-queries to the C++ closed engine — cli.py:_resolve_compute_engine)
-versus the strongest Rust-proxy run (C++ walk engine, all cores) on the
-same workload.  This hardens round 2's baseline: the old python fork-pool
-denominator was ~48x weaker than the C++ walk engine.
+queries to the C++ closed engine — cli.py:_resolve_compute_engine),
+WITH result-row materialization, versus the PAF engine on all cores
+(counts only — generous) on the mid workload.  Per-tier vs_paf_mt /
+vs_walk_mt ratios are reported in detail.
 
 Device decomposition & roofline (detail.device_scale / detail.roofline):
 the transitive query is pointer-chasing (binary searches over run
@@ -86,6 +98,17 @@ SCALE_SEQ_LEN = 150_000
 SCALE_N_ALN = 2_500_000  # -> 5.0M directed records
 SCALE_QUERIES = 512      # gene-ish 10-50 kb ranges
 SCALE_DEVICE_QUERIES = 256
+
+# ── deep workload (realistic alignment SHAPE) ────────────────────────────
+# Hundreds of genomes x 30-120 kb alignments with 800-3200-run CIGARs —
+# the shape of the reference's headline inputs (wfmash/FastGA pangenome
+# PAFs; README.md:13 "hundreds of genomes").  The scale tier above has
+# only ~21 runs/record, which understates per-projection CIGAR work;
+# this tier is where the projection algorithm itself is measured.
+DEEP_N_SEQS = 500
+DEEP_SEQ_LEN = 500_000
+DEEP_N_ALN = 125_000     # -> 250k directed records, ~250M runs
+DEEP_QUERIES = 96
 V5E_HBM_GBPS = 819.0     # v5e HBM bandwidth
 V5E_BF16_TFLOPS = 197.0  # v5e MXU peak, bf16
 
@@ -148,16 +171,33 @@ def load_scale_index():
     return ImpgIndex.load(path)
 
 
-def scale_queries(index, n):
+def scale_queries(index, n, seq_len=SCALE_SEQ_LEN):
     qr = np.random.default_rng(7)
     S = len(index.seq_index)
     targets = []
     for _ in range(n):
         tid = int(qr.integers(S))
         span = int(qr.integers(10_000, 50_000))
-        s = int(qr.integers(0, SCALE_SEQ_LEN - span))
+        s = int(qr.integers(0, seq_len - span))
         targets.append((tid, s, s + span))
     return targets
+
+
+def load_deep_index():
+    """Load (or regenerate) the deep-CIGAR index (cached .impgt)."""
+    from impg_tpu.index.impg_index import ImpgIndex
+
+    path = os.path.join(CACHE_DIR, "deep_250k.impgt")
+    if not os.path.exists(path):
+        from tests.datagen import big_directed_index
+
+        idx = big_directed_index(
+            seed=2, n_seqs=DEEP_N_SEQS, seq_len=DEEP_SEQ_LEN,
+            n_aln=DEEP_N_ALN, edits_lo=400, edits_hi=1600,
+        )
+        idx.save(path)
+        return idx
+    return ImpgIndex.load(path)
 
 
 # ── TPU probe ────────────────────────────────────────────────────────────
@@ -261,29 +301,39 @@ def bench_host_mt(index, batches, qps_1t: float,
     return done / dt, nproc
 
 
-def bench_native(index, targets, reps: int = 3):
-    """C++ engine survey on one workload: walk/closed x 1t/all-cores.
+def bench_native(index, targets, reps: int = 3,
+                 mode_budget_s: float = 45.0):
+    """C++ engine survey on one workload: paf/walk/closed x 1t/all-cores.
+
+    paf = the reference's default-path cost model (full ASCII CIGAR
+    re-parse per projection, impg.rs:495-530 + :2935) — the vs_baseline
+    denominator.  walk = the reference design upgraded with our resident
+    run arena (no re-parse).  closed = our closed-form algorithm.
 
     Returns ({mode_tag: qps}, rows, engine) — rows is the exact result
-    row count (identical across all executors)."""
+    row count (identical across all executors).  A (mode, threads) cell
+    whose first rep exceeds `mode_budget_s` reports that single rep."""
     from impg_tpu.query.host_native import NativeHostEngine
 
     try:
         ne = NativeHostEngine(index)
     except Exception:
         return {}, 0, None
+    ne.ensure_paf_baseline()  # resident cg:Z: blob, built outside timing
     nproc = os.cpu_count() or 1
     out, rows = {}, 0
-    for mode in ("walk", "closed"):
+    for mode in ("paf", "walk", "closed"):
         for th in (1, nproc):
             best = None
-            for _ in range(reps):
+            for r in range(reps):
                 t0 = time.perf_counter()
                 rows = ne.run_counts(
                     targets, max_depth=MAX_DEPTH, mode=mode, threads=th
                 )
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
+                if dt > mode_budget_s:
+                    break
             tag = f"{mode}_{'1t' if th == 1 else f'{th}t'}"
             out[tag] = round(len(targets) / best, 2)
     return out, rows, ne
@@ -625,11 +675,17 @@ def main():
         "host_threads": nproc,
         "baseline_note": (
             "vs_baseline = framework default (auto -> C++ closed engine, "
-            "all cores) / C++ WALK engine all cores — the walk engine "
-            "reimplements the reference's exact cost model "
-            "(impg.rs:2760-2898 linear CIGAR walk + rayon-style "
-            "data-parallel walks) and is ~48x stronger than rounds 1-2's "
-            "python fork-pool denominator"
+            "all cores, WITH result-row materialization) / C++ PAF engine "
+            "all cores (counts only, no materialization — generous). The "
+            "paf engine is the reference's default-path cost model: per "
+            "projection it re-parses the record's whole ASCII cg:Z: CIGAR "
+            "(impg.rs:495-530 pread + :2935 parse_cigar_to_delta byte "
+            "scan) then walks linearly; kept generous by holding the "
+            "ASCII resident (no pread syscall, no Vec alloc). "
+            "Attribution: resident-arena redesign alone = walk/paf; "
+            "closed-form projection algorithm = closed/walk; both sides "
+            "use identical stab/visited machinery and all cores "
+            "(rayon-style, impg.rs:1553-1633)."
         ),
         "syng_build_ms_c4_scale_4t": syng_build_ms,
         "gfa_native_tokenize_mib_s": gfa_parse_mibs,
@@ -655,6 +711,11 @@ def main():
             "native_qps": native_scale,
             "auto_engine_qps": round(auto_s_qps, 2),
             "auto_engine_rows_per_s": round(auto_s_rows / auto_s_dt, 2),
+            "vs_paf_mt": round(
+                auto_s_qps / max(
+                    native_scale.get(f"paf_{nproc}t", 1e-9), 1e-9
+                ), 2
+            ),
             "vs_walk_mt": round(
                 auto_s_qps / max(
                     native_scale.get(f"walk_{nproc}t", 1e-9), 1e-9
@@ -666,15 +727,59 @@ def main():
         detail["scale"] = {"error": scale_err}
         sidx = None
 
+    # Deep workload: the realistic alignment shape (long CIGARs) where
+    # per-projection CIGAR handling dominates — the projection
+    # algorithm's own tier.
+    try:
+        didx = load_deep_index()
+        dtargets = scale_queries(didx, DEEP_QUERIES, seq_len=DEEP_SEQ_LEN)
+        native_deep, deep_rows, _ = bench_native(didx, dtargets, reps=2)
+        auto_d_qps, auto_d_rows, auto_d_dt = bench_auto(
+            didx, dtargets, reps=2
+        )
+        detail["deep"] = {
+            "directed_records": len(didx.records),
+            "arena_runs": int(didx.arena.n_ops),
+            "runs_per_record": round(
+                didx.arena.n_ops / max(1, len(didx.records)), 1
+            ),
+            "queries": len(dtargets),
+            "result_rows": int(deep_rows),
+            "native_qps": native_deep,
+            "auto_engine_qps": round(auto_d_qps, 2),
+            "auto_engine_rows_per_s": round(auto_d_rows / auto_d_dt, 2),
+            "vs_paf_mt": round(
+                auto_d_qps / max(
+                    native_deep.get(f"paf_{nproc}t", 1e-9), 1e-9
+                ), 2
+            ),
+            "vs_walk_mt": round(
+                auto_d_qps / max(
+                    native_deep.get(f"walk_{nproc}t", 1e-9), 1e-9
+                ), 2
+            ),
+        }
+        del didx
+    except Exception as exc:  # deep tier must never sink the bench
+        detail["deep"] = {"error": f"{type(exc).__name__}: {exc}"}
+
     ok, probe = probe_tpu()
     detail["tpu_probe"] = probe
 
-    walk_mt = native_mid.get(f"walk_{nproc}t") or qps_mt
+    paf_mt = (
+        native_mid.get(f"paf_{nproc}t")
+        or native_mid.get(f"walk_{nproc}t")
+        or qps_mt
+    )
+    detail["mid"]["vs_paf_mt"] = round(auto_qps / paf_mt, 2)
+    walk_mt_q = native_mid.get(f"walk_{nproc}t")
+    if walk_mt_q:
+        detail["mid"]["vs_walk_mt"] = round(auto_qps / walk_mt_q, 2)
     result = {
         "metric": "transitive_queries_per_sec",
         "value": round(auto_qps, 2),
         "unit": "queries/s",
-        "vs_baseline": round(auto_qps / walk_mt, 2),
+        "vs_baseline": round(auto_qps / paf_mt, 2),
         "detail": detail,
     }
 
@@ -722,8 +827,16 @@ def main():
         detail["mxu"] = {"error": f"{type(exc).__name__}: {exc}"}
 
     ds = detail.get("device_scale", {})
+    deep = detail.get("deep", {})
     detail["gap_analysis"] = (
-        "The transitive query is pointer-chasing + result "
+        "CPU attribution (deep tier, realistic ~2500-run CIGARs): the "
+        "reference's default path re-parses the ASCII CIGAR per "
+        "projection (paf mode); holding pre-parsed runs resident (our "
+        "arena design) is walk/paf = {wp}x, and the closed-form "
+        "two-binary-search projection over the same arena is another "
+        "closed/walk = {cw}x — multiplied, the framework default beats "
+        "the reference cost model {vp}x on this tier ({vm}x on mid). "
+        "Device: the transitive query is pointer-chasing + result "
         "materialization: each result lane costs ~2*log2(runs/record) "
         "random 4B arena reads (binary-search projection). Measured on "
         "the 5M-record index: device step {ml} Mlanes/s = {gb} GB/s "
@@ -739,6 +852,18 @@ def main():
         "framework's auto executor therefore routes interval BFS to the "
         "C++ engine and keeps the accelerator for compute-dense stages."
     ).format(
+        wp=round(
+            deep.get("native_qps", {}).get(f"walk_{nproc}t", 0)
+            / max(deep.get("native_qps", {}).get(f"paf_{nproc}t", 1e-9),
+                  1e-9), 1,
+        ),
+        cw=round(
+            deep.get("native_qps", {}).get(f"closed_{nproc}t", 0)
+            / max(deep.get("native_qps", {}).get(f"walk_{nproc}t", 1e-9),
+                  1e-9), 1,
+        ),
+        vp=deep.get("vs_paf_mt", "?"),
+        vm=detail["mid"].get("vs_paf_mt", "?"),
         ml=ds.get("step_mlanes_per_s", "?"),
         gb=ds.get("effective_random_access_gb_s", "?"),
         hf=round(100 * ds.get("hbm_fraction", 0), 2),

@@ -33,6 +33,8 @@ Round-2 design (local resolution, no global bail):
 
 from __future__ import annotations
 
+import os
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from impg_tpu.graph import poa as poa_mod
@@ -378,6 +380,44 @@ def _realign_region(uniq: list[bytes], scoring, max_span: int,
     return block, cost, polished
 
 
+def _realign_many(
+    cands: list[tuple[list[bytes], int]], scoring, max_span: int,
+    polish: bool,
+) -> list[tuple[Gfa, int, bool]]:
+    """Realign candidate regions `(uniq, budget)` — index-aligned results.
+
+    Distinct regions are independent and the native POA/pairwise kernels
+    are handle-based with no shared state (ctypes releases the GIL during
+    the call), so a thread pool scales the round's dominant cost across
+    cores — the role of the reference's rayon-parallel per-bubble
+    realignment (resolution.rs:997 resolve_gfa_bubbles). Oversized
+    regions route to the pairwise-induction tier whose syncmer dictionary
+    lazily initializes native lookup tables; those run serially."""
+    results: list = [None] * len(cands)
+    ser = [
+        i for i, (uniq, _old) in enumerate(cands)
+        if len(uniq) > 1 and max(len(s) for s in uniq) > max_span
+    ]
+    ser_set = set(ser)
+    par = [i for i in range(len(cands)) if i not in ser_set]
+
+    def work(i: int):
+        uniq, old = cands[i]
+        return _realign_region(uniq, scoring, max_span, polish, budget=old)
+
+    workers = min(len(par), os.cpu_count() or 1)
+    if workers > 1:
+        with ThreadPoolExecutor(workers) as ex:
+            for i, res in zip(par, ex.map(work, par)):
+                results[i] = res
+    else:
+        for i in par:
+            results[i] = work(i)
+    for i in ser:
+        results[i] = work(i)
+    return results
+
+
 def _crush_round(
     gfa: Gfa, stats: CrushStats, scoring, max_span: int, polish: bool,
     rejected: set | None = None,
@@ -437,6 +477,7 @@ def _crush_round(
     new_segments: dict[str, str] = {}
     splices: dict[int, list[tuple[int, int, tuple]]] = {}
     n_bubbles = 0
+    pending: list = []
     for rid, slices in region_slices.items():
         walks = {w for _, _, _, w in slices}
         # A bubble = the paths take different node walks through the
@@ -476,9 +517,18 @@ def _crush_round(
             memo_key = (hash(tuple(uniq)), old, eff_polish)
             if memo_key in rejected:
                 continue
-        block, cand, polished = _realign_region(
-            uniq, scoring, max_span, polish, budget=old
-        )
+        pending.append((slices, walk_seq, uniq, old, memo_key))
+
+    # Realign gathered candidates in parallel, then apply acceptance in
+    # gather order (splice bookkeeping and node naming stay deterministic
+    # — identical output to the serial loop).
+    realigned = _realign_many(
+        [(uniq, old) for _, _, uniq, old, _ in pending],
+        scoring, max_span, polish,
+    )
+    for (slices, walk_seq, uniq, old, memo_key), (
+        block, cand, polished,
+    ) in zip(pending, realigned):
         if cand >= old:
             if rejected is not None and memo_key is not None:
                 rejected.add(memo_key)
@@ -639,6 +689,7 @@ def _crush_round_columns(
     new_name_base = n_names
     splices: dict[int, list[tuple[int, int, np.ndarray]]] = {}
     n_bubbles = 0
+    pending: list = []
     for rid, slices in region_slices.items():
         wkeys = {}
         for p, lo, hi in slices:
@@ -674,9 +725,18 @@ def _crush_round_columns(
             memo_key = (hash(tuple(uniq)), old, eff_polish)
             if memo_key in rejected:
                 continue
-        block, cand, polished = _realign_region(
-            uniq, scoring, max_span, polish, budget=old
-        )
+        pending.append((slices, walk_seq, uniq, old, memo_key))
+
+    # Parallel realignment of the gathered candidates (see _realign_many);
+    # acceptance/splice/naming applied serially in gather order so the
+    # output is identical to the serial loop.
+    realigned = _realign_many(
+        [(uniq, old) for _, _, uniq, old, _ in pending],
+        scoring, max_span, polish,
+    )
+    for (slices, walk_seq, uniq, old, memo_key), (
+        block, cand, polished,
+    ) in zip(pending, realigned):
         if cand >= old:
             if rejected is not None and memo_key is not None:
                 rejected.add(memo_key)

@@ -20,6 +20,15 @@
 //                     (ops/projection.py scalar port).  This is the
 //                     strongest known CPU implementation of the query —
 //                     a HARDER baseline than the reference design.
+//   mode 2 "paf"    — the reference's FULL default-path cost model for
+//                     PAF-backed queries: per projection, re-parse the
+//                     record's ASCII CIGAR end to end (the reference
+//                     materializes Vec<CigarOp> from the cg:Z: bytes on
+//                     every get_cigar_ops, impg.rs:495-530 pread +
+//                     :2935 parse_cigar_to_delta byte scan), then the
+//                     linear run walk.  Generous to the reference: the
+//                     ASCII lives in RAM (no pread syscall, no Vec
+//                     allocation), only the byte scan is charged.
 //
 // Both modes run the full depth-limited transitive BFS with the exact
 // bookkeeping semantics of query/engine.py (visited SortedRanges insert,
@@ -99,6 +108,10 @@ struct HostEngine {
     // segment): O(log n + k) stabs, the coitrees role
     // (reference impg.rs:394 per-target trees).
     std::vector<int32_t> submax;
+    // Resident ASCII CIGAR text for mode 2 "paf" (one blob + per-record
+    // offsets), regenerated from the run arena by he_build_cigar_text.
+    std::vector<char> cig_text;
+    std::vector<int64_t> cig_off;
     // Per-walk result rows, 6 int32 per row:
     // (q_id, q_first, q_last, t_id, t_first, t_last).
     std::vector<std::vector<int32_t>> rows;
@@ -263,6 +276,42 @@ Proj project_walk(const HostEngine& E, int64_t k, int32_t rs, int32_t re) {
     return finish(E, k, rs, re, i0, j1);
 }
 
+// PAF cost-model projection (mode 2): decode the record's WHOLE ASCII
+// CIGAR byte stream — the reference's get_cigar_ops re-parses the full
+// cg:Z: field on every projection (impg.rs:2935 parse_cigar_to_delta
+// scans every byte before projecting) — while tracking the same i0/j1
+// the walk model finds.  No early exit: the charge is the full byte
+// scan, exactly like the reference's Vec<CigarOp> materialization.
+Proj project_paf(const HostEngine& E, int64_t k, int32_t rs, int32_t re) {
+    const char* p = E.cig_text.data() + E.cig_off[k];
+    const char* end = E.cig_text.data() + E.cig_off[k + 1];
+    const int32_t n = E.op_cnt[k];
+    const int32_t te_rec = E.te[k];
+    int32_t t = E.ts[k];
+    int32_t i0 = n, j1 = -1;
+    int32_t i = 0;
+    bool past = false;
+    while (p < end) {
+        int32_t len = 0;
+        while (p < end && *p >= '0' && *p <= '9')
+            len = len * 10 + (*p++ - '0');
+        const char op = (p < end) ? *p++ : '=';
+        if (!past) {
+            const int32_t tlen = (op == 'I') ? 0 : len;
+            if (t >= re) {
+                past = true;
+            } else {
+                const int32_t rte = (i + 1 < n) ? t + tlen : te_rec;
+                if (i0 == n && rte > rs) i0 = i;
+                j1 = i;
+                t += tlen;
+            }
+        }
+        ++i;
+    }
+    return finish(E, k, rs, re, i0, j1);
+}
+
 // Approximate (tracepoint) projection: the scalar port of
 // index/tracepoints.py project_batch_approx — O(1) segment arithmetic,
 // boundary interpolation (np.round = round-half-even, hence nearbyint),
@@ -362,6 +411,7 @@ void run_walk(const HostEngine& E, void* vb, int32_t tid0, int32_t s0,
                 const Proj p =
                     E.approx ? project_approx(E, k, ov_s, ov_e)
                     : (mode == 1) ? project_walk(E, k, ov_s, ov_e)
+                    : (mode == 2) ? project_paf(E, k, ov_s, ov_e)
                                   : project_closed(E, k, ov_s, ov_e);
                 if (!p.valid) continue;
                 const int32_t q = E.qid[k];
@@ -453,6 +503,55 @@ void* he_create(int64_t n_records, const int32_t* tgt, const int32_t* qid,
 
 void he_destroy(void* h) { delete (HostEngine*)h; }
 
+// Materialize the resident ASCII CIGAR blob for mode 2 "paf" from the
+// run arena (decimal length + op char per run — the cg:Z: bytes the
+// reference re-parses per projection).  Idempotent; returns blob bytes.
+int64_t he_build_cigar_text(void* h) {
+    auto* E = (HostEngine*)h;
+    if (!E->cig_off.empty()) return (int64_t)E->cig_text.size();
+    static const char OPS[5] = {'=', 'X', 'I', 'D', 'M'};
+    E->cig_off.assign((size_t)E->n_records + 1, 0);
+    // Size pass (exact), then fill — avoids a 2x over-reserve on
+    // 100M-run arenas.
+    int64_t total = 0;
+    for (int64_t k = 0; k < E->n_records; ++k) {
+        const int64_t off = E->op_off[k];
+        const int32_t n = E->op_cnt[k];
+        int64_t bytes = 0;
+        for (int32_t i = 0; i < n; ++i) {
+            uint32_t len = E->runs[off + i] & LEN_MASK;
+            int d = 1;
+            while (len >= 10) {
+                len /= 10;
+                ++d;
+            }
+            bytes += d + 1;
+        }
+        total += bytes;
+        E->cig_off[(size_t)k + 1] = total;
+    }
+    E->cig_text.resize((size_t)total);
+    char* base = E->cig_text.data();
+    for (int64_t k = 0; k < E->n_records; ++k) {
+        const int64_t off = E->op_off[k];
+        const int32_t n = E->op_cnt[k];
+        char* p = base + E->cig_off[k];
+        for (int32_t i = 0; i < n; ++i) {
+            const uint32_t run = E->runs[off + i];
+            uint32_t len = run & LEN_MASK;
+            char tmp[12];
+            int d = 0;
+            do {
+                tmp[d++] = (char)('0' + len % 10);
+                len /= 10;
+            } while (len);
+            while (d) *p++ = tmp[--d];
+            *p++ = OPS[run >> 29];
+        }
+    }
+    return (int64_t)E->cig_text.size();
+}
+
 // Attach the tracepoint arena (index/tracepoints.py TracepointArena) for
 // --approximate runs; q_start/q_end are the directed records' query
 // endpoints (clip window for boundary refinement).
@@ -497,6 +596,7 @@ int64_t he_run(void* h, const int32_t* q_tid, const int32_t* q_s,
     E->min_out_len = min_output_length;
     E->approx = approximate != 0 && E->tp_off != nullptr;
     if (approximate && E->tp_off == nullptr) return -1;
+    if (mode == 2 && E->cig_off.empty()) return -1;  // he_build_cigar_text first
     E->rows.assign((size_t)n, {});
     std::atomic<int64_t> next(0);
     const int nt = std::max(1, (int)threads);

@@ -4,16 +4,21 @@
 (native/host_engine.cpp) with the exact semantics of
 `engine.query_transitive_bfs_many`, including masked-region preload and
 the gap-compressed min-identity gate (no CIGAR materialization, subsets
-or approximate mode — those fall back).  Two cost models:
+or approximate mode — those fall back).  Three cost models:
 
-  * mode="walk"   — Rust-proxy baseline: interval-tree stab + the
-    reference's linear per-op CIGAR walk per projection
-    (impg.rs:2760-2898).  This is what BENCH reports `vs_baseline`
-    against — the closest buildable stand-in for the rayon-parallel
-    Rust reference.
+  * mode="paf"    — the reference's FULL default-path cost model: per
+    projection, re-parse the record's whole ASCII CIGAR (the reference
+    preads + byte-scans the cg:Z: field on every get_cigar_ops,
+    impg.rs:495-530, :2935 parse_cigar_to_delta) then walk linearly.
+    Generous to the reference (ASCII resident in RAM, no syscall/Vec
+    alloc).  This is what BENCH reports `vs_baseline` against.
+  * mode="walk"   — a STRONGER Rust proxy: interval-tree stab + the
+    linear per-op run walk per projection (impg.rs:2760-2898) over
+    pre-parsed resident runs — i.e. the reference design upgraded with
+    our resident-arena layout (no ASCII re-parse).
   * mode="closed" — our own closed-form algorithm on CPU: the strongest
     known CPU implementation of the query (a harder baseline than the
-    reference design), reported alongside for honesty.
+    reference design), and what `--compute-engine auto` runs.
 
 Both are exact: results equal the host/device engines row for row
 (tests/test_host_native.py).
@@ -30,7 +35,7 @@ from impg_tpu.query.engine import RowBlock
 
 _bound = False
 
-MODES = {"closed": 0, "walk": 1}
+MODES = {"closed": 0, "walk": 1, "paf": 2}
 
 
 def _lib():
@@ -63,6 +68,8 @@ def _lib():
             ctypes.c_int64, ctypes.c_double, ctypes.c_int32, u8p,
             ctypes.c_int64, ctypes.c_int32,
         ]
+        lib.he_build_cigar_text.restype = ctypes.c_int64
+        lib.he_build_cigar_text.argtypes = [ctypes.c_void_p]
         lib.he_set_tracepoints.restype = None
         lib.he_set_tracepoints.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, i64p, i32p, i32p, i64p, i64p,
@@ -180,6 +187,8 @@ class NativeHostEngine:
         threads = threads or self.threads
         if approximate and not self._tp_set:
             self._attach_tracepoints()
+        if mode == "paf":
+            self.ensure_paf_baseline()
         q_tid = np.ascontiguousarray([t[0] for t in targets], np.int32)
         q_s = np.ascontiguousarray([t[1] for t in targets], np.int32)
         q_e = np.ascontiguousarray([t[2] for t in targets], np.int32)
@@ -218,6 +227,13 @@ class NativeHostEngine:
                 1 if approximate else 0,
             )
         )
+
+    def ensure_paf_baseline(self) -> int:
+        """Materialize the resident ASCII CIGAR blob for mode="paf" (the
+        reference's default-path cost model: full cg:Z: byte re-parse per
+        projection, impg.rs:495-530 + :2935).  Idempotent; returns the
+        blob size in bytes."""
+        return int(self._lib.he_build_cigar_text(self._h))
 
     def _attach_tracepoints(self):
         """Upload the tracepoint arena (built on demand) for approximate

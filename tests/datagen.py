@@ -284,6 +284,8 @@ def big_directed_index(
     match_lo: int = 20,
     match_hi: int = 120,
     edit_hi: int = 6,
+    edits_lo: int = 4,
+    edits_hi: int = 17,
 ):
     """Fully vectorized at-scale synthetic index (bench workload).
 
@@ -304,7 +306,7 @@ def big_directed_index(
 
     rng = np.random.default_rng(seed)
     # Odd run counts: match runs at even positions, edits at odd ones.
-    m = rng.integers(4, 17, n_aln)  # edits per alignment
+    m = rng.integers(edits_lo, edits_hi, n_aln)  # edits per alignment
     n_runs = 2 * m + 1
     run_offsets = np.zeros(n_aln + 1, np.int64)
     np.cumsum(n_runs, out=run_offsets[1:])

@@ -59,7 +59,7 @@ def _assert_blocks_equal(got, want, label):
             ), f"{label}: walk {w} col {col}"
 
 
-@pytest.mark.parametrize("mode", ["closed", "walk"])
+@pytest.mark.parametrize("mode", ["closed", "walk", "paf"])
 @pytest.mark.parametrize("max_depth", [1, 2, 0])
 def test_native_engine_matches_python(setup, mode, max_depth):
     index, targets = setup
