@@ -651,10 +651,11 @@ def _crush_round_columns(
     part_set = set(participating)
     anchors_sorted = np.sort(anchors)
 
-    spelled, _pbp, bp_off = co._spell_flat(gc, with_step_offsets=True)
-    # The scratch may be reused by later spelling calls; slices copy below.
-
-    region_slices: dict[tuple, list[tuple[int, int, int]]] = {}
+    # ── slice table (vectorized per path) ────────────────────────────────
+    # One row per inter-anchor region slice: path, local [lo, hi) step
+    # range, and the bounding (left, right) anchor tokens.  Virtual
+    # start/end anchors are the tokens -1 / -2 (real tokens are >= 0).
+    sl_p, sl_lo, sl_hi, sl_ra, sl_rb = [], [], [], [], []
     excluded = 0
     for p in range(gc.n_paths):
         kp = keys[po[p] : po[p + 1]]
@@ -668,17 +669,161 @@ def _crush_round_columns(
             continue
         bounds = np.concatenate([[-1], apos, [kp.size]])
         toks = np.concatenate([[-1], kp[apos], [-2]])
-        for i in range(bounds.size - 1):
-            a, b = int(bounds[i]), int(bounds[i + 1])
-            rid = (int(toks[i]), int(toks[i + 1]))
-            region_slices.setdefault(rid, []).append((p, a + 1, b))
+        sl_p.append(np.full(bounds.size - 1, p, np.int64))
+        sl_lo.append(bounds[:-1] + 1)
+        sl_hi.append(bounds[1:])
+        sl_ra.append(toks[:-1])
+        sl_rb.append(toks[1:])
     stats.excluded_paths = max(stats.excluded_paths, excluded)
+    if not sl_p:
+        return None, 0
+    S_p = np.concatenate(sl_p)
+    S_lo = np.concatenate(sl_lo).astype(np.int64)
+    S_hi = np.concatenate(sl_hi).astype(np.int64)
+    G_lo = po[S_p] + S_lo  # global step positions
+    G_hi = po[S_p] + S_hi
+    S_len = G_hi - G_lo
+    tok_base = 2 * len(gc.names) + 2
+    rid = (
+        (np.concatenate(sl_ra) + 2) * tok_base
+        + (np.concatenate(sl_rb) + 2)
+    )
+
+    # ── walk grouping by position-in-slice polynomial hash ──────────────
+    # h(slice) = sum (key_j + salt) * W^j over the slice's own positions
+    # (uint64 wraparound arithmetic), so equal step-key substrings hash
+    # equal wherever they sit.  A collision would only merge two walk
+    # groups whose spellings then disagree — caught by the round's
+    # exact-spelling validation (crush_gfa refuses the round).  The
+    # weight table is max-slice-length long, not path-length long.
+    n_steps = keys.size
+    n_slices = S_p.size
+    cum = np.zeros(n_slices + 1, np.int64)
+    np.cumsum(S_len, out=cum[1:])
+    tot = int(cum[-1])
+    pos_in_slice = (
+        np.arange(tot, dtype=np.int64) - np.repeat(cum[:-1], S_len)
+    )
+    step_pos = pos_in_slice + np.repeat(G_lo, S_len)
+    with np.errstate(over="ignore"):  # uint64 wraparound IS the modulus
+        W = np.uint64(0x9E3779B97F4A7C15 | 1)
+        max_len = int(S_len.max()) if n_slices else 0
+        wpow = np.empty(max_len + 1, np.uint64)
+        wpow[0] = 1
+        if max_len:
+            np.cumprod(np.full(max_len, W, np.uint64), out=wpow[1:])
+        terms = (
+            keys[step_pos].astype(np.uint64) + np.uint64(0x9E37)
+        ) * wpow[pos_in_slice]
+        H = np.add.reduceat(
+            terms, np.minimum(cum[:-1], max(tot - 1, 0))
+        ) if tot else np.zeros(n_slices, np.uint64)
+    # reduceat quirk: an empty slice returns the NEXT element, and a
+    # trailing empty slice clamps — force empties to 0.
+    H[S_len == 0] = 0
+
+    # Sort slices by (region, walk) — stable, so ties keep slice order.
+    order = np.lexsort((H, S_len, rid))
+    rid_s = rid[order]
+    H_s = H[order]
+    L_s = S_len[order]
+    new_r = np.ones(order.size, bool)
+    new_r[1:] = rid_s[1:] != rid_s[:-1]
+    new_w = new_r.copy()
+    new_w[1:] |= (H_s[1:] != H_s[:-1]) | (L_s[1:] != L_s[:-1])
+    reg_sorted = np.cumsum(new_r) - 1  # region ordinal per sorted slice
+    wg_sorted = np.cumsum(new_w) - 1  # walk-group ordinal per sorted slice
+    n_regions = int(reg_sorted[-1]) + 1
+    region_start = np.nonzero(new_r)[0]
+    region_end = np.append(region_start[1:], order.size)
+    wstart = np.nonzero(new_w)[0]  # sorted position of each group's rep
+    walks_per_region = np.bincount(reg_sorted[new_w], minlength=n_regions)
+    lo_w = np.searchsorted(wstart, region_start)
+    hi_w = np.searchsorted(wstart, region_end)
 
     names = gc.names
     n_names = len(names)
     global_use = np.bincount(gc.step_name_idx, minlength=n_names)
     rows_of = gc.seg_row_of_name()
     seg_lens = gc.seg_lens()
+
+    # ── reclaim accounting (vectorized over every slice step) ───────────
+    # A region may only claim nodes whose EVERY use (across all paths,
+    # including excluded ones) lies inside that region's slices.
+    # Reuses the hash pass's CSR expansion (cum / step_pos).
+    reg_of_slice = np.empty(S_p.size, np.int64)
+    reg_of_slice[order] = reg_sorted
+    comb = (
+        np.repeat(reg_of_slice, S_len) * n_names
+        + gc.step_name_idx[step_pos]
+    )
+    uniq_comb, comb_counts = np.unique(comb, return_counts=True)
+    r_of = uniq_comb // n_names
+    nm_of = uniq_comb % n_names
+    recl = comb_counts == global_use[nm_of]
+    contrib = np.where(recl, seg_lens[rows_of[nm_of]] + _NODE_COST, 0)
+    old_cost = np.bincount(
+        r_of, weights=contrib.astype(np.float64), minlength=n_regions
+    ).astype(np.int64)
+
+    # Bubble regions (>1 distinct walk), in first-slice-occurrence order
+    # (the dict-model insertion order).
+    first_idx = np.minimum.reduceat(order, region_start)
+    bubble_regions = np.nonzero(walks_per_region > 1)[0]
+    bubble_order = bubble_regions[
+        np.argsort(first_idx[bubble_regions], kind="stable")
+    ]
+
+    # Spell every bubble region's walk representatives in ONE batched
+    # native call (full-path spelling is ~1 GB on 100-path graphs; the
+    # representatives are kilobytes).
+    rep_spellings: list[list[bytes]] = []
+    if bubble_order.size:
+        rep_pos = np.concatenate(
+            [wstart[lo_w[r]:hi_w[r]] for r in bubble_order.tolist()]
+        )
+        rep_counts = (hi_w - lo_w)[bubble_order]
+        rep_si = order[rep_pos]
+        rep_glo = G_lo[rep_si]
+        rep_nsteps = G_hi[rep_si] - rep_glo
+        rtot = int(rep_nsteps.sum())
+        rcum = np.zeros(rep_si.size + 1, np.int64)
+        np.cumsum(rep_nsteps, out=rcum[1:])
+        rsteps = (
+            np.arange(rtot, dtype=np.int64)
+            - np.repeat(rcum[:-1], rep_nsteps)
+            + np.repeat(rep_glo, rep_nsteps)
+        )
+        rrows = rows_of[gc.step_name_idx[rsteps]].astype(np.int32)
+        rrevs = gc.step_rev[rsteps].astype(np.uint8)
+        bp_out = np.zeros(rtot + 1, np.int64)
+        np.cumsum(seg_lens[rrows], out=bp_out[1:])
+        from impg_tpu.io import native as native_mod
+
+        blob = native_mod.spell_steps(
+            gc.seq_blob, gc.seq_offsets, rrows, rrevs, bp_out, reuse=False
+        )
+        if blob is None:  # pure-python fallback (native lib unavailable)
+            src = np.frombuffer(gc.seq_blob, np.uint8)
+            blob = np.empty(int(bp_out[-1]), np.uint8)
+            lut = None
+            for j, row in enumerate(rrows.tolist()):
+                s = src[int(gc.seq_offsets[row]):int(gc.seq_offsets[row + 1])]
+                if rrevs[j]:
+                    if lut is None:
+                        from impg_tpu.graph.gfa_columns import _rc_lut
+
+                        lut = _rc_lut()
+                    s = lut[s][::-1]
+                blob[int(bp_out[j]):int(bp_out[j + 1])] = s
+        rep_bp = bp_out[rcum]  # rep boundaries in the blob
+        at = 0
+        for cnt in rep_counts.tolist():
+            rep_spellings.append([
+                blob[int(rep_bp[at + i]):int(rep_bp[at + i + 1])].tobytes()
+                for i in range(cnt)
+            ])
+            at += cnt
 
     next_id = 1 + max(
         (int(names[int(i)]) for i in gc.seg_name_idx
@@ -687,45 +832,22 @@ def _crush_round_columns(
     )
     new_segments: list[tuple[str, bytes]] = []
     new_name_base = n_names
-    splices: dict[int, list[tuple[int, int, np.ndarray]]] = {}
     n_bubbles = 0
     pending: list = []
-    for rid, slices in region_slices.items():
-        wkeys = {}
-        for p, lo, hi in slices:
-            wk = keys[po[p] + lo : po[p] + hi].tobytes()
-            wkeys.setdefault(wk, (p, lo, hi))
-        if len(wkeys) <= 1:
-            continue
+    for bi, r in enumerate(bubble_order.tolist()):
         stats.bubbles_seen += 1
-        walk_seq: dict[bytes, bytes] = {}
-        for wk, (p, lo, hi) in wkeys.items():
-            walk_seq[wk] = spelled[
-                int(bp_off[po[p] + lo]) : int(bp_off[po[p] + hi])
-            ].tobytes()
-        uniq = sorted({s for s in walk_seq.values() if s})
+        rep_spell = rep_spellings[bi]
+        uniq = sorted({s for s in rep_spell if s})
         if not uniq:
             continue
-        if len(slices) == 1:
-            p, lo, hi = slices[0]
-            region_idx = gc.step_name_idx[po[p] + lo : po[p] + hi]
-        else:
-            region_idx = np.concatenate([
-                gc.step_name_idx[po[p] + lo : po[p] + hi]
-                for p, lo, hi in slices
-            ])
-        used_ids, counts = np.unique(region_idx, return_counts=True)
-        reclaim = used_ids[counts == global_use[used_ids]]
-        old = int(
-            seg_lens[rows_of[reclaim]].sum() + _NODE_COST * reclaim.size
-        )
+        old = int(old_cost[r])
         memo_key = None
         if rejected is not None:
             eff_polish = polish and len(uniq) >= 3
             memo_key = (hash(tuple(uniq)), old, eff_polish)
             if memo_key in rejected:
                 continue
-        pending.append((slices, walk_seq, uniq, old, memo_key))
+        pending.append((r, rep_spell, uniq, old, memo_key))
 
     # Parallel realignment of the gathered candidates (see _realign_many);
     # acceptance/splice/naming applied serially in gather order so the
@@ -734,7 +856,14 @@ def _crush_round_columns(
         [(uniq, old) for _, _, uniq, old, _ in pending],
         scoring, max_span, polish,
     )
-    for (slices, walk_seq, uniq, old, memo_key), (
+    # Accepted splices accumulate as plain lists (one numpy op per region
+    # measurably dominates rounds with tens of thousands of accepts);
+    # everything flattens into arrays once, below.
+    acc_regions: list[int] = []
+    acc_glens: list[int] = []  # walk length per (region, walk group), flat
+    acc_gcnt: list[int] = []  # walk-group count per accepted region
+    W_parts: list[np.ndarray] = []
+    for (r, rep_spell, uniq, old, memo_key), (
         block, cand, polished,
     ) in zip(pending, realigned):
         if cand >= old:
@@ -757,39 +886,93 @@ def _crush_round_columns(
                 [rename[sid] * 2 + rev for sid, rev in walk_of[f"u{k}"]],
                 np.int64,
             )
-        for p, lo, hi in slices:
-            wk = keys[po[p] + lo : po[p] + hi].tobytes()
-            splices.setdefault(p, []).append(
-                (lo, hi, seq_new_walk[walk_seq[wk]])
-            )
+        walk_arrays = [seq_new_walk[s] for s in rep_spell]
+        W_parts.extend(walk_arrays)
+        acc_regions.append(int(r))
+        acc_glens.extend(w.size for w in walk_arrays)
+        acc_gcnt.append(len(walk_arrays))
         n_bubbles += 1
 
     if not n_bubbles:
         return None, 0
 
-    # Rebuild columns: splice per path (back-to-front), prune unused
-    # segments, regenerate links from path adjacencies.
-    all_names = list(names) + [n for n, _ in new_segments]
-    new_keys_parts: list[np.ndarray] = []
-    new_path_off = [0]
-    for p in range(gc.n_paths):
-        kp = keys[po[p] : po[p + 1]]
-        reps = sorted(splices.get(p, []), reverse=True)
-        if reps:
-            pieces = []
-            at = kp.size
-            for lo, hi, walk in reps:
-                pieces.append(kp[hi:at])
-                pieces.append(walk)
-                at = lo
-            pieces.append(kp[:at])
-            kp = np.concatenate(pieces[::-1])
-        new_keys_parts.append(kp)
-        new_path_off.append(new_path_off[-1] + kp.size)
-    nk = (
-        np.concatenate(new_keys_parts)
-        if new_keys_parts else np.zeros(0, np.int64)
+    # Flatten accepted regions -> per-slice replacement table.
+    acc_r = np.asarray(acc_regions, np.int64)
+    gl_flat = np.asarray(acc_glens, np.int64)
+    g_off_flat = np.zeros(gl_flat.size + 1, np.int64)
+    np.cumsum(gl_flat, out=g_off_flat[1:])
+    gcnt = np.asarray(acc_gcnt, np.int64)
+    ggroup_base = np.zeros(acc_r.size, np.int64)
+    if acc_r.size > 1:
+        np.cumsum(gcnt[:-1], out=ggroup_base[1:])
+    reg_sizes = (region_end - region_start)[acc_r]
+    rtot2 = int(reg_sizes.sum())
+    rcum2 = np.zeros(acc_r.size + 1, np.int64)
+    np.cumsum(reg_sizes, out=rcum2[1:])
+    pos_all = (
+        np.arange(rtot2, dtype=np.int64)
+        - np.repeat(rcum2[:-1], reg_sizes)
+        + np.repeat(region_start[acc_r], reg_sizes)
     )
+    ggi = (
+        np.repeat(ggroup_base, reg_sizes)
+        + wg_sorted[pos_all]
+        - np.repeat(wg_sorted[region_start[acc_r]], reg_sizes)
+    )
+    acc_si = [order[pos_all]]
+    acc_wlen = [gl_flat[ggi]]
+    acc_woff = [g_off_flat[:-1][ggi]]
+
+    # ── assemble the new step stream (all splices at once) ──────────────
+    # Delete each spliced slice's [G_lo, G_hi) step range (difference-
+    # array mask) and insert its replacement walk at G_lo; kept steps and
+    # inserted walks interleave by global position, so output indices are
+    # rank sums — no per-path piece concatenation.
+    all_names = list(names) + [n for n, _ in new_segments]
+    spl_si = np.concatenate(acc_si)
+    spl_wlen = np.concatenate(acc_wlen)
+    spl_woff = np.concatenate(acc_woff)
+    W_all = (
+        np.concatenate(W_parts) if W_parts else np.zeros(0, np.int64)
+    )
+    spl_glo = G_lo[spl_si]
+    spl_ghi = G_hi[spl_si]
+    spl_path = S_p[spl_si]
+    mark = np.zeros(n_steps + 1, np.int64)
+    np.add.at(mark, spl_glo, 1)
+    np.add.at(mark, spl_ghi, -1)
+    kept_pos = np.nonzero(np.cumsum(mark[:-1]) == 0)[0]
+    s_ord = np.argsort(spl_glo, kind="stable")
+    spl_glo = spl_glo[s_ord]
+    spl_wlen = spl_wlen[s_ord]
+    spl_woff = spl_woff[s_ord]
+    spl_path = spl_path[s_ord]
+    ins_cum = np.zeros(spl_glo.size + 1, np.int64)
+    np.cumsum(spl_wlen, out=ins_cum[1:])
+    total_ins = int(ins_cum[-1])
+    out_kept = (
+        np.arange(kept_pos.size, dtype=np.int64)
+        + ins_cum[np.searchsorted(spl_glo, kept_pos, side="right")]
+    )
+    ins_start = (
+        np.searchsorted(kept_pos, spl_glo, side="left") + ins_cum[:-1]
+    )
+    nk = np.empty(kept_pos.size + total_ins, np.int64)
+    nk[out_kept] = keys[kept_pos]
+    if total_ins:
+        ramp = np.arange(total_ins, dtype=np.int64) - np.repeat(
+            ins_cum[:-1], spl_wlen
+        )
+        nk[np.repeat(ins_start, spl_wlen) + ramp] = W_all[
+            np.repeat(spl_woff, spl_wlen) + ramp
+        ]
+    kept_per_path = np.diff(np.searchsorted(kept_pos, po))
+    ins_per_path = np.bincount(
+        spl_path, weights=spl_wlen.astype(np.float64),
+        minlength=gc.n_paths,
+    ).astype(np.int64)
+    new_path_off = np.zeros(gc.n_paths + 1, np.int64)
+    np.cumsum(kept_per_path + ins_per_path, out=new_path_off[1:])
     step_name_idx = (nk >> 1).astype(np.int32)
     step_rev = (nk & 1).astype(bool)
 
@@ -869,24 +1052,47 @@ def crush_gfa(
     polish: bool = True,
 ) -> tuple[str, CrushStats]:
     stats = CrushStats()
-    g0 = Gfa.parse(gfa_text)
-    stats.nodes_before = len(g0.segments)
-    stats.bp_before = sum(len(s) for s in g0.segments.values())
     # Pre-groom (spelling-preserving majority-orientation flips): paths
     # that traverse the shared backbone reverse-complemented become
     # forward walks, so they can participate in anchor slicing instead of
-    # being excluded from their regions.
-    from impg_tpu.graph.sortgfa import groom
+    # being excluded from their regions.  Columnar fast path (the dict
+    # parse+groom+write round-trip costs ~20 s on 60 MiB graphs); dict
+    # model handles degenerate duplicate-S inputs and the no-native case.
+    from impg_tpu.graph import columnar_ops
 
-    gfa_text = groom(g0).write()
+    import numpy as np
+
+    gc0 = None
+    try:
+        from impg_tpu.graph.gfa_columns import parse_gfa_columns as _pgc
+
+        gc0 = _pgc(gfa_text)
+    except ValueError:
+        raise
+    except Exception:
+        gc0 = None
+    if gc0 is not None and (
+        gc0.n_segs == 0
+        or int(np.unique(gc0.seg_name_idx).size) == gc0.n_segs
+    ):
+        stats.nodes_before = gc0.n_segs
+        stats.bp_before = int(gc0.seg_lens().sum())
+        gfa_text = columnar_ops.write_columns(
+            columnar_ops.groom_columns(gc0)
+        )
+    else:
+        from impg_tpu.graph.sortgfa import groom
+
+        g0 = Gfa.parse(gfa_text)
+        stats.nodes_before = len(g0.segments)
+        stats.bp_before = sum(len(s) for s in g0.segments.values())
+        gfa_text = groom(g0).write()
 
     def spell_all(g: Gfa):
         return {
             name: b"".join(_step_seq(g, st) for st in steps)
             for name, steps in g.paths
         }
-
-    from impg_tpu.graph import columnar_ops
 
     before_spell = columnar_ops.path_spellings_of_text(gfa_text)
     if before_spell is None:
@@ -958,7 +1164,19 @@ def crush_gfa(
         text = new_text
         rounds_left -= 1
 
-    final = Gfa.parse(text)
-    stats.nodes_after = len(final.segments)
-    stats.bp_after = sum(len(s) for s in final.segments.values())
+    gcf = None
+    try:
+        gcf = _pgc(text) if gc0 is not None else None
+    except Exception:
+        gcf = None
+    if gcf is not None and (
+        gcf.n_segs == 0
+        or int(np.unique(gcf.seg_name_idx).size) == gcf.n_segs
+    ):
+        stats.nodes_after = gcf.n_segs
+        stats.bp_after = int(gcf.seg_lens().sum())
+    else:
+        final = Gfa.parse(text)
+        stats.nodes_after = len(final.segments)
+        stats.bp_after = sum(len(s) for s in final.segments.values())
     return text, stats
