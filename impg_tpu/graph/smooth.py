@@ -153,13 +153,30 @@ def smooth_gfa(
                 pass
         return path_name, 0
 
+    # Per-block POA on a thread pool: blocks are independent and the
+    # native POA engine is handle-based with no shared state (ctypes
+    # releases the GIL) — the role of smoothxg's block-parallel POA
+    # (smooth.rs runs blocks under rayon).  Results apply in block
+    # order, so the output is identical to the serial loop.
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    work = [
+        (b, block_slices[b]) for b in range(n_blocks) if block_slices[b]
+    ]
+
+    def align_block(slices):
+        return poa_mod.poa_align([s for _, _, s in slices], scoring)
+
+    workers = min(len(work), os.cpu_count() or 1)
+    if workers > 1:
+        with ThreadPoolExecutor(workers) as ex:
+            results = list(ex.map(lambda w: align_block(w[1]), work))
+    else:
+        results = [align_block(slices) for _, slices in work]
+
     block_gfas: list[str] = []
-    for b in range(n_blocks):
-        slices = block_slices[b]
-        if not slices:
-            continue
-        seqs = [s for _, _, s in slices]
-        result = poa_mod.poa_align(seqs, scoring)
+    for (_b, slices), result in zip(work, results):
         names = []
         for path_name, start, seq in slices:
             key, base_off = base_key(path_name)

@@ -45,22 +45,31 @@ struct PoaGraph {
     base.push_back(b);
     preds.emplace_back();
     succs.emplace_back();
+    succ_eidx.emplace_back();
     int gid = static_cast<int>(groups.size());
     groups.push_back({id});
     group_of.push_back(gid);
     return id;
   }
 
+  // Edge index per (from, succ position): add_edge scans only from's
+  // out-neighbors (degree-bounded) instead of the whole edge list
+  // (which made graph updates quadratic in total edges).
+  std::vector<std::vector<int>> succ_eidx;
+
   void add_edge(int from, int to) {
-    for (size_t i = 0; i < edges.size(); ++i) {
-      if (edges[i].first == from && edges[i].second == to) {
-        ++edge_weight[i];
+    auto& ss = succs[from];
+    auto& se = succ_eidx[from];
+    for (size_t i = 0; i < ss.size(); ++i) {
+      if (ss[i] == to) {
+        ++edge_weight[se[i]];
         return;
       }
     }
     edges.emplace_back(from, to);
     edge_weight.push_back(1);
-    succs[from].push_back(to);
+    ss.push_back(to);
+    se.push_back(static_cast<int>(edges.size()) - 1);
     preds[to].push_back(from);
   }
 
@@ -87,6 +96,13 @@ struct PoaGraph {
     return a == b ? match_ : -mismatch_;
   }
 
+  // DP scratch, reused across align() calls: the matrices reach ~100 MB
+  // on smoothing-size blocks and this environment's first touch of fresh
+  // pages costs 20-40x the arithmetic — assign() rewrites values but
+  // keeps the (already-faulted) capacity.
+  mutable std::vector<int32_t> H, E1, E2, F1, F2, bt_pred;
+  mutable std::vector<uint8_t> bt;
+
   // Align `seq` to the graph (global); returns (node_id, query_pos) pairs
   // with -1 for gaps on either side.
   std::vector<std::pair<int, int>> align(const std::string& seq) const {
@@ -100,12 +116,16 @@ struct PoaGraph {
     int rows = n + 1;
     int cols = m + 1;
     auto idx = [cols](int r, int c) { return static_cast<size_t>(r) * cols + c; };
-    std::vector<int32_t> H(static_cast<size_t>(rows) * cols, NEG);
-    std::vector<int32_t> E1(H), E2(H), F1(H), F2(H);
+    const size_t cells = static_cast<size_t>(rows) * cols;
+    H.assign(cells, NEG);
+    E1.assign(cells, NEG);
+    E2.assign(cells, NEG);
+    F1.assign(cells, NEG);
+    F2.assign(cells, NEG);
     // Backtrack codes: 0 none, 1 diag(from pred p), 2 E1, 3 F1(from pred p),
     // 4 E2, 5 F2(from pred p); store pred row for diag/F.
-    std::vector<uint8_t> bt(H.size(), 0);
-    std::vector<int32_t> bt_pred(H.size(), -1);
+    bt.assign(cells, 0);
+    bt_pred.assign(cells, -1);
 
     auto gap1 = [&](int len) { return gap_open_ + gap_ext_ * (len - 1); };
     (void)gap1;

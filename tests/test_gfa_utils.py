@@ -634,3 +634,77 @@ def test_cli_gfa_pipeline_cut_n_drops_all_n_interval(tmp_path):
     assert r.returncode == 0, r.stderr
     g = Gfa.parse(r.stdout)
     assert not g.paths  # everything clipped away
+
+
+def test_normalize_columnar_matches_dict_fuzz():
+    """The columnar normalize core must spell the exact input walks and
+    land on the same final graph size as the dict-model implementation
+    (node NAMES may number differently)."""
+    import random as pyrand
+
+    import impg_tpu.graph.normalize as norm_mod
+    from impg_tpu.graph.gfa import Gfa
+    from impg_tpu.io.fasta import reverse_complement
+
+    def spell(t):
+        gg = Gfa.parse(t)
+        return {
+            name: b"".join(
+                reverse_complement(gg.segments[s].encode()) if r
+                else gg.segments[s].encode()
+                for s, r in steps
+            )
+            for name, steps in gg.paths
+        }
+
+    for seed in (21, 22, 23, 24, 25, 26, 27, 28):
+        rng = pyrand.Random(seed)
+        g = Gfa()
+        n = rng.randint(4, 40)
+        for i in range(1, n + 1):
+            g.segments[str(i)] = "".join(
+                rng.choice("ACGT") for _ in range(rng.randint(1, 24))
+            )
+        # Shared-prefix/suffix bait: siblings sharing affixes.
+        for i in range(1, n // 4 + 1):
+            base = g.segments[str(i)]
+            g.segments[str(n + i)] = base[: max(1, len(base) // 2)] + "T"
+        total = n + n // 4
+        link_set = set()
+        for pi in range(rng.randint(2, 6)):
+            steps = [
+                (str(rng.randint(1, total)), rng.random() < 0.2)
+                for _ in range(rng.randint(2, 30))
+            ]
+            g.paths.append((f"p{pi}", steps))
+            for a, b in zip(steps, steps[1:]):
+                link_set.add((a[0], a[1], b[0], b[1]))
+        g.links = sorted(link_set)
+        text = g.write()
+
+        out_c = norm_mod._normalize_columns(text, 200, True)
+        if out_c is None:
+            continue  # native tokenizer unavailable
+        base = spell(text)
+        assert spell(out_c) == base, f"seed {seed}: columnar spelling"
+
+        out_d = norm_mod.normalize_gfa.__wrapped__(text) if hasattr(
+            norm_mod.normalize_gfa, "__wrapped__"
+        ) else None
+        # Dict oracle: force the fallback by disabling the columnar core.
+        import unittest.mock as mock
+
+        with mock.patch.object(
+            norm_mod, "_normalize_columns", lambda *a, **k: None
+        ):
+            out_d = norm_mod.normalize_gfa(text)
+        assert spell(out_d) == base, f"seed {seed}: dict spelling"
+
+        gc_ = Gfa.parse(out_c)
+        gd_ = Gfa.parse(out_d)
+        bp_c = sum(len(s) for s in gc_.segments.values())
+        bp_d = sum(len(s) for s in gd_.segments.values())
+        assert (len(gc_.segments), bp_c) == (len(gd_.segments), bp_d), (
+            f"seed {seed}: columnar ({len(gc_.segments)}, {bp_c}) != "
+            f"dict ({len(gd_.segments)}, {bp_d})"
+        )
