@@ -134,12 +134,22 @@ def _induce_block(names: list[str], seqs: list[bytes]) -> str:
 
     sdict = dict(zip(names, seqs))
     syng = SyngIndex.build(list(sdict.items()))
-    rows = []
     keys = list(sdict)
-    for q in keys:
-        for t in keys:
-            if q != t:
-                rows.extend(align_mod.align_sequence_pair(syng, sdict, q, t))
+    if len(keys) > 8:
+        # Mash-kNN pair sampling (the resolution.rs pairwise tier samples
+        # pairs via Mash kNN trees + a random fraction instead of aligning
+        # all O(n^2) allele pairs): each allele aligns to its 4 nearest by
+        # mash distance, both orders.  Sparser induction still yields a
+        # valid exact-spelling graph (seqwish union-find), and the caller's
+        # do-no-harm cost gate rejects poor compressions.
+        from impg_tpu.commands.align import select_pairs
+
+        pairs = select_pairs(keys, sdict, strategy="knn:4")
+    else:
+        pairs = [(q, t) for q in keys for t in keys if q != t]
+    rows = []
+    for q, t in pairs:
+        rows.extend(align_mod.align_sequence_pair(syng, sdict, q, t))
     gfa = seqwish_mod.induce_graph(sdict, rows)
     # induce_graph names paths `key:0-len`; the keys already carry their
     # lace ranges, so strip the redundant suffix.

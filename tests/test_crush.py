@@ -388,3 +388,36 @@ def test_crush_blunt_scale_shape():
     # all that may legitimately remain beyond the backbone.
     assert st.bp_after < st.bp_before
     assert st.bp_after <= 120_000 + 15 + 1000  # backbone + SNPs + slack
+
+
+def test_crush_induce_tier_knn_sampling_many_alleles():
+    """Oversized regions with many distinct alleles route through the
+    pairwise-induction tier with mash-kNN pair sampling (resolution.rs'
+    Mash kNN + random-fraction pair selection role).  Spellings must
+    stay exact; near-identical alleles still compress."""
+    import random as pyrand
+
+    rng = pyrand.Random(404)
+    base = "".join(rng.choice("ACGT") for _ in range(900))
+    g = Gfa()
+    g.segments["A"] = "".join(rng.choice("ACGT") for _ in range(40))
+    g.segments["Z"] = "".join(rng.choice("ACGT") for _ in range(40))
+    paths = []
+    for k in range(10):  # > 8 alleles -> kNN sampling engages
+        allele = list(base)
+        p = rng.randrange(len(allele))
+        allele[p] = rng.choice("ACGT")
+        sid = f"m{k}"
+        g.segments[sid] = "".join(allele)
+        paths.append((f"p{k}", [("A", False), (sid, False), ("Z", False)]))
+    g.paths = paths
+    link_set = set()
+    for _, steps in paths:
+        for a, b in zip(steps, steps[1:]):
+            link_set.add((a[0], a[1], b[0], b[1]))
+    g.links = sorted(link_set)
+    text = g.write()
+
+    out, st = crush_gfa(text, max_span=500, max_rounds=2)  # force induce
+    assert _spell(out) == _spell(text)
+    assert st.bubbles_seen >= 1
