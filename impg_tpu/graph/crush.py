@@ -641,7 +641,7 @@ def _find_anchors_columns(gc, keys, po):
 
 def _crush_round_columns(
     gc, stats: CrushStats, scoring, max_span: int, polish: bool,
-    rejected: set | None = None,
+    rejected: set | None = None, retry_polish: bool = False,
 ):
     """Columnar `_crush_round`: read passes (anchors, slicing, allele
     grouping/spelling, reclaim accounting) run over GfaColumns arrays;
@@ -654,7 +654,7 @@ def _crush_round_columns(
     from impg_tpu.graph import columnar_ops as co
 
     if gc.n_paths < 2:
-        return None, 0
+        return None, 0, polish
     po = gc.path_off.astype(np.int64)
     keys = gc.step_name_idx.astype(np.int64) * 2 + gc.step_rev
     anchors, participating = _find_anchors_columns(gc, keys, po)
@@ -686,7 +686,7 @@ def _crush_round_columns(
         sl_rb.append(toks[1:])
     stats.excluded_paths = max(stats.excluded_paths, excluded)
     if not sl_p:
-        return None, 0
+        return None, 0, polish
     S_p = np.concatenate(sl_p)
     S_lo = np.concatenate(sl_lo).astype(np.int64)
     S_hi = np.concatenate(sl_hi).astype(np.int64)
@@ -723,7 +723,7 @@ def _crush_round_columns(
         if max_len:
             np.cumprod(np.full(max_len, W, np.uint64), out=wpow[1:])
         terms = (
-            keys[step_pos].astype(np.uint64) + np.uint64(0x9E37)
+            keys.take(step_pos).astype(np.uint64) + np.uint64(0x9E37)
         ) * wpow[pos_in_slice]
         H = np.add.reduceat(
             terms, np.minimum(cum[:-1], max(tot - 1, 0))
@@ -734,9 +734,9 @@ def _crush_round_columns(
 
     # Sort slices by (region, walk) — stable, so ties keep slice order.
     order = np.lexsort((H, S_len, rid))
-    rid_s = rid[order]
-    H_s = H[order]
-    L_s = S_len[order]
+    rid_s = rid.take(order)
+    H_s = H.take(order)
+    L_s = S_len.take(order)
     new_r = np.ones(order.size, bool)
     new_r[1:] = rid_s[1:] != rid_s[:-1]
     new_w = new_r.copy()
@@ -765,7 +765,7 @@ def _crush_round_columns(
     reg_of_slice[order] = reg_sorted
     comb = (
         np.repeat(reg_of_slice, S_len) * n_names
-        + gc.step_name_idx[step_pos]
+        + gc.step_name_idx.take(step_pos)
     )
     uniq_comb, comb_counts = np.unique(comb, return_counts=True)
     r_of = uniq_comb // n_names
@@ -804,10 +804,10 @@ def _crush_round_columns(
             - np.repeat(rcum[:-1], rep_nsteps)
             + np.repeat(rep_glo, rep_nsteps)
         )
-        rrows = rows_of[gc.step_name_idx[rsteps]].astype(np.int32)
-        rrevs = gc.step_rev[rsteps].astype(np.uint8)
+        rrows = rows_of.take(gc.step_name_idx.take(rsteps)).astype(np.int32)
+        rrevs = gc.step_rev.take(rsteps).astype(np.uint8)
         bp_out = np.zeros(rtot + 1, np.int64)
-        np.cumsum(seg_lens[rrows], out=bp_out[1:])
+        np.cumsum(seg_lens.take(rrows), out=bp_out[1:])
         from impg_tpu.io import native as native_mod
 
         blob = native_mod.spell_steps(
@@ -835,76 +835,98 @@ def _crush_round_columns(
             ])
             at += cnt
 
-    next_id = 1 + max(
+    next_id0 = 1 + max(
         (int(names[int(i)]) for i in gc.seg_name_idx
          if names[int(i)].isdigit()),
         default=0,
     )
-    new_segments: list[tuple[str, bytes]] = []
     new_name_base = n_names
-    n_bubbles = 0
-    pending: list = []
-    for bi, r in enumerate(bubble_order.tolist()):
-        stats.bubbles_seen += 1
-        rep_spell = rep_spellings[bi]
-        uniq = sorted({s for s in rep_spell if s})
-        if not uniq:
-            continue
-        old = int(old_cost[r])
-        memo_key = None
-        if rejected is not None:
-            eff_polish = polish and len(uniq) >= 3
-            memo_key = (hash(tuple(uniq)), old, eff_polish)
-            if memo_key in rejected:
-                continue
-        pending.append((r, rep_spell, uniq, old, memo_key))
 
-    # Parallel realignment of the gathered candidates (see _realign_many);
-    # acceptance/splice/naming applied serially in gather order so the
-    # output is identical to the serial loop.
-    realigned = _realign_many(
-        [(uniq, old) for _, _, uniq, old, _ in pending],
-        scoring, max_span, polish,
-    )
-    # Accepted splices accumulate as plain lists (one numpy op per region
-    # measurably dominates rounds with tens of thousands of accepts);
-    # everything flattens into arrays once, below.
-    acc_regions: list[int] = []
-    acc_glens: list[int] = []  # walk length per (region, walk group), flat
-    acc_gcnt: list[int] = []  # walk-group count per accepted region
-    W_parts: list[np.ndarray] = []
-    for (r, rep_spell, uniq, old, memo_key), (
-        block, cand, polished,
-    ) in zip(pending, realigned):
-        if cand >= old:
-            if rejected is not None and memo_key is not None:
-                rejected.add(memo_key)
-            continue
-        if polished:
-            stats.polish_gains += 1
-        rename: dict[str, int] = {}
-        for sid, seq in block.segments.items():
-            rename[sid] = new_name_base + len(new_segments)
-            new_segments.append((str(next_id), seq.encode()))
-            next_id += 1
-        walk_of = dict(block.paths)
-        seq_new_walk: dict[bytes, np.ndarray] = {
-            b"": np.zeros(0, np.int64)
-        }
-        for k, s in enumerate(uniq):
-            seq_new_walk[s] = np.asarray(
-                [rename[sid] * 2 + rev for sid, rev in walk_of[f"u{k}"]],
-                np.int64,
-            )
-        walk_arrays = [seq_new_walk[s] for s in rep_spell]
-        W_parts.extend(walk_arrays)
-        acc_regions.append(int(r))
-        acc_glens.extend(w.size for w in walk_arrays)
-        acc_gcnt.append(len(walk_arrays))
-        n_bubbles += 1
+    def gather(pol: bool) -> list:
+        pend: list = []
+        for bi, r in enumerate(bubble_order.tolist()):
+            stats.bubbles_seen += 1
+            rep_spell = rep_spellings[bi]
+            uniq = sorted({s for s in rep_spell if s})
+            if not uniq:
+                continue
+            old = int(old_cost[r])
+            memo_key = None
+            if rejected is not None:
+                eff_polish = pol and len(uniq) >= 3
+                memo_key = (hash(tuple(uniq)), old, eff_polish)
+                if memo_key in rejected:
+                    continue
+            pend.append((r, rep_spell, uniq, old, memo_key))
+        return pend
+
+    # Attempt the round; when nothing is accepted and `retry_polish` is
+    # set, rerun realignment with polish=True ON THE SAME DISCOVERY —
+    # the graph is unchanged by definition, so re-deriving slice tables,
+    # walk groups and reclaim costs from text (the expensive half of a
+    # round at 60 MiB scale) would reproduce exactly this state.  This
+    # mirrors the dict protocol's separate polish round (including the
+    # per-round bubbles_seen accounting).
+    attempts = [polish]
+    if retry_polish and not polish:
+        attempts.append(True)
+    used_polish = polish
+    n_bubbles = 0
+    for pol in attempts:
+        pending = gather(pol)
+        # Parallel realignment (see _realign_many); acceptance / splice /
+        # naming applied serially in gather order so the output is
+        # identical to the serial loop.
+        realigned = _realign_many(
+            [(uniq, old) for _, _, uniq, old, _ in pending],
+            scoring, max_span, pol,
+        )
+        # Accepted splices accumulate as plain lists (one numpy op per
+        # region measurably dominates rounds with tens of thousands of
+        # accepts); everything flattens into arrays once, below.
+        next_id = next_id0
+        new_segments: list[tuple[str, bytes]] = []
+        acc_regions: list[int] = []
+        acc_glens: list[int] = []  # walk len per (region, walk group)
+        acc_gcnt: list[int] = []  # walk-group count per accepted region
+        W_parts: list[np.ndarray] = []
+        n_bubbles = 0
+        for (r, rep_spell, uniq, old, memo_key), (
+            block, cand, polished,
+        ) in zip(pending, realigned):
+            if cand >= old:
+                if rejected is not None and memo_key is not None:
+                    rejected.add(memo_key)
+                continue
+            if polished:
+                stats.polish_gains += 1
+            rename: dict[str, int] = {}
+            for sid, seq in block.segments.items():
+                rename[sid] = new_name_base + len(new_segments)
+                new_segments.append((str(next_id), seq.encode()))
+                next_id += 1
+            walk_of = dict(block.paths)
+            seq_new_walk: dict[bytes, np.ndarray] = {
+                b"": np.zeros(0, np.int64)
+            }
+            for k, s in enumerate(uniq):
+                seq_new_walk[s] = np.asarray(
+                    [rename[sid] * 2 + rev
+                     for sid, rev in walk_of[f"u{k}"]],
+                    np.int64,
+                )
+            walk_arrays = [seq_new_walk[s] for s in rep_spell]
+            W_parts.extend(walk_arrays)
+            acc_regions.append(int(r))
+            acc_glens.extend(w.size for w in walk_arrays)
+            acc_gcnt.append(len(walk_arrays))
+            n_bubbles += 1
+        used_polish = pol
+        if n_bubbles:
+            break
 
     if not n_bubbles:
-        return None, 0
+        return None, 0, used_polish
 
     # Flatten accepted regions -> per-slice replacement table.
     acc_r = np.asarray(acc_regions, np.int64)
@@ -926,10 +948,10 @@ def _crush_round_columns(
     )
     ggi = (
         np.repeat(ggroup_base, reg_sizes)
-        + wg_sorted[pos_all]
+        + wg_sorted.take(pos_all)
         - np.repeat(wg_sorted[region_start[acc_r]], reg_sizes)
     )
-    acc_si = [order[pos_all]]
+    acc_si = [order.take(pos_all)]
     acc_wlen = [gl_flat[ggi]]
     acc_woff = [g_off_flat[:-1][ggi]]
 
@@ -945,9 +967,9 @@ def _crush_round_columns(
     W_all = (
         np.concatenate(W_parts) if W_parts else np.zeros(0, np.int64)
     )
-    spl_glo = G_lo[spl_si]
-    spl_ghi = G_hi[spl_si]
-    spl_path = S_p[spl_si]
+    spl_glo = G_lo.take(spl_si)
+    spl_ghi = G_hi.take(spl_si)
+    spl_path = S_p.take(spl_si)
     mark = np.zeros(n_steps + 1, np.int64)
     np.add.at(mark, spl_glo, 1)
     np.add.at(mark, spl_ghi, -1)
@@ -968,7 +990,7 @@ def _crush_round_columns(
         np.searchsorted(kept_pos, spl_glo, side="left") + ins_cum[:-1]
     )
     nk = np.empty(kept_pos.size + total_ins, np.int64)
-    nk[out_kept] = keys[kept_pos]
+    nk[out_kept] = keys.take(kept_pos)
     if total_ins:
         ramp = np.arange(total_ins, dtype=np.int64) - np.repeat(
             ins_cum[:-1], spl_wlen
@@ -1051,7 +1073,7 @@ def _crush_round_columns(
         (packed >> np.uint64(1)) & np.uint64((1 << 31) - 1)
     ).astype(np.int32)
     ng.link_b_rev = (packed & np.uint64(1)).astype(bool)
-    return ng, n_bubbles
+    return ng, n_bubbles, used_polish
 
 
 def crush_gfa(
@@ -1137,9 +1159,15 @@ def crush_gfa(
         except Exception:
             gc = None
         if gc is not None:
-            ng_c, n_bubbles = _crush_round_columns(
-                gc, stats, scoring, max_span, do_polish, rejected
+            # retry_polish: a zero-accept round retries with polish on
+            # the SAME in-memory discovery instead of re-deriving it
+            # from text next iteration (same protocol, same counting).
+            ng_c, n_bubbles, used_polish = _crush_round_columns(
+                gc, stats, scoring, max_span, do_polish, rejected,
+                retry_polish=polish,
             )
+            if used_polish:
+                do_polish = True
             if ng_c is None:
                 if polish and not do_polish:
                     do_polish = True
