@@ -708,3 +708,35 @@ def test_normalize_columnar_matches_dict_fuzz():
             f"seed {seed}: columnar ({len(gc_.segments)}, {bp_c}) != "
             f"dict ({len(gd_.segments)}, {bp_d})"
         )
+
+
+def test_normalize_preserves_walk_lines_columnar_and_dict():
+    """W-line (GFA 1.1 walk) paths survive normalize on both the
+    columnar and the dict path, with identical output."""
+    import unittest.mock as mock
+
+    import impg_tpu.graph.normalize as norm_mod
+    from impg_tpu.graph.gfa import Gfa
+
+    g = Gfa()
+    g.segments = {"1": "AA", "2": "CGTTT", "3": "GATTT", "4": "GG"}
+    g.links = [
+        ("1", False, "2", False), ("1", False, "3", False),
+        ("2", False, "4", False), ("3", False, "4", False),
+    ]
+    g.paths = [
+        ("s1#1#chr1:0-9", [("1", False), ("2", False), ("4", False)]),
+        ("s2#1#chr1:0-9", [("1", False), ("3", False), ("4", False)]),
+    ]
+    g.walk_names = {"s1#1#chr1:0-9"}
+    text = g.write()
+    assert "W\t" in text
+
+    out_c = norm_mod._normalize_columns(text, 200, True)
+    with mock.patch.object(
+        norm_mod, "_normalize_columns", lambda *a, **k: None
+    ):
+        out_d = norm_mod.normalize_gfa(text)
+    assert "W\ts1" in out_d
+    if out_c is not None:  # native tokenizer present
+        assert out_c == out_d
