@@ -145,16 +145,44 @@ struct PoaGraph {
       bt[idx(0, j)] = (H[idx(0, j)] == E1[idx(0, j)]) ? 2 : 4;
     }
 
+    // Row-local raw pointers: the straightforward H[idx(r, j)] form
+    // costs a size_t multiply + vector access per operand (~15 operands
+    // per cell) and measured ~110 cycles/cell; hoisting row bases and
+    // predecessor-row bases out of the j loop is a pure constant-factor
+    // rewrite (identical results).
+    std::vector<const int32_t*> hp, f1p, f2p;
+    std::vector<int32_t> prow_ids;
     for (int oi = 0; oi < n; ++oi) {
       int v = order[oi];
       int r = oi + 1;
       // Predecessor rows (virtual start row 0 if no preds).
-      std::vector<int> prows;
+      prow_ids.clear();
       if (preds[v].empty()) {
-        prows.push_back(0);
+        prow_ids.push_back(0);
       } else {
-        for (int p : preds[v]) prows.push_back(rank[p] + 1);
+        for (int p : preds[v]) prow_ids.push_back(rank[p] + 1);
       }
+      const size_t np = prow_ids.size();
+      hp.clear();
+      f1p.clear();
+      f2p.clear();
+      for (int pr : prow_ids) {
+        hp.push_back(H.data() + static_cast<size_t>(pr) * cols);
+        f1p.push_back(F1.data() + static_cast<size_t>(pr) * cols);
+        f2p.push_back(F2.data() + static_cast<size_t>(pr) * cols);
+      }
+      const int32_t* const* hpb = hp.data();
+      const int32_t* const* f1pb = f1p.data();
+      const int32_t* const* f2pb = f2p.data();
+      const int32_t* prb = prow_ids.data();
+      int32_t* Hr = H.data() + static_cast<size_t>(r) * cols;
+      int32_t* E1r = E1.data() + static_cast<size_t>(r) * cols;
+      int32_t* E2r = E2.data() + static_cast<size_t>(r) * cols;
+      int32_t* F1r = F1.data() + static_cast<size_t>(r) * cols;
+      int32_t* F2r = F2.data() + static_cast<size_t>(r) * cols;
+      uint8_t* btr = bt.data() + static_cast<size_t>(r) * cols;
+      int32_t* btpr = bt_pred.data() + static_cast<size_t>(r) * cols;
+      const char bv = base[v];
       for (int j = 0; j <= m; ++j) {
         int32_t best = NEG;
         uint8_t best_bt = 0;
@@ -162,45 +190,47 @@ struct PoaGraph {
         // Graph gaps (F): skip node v.
         int32_t f1 = NEG, f2 = NEG;
         int32_t f1_pred = -1, f2_pred = -1;
-        for (int pr : prows) {
-          int32_t cand1 = std::max(H[idx(pr, j)] - gap_open_,
-                                   F1[idx(pr, j)] - gap_ext_);
+        for (size_t p = 0; p < np; ++p) {
+          int32_t cand1 = std::max(hpb[p][j] - gap_open_,
+                                   f1pb[p][j] - gap_ext_);
           if (cand1 > f1) {
             f1 = cand1;
-            f1_pred = pr;
+            f1_pred = prb[p];
           }
-          int32_t cand2 = std::max(H[idx(pr, j)] - gap_open2_,
-                                   F2[idx(pr, j)] - gap_ext2_);
+          int32_t cand2 = std::max(hpb[p][j] - gap_open2_,
+                                   f2pb[p][j] - gap_ext2_);
           if (cand2 > f2) {
             f2 = cand2;
-            f2_pred = pr;
+            f2_pred = prb[p];
           }
         }
-        F1[idx(r, j)] = f1;
-        F2[idx(r, j)] = f2;
+        F1r[j] = f1;
+        F2r[j] = f2;
         if (j > 0) {
           // Query gaps (E).
-          E1[idx(r, j)] = std::max(H[idx(r, j - 1)] - gap_open_,
-                                   E1[idx(r, j - 1)] - gap_ext_);
-          E2[idx(r, j)] = std::max(H[idx(r, j - 1)] - gap_open2_,
-                                   E2[idx(r, j - 1)] - gap_ext2_);
+          const int32_t e1 = std::max(Hr[j - 1] - gap_open_,
+                                      E1r[j - 1] - gap_ext_);
+          const int32_t e2 = std::max(Hr[j - 1] - gap_open2_,
+                                      E2r[j - 1] - gap_ext2_);
+          E1r[j] = e1;
+          E2r[j] = e2;
           // Diagonal.
-          int32_t s = score(base[v], seq[static_cast<size_t>(j - 1)]);
-          for (int pr : prows) {
-            int32_t cand = H[idx(pr, j - 1)] + s;
+          int32_t s = score(bv, seq[static_cast<size_t>(j - 1)]);
+          for (size_t p = 0; p < np; ++p) {
+            int32_t cand = hpb[p][j - 1] + s;
             if (cand > best) {
               best = cand;
               best_bt = 1;
-              best_pred = pr;
+              best_pred = prb[p];
             }
           }
-          if (E1[idx(r, j)] > best) {
-            best = E1[idx(r, j)];
+          if (e1 > best) {
+            best = e1;
             best_bt = 2;
             best_pred = -1;
           }
-          if (E2[idx(r, j)] > best) {
-            best = E2[idx(r, j)];
+          if (e2 > best) {
+            best = e2;
             best_bt = 4;
             best_pred = -1;
           }
@@ -215,12 +245,10 @@ struct PoaGraph {
           best_bt = 5;
           best_pred = f2_pred;
         }
-        if (r > 0 || j > 0) {
-          if (best > H[idx(r, j)]) {
-            H[idx(r, j)] = best;
-            bt[idx(r, j)] = best_bt;
-            bt_pred[idx(r, j)] = best_pred;
-          }
+        if (best > Hr[j]) {
+          Hr[j] = best;
+          btr[j] = best_bt;
+          btpr[j] = best_pred;
         }
       }
     }
