@@ -55,12 +55,17 @@ chip's HBM bandwidth, the host<->device link rate, and an MXU sidecar
 diploid_cosine_matrix_device) with achieved TFLOP/s and MFU — so "where
 does the gap live" is quantified rather than asserted.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (the driver parses the last stdout line and
+truncates long output — round 3's full-detail line exceeded that and was
+recorded as unparsed, so the survey now goes to bench_detail.json):
   metric       "transitive_queries_per_sec"
   value        mid-workload queries/s under the framework's default
                (auto) executor
   unit         "queries/s"
-  vs_baseline  value / C++ walk-engine all-cores run (Rust proxy)
+  vs_baseline  value / C++ PAF-engine all-cores run (Rust-proxy cost model)
+  summary      one small dict of per-tier key numbers
+  detail_file  "bench_detail.json" (full executor survey + roofline +
+               gap analysis, written next to this script)
 """
 
 from __future__ import annotations
@@ -643,6 +648,62 @@ def bench_headlines():
     )
 
 
+def emit(result):
+    """Persist the full survey to bench_detail.json; print a COMPACT line.
+
+    The driver parses the last stdout line and stores only a 2000-char
+    tail; round 3's full-detail line blew past that and the headline was
+    recorded as unparsed.  The compact line stays well under the limit.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "bench_detail.json"), "w") as fh:
+            json.dump(result, fh, indent=2)
+            fh.write("\n")
+    except Exception:
+        pass
+    detail = result.get("detail", {})
+    mid = detail.get("mid", {})
+    deep = detail.get("deep", {})
+    scale = detail.get("scale", {})
+    ds = detail.get("device_scale", {})
+    mxu = detail.get("mxu", {})
+    summary = {
+        "mid_auto_qps": mid.get("auto_engine_qps"),
+        "mid_vs_paf_mt": mid.get("vs_paf_mt"),
+        "mid_vs_walk_mt": mid.get("vs_walk_mt"),
+        "mid_device_qps": mid.get("device_qps"),
+        "deep_vs_paf_mt": deep.get("vs_paf_mt"),
+        "deep_vs_walk_mt": deep.get("vs_walk_mt"),
+        "scale_records_m": round(
+            scale.get("directed_records", 0) / 1e6, 2
+        ) or None,
+        "scale_auto_qps": scale.get("auto_engine_qps"),
+        "device_scale_e2e_qps": ds.get("e2e_qps"),
+        "mxu_bf16_mfu": mxu.get("matmul_bf16_mfu"),
+        "syng_build_ms_c4_4t": detail.get("syng_build_ms_c4_scale_4t"),
+        "gfa_tokenize_mib_s": detail.get("gfa_native_tokenize_mib_s"),
+    }
+    compact = {
+        "metric": result.get("metric"),
+        "value": result.get("value"),
+        "unit": result.get("unit"),
+        "vs_baseline": result.get("vs_baseline"),
+        "summary": {k: v for k, v in summary.items() if v is not None},
+        "detail_file": "bench_detail.json",
+    }
+    for key in ("tpu_unavailable",):
+        if result.get(key):
+            compact[key] = True
+    if "error" in result:
+        compact["error"] = str(result["error"])[:300]
+    line = json.dumps(compact)
+    if len(line) > 1800:  # absolute guard against driver-tail truncation
+        compact.pop("summary", None)
+        line = json.dumps(compact)
+    print(line)
+
+
 def main():
     index, batches = build_mid_workload()
     mid_targets = [q for walk in batches[1:] for q in walk]
@@ -789,7 +850,7 @@ def main():
             "axon TPU backend failed to initialize after "
             f"{len(PROBE_BACKOFFS_S)} probe attempts"
         )
-        print(json.dumps(result))
+        emit(result)
         return
 
     # Device tier, mid workload (exact + approximate) — the rounds 1-2
@@ -874,19 +935,19 @@ def main():
         mfu=detail.get("mxu", {}).get("matmul_bf16_mfu", "?"),
     )
 
-    print(json.dumps(result))
+    emit(result)
 
 
 if __name__ == "__main__":
     try:
         main()
     except Exception as exc:  # never a bare traceback on the record
-        print(json.dumps({
+        emit({
             "metric": "transitive_queries_per_sec",
             "value": 0,
             "unit": "queries/s",
             "vs_baseline": 0,
             "error": f"{type(exc).__name__}: {exc}",
-            "trace_tail": traceback.format_exc()[-1500:],
-        }))
+            "detail": {"trace_tail": traceback.format_exc()[-1500:]},
+        })
         sys.exit(0)
