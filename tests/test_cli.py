@@ -14,9 +14,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_cli(*args, cwd=None):
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env["IMPG_TPU_PLATFORM"] = "cpu"  # keep subprocesses off the real chip
+    from tests.envutil import cpu_env
+
+    env = cpu_env(IMPG_TPU_PLATFORM="cpu")  # keep children off the real chip
     return subprocess.run(
         [sys.executable, "-m", "impg_tpu.cli", *args],
         capture_output=True,

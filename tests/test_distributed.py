@@ -34,10 +34,10 @@ def test_two_process_mesh_matches_host(tmp_path):
     for pid in range(n_proc):
         out = str(tmp_path / f"out{pid}.json")
         outs.append(out)
-        env = dict(os.environ)
-        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-        env.pop("JAX_PLATFORMS", None)
+        from tests.envutil import cpu_env
+
+        env = cpu_env(XLA_FLAGS="--xla_force_host_platform_device_count=2")
+        env.pop("JAX_PLATFORMS", None)  # dist_worker.py sets cpu via jax.config
         procs.append(
             subprocess.Popen(
                 [

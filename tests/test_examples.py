@@ -8,7 +8,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run(cmd, **kw):
-    env = dict(os.environ)
+    from tests.envutil import cpu_env
+
+    env = cpu_env()
     env["PYTHONPATH"] = REPO
     return subprocess.run(
         cmd, cwd=REPO, env=env, capture_output=True, text=True,

@@ -138,9 +138,9 @@ def test_cli_paged_engine_budget_env(setup, tmp_path, monkeypatch):
     )
     paf = tmp_path / "x.paf"
     paf.write_text(text)
-    env = dict(os.environ, PYTHONPATH=os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))
-    ), JAX_PLATFORMS="cpu")
+    from tests.envutil import cpu_env
+
+    env = cpu_env()
     base = [sys.executable, "-m", "impg_tpu.cli", "query", "-a", str(paf),
             "-r", f"{list(seqs)[0]}:5000-20000", "-x", "-o", "bed",
             "-d", "100"]

@@ -28,9 +28,9 @@ pytestmark = pytest.mark.skipif(
 
 
 def run_cli(*args, cwd=None):
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env["IMPG_TPU_PLATFORM"] = "cpu"
+    from tests.envutil import cpu_env
+
+    env = cpu_env(IMPG_TPU_PLATFORM="cpu")
     return subprocess.run(
         [sys.executable, "-m", "impg_tpu.cli", *args],
         capture_output=True, text=True, cwd=cwd, env=env,
