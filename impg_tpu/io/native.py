@@ -140,6 +140,11 @@ def load():
 
     lib.impg_gfa_parse.restype = ctypes.c_void_p
     lib.impg_gfa_parse.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    if hasattr(lib, "impg_gfa_parse_mt"):
+        lib.impg_gfa_parse_mt.restype = ctypes.c_void_p
+        lib.impg_gfa_parse_mt.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int32,
+        ]
     lib.impg_gfa_error.restype = ctypes.c_char_p
     lib.impg_gfa_error.argtypes = [ctypes.c_void_p]
     lib.impg_gfa_header.restype = ctypes.c_char_p
@@ -349,13 +354,20 @@ def extract_syncmers_native(
         lib.sx_free(h)
 
 
-def parse_gfa_native(data: bytes) -> Optional[dict]:
+def parse_gfa_native(data: bytes, threads: int = 0) -> Optional[dict]:
     """Tokenize a GFA buffer natively into columnar arrays, or None when
-    the library is unavailable.  Raises ValueError on a bad W walk."""
+    the library is unavailable.  Raises ValueError on a bad W walk.
+
+    threads=0 lets the parser pick (all cores, >=4 MB of input per
+    chunk); any thread count yields bit-identical output (ordered merge
+    preserving global first-seen name order)."""
     lib = load()
     if lib is None or not hasattr(lib, "impg_gfa_parse"):
         return None
-    h = lib.impg_gfa_parse(data, len(data))
+    if hasattr(lib, "impg_gfa_parse_mt"):
+        h = lib.impg_gfa_parse_mt(data, len(data), threads)
+    else:
+        h = lib.impg_gfa_parse(data, len(data))
     try:
         err = lib.impg_gfa_error(h)
         if err:

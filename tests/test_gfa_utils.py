@@ -571,6 +571,47 @@ def test_native_gfa_parse_matches_python_oracle():
         assert report(a) == report_columns(gc)
 
 
+def test_native_gfa_parse_mt_bit_identical():
+    """The parallel tokenizer (any thread/chunk count) must be
+    bit-identical to the single-thread parse: same interned-name order,
+    same column contents (chunk-local first-seen order re-interned in
+    chunk order preserves global first-seen order)."""
+    import random
+
+    import numpy as np
+
+    from impg_tpu.io import native as native_mod
+
+    if native_mod.load() is None:
+        return
+    rng = random.Random(7)
+    lines = ["H\tVN:Z:1.0"]
+    # Names deliberately recur across the whole file so chunks overlap.
+    for i in range(4000):
+        lines.append(f"S\t{i % 997}\t{'ACGT' * rng.randint(1, 8)}")
+    for _ in range(3000):
+        lines.append(
+            f"L\t{rng.randint(0, 996)}\t+\t{rng.randint(0, 1500)}\t-\t0M"
+        )
+    for p in range(40):
+        steps = ",".join(
+            f"{rng.randint(0, 1500)}{rng.choice('+-')}"
+            for _ in range(rng.randint(50, 400))
+        )
+        lines.append(f"P\tp{p}\t{steps}\t*")
+    lines.append("W\thg\t1\tchr1\t0\t9\t>5>6<7")
+    data = ("\n".join(lines) + "\n").encode()
+    st = native_mod.parse_gfa_native(data, threads=1)
+    for t in (2, 3, 5, 8):
+        mt = native_mod.parse_gfa_native(data, threads=t)
+        for k in st:
+            a, b = st[k], mt[k]
+            if isinstance(a, (bytes, str)):
+                assert a == b, (t, k)
+            else:
+                assert np.array_equal(a, b), (t, k)
+
+
 def test_pipeline_spec_inline_value():
     spec = GraphPipelineSpec.parse("gfa:cut-n=100:pggb:crush")
     assert [s.name for s in spec.stages] == ["gfa", "cut-n", "pggb", "crush"]
