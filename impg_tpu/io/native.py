@@ -197,6 +197,35 @@ def load():
     lib.sx_fwd.argtypes = [ctypes.c_void_p]
     lib.sx_free.restype = None
     lib.sx_free.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "sx_extract_batch"):
+        lib.sx_extract_batch.restype = ctypes.c_void_p
+        lib.sx_extract_batch.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_uint32,
+            ctypes.c_int32,
+        ]
+        for nm, rt in (
+            ("sxb_count", ctypes.c_int64),
+            ("sxb_pos", ctypes.POINTER(ctypes.c_int64)),
+            ("sxb_ids", ctypes.POINTER(ctypes.c_uint64)),
+            ("sxb_fwd", ctypes.POINTER(ctypes.c_uint8)),
+            ("sxb_seq_counts", ctypes.POINTER(ctypes.c_int64)),
+            ("sxb_free", None),
+        ):
+            fn = getattr(lib, nm)
+            fn.restype = rt
+            fn.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "sx_radix_argsort_u64"):
+        lib.sx_radix_argsort_u64.restype = None
+        lib.sx_radix_argsort_u64.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
 
     if hasattr(lib, "impg_concat_tokens"):
         lib.impg_concat_tokens.restype = None
@@ -352,6 +381,58 @@ def extract_syncmers_native(
         )
     finally:
         lib.sx_free(h)
+
+
+def extract_syncmers_batch_native(
+    seqs: list, k: int, w: int, seed: int, threads: int = 0
+) -> Optional[tuple]:
+    """Batch closed-syncmer extraction over a sequence SET, parallel
+    across sequences (the index-build shape; see sx_extract_batch in
+    native/syncmer.cpp).  Returns (pos, ids, fwd, per_seq_counts)
+    concatenated in input order — bit-exact vs per-sequence extraction —
+    or None when the library/symbol is unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "sx_extract_batch"):
+        return None
+    blob = b"".join(bytes(s) if not isinstance(s, bytes) else s
+                    for s in seqs)
+    offsets = np.zeros(len(seqs) + 1, np.int64)
+    np.cumsum([len(s) for s in seqs], out=offsets[1:])
+    h = lib.sx_extract_batch(
+        blob,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(seqs),
+        k,
+        w,
+        seed & 0xFFFFFFFF,
+        threads,
+    )
+    try:
+        n = int(lib.sxb_count(h))
+        return (
+            _as_array(lib.sxb_pos(h), n, np.int64),
+            _as_array(lib.sxb_ids(h), n, np.uint64),
+            _as_array(lib.sxb_fwd(h), n, np.uint8).astype(bool),
+            _as_array(lib.sxb_seq_counts(h), len(seqs), np.int64),
+        )
+    finally:
+        lib.sxb_free(h)
+
+
+def radix_argsort_u64(keys: "np.ndarray") -> Optional["np.ndarray"]:
+    """Stable argsort of a contiguous uint64 array via native LSD radix
+    (~10x numpy's stable argsort), or None when unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "sx_radix_argsort_u64"):
+        return None
+    keys = np.ascontiguousarray(keys, np.uint64)
+    order = np.empty(keys.size, np.int64)
+    lib.sx_radix_argsort_u64(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        keys.size,
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return order
 
 
 def parse_gfa_native(data: bytes, threads: int = 0) -> Optional[dict]:

@@ -114,34 +114,75 @@ class SyngIndex:
         extractor: str = "native",
     ) -> "SyngIndex":
         seq_index = SequenceIndex()
-        ids_parts, seq_parts, pos_parts, fwd_parts = [], [], [], []
-        # `threads` parallelizes INSIDE the native extraction kernel
-        # (native/syncmer.cpp phase threads, no GIL) — the reference's
-        # 4-thread build headline conditions (README.md:315).
-        # extractor="device" runs the bit-exact jitted scan instead
-        # (ops/syncmer_jax.syncmer_scan; indexes are interchangeable).
-        if extractor == "device":
-            from impg_tpu.ops.syncmer_jax import extract_syncmers_jax
+        # Fastest path: one native batch call, parallel ACROSS sequences
+        # (sx_extract_batch; two thread spawns per ~100 kb sequence cost
+        # more than the scan itself) — the reference's 4-thread build
+        # headline conditions (README.md:315).  extractor="device" runs
+        # the bit-exact jitted scan instead (ops/syncmer_jax.syncmer_scan);
+        # all three extractors produce interchangeable indexes.
+        batch = None
+        if extractor == "native":
+            from impg_tpu.io import native as native_mod
 
-            def extract(seq):
-                return extract_syncmers_jax(seq, k, w, seed)
+            batch = native_mod.extract_syncmers_batch_native(
+                [seq for _, seq in sequences], k, w, seed, threads=threads
+            )
+        if batch is not None:
+            occ_pos, occ_ids, occ_fwd, counts = batch
+            sids = np.array(
+                [
+                    seq_index.get_or_insert_id(name, len(seq))
+                    for name, seq in sequences
+                ],
+                np.int32,
+            )
+            occ_seq = np.repeat(sids, counts)
         else:
-            def extract(seq):
-                return syncmer_mod.extract_syncmers(
-                    seq, k, w, seed, threads=threads
-                )
-        for name, seq in sequences:
-            sid = seq_index.get_or_insert_id(name, len(seq))
-            positions, ids, fwd = extract(seq)
-            ids_parts.append(ids)
-            seq_parts.append(np.full(ids.size, sid, np.int32))
-            pos_parts.append(positions)
-            fwd_parts.append(fwd)
-        occ_ids = np.concatenate(ids_parts) if ids_parts else np.zeros(0, np.uint64)
-        occ_seq = np.concatenate(seq_parts) if seq_parts else np.zeros(0, np.int32)
-        occ_pos = np.concatenate(pos_parts) if pos_parts else np.zeros(0, np.int64)
-        occ_fwd = np.concatenate(fwd_parts) if fwd_parts else np.zeros(0, bool)
-        order = np.lexsort((occ_pos, occ_seq, occ_ids))
+            ids_parts, seq_parts, pos_parts, fwd_parts = [], [], [], []
+            if extractor == "device":
+                from impg_tpu.ops.syncmer_jax import extract_syncmers_jax
+
+                def extract(seq):
+                    return extract_syncmers_jax(seq, k, w, seed)
+            else:
+                def extract(seq):
+                    return syncmer_mod.extract_syncmers(
+                        seq, k, w, seed, threads=threads
+                    )
+            for name, seq in sequences:
+                sid = seq_index.get_or_insert_id(name, len(seq))
+                positions, ids, fwd = extract(seq)
+                ids_parts.append(ids)
+                seq_parts.append(np.full(ids.size, sid, np.int32))
+                pos_parts.append(positions)
+                fwd_parts.append(fwd)
+            occ_ids = (
+                np.concatenate(ids_parts) if ids_parts
+                else np.zeros(0, np.uint64)
+            )
+            occ_seq = (
+                np.concatenate(seq_parts) if seq_parts
+                else np.zeros(0, np.int32)
+            )
+            occ_pos = (
+                np.concatenate(pos_parts) if pos_parts
+                else np.zeros(0, np.int64)
+            )
+            occ_fwd = (
+                np.concatenate(fwd_parts) if fwd_parts
+                else np.zeros(0, bool)
+            )
+        # Occurrences arrive (seq, pos)-ordered from extraction (sids
+        # monotone unless a name recurs), so a STABLE sort by ids alone
+        # equals the full (ids, seq, pos) lexsort; the native radix
+        # argsort does it ~10x faster than np.lexsort.
+        order = None
+        if occ_seq.size == 0 or np.all(occ_seq[1:] >= occ_seq[:-1]):
+            from impg_tpu.io import native as _native
+
+            order = _native.radix_argsort_u64(occ_ids)
+        if order is None:
+            order = np.lexsort((occ_pos, occ_seq, occ_ids))
         return cls(
             seq_index=seq_index,
             occ_ids=occ_ids[order],

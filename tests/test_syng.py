@@ -91,6 +91,63 @@ def test_syncmer_native_matches_numpy_oracle():
         assert np.array_equal(nat[2], exp[2]), (n, k, w, seed)
 
 
+def test_syncmer_batch_matches_per_sequence():
+    """sx_extract_batch (parallel across sequences — the index-build
+    path) must concatenate exactly the per-sequence extractions, with
+    correct per-seq counts, for any thread count."""
+    from impg_tpu.io import native as native_mod
+
+    if (
+        native_mod.load() is None
+        or native_mod.extract_syncmers_batch_native([], 8, 55, 7) is None
+    ):
+        pytest.skip("native batch extraction unavailable")
+    rng = random.Random(19)
+    seqs = []
+    for _ in range(13):
+        n = rng.randint(0, 3000)
+        seqs.append(
+            "".join(
+                rng.choice("ACGTN") if rng.random() < 0.02
+                else rng.choice("ACGT")
+                for _ in range(n)
+            ).encode()
+        )
+    k, w, seed = 8, 55, 7
+    exp_pos, exp_ids, exp_fwd, exp_counts = [], [], [], []
+    for s in seqs:
+        p, i, f = syncmer.extract_syncmers_numpy(s, k, w, seed)
+        exp_pos.append(p)
+        exp_ids.append(i)
+        exp_fwd.append(f)
+        exp_counts.append(p.size)
+    for threads in (1, 3, 8):
+        pos, ids, fwd, counts = native_mod.extract_syncmers_batch_native(
+            seqs, k, w, seed, threads=threads
+        )
+        assert np.array_equal(pos, np.concatenate(exp_pos)), threads
+        assert np.array_equal(ids, np.concatenate(exp_ids)), threads
+        assert np.array_equal(fwd, np.concatenate(exp_fwd)), threads
+        assert counts.tolist() == exp_counts, threads
+
+
+def test_radix_argsort_matches_numpy_stable():
+    """The native uint64 radix argsort (occurrence-table sort) must equal
+    numpy's stable argsort, including tie stability."""
+    from impg_tpu.io.native import load, radix_argsort_u64
+
+    if load() is None or radix_argsort_u64(np.zeros(0, np.uint64)) is None:
+        pytest.skip("native radix argsort unavailable")
+    rng = np.random.default_rng(3)
+    for n in (0, 1, 2, 17, 4096, 100_000):
+        keys = rng.integers(0, 2**64, n, dtype=np.uint64)
+        if n > 4:  # force duplicate keys to exercise stability
+            keys[:: 3] = keys[0]
+            keys[n // 2 :] >>= np.uint64(40)  # constant high bytes too
+        got = radix_argsort_u64(keys)
+        assert np.array_equal(got, np.argsort(keys, kind="stable")), n
+
+
 @pytest.fixture(scope="module")
 def chain_fixture(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("syng")
