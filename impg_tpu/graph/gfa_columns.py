@@ -548,7 +548,10 @@ def parse_gfa_columns(text) -> GfaColumns | None:
     from impg_tpu.io import native as native_mod
 
     data = text.encode() if isinstance(text, str) else text
-    cols = native_mod.parse_gfa_native(data)
+    # Zero-copy views over the native buffers (each array's base chain
+    # owns the handle); the 0/1 int8 flag columns reinterpret as bool
+    # without a copy.
+    cols = native_mod.parse_gfa_native(data, copy=False)
     if cols is None:
         return None
     return GfaColumns(
@@ -558,14 +561,14 @@ def parse_gfa_columns(text) -> GfaColumns | None:
         seq_blob=cols["seq_blob"],
         seq_offsets=cols["seq_offsets"],
         link_a=cols["link_a"],
-        link_a_rev=cols["link_a_rev"] != 0,
+        link_a_rev=cols["link_a_rev"].view(np.bool_),
         link_b=cols["link_b"],
-        link_b_rev=cols["link_b_rev"] != 0,
+        link_b_rev=cols["link_b_rev"].view(np.bool_),
         path_names=_names_from_blob(
             cols["path_names_blob"], cols["path_name_offsets"]
         ),
-        path_is_walk=cols["path_is_walk"] != 0,
+        path_is_walk=cols["path_is_walk"].view(np.bool_),
         path_off=cols["path_off"],
         step_name_idx=cols["step_name_idx"],
-        step_rev=cols["step_rev"] != 0,
+        step_rev=cols["step_rev"].view(np.bool_),
     )

@@ -361,6 +361,34 @@ def _as_array(ptr, n, dtype):
     return np.ctypeslib.as_array(ptr, shape=(n,)).astype(dtype, copy=True)
 
 
+class _NativeHandle:
+    """Owns a native result handle; freed when the last zero-copy view
+    (whose base chain references this object) is garbage-collected."""
+
+    __slots__ = ("_free", "_h")
+
+    def __init__(self, free_fn, h):
+        self._free, self._h = free_fn, h
+
+    def __del__(self):
+        if self._h:
+            self._free(self._h)
+            self._h = None
+
+
+def _view_array(ptr, n, dtype, owner):
+    """Zero-copy numpy view over a native buffer.  The view's base chain
+    (ndarray -> ctypes buffer -> ._owner) keeps `owner` — and therefore
+    the native allocation — alive for the array's whole lifetime."""
+    if n == 0:
+        return np.zeros(0, dtype)
+    addr = ctypes.cast(ptr, ctypes.c_void_p).value
+    nbytes = int(n) * np.dtype(dtype).itemsize
+    buf = (ctypes.c_byte * nbytes).from_address(addr)
+    buf._owner = owner
+    return np.frombuffer(buf, dtype=dtype)
+
+
 def extract_syncmers_native(
     seq: bytes, k: int, w: int, seed: int, threads: int = 1
 ) -> Optional[tuple]:
@@ -435,13 +463,20 @@ def radix_argsort_u64(keys: "np.ndarray") -> Optional["np.ndarray"]:
     return order
 
 
-def parse_gfa_native(data: bytes, threads: int = 0) -> Optional[dict]:
+def parse_gfa_native(
+    data: bytes, threads: int = 0, copy: bool = True
+) -> Optional[dict]:
     """Tokenize a GFA buffer natively into columnar arrays, or None when
     the library is unavailable.  Raises ValueError on a bad W walk.
 
     threads=0 lets the parser pick (all cores, >=4 MB of input per
     chunk); any thread count yields bit-identical output (ordered merge
-    preserving global first-seen name order)."""
+    preserving global first-seen name order).
+
+    copy=False returns zero-copy views over the native buffers (the big
+    step columns are ~100 MB of avoidable page-faulting copies on a
+    100 MiB graph); each view's base chain owns the native handle, so
+    lifetime is safe even if the dict is dropped."""
     lib = load()
     if lib is None or not hasattr(lib, "impg_gfa_parse"):
         return None
@@ -449,6 +484,7 @@ def parse_gfa_native(data: bytes, threads: int = 0) -> Optional[dict]:
         h = lib.impg_gfa_parse_mt(data, len(data), threads)
     else:
         h = lib.impg_gfa_parse(data, len(data))
+    owner = _NativeHandle(lib.impg_gfa_free, h) if not copy else None
     try:
         err = lib.impg_gfa_error(h)
         if err:
@@ -459,50 +495,54 @@ def parse_gfa_native(data: bytes, threads: int = 0) -> Optional[dict]:
         n_paths = int(lib.impg_gfa_n_paths(h))
         n_steps = int(lib.impg_gfa_n_steps(h))
         header = lib.impg_gfa_header(h)
+
+        if copy:
+            def arr(ptr, n, dtype):
+                return _as_array(ptr, n, dtype)
+        else:
+            def arr(ptr, n, dtype):
+                return _view_array(ptr, n, dtype, owner)
+
         return dict(
             header=header.decode() if header else "",
             names_blob=ctypes.string_at(
                 lib.impg_gfa_names_buf(h), int(lib.impg_gfa_names_size(h))
             ),
-            name_offsets=_as_array(
+            name_offsets=arr(
                 lib.impg_gfa_name_offsets(h), n_names + 1, np.int64
             ),
-            seg_name_idx=_as_array(
+            seg_name_idx=arr(
                 lib.impg_gfa_seg_name_idx(h), n_segs, np.int32
             ),
             seq_blob=ctypes.string_at(
                 lib.impg_gfa_seq_buf(h), int(lib.impg_gfa_seq_size(h))
             ),
-            seq_offsets=_as_array(
+            seq_offsets=arr(
                 lib.impg_gfa_seq_offsets(h), n_segs + 1, np.int64
             ),
-            link_a=_as_array(lib.impg_gfa_link_a(h), n_links, np.int32),
-            link_b=_as_array(lib.impg_gfa_link_b(h), n_links, np.int32),
-            link_a_rev=_as_array(
-                lib.impg_gfa_link_a_rev(h), n_links, np.int8
-            ),
-            link_b_rev=_as_array(
-                lib.impg_gfa_link_b_rev(h), n_links, np.int8
-            ),
+            link_a=arr(lib.impg_gfa_link_a(h), n_links, np.int32),
+            link_b=arr(lib.impg_gfa_link_b(h), n_links, np.int32),
+            link_a_rev=arr(lib.impg_gfa_link_a_rev(h), n_links, np.int8),
+            link_b_rev=arr(lib.impg_gfa_link_b_rev(h), n_links, np.int8),
             path_names_blob=ctypes.string_at(
                 lib.impg_gfa_path_names_buf(h),
                 int(lib.impg_gfa_path_names_size(h)),
             ),
-            path_name_offsets=_as_array(
+            path_name_offsets=arr(
                 lib.impg_gfa_path_name_offsets(h), n_paths + 1, np.int64
             ),
-            path_is_walk=_as_array(
+            path_is_walk=arr(
                 lib.impg_gfa_path_is_walk(h), n_paths, np.int8
             ),
-            path_off=_as_array(lib.impg_gfa_path_off(h), n_paths + 1,
-                               np.int64),
-            step_name_idx=_as_array(
+            path_off=arr(lib.impg_gfa_path_off(h), n_paths + 1, np.int64),
+            step_name_idx=arr(
                 lib.impg_gfa_step_name_idx(h), n_steps, np.int32
             ),
-            step_rev=_as_array(lib.impg_gfa_step_rev(h), n_steps, np.int8),
+            step_rev=arr(lib.impg_gfa_step_rev(h), n_steps, np.int8),
         )
     finally:
-        lib.impg_gfa_free(h)
+        if owner is None:
+            lib.impg_gfa_free(h)
 
 
 def parse_paf_bytes_native(data: bytes, require_cigar: bool = True) -> Optional[dict]:
