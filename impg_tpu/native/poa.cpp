@@ -18,6 +18,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <cstdlib>
 #include <limits>
 #include <string>
 #include <vector>
@@ -102,10 +103,291 @@ struct PoaGraph {
   // keeps the (already-faulted) capacity.
   mutable std::vector<int32_t> H, E1, E2, F1, F2, bt_pred;
   mutable std::vector<uint8_t> bt;
+  // align() row scratch (vectorized pass outputs).
+  mutable std::vector<int32_t> diag_v, dpred_v, f1pred_v, f2pred_v, sc_v;
 
-  // Align `seq` to the graph (global); returns (node_id, query_pos) pairs
-  // with -1 for gaps on either side.
+  // Align `seq` to the graph (global); returns (node_id, query_pos)
+  // pairs with -1 for gaps on either side.  Dispatches to the
+  // restructured two-pass kernel (align_fast, bit-identical) unless
+  // IMPG_POA_REF=1 pins the original straight-line reference.
   std::vector<std::pair<int, int>> align(const std::string& seq) const {
+    static const bool use_ref = [] {
+      const char* e = getenv("IMPG_POA_REF");
+      return e && *e == '1';
+    }();
+    return use_ref ? align_ref(seq) : align_fast(seq);
+  }
+
+  // Restructured DP with identical results: per graph row, the
+  // predecessor-dependent candidates (F gaps, diagonal) are computed in
+  // a branch-light pass the compiler vectorizes over the query
+  // dimension (8-16 int32 lanes), then a cheap scalar pass runs the
+  // row-local E chain + the exact tie-break precedence of align_ref
+  // (diag-by-pred-order, then E1, E2, F1, F2, all strict >).  E is
+  // row-local, so E matrices collapse to registers; F/H stay full
+  // (predecessor rows read them).
+  std::vector<std::pair<int, int>> align_fast(const std::string& seq) const {
+    int n = static_cast<int>(base.size());
+    int m = static_cast<int>(seq.size());
+    std::vector<int> order = topo_order();
+    std::vector<int> rank(n);
+    for (int i = 0; i < n; ++i) rank[order[i]] = i;
+
+    int rows = n + 1;
+    int cols = m + 1;
+    auto idx = [cols](int r, int c) {
+      return static_cast<size_t>(r) * cols + c;
+    };
+    const size_t cells = static_cast<size_t>(rows) * cols;
+    // No matrix-wide init: pass A writes every F cell (every node has a
+    // predecessor row — the virtual start if none) and pass B writes
+    // every H/bt/bt_pred cell unconditionally (best seeds at NEG/0/-1,
+    // matching align_ref's assign defaults when nothing wins).  Dropping
+    // the assigns removes ~17 B/cell of pure memset traffic.
+    if (H.size() < cells) {
+      H.resize(cells);
+      F1.resize(cells);
+      F2.resize(cells);
+      bt.resize(cells);
+      bt_pred.resize(cells);
+    }
+    diag_v.assign(cols, NEG);
+    dpred_v.assign(cols, -1);
+    f1pred_v.assign(cols, -1);
+    f2pred_v.assign(cols, -1);
+    sc_v.assign(cols, 0);
+
+    const int32_t go1 = gap_open_, ge1 = gap_ext_;
+    const int32_t go2 = gap_open2_, ge2 = gap_ext2_;
+
+    // Row 0 = virtual start: H[0,0]=0, E chain along the row (same bt
+    // codes as align_ref's row-0 loop).
+    {
+      int32_t* Hr = H.data();
+      uint8_t* btr = bt.data();
+      Hr[0] = 0;
+      int32_t e1 = NEG, e2 = NEG;
+      for (int j = 1; j <= m; ++j) {
+        e1 = std::max(Hr[j - 1] - go1, e1 - ge1);
+        e2 = std::max(Hr[j - 1] - go2, e2 - ge2);
+        Hr[j] = std::max(e1, e2);
+        btr[j] = (Hr[j] == e1) ? 2 : 4;
+      }
+      // Virtual-start F row is READ by rows whose predecessor is the
+      // start; it has no writer, so it keeps align_ref's NEG default.
+      std::fill(F1.data(), F1.data() + cols, NEG);
+      std::fill(F2.data(), F2.data() + cols, NEG);
+    }
+
+    std::vector<int32_t> prow_ids;
+    const char* seqb = seq.data();
+    for (int oi = 0; oi < n; ++oi) {
+      int v = order[oi];
+      int r = oi + 1;
+      prow_ids.clear();
+      if (preds[v].empty()) {
+        prow_ids.push_back(0);
+      } else {
+        for (int p : preds[v]) prow_ids.push_back(rank[p] + 1);
+      }
+      const size_t np = prow_ids.size();
+      int32_t* __restrict Hr = H.data() + static_cast<size_t>(r) * cols;
+      int32_t* __restrict F1r = F1.data() + static_cast<size_t>(r) * cols;
+      int32_t* __restrict F2r = F2.data() + static_cast<size_t>(r) * cols;
+      uint8_t* __restrict btr = bt.data() + static_cast<size_t>(r) * cols;
+      int32_t* __restrict btpr =
+          bt_pred.data() + static_cast<size_t>(r) * cols;
+      int32_t* __restrict dg = diag_v.data();
+      int32_t* __restrict dgp = dpred_v.data();
+      int32_t* __restrict f1p_out = f1pred_v.data();
+      int32_t* __restrict f2p_out = f2pred_v.data();
+      int32_t* __restrict scv = sc_v.data();
+      const char bv = base[v];
+
+      // Score row: match/mismatch vs this node's base (byte compare —
+      // vectorizes).
+      const int32_t mt = match_, mm = -mismatch_;
+      for (int j = 1; j <= m; ++j)
+        scv[j] = (seqb[j - 1] == bv) ? mt : mm;
+
+      // Pass A: predecessor-dependent candidates, vectorized over j.
+      // First predecessor initializes, later ones blend on strict >
+      // (ties keep the earliest p — align_ref's rule).
+      for (size_t p = 0; p < np; ++p) {
+        const int32_t pr = prow_ids[p];
+        const int32_t* __restrict hp =
+            H.data() + static_cast<size_t>(pr) * cols;
+        const int32_t* __restrict f1pp =
+            F1.data() + static_cast<size_t>(pr) * cols;
+        const int32_t* __restrict f2pp =
+            F2.data() + static_cast<size_t>(pr) * cols;
+        if (p == 0) {
+          for (int j = 0; j <= m; ++j) {
+            int32_t c1 = std::max(hp[j] - go1, f1pp[j] - ge1);
+            int32_t c2 = std::max(hp[j] - go2, f2pp[j] - ge2);
+            F1r[j] = c1;
+            f1p_out[j] = pr;
+            F2r[j] = c2;
+            f2p_out[j] = pr;
+          }
+          for (int j = 1; j <= m; ++j) {
+            dg[j] = hp[j - 1] + scv[j];
+            dgp[j] = pr;
+          }
+        } else {
+          // Two loops, not one: seven distinct streams exceed gcc's
+          // alias-versioning budget and the fused form stays scalar.
+          for (int j = 0; j <= m; ++j) {
+            int32_t c1 = std::max(hp[j] - go1, f1pp[j] - ge1);
+            bool m1 = c1 > F1r[j];
+            F1r[j] = m1 ? c1 : F1r[j];
+            f1p_out[j] = m1 ? pr : f1p_out[j];
+          }
+          for (int j = 0; j <= m; ++j) {
+            int32_t c2 = std::max(hp[j] - go2, f2pp[j] - ge2);
+            bool m2 = c2 > F2r[j];
+            F2r[j] = m2 ? c2 : F2r[j];
+            f2p_out[j] = m2 ? pr : f2p_out[j];
+          }
+          for (int j = 1; j <= m; ++j) {
+            int32_t cand = hp[j - 1] + scv[j];
+            bool md = cand > dg[j];
+            dg[j] = md ? cand : dg[j];
+            dgp[j] = md ? pr : dgp[j];
+          }
+        }
+      }
+
+      // Pass B: row-local E chain + exact align_ref precedence.
+      int32_t e1 = NEG, e2 = NEG;
+      {
+        // j == 0: only F candidates compete (align_ref's j==0 branch).
+        int32_t best = NEG;
+        uint8_t best_bt = 0;
+        int32_t best_pred = -1;
+        if (F1r[0] > best) {
+          best = F1r[0];
+          best_bt = 3;
+          best_pred = f1p_out[0];
+        }
+        if (F2r[0] > best) {
+          best = F2r[0];
+          best_bt = 5;
+          best_pred = f2p_out[0];
+        }
+        Hr[0] = best;
+        btr[0] = best_bt;
+        btpr[0] = best_pred;
+      }
+      for (int j = 1; j <= m; ++j) {
+        e1 = std::max(Hr[j - 1] - go1, e1 - ge1);
+        e2 = std::max(Hr[j - 1] - go2, e2 - ge2);
+        // align_ref seeds best=NEG/bt0 and takes the diagonal only on
+        // strict >; dg[j] is already the earliest-tie max over preds.
+        int32_t best = NEG;
+        uint8_t best_bt = 0;
+        int32_t best_pred = -1;
+        if (dg[j] > NEG) {
+          best = dg[j];
+          best_bt = 1;
+          best_pred = dgp[j];
+        }
+        if (e1 > best) {
+          best = e1;
+          best_bt = 2;
+          best_pred = -1;
+        }
+        if (e2 > best) {
+          best = e2;
+          best_bt = 4;
+          best_pred = -1;
+        }
+        if (F1r[j] > best) {
+          best = F1r[j];
+          best_bt = 3;
+          best_pred = f1p_out[j];
+        }
+        if (F2r[j] > best) {
+          best = F2r[j];
+          best_bt = 5;
+          best_pred = f2p_out[j];
+        }
+        Hr[j] = best;
+        btr[j] = best_bt;
+        btpr[j] = best_pred;
+      }
+    }
+
+    (void)idx;
+    return backtrack_walk(order, rank, cols, m, n);
+  }
+
+  // End-row selection + backtrack walk shared by align_fast (identical
+  // to align_ref's inline tail).
+  std::vector<std::pair<int, int>> backtrack_walk(
+      const std::vector<int>& order, const std::vector<int>& rank,
+      int cols, int m, int n) const {
+    auto idx = [cols](int r, int c) {
+      return static_cast<size_t>(r) * cols + c;
+    };
+    int end_row = 0;
+    int32_t end_score = NEG;
+    if (n == 0) {
+      end_row = 0;
+      end_score = H[idx(0, m)];
+    } else {
+      for (int oi = 0; oi < n; ++oi) {
+        int v = order[oi];
+        if (succs[v].empty()) {
+          int r = oi + 1;
+          if (H[idx(r, m)] > end_score) {
+            end_score = H[idx(r, m)];
+            end_row = r;
+          }
+        }
+      }
+    }
+
+    std::vector<std::pair<int, int>> aln;
+    int r = end_row, j = m;
+    while (r != 0 || j != 0) {
+      uint8_t code = bt[idx(r, j)];
+      int node = (r > 0) ? order[r - 1] : -1;
+      if (code == 1) {
+        aln.emplace_back(node, j - 1);
+        int pr = bt_pred[idx(r, j)];
+        r = pr;
+        --j;
+      } else if (code == 2 || code == 4) {
+        aln.emplace_back(-1, j - 1);
+        --j;
+      } else if (code == 3 || code == 5) {
+        aln.emplace_back(node, -1);
+        r = bt_pred[idx(r, j)];
+      } else {
+        if (j == 0 && r > 0) {
+          aln.emplace_back(node, -1);
+          int v2 = order[r - 1];
+          if (preds[v2].empty()) {
+            r = 0;
+          } else {
+            int best_pr = rank[preds[v2][0]] + 1;
+            r = best_pr;
+          }
+        } else if (r == 0 && j > 0) {
+          aln.emplace_back(-1, j - 1);
+          --j;
+        } else {
+          break;
+        }
+      }
+    }
+    std::reverse(aln.begin(), aln.end());
+    return aln;
+  }
+
+  // Original straight-line DP (reference oracle; IMPG_POA_REF=1).
+  std::vector<std::pair<int, int>> align_ref(const std::string& seq) const {
     int n = static_cast<int>(base.size());
     int m = static_cast<int>(seq.size());
     std::vector<int> order = topo_order();

@@ -13,6 +13,60 @@ from tests.test_cli import run_cli
 from tests.test_fasta import make_fasta
 
 
+_POA_AB_SCRIPT = r"""
+import random, sys, hashlib
+from impg_tpu.graph.poa import poa_align
+rng = random.Random(int(sys.argv[1]))
+out = []
+for trial in range(20):
+    n = rng.randint(2, 8)
+    L = rng.randint(0, 250)
+    base = "".join(rng.choice("ACGT") for _ in range(L))
+    seqs = []
+    for _ in range(n):
+        s = list(base)
+        for _ in range(rng.randint(0, 12)):
+            if not s:
+                break
+            op = rng.random()
+            p = rng.randrange(len(s))
+            if op < 0.4:
+                s[p] = rng.choice("ACGT")
+            elif op < 0.7:
+                s.insert(p, rng.choice("ACGT"))
+            else:
+                del s[p]
+        seqs.append("".join(s).encode())
+    res = poa_align(seqs)
+    out.append(repr((res.msa, [list(p) for p in res.paths])))
+print(hashlib.sha256("\n".join(out).encode()).hexdigest())
+"""
+
+
+def test_poa_fast_kernel_bit_identical_to_reference():
+    """align_fast (vectorized two-pass DP) must reproduce align_ref (the
+    original straight-line DP, IMPG_POA_REF=1) exactly — MSA rows and
+    node paths — across randomized indel/SNP MSAs.  Subprocesses because
+    the kernel choice is latched once per process."""
+    import subprocess
+    import sys
+
+    from tests.envutil import cpu_env
+
+    for seed in (11, 22):
+        outs = []
+        for ref in ("0", "1"):
+            r = subprocess.run(
+                [sys.executable, "-c", _POA_AB_SCRIPT, str(seed)],
+                capture_output=True,
+                text=True,
+                env=cpu_env(IMPG_POA_REF=ref),
+            )
+            assert r.returncode == 0, r.stderr
+            outs.append(r.stdout.strip())
+        assert outs[0] == outs[1], f"seed {seed}: fast != ref"
+
+
 def test_poa_msa_reproduces_inputs():
     rng = random.Random(9)
     base = "".join(rng.choice("ACGT") for _ in range(200))
