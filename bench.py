@@ -604,10 +604,13 @@ def bench_headlines():
     lib = native_mod.load()
     gfa_mibs = None
     if lib is not None and hasattr(lib, "impg_gfa_parse"):
+        mt = getattr(lib, "impg_gfa_parse_mt", None)
         best = None
         for _ in range(3):
             t0 = time.perf_counter()
-            h = lib.impg_gfa_parse(raw, len(raw))
+            h = mt(raw, len(raw), 0) if mt else lib.impg_gfa_parse(
+                raw, len(raw)
+            )
             dt2 = time.perf_counter() - t0
             lib.impg_gfa_free(h)
             best = dt2 if best is None else min(best, dt2)
