@@ -537,6 +537,23 @@ def bench_mxu():
     flops = 2.0 * N * N * D  # the C@C.T Gram dominates
     d["gram_n"], d["gram_d"] = N, D
     d["gram_tflops_f32"] = round(flops / min(ts) / 1e12, 2)
+    d["gram_device_s"] = round(min(ts), 3)
+
+    # Same subsystem on the host (numpy BLAS, all cores) — the
+    # device-vs-host "TPU earns its keep" row for the one genuinely
+    # MXU-shaped stage.  Candidate matrices are index-side artifacts
+    # reused across samples, so the upload amortizes; compute-vs-compute
+    # is the honest comparison.
+    from impg_tpu.genotype.core import diploid_cosine_matrix
+
+    cand_h = np.asarray(cand)
+    samp_h = np.asarray(samp)
+    diploid_cosine_matrix(cand_h[:64], samp_h)  # warm BLAS
+    t0 = time.perf_counter()
+    diploid_cosine_matrix(cand_h, samp_h)
+    host_s = time.perf_counter() - t0
+    d["gram_host_s"] = round(host_s, 3)
+    d["gram_device_speedup"] = round(host_s / min(ts), 1)
 
     M, CHAIN = 8192, 8
     a = jnp.asarray(rng.random((M, M), np.float32), jnp.bfloat16)
