@@ -68,6 +68,14 @@ def load():
         ctypes.c_size_t,
         ctypes.c_int,
     ]
+    if hasattr(lib, "impg_paf_parse_mt"):
+        lib.impg_paf_parse_mt.restype = ctypes.c_void_p
+        lib.impg_paf_parse_mt.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.c_int,
+            ctypes.c_int32,
+        ]
     lib.impg_paf_error.restype = ctypes.c_char_p
     lib.impg_paf_error.argtypes = [ctypes.c_void_p]
     for name in (
@@ -545,13 +553,25 @@ def parse_gfa_native(
             lib.impg_gfa_free(h)
 
 
-def parse_paf_bytes_native(data: bytes, require_cigar: bool = True) -> Optional[dict]:
+def parse_paf_bytes_native(
+    data: bytes, require_cigar: bool = True, threads: int = 0
+) -> Optional[dict]:
     """Parse a PAF buffer natively; returns column dict or None if the
-    native library is unavailable.  Raises ValueError on malformed input."""
+    native library is unavailable.  Raises ValueError on malformed input.
+
+    threads=0 lets the parser pick (all cores, >=4 MB per chunk); any
+    thread count yields identical columns and error messages (ordered
+    chunk merge with exact first-seen name order and rebased line
+    numbers)."""
     lib = load()
     if lib is None:
         return None
-    handle = lib.impg_paf_parse(data, len(data), 1 if require_cigar else 0)
+    if hasattr(lib, "impg_paf_parse_mt"):
+        handle = lib.impg_paf_parse_mt(
+            data, len(data), 1 if require_cigar else 0, threads
+        )
+    else:
+        handle = lib.impg_paf_parse(data, len(data), 1 if require_cigar else 0)
     try:
         err = lib.impg_paf_error(handle)
         if err:

@@ -10,6 +10,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdlib>
+#include <thread>
 #include <string>
 #include <string_view>
 #include <unordered_map>
@@ -31,6 +33,7 @@ struct ParseResult {
   std::vector<int64_t> name_offsets;  // size n_names + 1
   std::vector<int64_t> name_lengths;  // sequence length per name
   std::string error;
+  int64_t lines_seen = 0;  // total lines consumed (mt line-number offsets)
 };
 
 constexpr uint32_t kLenMask = (1u << 29) - 1;
@@ -59,12 +62,11 @@ inline bool parse_i64(const uint8_t* p, const uint8_t* end, int64_t* out) {
   return true;
 }
 
-}  // namespace
-
-extern "C" {
-
-ParseResult* impg_paf_parse(const uint8_t* buf, size_t len, int require_cigar) {
-  auto* r = new ParseResult();
+// Tokenize [buf, bend) into r.  Error messages carry line numbers
+// offset by lineno0 so parallel chunks report the same "line N" a
+// single-thread scan would.
+void paf_parse_range(const uint8_t* buf, const uint8_t* bend,
+                     int require_cigar, int64_t lineno0, ParseResult* r) {
   std::unordered_map<std::string_view, int32_t> interned;
   r->run_offsets.push_back(0);
   r->name_offsets.push_back(0);
@@ -87,8 +89,7 @@ ParseResult* impg_paf_parse(const uint8_t* buf, size_t len, int require_cigar) {
   };
 
   const uint8_t* p = buf;
-  const uint8_t* bend = buf + len;
-  size_t lineno = 0;
+  int64_t lineno = lineno0;
   std::vector<std::pair<const uint8_t*, const uint8_t*>> fields;
   fields.reserve(24);
 
@@ -116,7 +117,8 @@ ParseResult* impg_paf_parse(const uint8_t* buf, size_t len, int require_cigar) {
     }
     if (fields.size() < 12) {
       r->error = "line " + std::to_string(lineno) + ": PAF record has <12 fields";
-      return r;
+      r->lines_seen = lineno - lineno0;
+      return;
     }
 
     int64_t q_len, q_s, q_e, t_len, t_s, t_e;
@@ -127,7 +129,8 @@ ParseResult* impg_paf_parse(const uint8_t* buf, size_t len, int require_cigar) {
         !parse_i64(fields[7].first, fields[7].second, &t_s) ||
         !parse_i64(fields[8].first, fields[8].second, &t_e)) {
       r->error = "line " + std::to_string(lineno) + ": invalid integer field";
-      return r;
+      r->lines_seen = lineno - lineno0;
+      return;
     }
     int8_t strand;
     if (fields[4].second - fields[4].first == 1 && *fields[4].first == '+') {
@@ -137,7 +140,8 @@ ParseResult* impg_paf_parse(const uint8_t* buf, size_t len, int require_cigar) {
       strand = 1;
     } else {
       r->error = "line " + std::to_string(lineno) + ": invalid strand";
-      return r;
+      r->lines_seen = lineno - lineno0;
+      return;
     }
 
     std::string_view qname(reinterpret_cast<const char*>(fields[0].first),
@@ -163,7 +167,8 @@ ParseResult* impg_paf_parse(const uint8_t* buf, size_t len, int require_cigar) {
               r->error = "line " + std::to_string(lineno) +
                          ": invalid CIGAR operation '" +
                          std::string(1, static_cast<char>(*c)) + "'";
-              return r;
+              r->lines_seen = lineno - lineno0;
+              return;
             }
             r->runs.push_back((static_cast<uint32_t>(code) << 29) |
                               (run_len & kLenMask));
@@ -176,7 +181,8 @@ ParseResult* impg_paf_parse(const uint8_t* buf, size_t len, int require_cigar) {
     if (require_cigar && !have_cigar) {
       r->error = "line " + std::to_string(lineno) +
                  ": alignment record lacks a 'cg:Z:' CIGAR tag";
-      return r;
+      r->lines_seen = lineno - lineno0;
+      return;
     }
 
     r->query_name_idx.push_back(intern(qname, q_len));
@@ -191,6 +197,161 @@ ParseResult* impg_paf_parse(const uint8_t* buf, size_t len, int require_cigar) {
     p = line_end + 1;
   }
 
+  r->lines_seen = lineno - lineno0;
+}
+
+}  // namespace
+
+extern "C" {
+
+ParseResult* impg_paf_parse(const uint8_t* buf, size_t len,
+                            int require_cigar) {
+  auto* r = new ParseResult();
+  paf_parse_range(buf, buf + len, require_cigar, 0, r);
+  return r;
+}
+
+// Parallel variant: line-aligned chunks parsed with chunk-local intern
+// tables, merged in chunk order (global first-seen name order, exact
+// single-thread line numbers in error messages).  threads <= 0 = auto.
+ParseResult* impg_paf_parse_mt(const uint8_t* buf, size_t len,
+                               int require_cigar, int32_t threads) {
+  int nt = threads > 0 ? threads
+                       : (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > 16) nt = 16;
+  if (threads <= 0 && (size_t)nt > len / (4 << 20) + 1)
+    nt = (int)(len / (4 << 20) + 1);  // >=4 MB per chunk in auto mode
+  if (nt == 1) return impg_paf_parse(buf, len, require_cigar);
+
+  std::vector<const uint8_t*> bounds(nt + 1);
+  bounds[0] = buf;
+  bounds[nt] = buf + len;
+  for (int i = 1; i < nt; ++i) {
+    const uint8_t* p = buf + len * (size_t)i / nt;
+    if (p < bounds[i - 1]) p = bounds[i - 1];
+    const uint8_t* nl = static_cast<const uint8_t*>(
+        memchr(p, '\n', (size_t)(buf + len - p)));
+    bounds[i] = nl ? nl + 1 : buf + len;
+  }
+
+  std::vector<ParseResult> locals(nt);
+  {
+    std::vector<std::thread> pool;
+    pool.reserve(nt);
+    for (int i = 0; i < nt; ++i)
+      pool.emplace_back([&, i] {
+        paf_parse_range(bounds[i], bounds[i + 1], require_cigar, 0,
+                        &locals[i]);
+      });
+    for (auto& t : pool) t.join();
+  }
+
+  auto* r = new ParseResult();
+  r->run_offsets.push_back(0);
+  r->name_offsets.push_back(0);
+
+  // Earliest (file-order) error wins, with the line number rebased to
+  // the whole file: chunk-local "line N" + lines consumed before it.
+  int64_t line_base = 0;
+  for (auto& loc : locals) {
+    if (!loc.error.empty()) {
+      size_t sp = loc.error.find(' ');
+      size_t co = loc.error.find(':');
+      int64_t local_line = 0;
+      if (sp != std::string::npos && co != std::string::npos && co > sp)
+        local_line = atoll(loc.error.substr(sp + 1, co - sp - 1).c_str());
+      r->error = "line " + std::to_string(line_base + local_line) +
+                 loc.error.substr(co);
+      return r;
+    }
+    line_base += loc.lines_seen;
+  }
+
+  // Global intern in chunk order (first-seen order preserved; first
+  // nonzero sequence length wins, like the single-thread update rule).
+  std::unordered_map<std::string_view, int32_t> interned;
+  std::vector<std::vector<int32_t>> luts(nt);
+  size_t total_names = 0;
+  for (auto& loc : locals) total_names += loc.name_lengths.size();
+  interned.reserve(total_names);
+  r->names_buf.reserve(total_names * 8);
+  for (int c = 0; c < nt; ++c) {
+    ParseResult& loc = locals[c];
+    size_t n = loc.name_lengths.size();
+    luts[c].resize(n);
+    for (size_t i = 0; i < n; ++i) {
+      std::string_view nm(
+          loc.names_buf.data() + loc.name_offsets[i],
+          (size_t)(loc.name_offsets[i + 1] - loc.name_offsets[i]));
+      auto it = interned.find(nm);
+      int32_t gi;
+      if (it == interned.end()) {
+        gi = (int32_t)(r->name_offsets.size() - 1);
+        // Keys view into the locals' blobs (alive through the merge).
+        interned.emplace(nm, gi);
+        r->names_buf.append(nm.data(), nm.size());
+        r->name_offsets.push_back((int64_t)r->names_buf.size());
+        r->name_lengths.push_back(loc.name_lengths[i]);
+      } else {
+        gi = it->second;
+        if (r->name_lengths[gi] == 0)
+          r->name_lengths[gi] = loc.name_lengths[i];
+      }
+      luts[c][i] = gi;
+    }
+  }
+
+  // Pre-size and write every chunk's slice in parallel (name-idx remap
+  // fused into the copy; offset columns shifted).
+  std::vector<size_t> b_rec(nt + 1, 0), b_run(nt + 1, 0);
+  for (int c = 0; c < nt; ++c) {
+    b_rec[c + 1] = b_rec[c] + locals[c].q_start.size();
+    b_run[c + 1] = b_run[c] + locals[c].runs.size();
+  }
+  r->query_name_idx.resize(b_rec[nt]);
+  r->target_name_idx.resize(b_rec[nt]);
+  r->q_start.resize(b_rec[nt]);
+  r->q_end.resize(b_rec[nt]);
+  r->t_start.resize(b_rec[nt]);
+  r->t_end.resize(b_rec[nt]);
+  r->strand.resize(b_rec[nt]);
+  r->runs.resize(b_run[nt]);
+  r->run_offsets.resize(b_rec[nt] + 1);
+  r->run_offsets[0] = 0;
+  {
+    std::vector<std::thread> pool;
+    pool.reserve(nt);
+    for (int c = 0; c < nt; ++c)
+      pool.emplace_back([&, c] {
+        ParseResult& loc = locals[c];
+        const auto& lut = luts[c];
+        size_t n = loc.q_start.size();
+        for (size_t i = 0; i < n; ++i) {
+          r->query_name_idx[b_rec[c] + i] =
+              lut[(size_t)loc.query_name_idx[i]];
+          r->target_name_idx[b_rec[c] + i] =
+              lut[(size_t)loc.target_name_idx[i]];
+        }
+        auto cp = [&](auto& dst, auto& src) {
+          if (!src.empty())
+            memcpy(dst.data() + b_rec[c], src.data(),
+                   src.size() * sizeof(src[0]));
+        };
+        cp(r->q_start, loc.q_start);
+        cp(r->q_end, loc.q_end);
+        cp(r->t_start, loc.t_start);
+        cp(r->t_end, loc.t_end);
+        cp(r->strand, loc.strand);
+        if (!loc.runs.empty())
+          memcpy(r->runs.data() + b_run[c], loc.runs.data(),
+                 loc.runs.size() * sizeof(uint32_t));
+        for (size_t i = 1; i < loc.run_offsets.size(); ++i)
+          r->run_offsets[b_rec[c] + i] =
+              loc.run_offsets[i] + (int64_t)b_run[c];
+      });
+    for (auto& t : pool) t.join();
+  }
   return r;
 }
 

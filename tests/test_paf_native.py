@@ -18,6 +18,43 @@ def native_lib():
     return lib
 
 
+def test_native_mt_bit_identical_and_error_parity(native_lib):
+    """impg_paf_parse_mt must reproduce the single-thread columns exactly
+    for any thread count — global first-seen name order, first-nonzero
+    sequence lengths — and rebase chunk-local error line numbers so the
+    message equals the single-thread one."""
+    if not hasattr(native_lib, "impg_paf_parse_mt"):
+        pytest.skip("old native library without the mt symbol")
+    rng = random.Random(91)
+    text, _seqs, _alns = datagen.random_paf(
+        rng, n_seqs=8, n_alns=600, n_ops=20
+    )
+    data = text.encode()
+    st = native.parse_paf_bytes_native(data, threads=1)
+    for t in (2, 3, 5):
+        mt = native.parse_paf_bytes_native(data, threads=t)
+        for k in st:
+            a, b = st[k], mt[k]
+            if isinstance(a, (bytes, str, int)):
+                assert a == b, (t, k)
+            else:
+                assert np.array_equal(a, b), (t, k)
+    # Error line numbers: inject a bad strand mid-buffer.
+    cut = data[: len(data) // 2].rfind(b"\n") + 1
+    bad = (
+        data[:cut]
+        + b"q\t10\t0\t5\t?\tt\t10\t0\t5\t5\t5\t60\tcg:Z:5=\n"
+        + data[cut:]
+    )
+    msgs = []
+    for t in (1, 4):
+        with pytest.raises(ValueError) as ei:
+            native.parse_paf_bytes_native(bad, threads=t)
+        msgs.append(str(ei.value))
+    assert msgs[0] == msgs[1]
+    assert msgs[0].startswith("line ")
+
+
 def test_native_matches_python(native_lib):
     rng = random.Random(44)
     text, seqs, alns = datagen.random_paf(rng, n_seqs=6, n_alns=80, n_ops=15)
