@@ -134,6 +134,49 @@ def test_transitive_bfs_over_sharded_engine():
         ]
 
 
+def test_sharded_bfs_at_scale_growth_paths():
+    """Mesh parity at growth-policy scale: the 8-device sharded engine
+    must stay row-exact when caps grow and transfers compact (same
+    premise as test_device's at-scale case, over the virtual mesh)."""
+    import random
+
+    from impg_tpu.parallel.sharding import ShardedEngine
+    from impg_tpu.query import engine
+    from tests import datagen
+    from tests.test_query import index_from_text
+
+    rng = random.Random(12)
+    text, seqs, _alns = datagen.pangenome_paf(
+        rng, n_seqs=60, seq_len=40_000, cross_links=8
+    )
+    index = index_from_text(text)
+    assert len(index.records) > 800
+    sh = ShardedEngine(index, initial_capacity=128)
+    r2 = random.Random(4)
+    names = list(seqs)
+    walks = []
+    for _ in range(6):
+        n = r2.choice(names)
+        L = seqs[n]
+        a = r2.randint(0, L // 2)
+        walks.append(
+            (index.seq_index.get_id(n), a, r2.randint(a + 2000, min(L, a + 15000)))
+        )
+    got = engine.query_transitive_bfs_many(
+        index, walks, max_depth=3, device_engine=sh
+    )
+    want = engine.query_transitive_bfs_many(index, walks, max_depth=3)
+    total = 0
+    for g, w in zip(got, want):
+        assert len(g) == len(w)
+        total += len(g)
+        for a, b in zip(g, w):
+            assert (
+                a.q_id, a.q_first, a.q_last, a.t_id, a.t_first, a.t_last
+            ) == (b.q_id, b.q_first, b.q_last, b.t_id, b.t_first, b.t_last)
+    assert total > 5_000
+
+
 def test_sharded_approximate_mode():
     """Approximate (tracepoint) projection over the mesh matches the
     single-chip DeviceEngine's approximate results."""
