@@ -246,6 +246,25 @@ def load():
             ctypes.POINTER(ctypes.c_int64),  # out_off
             ctypes.POINTER(ctypes.c_uint8),  # out
         ]
+    if hasattr(lib, "impg_concat_tokens_offsets"):
+        lib.impg_concat_tokens_offsets.restype = ctypes.c_int64
+        lib.impg_concat_tokens_offsets.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),  # tok_len
+            ctypes.POINTER(ctypes.c_int64),  # rows
+            ctypes.c_int64,                  # n_rows
+            ctypes.POINTER(ctypes.c_int64),  # out_off
+        ]
+        lib.impg_concat_tokens_mt.restype = None
+        lib.impg_concat_tokens_mt.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32,
+        ]
     if hasattr(lib, "impg_topo_priority"):
         lib.impg_topo_priority.restype = None
         lib.impg_topo_priority.argtypes = [
@@ -286,19 +305,42 @@ def concat_tokens(blob: bytes, tok_start, tok_len, rows):
     tok_start = np.ascontiguousarray(tok_start, np.int64)
     tok_len = np.ascontiguousarray(tok_len, np.int64)
     rows = np.ascontiguousarray(rows, np.int64)
-    lens = tok_len[rows]
-    out_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    out_off = np.empty(rows.size + 1, np.int64)
+    if hasattr(lib, "impg_concat_tokens_offsets"):
+        lib.impg_concat_tokens_offsets(
+            tok_len.ctypes.data_as(i64p),
+            rows.ctypes.data_as(i64p),
+            rows.size,
+            out_off.ctypes.data_as(i64p),
+        )
+    else:
+        out_off[0] = 0
+        np.cumsum(tok_len[rows], out=out_off[1:])
     out = np.empty(int(out_off[-1]), np.uint8)
     if rows.size:
-        lib.impg_concat_tokens(
-            blob,
-            tok_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            tok_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            ctypes.c_int64(rows.size),
-            out_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        )
+        copy = getattr(lib, "impg_concat_tokens_mt", None)
+        if copy is not None:
+            copy(
+                blob,
+                tok_start.ctypes.data_as(i64p),
+                tok_len.ctypes.data_as(i64p),
+                rows.ctypes.data_as(i64p),
+                ctypes.c_int64(rows.size),
+                out_off.ctypes.data_as(i64p),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                0,
+            )
+        else:
+            lib.impg_concat_tokens(
+                blob,
+                tok_start.ctypes.data_as(i64p),
+                tok_len.ctypes.data_as(i64p),
+                rows.ctypes.data_as(i64p),
+                ctypes.c_int64(rows.size),
+                out_off.ctypes.data_as(i64p),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
     return out, out_off
 
 

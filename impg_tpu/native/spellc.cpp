@@ -99,6 +99,55 @@ void impg_concat_tokens(const uint8_t* blob, const int64_t* tok_start,
   }
 }
 
+// Offsets pass for the mt variant: out_off[i] = sum of the first i
+// token lengths (n_rows+1 entries).  One native pass replaces the
+// python-side 100+ MB gather + cumsum.  Returns the total size.
+int64_t impg_concat_tokens_offsets(const int64_t* tok_len,
+                                   const int64_t* rows, int64_t n_rows,
+                                   int64_t* out_off) {
+  int64_t acc = 0;
+  for (int64_t i = 0; i < n_rows; ++i) {
+    out_off[i] = acc;
+    acc += tok_len[rows[i]];
+  }
+  out_off[n_rows] = acc;
+  return acc;
+}
+
+// Parallel token copy: every row writes a disjoint out slice, so
+// threads split the row range with no synchronization.  Tokens average
+// a few bytes — the serial loop is latency-bound, not bandwidth-bound
+// (measured 1.27 s for ~16M tokens / 130 MB on the 103 MiB graph).
+void impg_concat_tokens_mt(const uint8_t* blob, const int64_t* tok_start,
+                           const int64_t* tok_len, const int64_t* rows,
+                           int64_t n_rows, const int64_t* out_off,
+                           uint8_t* out, int32_t threads) {
+  int nt = threads > 0 ? threads
+                       : (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > 16) nt = 16;
+  if ((int64_t)nt > n_rows / 65536 + 1)
+    nt = (int)(n_rows / 65536 + 1);
+  if (nt == 1) {
+    impg_concat_tokens(blob, tok_start, tok_len, rows, n_rows, out_off,
+                       out);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) {
+    int64_t lo = n_rows * t / nt, hi = n_rows * (t + 1) / nt;
+    pool.emplace_back([=] {
+      for (int64_t i = lo; i < hi; ++i) {
+        const int64_t r = rows[i];
+        std::memcpy(out + out_off[i], blob + tok_start[r],
+                    static_cast<size_t>(tok_len[r]));
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
 // Priority topological sort (gfasort 's' stage role): Kahn's algorithm
 // with a min-heap keyed on each node's CURRENT order position, so ties
 // follow a preceding path-SGD layout (graph/sortgfa.py _topo_priority).
