@@ -26,6 +26,60 @@ def _rows_key(index, rows):
     )
 
 
+def test_host_native_filter_sweep(tmp_path):
+    """Wide-seed host-vs-native sweep over random workload shapes and
+    filter combinations (depth 0-3, min-identity, min-output-length) —
+    the round-4 80/200-seed ad-hoc sweeps promoted to CI scale (runs in
+    a few seconds; the engines share no bookkeeping code)."""
+    from impg_tpu.query.host_native import NativeHostEngine
+
+    def norm(index, rows):
+        return sorted(
+            (index.seq_index.get_name(r.q_id), r.q_first, r.q_last,
+             index.seq_index.get_name(r.t_id), r.t_first, r.t_last)
+            for r in rows
+        )
+
+    for seed in range(1300, 1330):
+        rng = random.Random(seed)
+        text, seqs, _ = datagen.pangenome_paf(
+            rng, n_seqs=rng.randint(3, 10), seq_len=rng.randint(5000, 30000),
+            cross_links=rng.randint(1, 5),
+        )
+        paf = str(tmp_path / f"s{seed}.paf")
+        with open(paf, "w") as fh:
+            fh.write(text)
+        index = load_or_build([paf])
+        try:
+            ne = NativeHostEngine(index)
+        except RuntimeError:
+            pytest.skip("native library unavailable")
+        qrng = random.Random(seed * 13)
+        names = list(seqs)
+        targets = []
+        for _ in range(8):
+            nm = names[qrng.randrange(len(names))]
+            L = seqs[nm]
+            s = qrng.randrange(0, max(1, L - 2000))
+            targets.append(
+                (index.seq_index.get_id(nm), s,
+                 min(L, s + qrng.randint(300, 4000)))
+            )
+        depth = qrng.choice([0, 1, 2, 3])
+        mi = qrng.choice([None, None, 0.9])
+        mol = qrng.choice([None, 200])
+        host = engine.query_transitive_bfs_many(
+            index, targets, max_depth=depth, min_identity=mi,
+            min_output_length=mol,
+        )
+        nat = engine.query_transitive_bfs_many(
+            index, targets, max_depth=depth, min_identity=mi,
+            min_output_length=mol, device_engine=ne,
+        )
+        for w, (h, n2) in enumerate(zip(host, nat)):
+            assert norm(index, h) == norm(index, n2), (seed, w, depth, mi, mol)
+
+
 @pytest.mark.parametrize("seed", [101, 202, 303])
 def test_cross_engine_exactness(seed, tmp_path):
     rng = random.Random(seed)
