@@ -1428,10 +1428,11 @@ def cmd_map(args) -> int:
             if out is not sys.stdout:
                 out.close()
         return 0
-    if args.output_format in ("gaf", "graph-pack-tsv") or args.graph:
+    if (args.output_format in ("gaf", "graph-pack-tsv", "graph-pack")
+            or args.graph):
         if not args.graph:
             print(
-                "error: -o gaf/graph-pack-tsv needs --graph or -a",
+                "error: -o gaf/graph-pack[-tsv] needs --graph or -a",
                 file=sys.stderr,
             )
             return 2
@@ -1440,6 +1441,38 @@ def cmd_map(args) -> int:
 
         with open(args.graph) as fh:
             gfa = Gfa.parse(fh.read())
+        if args.output_format == "graph-pack":
+            # Reference-compatible binary pack (pack.rs IMPGPKB1): node
+            # i = the graph's i-th S line (1-based), counts = rounded
+            # covered bp.  Readable by the reference CLI and by
+            # `genotype cos --graph --pack`.
+            import numpy as _np
+
+            from impg_tpu.io import packbin
+
+            if not args.output:
+                print(
+                    "error: -o graph-pack needs -O FILE (binary)",
+                    file=sys.stderr,
+                )
+                return 2
+            counts, n_reads, n_matched = graph_mod.map_reads_to_graph(
+                gfa, reads
+            )
+            n_segs = len(gfa.segments)
+            ids = _np.array(sorted(counts), _np.int64) + 1
+            vals = _np.array(
+                [round(counts[i - 1]) for i in ids.tolist()], _np.int64
+            )
+            nz = packbin.write_packbin(
+                args.output, ids, vals, n_segs, retained_records=n_matched
+            )
+            print(
+                f"Mapped {n_matched}/{n_reads} reads -> IMPGPKB1 pack "
+                f"({nz} nonzero of {n_segs} segments)",
+                file=sys.stderr,
+            )
+            return 0
         out = open(args.output, "w") if args.output else sys.stdout
         try:
             if args.output_format == "gaf":
@@ -1550,14 +1583,38 @@ def cmd_genotype(args) -> int:
         # gfa-segment feature space (genotype.rs:1563).
         from impg_tpu.genotype import graph as gt_graph
 
-        if not args.reads:
+        if not args.reads and not args.pack:
             print(
-                "error: --graph genotyping needs -q/--reads", file=sys.stderr
+                "error: --graph genotyping needs -q/--reads or -p/--pack",
+                file=sys.stderr,
             )
             return 2
         import os
 
-        reads = [x for e in args.reads for x in e.split(",") if x]
+        reads = [x for e in (args.reads or []) for x in e.split(",") if x]
+        sample_counts = None
+        if args.pack:
+            # Precomputed per-segment evidence: the reference's binary
+            # pack (pack.rs IMPGPKB1, node i = i-th S line 1-based) or
+            # its '#node_id\tcount' TSV (pack.rs write_tsv/read_tsv).
+            from impg_tpu.io import packbin
+
+            if packbin.is_packbin(args.pack):
+                node_ids, cvals, _meta = packbin.read_packbin(args.pack)
+                sample_counts = {
+                    int(n) - 1: float(c)
+                    for n, c in zip(node_ids.tolist(), cvals.tolist())
+                }
+            else:
+                sample_counts = {}
+                with open(args.pack) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if not line or line.startswith("#"):
+                            continue
+                        nid, cnt = line.split("\t")[:2]
+                        if int(cnt) > 0:
+                            sample_counts[int(nid) - 1] = float(cnt)
         graph_path = args.graph
         if os.path.isdir(graph_path):
             # Render bundle: use its regional graph (genotype.rs:1016
@@ -1578,6 +1635,7 @@ def cmd_genotype(args) -> int:
             target_path=args.target_path,
             ploidy=args.ploidy,
             contribution_model=args.contribution_model,
+            sample_counts=sample_counts,
         )
         if not results:
             print("error: no graph candidates found", file=sys.stderr)
@@ -2839,7 +2897,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_map.add_argument(
         "-o", "--output-format", default="pack",
-        choices=["pack", "pack-tsv", "proj", "gaf", "graph-pack-tsv", "paf"],
+        choices=["pack", "pack-tsv", "proj", "gaf", "graph-pack-tsv",
+                 "graph-pack", "paf"],
     )
     p_map.add_argument("-O", "--output",
                        help="Output path (default stdout for gaf)")

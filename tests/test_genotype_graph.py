@@ -249,3 +249,67 @@ def test_surject_gaf_reverse_traversal():
     assert f[4] == "-"
     assert f[5] == "chr"
     assert (int(f[7]), int(f[8])) == (100, 113)
+
+
+def test_packbin_roundtrip():
+    """IMPGPKB1 writer/reader round-trip: dense blocks, overflow table
+    (counts > 255), multi-block layout, empty universe."""
+    import numpy as np
+
+    from impg_tpu.io import packbin
+
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "s.pack")
+        rng = np.random.default_rng(5)
+        universe = 5000
+        ids = np.sort(rng.choice(np.arange(1, universe + 1), 700,
+                                 replace=False))
+        counts = rng.integers(1, 1000, ids.size)  # some overflow 255
+        packbin.write_packbin(p, ids, counts, universe, block_size=512,
+                              retained_records=42, syncmer_anchors=7)
+        assert packbin.is_packbin(p)
+        rid, rcnt, meta = packbin.read_packbin(p)
+        assert np.array_equal(rid, ids)
+        assert np.array_equal(rcnt, counts)
+        assert meta["universe_nodes"] == universe
+        assert meta["retained_records"] == 42
+        assert meta["syncmer_anchors"] == 7
+        # empty universe
+        p2 = os.path.join(td, "e.pack")
+        packbin.write_packbin(p2, [], [], 0)
+        rid, rcnt, meta = packbin.read_packbin(p2)
+        assert rid.size == 0 and meta["universe_nodes"] == 0
+        # out-of-range ids rejected (pack.rs InvalidData contract)
+        with pytest.raises(ValueError):
+            packbin.write_packbin(p2, [0], [1], 10)
+
+
+def test_cli_graph_pack_interop(graph_panel, tmp_path):
+    """`map --graph -o graph-pack` emits the reference's IMPGPKB1 layout
+    and `genotype cos --graph --pack` consumes it, ranking the same
+    homozygous truth as read-based genotyping (pack.rs interop)."""
+    tmp, gfa_text, fq, seq_data = graph_panel
+    import os
+
+    gfa_path = str(tmp_path / "g.gfa")
+    open(gfa_path, "w").write(gfa_text)
+    pack_path = str(tmp_path / "s.pack")
+    r = run_cli("map", "--graph", gfa_path, "-q", fq, "-o", "graph-pack",
+                "-O", pack_path)
+    assert r.returncode == 0, r.stderr
+    from impg_tpu.io import packbin
+
+    assert packbin.is_packbin(pack_path)
+    node_ids, counts, meta = packbin.read_packbin(pack_path)
+    assert node_ids.size > 0 and meta["universe_nodes"] > 0
+    r_pack = run_cli("genotype", "cos", "--graph", gfa_path, "--pack",
+                     pack_path)
+    assert r_pack.returncode == 0, r_pack.stderr
+    r_reads = run_cli("genotype", "cos", "--graph", gfa_path, "-q", fq)
+    assert r_reads.returncode == 0, r_reads.stderr
+    top_pack = r_pack.stdout.splitlines()[1].split("\t")[3]
+    top_reads = r_reads.stdout.splitlines()[1].split("\t")[3]
+    assert top_pack == top_reads
+    assert "s0" in top_pack  # homozygous truth
