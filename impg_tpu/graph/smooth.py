@@ -14,6 +14,17 @@ Pipeline (smooth.rs semantics, simplified block source):
 
 Invariant (tested): every path of the smoothed graph spells exactly the same
 bases as in the input graph.
+
+Deliberate differences from smooth.rs (SmoothConfig:20-46):
+  * no POA edge padding (poa_padding_fraction /
+    max_block_depth_for_padding_more): padding overlaps blocks and
+    requires trimming pad bases out of the realigned block paths, which
+    would forfeit this module's exact-spelling invariant; block
+    boundaries here instead respect flubble sites (block_source=
+    "flubble"), which addresses the same edge-artifact concern
+    structurally.
+  * no NeighborMergePoasta third block source (a POASTA-specific
+    variant; the two shipped sources cover smoothxg's semantics).
 """
 
 from __future__ import annotations
