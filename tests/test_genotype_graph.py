@@ -313,3 +313,29 @@ def test_cli_graph_pack_interop(graph_panel, tmp_path):
     top_reads = r_reads.stdout.splitlines()[1].split("\t")[3]
     assert top_pack == top_reads
     assert "s0" in top_pack  # homozygous truth
+
+
+def test_cli_graph_pack_reference_tsv(graph_panel, tmp_path):
+    """genotype cos --graph --pack also accepts the reference's
+    '#node_id\\tcount' TSV flavor (pack.rs write_tsv/read_tsv)."""
+    tmp, gfa_text, fq, seq_data = graph_panel
+    gfa_path = str(tmp_path / "g.gfa")
+    open(gfa_path, "w").write(gfa_text)
+    pack_path = str(tmp_path / "s.pack")
+    r = run_cli("map", "--graph", gfa_path, "-q", fq, "-o", "graph-pack",
+                "-O", pack_path)
+    assert r.returncode == 0, r.stderr
+    from impg_tpu.io import packbin
+
+    node_ids, counts, _ = packbin.read_packbin(pack_path)
+    tsv_path = str(tmp_path / "s.tsv")
+    with open(tsv_path, "w") as fh:
+        fh.write("#node_id\tcount\n")
+        for n, c in zip(node_ids.tolist(), counts.tolist()):
+            fh.write(f"{n}\t{c}\n")
+    r_tsv = run_cli("genotype", "cos", "--graph", gfa_path, "--pack",
+                    tsv_path)
+    assert r_tsv.returncode == 0, r_tsv.stderr
+    r_bin = run_cli("genotype", "cos", "--graph", gfa_path, "--pack",
+                    pack_path)
+    assert r_tsv.stdout == r_bin.stdout
