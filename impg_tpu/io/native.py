@@ -29,17 +29,22 @@ def _build() -> bool:
     srcs = [os.path.join(_NATIVE_DIR, f) for f in _SRC_NAMES]
     if not all(os.path.exists(s) for s in srcs):
         return False
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-fPIC", "-pthread", "-shared",
-             "-o", _SO_PATH, *srcs],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        return True
-    except (OSError, subprocess.SubprocessError):
-        return False
+    # Flags must match native/Makefile — notably -mavx2, which the POA
+    # kernel's vectorized pass relies on (8 int32 lanes vs SSE2's 4).
+    # Fall back to the baseline ISA if the AVX2 build fails (non-x86).
+    for isa in (["-mavx2"], []):
+        try:
+            subprocess.run(
+                ["g++", "-O3", *isa, "-std=c++17", "-fPIC", "-pthread",
+                 "-shared", "-o", _SO_PATH, *srcs],
+                check=True,
+                capture_output=True,
+                timeout=240,
+            )
+            return True
+        except (OSError, subprocess.SubprocessError):
+            continue
+    return False
 
 
 def load():
