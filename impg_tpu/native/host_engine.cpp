@@ -38,6 +38,9 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -94,6 +97,12 @@ struct HostEngine {
     const uint8_t* seq_ok = nullptr;
     int64_t min_out_len = -1;
     bool approx = false;  // one-run approximate-mode flag
+    // IMPG_HE_PROF=1: per-phase wall accumulators (ns) printed to
+    // stderr by he_run — the reference's ad-hoc Instant span logging
+    // role (SURVEY §5) for the C++ engine.
+    bool prof = false;
+    mutable std::atomic<int64_t> ns_stab{0}, ns_proj{0}, ns_vb{0},
+        ns_front{0};
     // Tracepoint arena for --approximate (index/tracepoints.py): uniform
     // target-grid boundaries with query positions and edit/aligned
     // prefix sums; set via he_set_tracepoints.
@@ -229,11 +238,24 @@ Proj project_closed(const HostEngine& E, int64_t k, int32_t rs, int32_t re) {
     const int64_t off = E.op_off[k];
     const int32_t n = E.op_cnt[k];
     const int32_t te_rec = E.te[k];
+    const int32_t* ct = E.cum_t + off;
+    // Short records (the hundreds-of-genomes regime averages ~20 runs):
+    // count-based linear scans over the 1-2 cache lines the runs occupy
+    // beat the binary searches' data-dependent mispredicts.
+    if (n <= 64) {
+        int32_t i0 = 0;
+        // i0 = first run with run_te(i) > rs; run_te(i) = ct[i+1] for
+        // i+1 < n else te_rec (te_rec > rs is a stab invariant).
+        for (int32_t i = 1; i < n; ++i) i0 += (ct[i] <= rs);
+        int32_t j1 = 0;
+        for (int32_t i = 1; i < n; ++i) j1 += (ct[i] < re);
+        return finish(E, k, rs, re, i0, j1);
+    }
     // i0: first run with run_te(i) > rs.
     int32_t lo = 0, hi = n;
     while (lo < hi) {
         int32_t mid = lo + (hi - lo) / 2;
-        int32_t rte = (mid + 1 < n) ? E.cum_t[off + mid + 1] : te_rec;
+        int32_t rte = (mid + 1 < n) ? ct[mid + 1] : te_rec;
         if (rte > rs)
             hi = mid;
         else
@@ -245,7 +267,7 @@ Proj project_closed(const HostEngine& E, int64_t k, int32_t rs, int32_t re) {
     hi = n;
     while (lo < hi) {
         int32_t mid = lo + (hi - lo) / 2;
-        if (E.cum_t[off + mid] >= re)
+        if (ct[mid] >= re)
             hi = mid;
         else
             lo = mid + 1;
@@ -402,8 +424,16 @@ void run_walk(const HostEngine& E, void* vb, int32_t tid0, int32_t s0,
         for (const Frontier& fr : current) {
             const int64_t lo = E.tgt_off[fr.q], hi = E.tgt_off[fr.q + 1];
             cand.clear();
+            std::chrono::steady_clock::time_point t0;
+            if (E.prof) t0 = std::chrono::steady_clock::now();
             if (lo < hi)
                 stab_tree(E, lo, hi, (int32_t)fr.s, (int32_t)fr.e, cand);
+            if (E.prof) {
+                auto t1 = std::chrono::steady_clock::now();
+                E.ns_stab += std::chrono::duration_cast<
+                    std::chrono::nanoseconds>(t1 - t0).count();
+                t0 = t1;
+            }
             for (int64_t k : cand) {
                 const int32_t ov_s = std::max((int32_t)fr.s, E.ts[k]);
                 const int32_t ov_e = std::min((int32_t)fr.e, E.te[k]);
@@ -427,16 +457,34 @@ void run_walk(const HostEngine& E, void* vb, int32_t tid0, int32_t s0,
                 h_e.push_back(p.pq_e);
                 h_b.push_back(q != (int32_t)fr.q ? 1 : 0);
             }
+            if (E.prof)
+                E.ns_proj += std::chrono::duration_cast<
+                    std::chrono::nanoseconds>(
+                    std::chrono::steady_clock::now() - t0).count();
         }
+        std::chrono::steady_clock::time_point tv;
+        if (E.prof) tv = std::chrono::steady_clock::now();
         vb_frontier_clear(vb);
         if (!h_q.empty())
             vb_process(vb, h_w.data(), h_q.data(), h_s.data(), h_e.data(),
                        h_b.data(), (int64_t)h_q.size(), min_dist,
                        min_trans_len);
         m = vb_frontier_size(vb);
+        if (E.prof) {
+            auto t1 = std::chrono::steady_clock::now();
+            E.ns_vb += std::chrono::duration_cast<
+                std::chrono::nanoseconds>(t1 - tv).count();
+            tv = t1;
+        }
         ++depth;
         current.clear();
-        if (!m) continue;
+        if (!m) {
+            if (E.prof)
+                E.ns_front += std::chrono::duration_cast<
+                    std::chrono::nanoseconds>(
+                    std::chrono::steady_clock::now() - tv).count();
+            continue;
+        }
         fw.resize(m);
         fq.resize(m);
         fs.resize(m);
@@ -457,6 +505,10 @@ void run_walk(const HostEngine& E, void* vb, int32_t tid0, int32_t s0,
                 current.push_back(fr);
             }
         }
+        if (E.prof)
+            E.ns_front += std::chrono::duration_cast<
+                std::chrono::nanoseconds>(
+                std::chrono::steady_clock::now() - tv).count();
     }
 }
 
@@ -595,6 +647,11 @@ int64_t he_run(void* h, const int32_t* q_tid, const int32_t* q_s,
     E->seq_ok = subset_on ? seq_ok : nullptr;
     E->min_out_len = min_output_length;
     E->approx = approximate != 0 && E->tp_off != nullptr;
+    {
+        const char* p = getenv("IMPG_HE_PROF");
+        E->prof = p && *p == '1';
+        E->ns_stab = E->ns_proj = E->ns_vb = E->ns_front = 0;
+    }
     if (approximate && E->tp_off == nullptr) return -1;
     if (mode == 2 && E->cig_off.empty()) return -1;  // he_build_cigar_text first
     E->rows.assign((size_t)n, {});
@@ -628,6 +685,12 @@ int64_t he_run(void* h, const int32_t* q_tid, const int32_t* q_s,
     }
     int64_t total = 0;
     for (const auto& r : E->rows) total += (int64_t)r.size() / 6;
+    if (E->prof)
+        fprintf(stderr,
+                "[he_prof] stab %.1f ms  project+emit %.1f ms  "
+                "visited %.1f ms  frontier %.1f ms (thread-summed)\n",
+                E->ns_stab.load() / 1e6, E->ns_proj.load() / 1e6,
+                E->ns_vb.load() / 1e6, E->ns_front.load() / 1e6);
     return total;
 }
 
