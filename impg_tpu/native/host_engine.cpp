@@ -237,7 +237,7 @@ inline Proj finish(const HostEngine& E, int64_t k, int32_t rs, int32_t re,
 Proj project_closed(const HostEngine& E, int64_t k, int32_t rs, int32_t re) {
     const int64_t off = E.op_off[k];
     const int32_t n = E.op_cnt[k];
-    const int32_t te_rec = E.te[k];
+    // (te_rec unused: the stab invariant te > rs folds it out of both searches)
     const int32_t* ct = E.cum_t + off;
     // Short records (the hundreds-of-genomes regime averages ~20 runs):
     // count-based linear scans over the 1-2 cache lines the runs occupy
@@ -251,28 +251,29 @@ Proj project_closed(const HostEngine& E, int64_t k, int32_t rs, int32_t re) {
         for (int32_t i = 1; i < n; ++i) j1 += (ct[i] < re);
         return finish(E, k, rs, re, i0, j1);
     }
-    // i0: first run with run_te(i) > rs.
-    int32_t lo = 0, hi = n;
-    while (lo < hi) {
-        int32_t mid = lo + (hi - lo) / 2;
-        int32_t rte = (mid + 1 < n) ? ct[mid + 1] : te_rec;
-        if (rte > rs)
-            hi = mid;
-        else
-            lo = mid + 1;
+    // Long records: BRANCHLESS searches (cmov base-advance form) — the
+    // classic loop's data-dependent branches mispredict half the time.
+    // Both reduce to "count elements satisfying a predicate" over
+    // ct[1..n): i0 = #(ct[i] <= rs) (run_te(i) = ct[i+1] for i+1 < n,
+    // and run_te(n-1) = te_rec > rs by the stab invariant); j1 =
+    // #(ct[i] < re) (ct[0] = t_start < re always).
+    const int32_t* b = ct + 1;
+    size_t m = (size_t)n - 1;
+    while (m > 1) {
+        size_t half = m / 2;
+        b = (b[half - 1] <= rs) ? b + half : b;
+        m -= half;
     }
-    const int32_t i0 = lo;
-    // j1: last run with cum_t < re  ==  lower_bound(cum_t >= re) - 1.
-    lo = 0;
-    hi = n;
-    while (lo < hi) {
-        int32_t mid = lo + (hi - lo) / 2;
-        if (ct[mid] >= re)
-            hi = mid;
-        else
-            lo = mid + 1;
+    int32_t i0 = (int32_t)(b - (ct + 1)) + (m >= 1 && b[0] <= rs ? 1 : 0);
+    b = ct + 1;
+    m = (size_t)n - 1;
+    while (m > 1) {
+        size_t half = m / 2;
+        b = (b[half - 1] < re) ? b + half : b;
+        m -= half;
     }
-    return finish(E, k, rs, re, i0, lo - 1);
+    int32_t j1 = (int32_t)(b - (ct + 1)) + (m >= 1 && b[0] < re ? 1 : 0);
+    return finish(E, k, rs, re, i0, j1);
 }
 
 // Walk projection: the reference's cost model — scan runs linearly from
