@@ -257,22 +257,20 @@ Proj project_closed(const HostEngine& E, int64_t k, int32_t rs, int32_t re) {
     // ct[1..n): i0 = #(ct[i] <= rs) (run_te(i) = ct[i+1] for i+1 < n,
     // and run_te(n-1) = te_rec > rs by the stab invariant); j1 =
     // #(ct[i] < re) (ct[0] = t_start < re always).
-    const int32_t* b = ct + 1;
+    // The two searches are independent dependent-load chains; stepping
+    // them in lockstep overlaps their cache-miss latencies (the arena
+    // region is cold per candidate — this halves the critical path).
+    const int32_t* bi = ct + 1;
+    const int32_t* bj = ct + 1;
     size_t m = (size_t)n - 1;
     while (m > 1) {
         size_t half = m / 2;
-        b = (b[half - 1] <= rs) ? b + half : b;
+        bi = (bi[half - 1] <= rs) ? bi + half : bi;
+        bj = (bj[half - 1] < re) ? bj + half : bj;
         m -= half;
     }
-    int32_t i0 = (int32_t)(b - (ct + 1)) + (m >= 1 && b[0] <= rs ? 1 : 0);
-    b = ct + 1;
-    m = (size_t)n - 1;
-    while (m > 1) {
-        size_t half = m / 2;
-        b = (b[half - 1] < re) ? b + half : b;
-        m -= half;
-    }
-    int32_t j1 = (int32_t)(b - (ct + 1)) + (m >= 1 && b[0] < re ? 1 : 0);
+    int32_t i0 = (int32_t)(bi - (ct + 1)) + (m >= 1 && bi[0] <= rs ? 1 : 0);
+    int32_t j1 = (int32_t)(bj - (ct + 1)) + (m >= 1 && bj[0] < re ? 1 : 0);
     return finish(E, k, rs, re, i0, j1);
 }
 
