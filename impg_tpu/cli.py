@@ -3375,6 +3375,11 @@ def main(argv=None) -> int:
     logging.basicConfig(
         level=level, format="[%(levelname).1s %(name)s] %(message)s"
     )
+    if getattr(args, "verbosity", 0) >= 2:
+        # Debug level also turns on the C++ engine's per-phase span
+        # accounting (stderr line per he_run; the reference's -v 2
+        # Instant-logging role, CommonOpts main.rs:2029).
+        os.environ.setdefault("IMPG_HE_PROF", "1")
     try:
         return args.func(args)
     except (FileNotFoundError, ValueError) as e:
