@@ -47,6 +47,47 @@ def _small_budget(index) -> int:
     return max(total // 2, 1 << 16)
 
 
+def test_paged_bfs_at_scale_many_pages():
+    """Out-of-core parity at growth-policy scale: a 1.7k-record index
+    under a budget one third of its lean payload (many pages + LRU
+    evictions + cap growth in one run) stays row-exact vs the host
+    engine — the 'index >= 2x HBM' contract at the same workload scale
+    as test_device's at-scale case."""
+    from tests.test_query import index_from_text
+
+    rng = random.Random(11)
+    text, seqs, _ = datagen.pangenome_paf(
+        rng, n_seqs=80, seq_len=60_000, cross_links=10
+    )
+    index = index_from_text(text)
+    total = index.arena.n_ops * 20 + len(index.records) * 24
+    pe = PagedDeviceEngine(index, hbm_budget_bytes=total // 3)
+    r2 = random.Random(3)
+    names = list(seqs)
+    targets = []
+    for _ in range(6):
+        n = r2.choice(names)
+        L = seqs[n]
+        a = r2.randint(0, L // 2)
+        targets.append(
+            (index.seq_index.get_id(n), a,
+             r2.randint(a + 2000, min(L, a + 20000)))
+        )
+    host = engine.query_transitive_bfs_many(index, targets, max_depth=3)
+    dev = engine.query_transitive_bfs_many(
+        index, targets, max_depth=3, device_engine=pe
+    )
+    total_rows = 0
+    for hw, dw in zip(host, dev):
+        assert len(hw) == len(dw)
+        total_rows += len(hw)
+        for a, b in zip(hw, dw):
+            assert (
+                a.q_id, a.q_first, a.q_last, a.t_id, a.t_first, a.t_last
+            ) == (b.q_id, b.q_first, b.q_last, b.t_id, b.t_first, b.t_last)
+    assert total_rows > 10_000
+
+
 def test_paged_bfs_matches_host(setup):
     index, targets = setup
     host = engine.query_transitive_bfs_many(
