@@ -778,13 +778,8 @@ def cmd_partition(args) -> int:
         )
         return 2
     merge_distance = -1 if args.no_merge else bed_mod.parse_size(args.merge_distance)
-    if args.output_format not in ("bed", "gfa", "vcf") and not args.separate_files:
-        print(
-            "error: single-file output is only supported for BED, GFA, VCF "
-            f"formats; use --separate-files for {args.output_format.upper()}",
-            file=sys.stderr,
-        )
-        return 2
+    # All formats support single-file collected output (the reference only
+    # allows BED there, main.rs:6368; paf/fasta/maf/gfa/vcf are extensions).
     sequence_index = None
     if args.output_format in ("fasta", "gfa", "maf", "vcf"):
         if not args.sequence_files:
@@ -2709,7 +2704,7 @@ def build_parser() -> argparse.ArgumentParser:
     p_part.add_argument("--min-distance-between-ranges", type=int, default=10)
     p_part.add_argument(
         "-o", "--output-format", default="bed",
-        choices=["bed", "fasta", "gfa", "maf", "vcf"],
+        choices=["bed", "paf", "fasta", "gfa", "maf", "vcf"],
     )
     p_part.add_argument("--sequence-files", action="append")
     p_part.add_argument(

@@ -33,11 +33,17 @@ log = logging.getLogger(__name__)
 
 @dataclass
 class PartitionInterval:
-    """A query-side interval in a partition (first > last = reverse)."""
+    """A query-side interval in a partition (first > last = reverse).
+
+    `row` optionally keeps the engine Row the interval came from so writers
+    that need the target side (PAF output) can reach it; rehoming moves the
+    PartitionInterval wholesale, so the backref follows its partition.
+    """
 
     seq_id: int
     first: int
     last: int
+    row: Optional[Row] = None
 
     def span(self) -> tuple[int, int]:
         return (
@@ -535,8 +541,12 @@ def partition_alignments(
             )
             if overlaps:
                 merge_overlaps(overlaps, 0)
+                keep_rows = output_format == "paf"
                 intervals = [
-                    PartitionInterval(r.q_id, r.q_first, r.q_last) for r in overlaps
+                    PartitionInterval(
+                        r.q_id, r.q_first, r.q_last, r if keep_rows else None
+                    )
+                    for r in overlaps
                 ]
                 total_partitioned += sum(
                     abs(iv.last - iv.first) for iv in intervals
@@ -552,6 +562,10 @@ def partition_alignments(
                         index,
                         output_folder,
                         sequence_index,
+                    )
+                elif separate_files and output_format == "paf":
+                    _write_partition_paf(
+                        partition_num, intervals, index, output_folder
                     )
                 elif separate_files and output_format in ("gfa", "maf", "vcf"):
                     _write_partition_graph(
@@ -581,6 +595,12 @@ def partition_alignments(
 
     if not separate_files and collected and output_format == "bed":
         _write_single_partition_file(collected, index, output_folder)
+    elif not separate_files and collected and output_format == "paf":
+        _write_single_partition_paf(collected, index, output_folder)
+    elif not separate_files and collected and output_format == "fasta":
+        _write_single_partition_fasta(collected, index, output_folder, sequence_index)
+    elif not separate_files and collected and output_format == "maf":
+        _write_single_partition_maf(collected, index, output_folder, sequence_index)
     elif not separate_files and collected and output_format in ("gfa", "vcf"):
         # Partitioned single-file GFA: per-partition POA graphs laced into
         # one (reference: partitioned_gfa_pipeline, lib.rs:1204).
@@ -662,6 +682,128 @@ def _write_partition_fasta(
             fh.write(f">{name}:{s}-{e}\n")
             for i in range(0, len(seq), 80):
                 fh.write(seq[i : i + 80] + "\n")
+
+
+def _paf_line(
+    index: ImpgIndex, iv: PartitionInterval, extra_tag: str = ""
+) -> Optional[str]:
+    """One interval-level PAF row for a partition member.
+
+    Extension beyond the reference: partition.rs's writer match
+    (partition.rs:1428-1505) has no PAF arm at all — bed/gfa/vcf/maf/fasta
+    only.  We emit the projected query↔target interval pair the partition
+    member came from.  No cg:Z: is emitted: partition masking rescales
+    intervals proportionally (partition.rs:978-1368 semantics), which
+    invalidates any base-level CIGAR, so matches/block length are the
+    interval-span bounds (min/max of the two spans).
+    """
+    row = iv.row
+    if row is None:
+        return None
+    qname = index.seq_index.get_name(row.q_id)
+    tname = index.seq_index.get_name(row.t_id)
+    q_len = index.seq_index.get_len_from_id(row.q_id)
+    t_len = index.seq_index.get_len_from_id(row.t_id)
+    if row.q_first <= row.q_last:
+        qs, qe, strand = row.q_first, row.q_last, "+"
+    else:
+        qs, qe, strand = row.q_last, row.q_first, "-"
+    ts, te = min(row.t_first, row.t_last), max(row.t_first, row.t_last)
+    q_span, t_span = qe - qs, te - ts
+    matches, block = min(q_span, t_span), max(q_span, t_span)
+    return (
+        f"{qname}\t{q_len}\t{qs}\t{qe}\t{strand}"
+        f"\t{tname}\t{t_len}\t{ts}\t{te}"
+        f"\t{matches}\t{block}\t255{extra_tag}\n"
+    )
+
+
+def _write_partition_paf(
+    partition_num: int,
+    intervals: list[PartitionInterval],
+    index: ImpgIndex,
+    output_folder: Optional[str],
+) -> None:
+    path = _output_path(output_folder, f"partition{partition_num}.paf")
+    with open(path, "w") as fh:
+        for iv in intervals:
+            line = _paf_line(index, iv)
+            if line is not None:
+                fh.write(line)
+
+
+def _write_single_partition_paf(
+    collected: list[tuple[int, list[PartitionInterval]]],
+    index: ImpgIndex,
+    output_folder: Optional[str],
+) -> None:
+    path = _output_path(output_folder, "partitions.paf")
+    with open(path, "w") as fh:
+        for pnum, intervals in collected:
+            for iv in intervals:
+                line = _paf_line(index, iv, extra_tag=f"\tpn:i:{pnum}")
+                if line is not None:
+                    fh.write(line)
+    log.info("Wrote partitioned PAF to %s", path)
+
+
+def _write_single_partition_fasta(
+    collected: list[tuple[int, list[PartitionInterval]]],
+    index: ImpgIndex,
+    output_folder: Optional[str],
+    sequence_index,
+) -> None:
+    """All partitions' member sequences in one FASTA, `pn:N` in headers.
+
+    Extension: the reference only allows single-file output for BED
+    (main.rs:6368 rejects everything else); we also collect fasta/maf.
+    """
+    if sequence_index is None:
+        raise ValueError("FASTA partition output requires --sequence-files")
+    path = _output_path(output_folder, "partitions.fasta")
+    with open(path, "w") as fh:
+        for pnum, intervals in collected:
+            for iv in intervals:
+                name = index.seq_index.get_name(iv.seq_id)
+                s, e = iv.span()
+                seq = sequence_index.fetch_sequence(name, s, e).decode()
+                fh.write(f">{name}:{s}-{e} pn:{pnum}\n")
+                for i in range(0, len(seq), 80):
+                    fh.write(seq[i : i + 80] + "\n")
+    log.info("Wrote partitioned FASTA to %s", path)
+
+
+def _write_single_partition_maf(
+    collected: list[tuple[int, list[PartitionInterval]]],
+    index: ImpgIndex,
+    output_folder: Optional[str],
+    sequence_index,
+) -> None:
+    """Concatenated per-partition MAF blocks in one file (MAF allows
+    multiple `a` blocks, so a single stream is well-formed)."""
+    if sequence_index is None:
+        raise ValueError("MAF partition output requires --sequence-files")
+    from impg_tpu.graph import region as region_mod
+
+    path = _output_path(output_folder, "partitions.maf")
+    with open(path, "w") as fh:
+        wrote_header = False
+        for pnum, intervals in collected:
+            rows = [
+                Row(iv.seq_id, iv.first, iv.last, None, iv.seq_id, *iv.span())
+                for iv in intervals
+            ]
+            text = region_mod.generate_maf(index, rows, sequence_index)
+            if wrote_header:
+                # Strip the repeated ##maf header line from later blocks.
+                text = "\n".join(
+                    ln for ln in text.splitlines() if not ln.startswith("##maf")
+                )
+                if text and not text.endswith("\n"):
+                    text += "\n"
+            wrote_header = True
+            fh.write(text)
+    log.info("Wrote partitioned MAF to %s", path)
 
 
 def _write_partition_graph(

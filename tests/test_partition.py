@@ -210,3 +210,112 @@ def test_partition_combined_vcf(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert (out / "partitions.vcf").read_text().startswith("##fileformat")
+
+
+def test_partition_paf_output(chain_index, tmp_path):
+    """`partition -o paf` (extension: the reference's writer match,
+    partition.rs:1428-1505, has no PAF arm) — interval-level PAF rows, one
+    file per partition, query intervals identical to the BED partition."""
+    index, seqs = chain_index
+    part.partition_alignments(
+        index,
+        2500,
+        merge_distance=100,
+        min_missing_size=200,
+        min_boundary_distance=200,
+        separate_files=True,
+        output_format="paf",
+        output_folder=str(tmp_path / "paf"),
+    )
+    part.partition_alignments(
+        index,
+        2500,
+        merge_distance=100,
+        min_missing_size=200,
+        min_boundary_distance=200,
+        separate_files=True,
+        output_format="bed",
+        output_folder=str(tmp_path / "bed"),
+    )
+    pafs = sorted((tmp_path / "paf").glob("partition*.paf"))
+    beds = sorted((tmp_path / "bed").glob("partition*.bed"))
+    assert pafs and len(pafs) == len(beds)
+    for paf_f, bed_f in zip(pafs, beds):
+        paf_rows = [ln.split("\t") for ln in paf_f.read_text().splitlines()]
+        bed_rows = [ln.split("\t") for ln in bed_f.read_text().splitlines()]
+        assert len(paf_rows) == len(bed_rows)
+        for pr, br in zip(paf_rows, bed_rows):
+            assert len(pr) >= 12
+            # Query columns mirror the BED interval.
+            assert pr[0] == br[0] and pr[2] == br[1] and pr[3] == br[2]
+            q_len, qs, qe = int(pr[1]), int(pr[2]), int(pr[3])
+            ts, te = int(pr[7]), int(pr[8])
+            assert 0 <= qs <= qe <= q_len
+            assert 0 <= ts <= te <= int(pr[6])
+            assert pr[4] in "+-"
+            matches, block = int(pr[9]), int(pr[10])
+            assert matches == min(qe - qs, te - ts)
+            assert block == max(qe - qs, te - ts)
+
+
+def test_partition_paf_single_file(chain_index, tmp_path):
+    """Collected-mode partitions.paf with pn:i tags matches partitions.bed."""
+    index, seqs = chain_index
+    part.partition_alignments(
+        index, 2500, merge_distance=100, min_missing_size=200,
+        min_boundary_distance=200, output_format="paf",
+        output_folder=str(tmp_path / "paf"),
+    )
+    part.partition_alignments(
+        index, 2500, merge_distance=100, min_missing_size=200,
+        min_boundary_distance=200, output_format="bed",
+        output_folder=str(tmp_path / "bed"),
+    )
+    paf_rows = [
+        ln.split("\t")
+        for ln in (tmp_path / "paf" / "partitions.paf").read_text().splitlines()
+    ]
+    bed_rows = [
+        ln.split("\t")
+        for ln in (tmp_path / "bed" / "partitions.bed").read_text().splitlines()
+    ]
+    assert paf_rows and len(paf_rows) == len(bed_rows)
+    for pr, br in zip(paf_rows, bed_rows):
+        assert pr[0] == br[0] and pr[2] == br[1] and pr[3] == br[2]
+        assert pr[12] == f"pn:i:{br[3]}"
+
+
+def test_partition_single_file_fasta_maf(tmp_path):
+    """Collected-mode partitions.fasta / partitions.maf (extension: the
+    reference rejects non-BED single-file output, main.rs:6368)."""
+    import random
+
+    from tests import datagen
+    from tests.test_cli import run_cli
+
+    rng = random.Random(15)
+    text, seqs, alns, seq_data = datagen.mutate_chain_paf(
+        rng, n_seqs=3, seq_len=6000, return_sequences=True
+    )
+    paf = tmp_path / "p.paf"
+    paf.write_text(text)
+    fa = str(tmp_path / "p.fa")
+    datagen.write_fasta(fa, seq_data)
+    out = tmp_path / "parts"
+    r = run_cli(
+        "partition", "-a", str(paf), "-w", "3k", "-d", "100",
+        "-o", "fasta", "--sequence-files", fa, "--output-folder", str(out),
+    )
+    assert r.returncode == 0, r.stderr
+    fasta_text = (out / "partitions.fasta").read_text()
+    assert fasta_text.startswith(">")
+    assert " pn:" in fasta_text
+    r = run_cli(
+        "partition", "-a", str(paf), "-w", "3k", "-d", "100",
+        "-o", "maf", "--sequence-files", fa, "--output-folder", str(out),
+    )
+    assert r.returncode == 0, r.stderr
+    maf_text = (out / "partitions.maf").read_text()
+    assert maf_text.startswith("##maf")
+    assert maf_text.count("##maf") == 1
+    assert maf_text.count("\na ") >= 1

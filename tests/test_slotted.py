@@ -51,14 +51,18 @@ def _collect(stream):
     return rows
 
 
-@pytest.mark.parametrize("fields", [
-    None, engine.LEAN_FIELDS, engine.LEAN_STATS_FIELDS,
+# Explicit combo list: (approximate=True, fields=None) is not a valid
+# configuration — the approximate path always streams lean stats — so it is
+# excluded rather than skipped at runtime (keeps the suite at zero skips).
+@pytest.mark.parametrize("fields,approximate", [
+    (None, False),
+    (engine.LEAN_FIELDS, False),
+    (engine.LEAN_STATS_FIELDS, False),
+    (engine.LEAN_FIELDS, True),
+    (engine.LEAN_STATS_FIELDS, True),
 ])
-@pytest.mark.parametrize("approximate", [False, True])
 def test_slotted_equals_windowed(setup, fields, approximate):
     index, tids, q_s, q_e = setup
-    if approximate and fields is None:
-        pytest.skip("approximate path always streams lean stats")
     slotted = DeviceEngine(
         index, with_tracepoints=True, k_slot=8, slot_chunk=32,
         slotted=True,
