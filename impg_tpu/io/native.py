@@ -25,14 +25,35 @@ _lib = None
 _load_attempted = False
 
 
+def _host_supports_avx2() -> bool:
+    """True only when the running CPU reports AVX2.
+
+    Gating on compile success is not enough: g++ compiles AVX2 code on any
+    x86 host, and the resulting .so would SIGILL at runtime on a pre-AVX2
+    CPU.  /proc/cpuinfo's flags line reflects the actual hardware (Linux);
+    on other platforms we conservatively skip the flag (the kernels are
+    autovectorized, not intrinsics, so baseline codegen stays correct).
+    """
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    return "avx2" in line.split(":", 1)[1].split()
+    except OSError:
+        pass
+    return False
+
+
 def _build() -> bool:
     srcs = [os.path.join(_NATIVE_DIR, f) for f in _SRC_NAMES]
     if not all(os.path.exists(s) for s in srcs):
         return False
     # Flags must match native/Makefile — notably -mavx2, which the POA
     # kernel's vectorized pass relies on (8 int32 lanes vs SSE2's 4).
-    # Fall back to the baseline ISA if the AVX2 build fails (non-x86).
-    for isa in (["-mavx2"], []):
+    # -mavx2 is added only when the host CPU actually has it; a plain
+    # baseline build remains as the fallback ISA and for non-x86.
+    isa_choices = ([["-mavx2"], []] if _host_supports_avx2() else [[]])
+    for isa in isa_choices:
         try:
             subprocess.run(
                 ["g++", "-O3", *isa, "-std=c++17", "-fPIC", "-pthread",

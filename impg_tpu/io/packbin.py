@@ -89,8 +89,19 @@ def read_packbin(path: str):
     node_ids = (nz + 1).astype(np.int64)
     counts = dense[nz].astype(np.int64)
     if ovf.size:
-        # Overflow rows replace the saturated 255 entries.
-        idx = np.searchsorted(node_ids, ovf["node"].astype(np.int64))
+        # Overflow rows replace the saturated 255 entries.  Each overflow
+        # node must exist in the dense nonzero set — on a corrupt or
+        # inconsistent file searchsorted would return an insertion point
+        # and silently overwrite (or index past) the wrong node's count.
+        ovf_nodes = ovf["node"].astype(np.int64)
+        idx = np.searchsorted(node_ids, ovf_nodes)
+        valid = (idx < node_ids.size) & (node_ids[np.minimum(idx, node_ids.size - 1)] == ovf_nodes)
+        if not np.all(valid):
+            bad = ovf_nodes[~valid][:5]
+            raise ValueError(
+                f"{path}: overflow table references nodes absent from the "
+                f"dense vector (e.g. {bad.tolist()})"
+            )
         counts[idx] = ovf["count"].astype(np.int64)
     meta = dict(
         universe_nodes=int(universe),
@@ -118,6 +129,16 @@ def write_packbin(
 
     node_ids = np.asarray(node_ids, np.int64)
     counts = np.asarray(counts, np.int64)
+    # Reference-side header guards (pack.rs write_binary): a zero or
+    # >u32 block size, or a >u32 universe, would produce headers the
+    # reference rejects on read.
+    if not 0 < block_size <= 0xFFFFFFFF:
+        raise ValueError(f"block_size must be in 1..=u32::MAX, got {block_size}")
+    if not 0 <= universe_nodes <= 0xFFFFFFFF:
+        raise ValueError(
+            f"universe_nodes must fit in u32 (IMPGPKB1 node ids are u32), "
+            f"got {universe_nodes}"
+        )
     if node_ids.size and (
         int(node_ids.min()) < 1 or int(node_ids.max()) > universe_nodes
     ):

@@ -172,12 +172,20 @@ class SyngIndex:
                 np.concatenate(fwd_parts) if fwd_parts
                 else np.zeros(0, bool)
             )
-        # Occurrences arrive (seq, pos)-ordered from extraction (sids
-        # monotone unless a name recurs), so a STABLE sort by ids alone
-        # equals the full (ids, seq, pos) lexsort; the native radix
-        # argsort does it ~10x faster than np.lexsort.
+        # Occurrences arrive (seq, pos)-ordered from extraction, so a
+        # STABLE sort by ids alone equals the full (ids, seq, pos)
+        # lexsort; the native radix argsort does it ~10x faster than
+        # np.lexsort.  The precondition is checked on BOTH keys: sids
+        # monotone AND positions ascending within each equal-sid run —
+        # two input sequences sharing a name dedup to one sid
+        # (SequenceIndex.get_or_insert_id), which keeps occ_seq monotone
+        # while positions restart, so a seq-only check would silently
+        # diverge from the documented lexsort order.
         order = None
-        if occ_seq.size == 0 or np.all(occ_seq[1:] >= occ_seq[:-1]):
+        if occ_seq.size == 0 or np.all(
+            (occ_seq[1:] > occ_seq[:-1])
+            | ((occ_seq[1:] == occ_seq[:-1]) & (occ_pos[1:] >= occ_pos[:-1]))
+        ):
             from impg_tpu.io import native as _native
 
             order = _native.radix_argsort_u64(occ_ids)

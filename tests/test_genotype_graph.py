@@ -339,3 +339,35 @@ def test_cli_graph_pack_reference_tsv(graph_panel, tmp_path):
     r_bin = run_cli("genotype", "cos", "--graph", gfa_path, "--pack",
                     pack_path)
     assert r_tsv.stdout == r_bin.stdout
+
+
+def test_packbin_validation_guards():
+    """Writer mirrors pack.rs's header guards (block_size in 1..=u32::MAX,
+    u32 universe); reader rejects an overflow table whose node is absent
+    from the dense vector instead of silently patching a neighbor."""
+    import struct
+    import tempfile, os
+
+    import numpy as np
+
+    from impg_tpu.io import packbin
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "g.pack")
+        with pytest.raises(ValueError):
+            packbin.write_packbin(p, [1], [1], 10, block_size=0)
+        with pytest.raises(ValueError):
+            packbin.write_packbin(p, [1], [1], 10, block_size=1 << 32)
+        with pytest.raises(ValueError):
+            packbin.write_packbin(p, [1], [1], 1 << 32)
+        # Build a valid pack with one overflow row, then corrupt the
+        # overflow node id to one with a zero dense count.
+        packbin.write_packbin(p, [2, 5], [300, 7], 10)
+        data = bytearray(open(p, "rb").read())
+        (_, _, _, _, _, _, _, _, _, _, overflow_len, _, ovf_off, _
+         ) = packbin._HEADER.unpack_from(data, 0)
+        assert overflow_len == 1
+        struct.pack_into("<I", data, ovf_off, 9)  # node 9 has count 0
+        open(p, "wb").write(bytes(data))
+        with pytest.raises(ValueError, match="overflow table"):
+            packbin.read_packbin(p)

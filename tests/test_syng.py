@@ -301,3 +301,23 @@ def test_syng_repair(tmp_path):
     r = run_cli("syng-repair", prefix)
     assert r.returncode == 1
     assert "rebuild" in r.stderr
+
+
+def test_syng_build_duplicate_names_matches_lexsort():
+    """Two input sequences sharing a name dedup to one sid, which keeps
+    occ_seq monotone while positions restart — the radix shortcut must
+    detect this and fall back to the full (ids, seq, pos) lexsort."""
+    rng = random.Random(77)
+    bases = "ACGT"
+    s1 = "".join(rng.choice(bases) for _ in range(3000)).encode()
+    s2 = "".join(rng.choice(bases) for _ in range(2500)).encode()
+    # Adjacent same-named DIFFERENT sequences: occ_seq stays monotone
+    # ([0..0,0..0,1..1]) but positions restart inside the sid-0 run — the
+    # case a seq-only monotonicity check misses.  s1b shares s1's middle
+    # kilobase shifted to its front, so shared syncmer ids occur at
+    # strictly smaller positions in the second part.
+    s1b = s1[1000:2000] + s2[:1500]
+    dup = SyngIndex.build([("a", s1), ("a", s1b), ("b", s2)])
+    keys = list(zip(dup.occ_ids.tolist(), dup.occ_seq.tolist(),
+                    dup.occ_pos.tolist()))
+    assert keys == sorted(keys)
