@@ -90,44 +90,146 @@ class DirectedRecords:
         )
 
 
-@dataclass
 class CigarArena:
-    runs: np.ndarray  # uint32 packed (op, len)
-    cum_t: np.ndarray  # int32 — absolute target coord at run start
-    cum_q: np.ndarray  # int32 — absolute query pos at run start (walk order)
-    cum_match: np.ndarray  # int32 — '='/'M' bp before this run
-    cum_mm: np.ndarray  # int32 — 'X' bp before this run
-    cum_icnt: np.ndarray  # int32 — count of 'I' runs before this run
-    cum_dcnt: np.ndarray  # int32 — count of 'D' runs before this run
-    cum_ibp: np.ndarray  # int32 — 'I' bp before this run
-    cum_dbp: np.ndarray  # int32 — 'D' bp before this run
-    irun_before: np.ndarray  # int32 — contiguous 'I' runs immediately before
-    irun_after: np.ndarray  # int32 — contiguous 'I' runs immediately after
+    """Run arena with eager projection arrays and lazily-derived stats.
+
+    Eager (every projection touches them — 20 B/run resident):
+      runs          uint32 packed (op, len)
+      cum_t         int32 — absolute target coord at run start
+      cum_q         int32 — absolute query pos at run start (walk order)
+      irun_before   int32 — contiguous 'I' runs immediately before
+      irun_after    int32 — contiguous 'I' runs immediately after
+
+    Lazy identity-statistics block (another 24 B/run, derived from `runs`
+    on first access — only min-identity filtering and PAF/BEDPE stat
+    output need it, the dominant `-o bed` path never does):
+      cum_match / cum_mm / cum_icnt / cum_dcnt / cum_ibp / cum_dbp
+
+    Laziness needs `seg_offsets` (the ordered per-record run-segment
+    boundaries, n_segments+1 int64): the prefix sums restart per record.
+    Constructors created by `build_directed` carry it; a v2 artifact or a
+    direct construction may instead pass the stats arrays eagerly.
+    """
+
+    EAGER_FIELDS = ("runs", "cum_t", "cum_q", "irun_before", "irun_after")
+    STATS_FIELDS = (
+        "cum_match", "cum_mm", "cum_icnt", "cum_dcnt", "cum_ibp", "cum_dbp",
+    )
+
+    def __init__(
+        self,
+        runs,
+        cum_t,
+        cum_q,
+        cum_match=None,
+        cum_mm=None,
+        cum_icnt=None,
+        cum_dcnt=None,
+        cum_ibp=None,
+        cum_dbp=None,
+        irun_before=None,
+        irun_after=None,
+        *,
+        seg_offsets=None,
+    ):
+        self.runs = runs
+        self.cum_t = cum_t
+        self.cum_q = cum_q
+        self.irun_before = irun_before
+        self.irun_after = irun_after
+        self._seg_offsets = seg_offsets
+        stats = (cum_match, cum_mm, cum_icnt, cum_dcnt, cum_ibp, cum_dbp)
+        if any(s is not None for s in stats):
+            if any(s is None for s in stats):
+                raise ValueError("stats arrays must be given together")
+            self._stats = dict(zip(self.STATS_FIELDS, stats))
+        else:
+            self._stats = None
+
+    # ── lazy stats ───────────────────────────────────────────────────
+    @property
+    def stats_materialized(self) -> bool:
+        return self._stats is not None
+
+    def attach_seg_offsets(self, seg_offsets: np.ndarray) -> None:
+        self._seg_offsets = seg_offsets
+
+    @property
+    def seg_offsets(self):
+        return self._seg_offsets
+
+    def _ensure_stats(self) -> dict:
+        if self._stats is None:
+            if self._seg_offsets is None:
+                raise RuntimeError(
+                    "CigarArena stats requested but neither stats arrays "
+                    "nor seg_offsets were provided"
+                )
+            self._stats = _build_stats(self.runs, self._seg_offsets)
+        return self._stats
+
+    def __getattr__(self, name):
+        # Only reached when normal attribute lookup fails — i.e. the six
+        # lazy stats fields.
+        if name in CigarArena.STATS_FIELDS:
+            return self._ensure_stats()[name]
+        raise AttributeError(name)
 
     @property
     def n_ops(self) -> int:
         return self.runs.size
 
-    def projection_kwargs(self) -> dict:
-        """Arena arrays keyed for ops.projection.project_batch."""
-        return dict(
+    def projection_kwargs(self, with_stats: bool = True) -> dict:
+        """Arena arrays keyed for ops.projection.project_batch.
+
+        `with_stats=False` returns only the eager projection core —
+        callers running lean (interval-only) projections avoid
+        materializing the 24 B/run stats block."""
+        out = dict(
             runs=self.runs,
             cum_t=self.cum_t,
             cum_q=self.cum_q,
-            cum_match=self.cum_match,
-            cum_mm=self.cum_mm,
-            cum_icnt=self.cum_icnt,
-            cum_dcnt=self.cum_dcnt,
-            cum_ibp=self.cum_ibp,
-            cum_dbp=self.cum_dbp,
             irun_before=self.irun_before,
             irun_after=self.irun_after,
         )
+        if with_stats:
+            out.update(self._ensure_stats())
+        return out
 
     @classmethod
     def empty(cls) -> "CigarArena":
         z = np.zeros(0, np.int32)
-        return cls(np.zeros(0, np.uint32), z, z, z, z, z, z, z, z, z, z)
+        return cls(
+            np.zeros(0, np.uint32), z, z, z, z, z, z, z, z, z, z,
+            seg_offsets=np.zeros(1, np.int64),
+        )
+
+
+def _build_stats(runs: np.ndarray, offsets: np.ndarray) -> dict:
+    """Derive the identity-statistics prefix block from packed runs.
+
+    Depends only on the runs and the ordered segment boundaries (the
+    per-record prefix sums restart at zero), so it can run lazily long
+    after the arena was built or loaded."""
+    lens = cigar.run_len(runs).astype(np.int64)
+    ops = cigar.run_op(runs)
+    zeros = np.zeros(len(offsets) - 1, dtype=np.int64)
+    is_match = (ops == cigar.OP_EQ) | (ops == cigar.OP_M)
+    is_x = ops == cigar.OP_X
+    is_i = ops == cigar.OP_I
+    is_d = ops == cigar.OP_D
+
+    def cum(vals):
+        return segmented_exclusive_cumsum(vals, offsets, zeros).astype(np.int32)
+
+    return dict(
+        cum_match=cum(np.where(is_match, lens, 0)),
+        cum_mm=cum(np.where(is_x, lens, 0)),
+        cum_icnt=cum(is_i.astype(np.int64)),
+        cum_dcnt=cum(is_d.astype(np.int64)),
+        cum_ibp=cum(np.where(is_i, lens, 0)),
+        cum_dbp=cum(np.where(is_d, lens, 0)),
+    )
 
 
 def _build_cums(
@@ -137,22 +239,17 @@ def _build_cums(
     q_base: np.ndarray,
     strand: np.ndarray,
 ) -> CigarArena:
-    """Compute all per-run prefix arrays for a run arena."""
+    """Compute the eager per-run prefix arrays for a run arena.
+
+    The identity-statistics block is NOT computed here — the returned
+    arena derives it lazily from (runs, offsets) on first access."""
     lens = cigar.run_len(runs).astype(np.int64)
     ops = cigar.run_op(runs)
     tdelta = np.where(cigar.consumes_target(ops), lens, 0)
     counts = np.diff(offsets)
     sign = np.where(np.repeat(strand, counts) == 0, 1, -1)
     qdelta = np.where(cigar.consumes_query(ops), lens * sign, 0)
-
-    zeros = np.zeros(len(offsets) - 1, dtype=np.int64)
-    is_match = (ops == cigar.OP_EQ) | (ops == cigar.OP_M)
-    is_x = ops == cigar.OP_X
     is_i = ops == cigar.OP_I
-    is_d = ops == cigar.OP_D
-
-    def cum(vals):
-        return segmented_exclusive_cumsum(vals, offsets, zeros).astype(np.int32)
 
     # Contiguous 'I'-run lengths around each run, segment-aware (used for the
     # boundary insertion inclusion rule of the reference walk).
@@ -178,14 +275,9 @@ def _build_cums(
         runs=runs,
         cum_t=segmented_exclusive_cumsum(tdelta, offsets, t_base).astype(np.int32),
         cum_q=segmented_exclusive_cumsum(qdelta, offsets, q_base).astype(np.int32),
-        cum_match=cum(np.where(is_match, lens, 0)),
-        cum_mm=cum(np.where(is_x, lens, 0)),
-        cum_icnt=cum(is_i.astype(np.int64)),
-        cum_dcnt=cum(is_d.astype(np.int64)),
-        cum_ibp=cum(np.where(is_i, lens, 0)),
-        cum_dbp=cum(np.where(is_d, lens, 0)),
         irun_before=irun_before,
         irun_after=irun_after,
+        seg_offsets=offsets.astype(np.int64),
     )
 
 

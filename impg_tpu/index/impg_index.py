@@ -24,8 +24,15 @@ from impg_tpu.core.arena import CigarArena, DirectedRecords
 from impg_tpu.core.seqidx import SequenceIndex
 from impg_tpu.io import paf as paf_mod
 
-INDEX_VERSION = 2
+INDEX_VERSION = 3
 INDEX_SUFFIX = ".impgt"
+
+
+def _seg_offsets_tail(part: "ImpgIndex") -> np.ndarray:
+    """A part's ordered segment boundaries without the leading 0 (for
+    concatenation after a shared [0] head)."""
+    full = ImpgIndex.derive_seg_offsets(part.records, part.arena.n_ops)
+    return full[1:]
 
 
 @dataclass
@@ -142,9 +149,14 @@ class ImpgIndex:
                 )
             maps.append(m)
         rec_parts: list[DirectedRecords] = []
-        arena_cols: dict[str, list[np.ndarray]] = {
-            f: [] for f in CigarArena.__dataclass_fields__
-        }
+        # Stats columns concatenate only when every part has them
+        # materialized; otherwise the merged arena re-derives lazily.
+        all_stats = all(p.arena.stats_materialized for p in parts)
+        fields = CigarArena.EAGER_FIELDS + (
+            CigarArena.STATS_FIELDS if all_stats else ()
+        )
+        arena_cols: dict[str, list[np.ndarray]] = {f: [] for f in fields}
+        seg_parts: list[np.ndarray] = [np.zeros(1, np.int64)]
         arena_base = 0
         rec_base = 0
         for p, m in zip(parts, maps):
@@ -166,14 +178,28 @@ class ImpgIndex:
             )
             for f in arena_cols:
                 arena_cols[f].append(getattr(p.arena, f))
+            seg_parts.append(_seg_offsets_tail(p) + arena_base)
             arena_base += p.arena.n_ops
             if len(r):
                 rec_base += int(r.rec_id.max()) + 1
         records = DirectedRecords.concatenate(rec_parts)
         arena = CigarArena(
-            **{f: np.concatenate(cols) for f, cols in arena_cols.items()}
+            **{f: np.concatenate(cols) for f, cols in arena_cols.items()},
+            seg_offsets=np.concatenate(seg_parts),
         )
         return cls._finalize(seq_index, records, arena, files)
+
+    @staticmethod
+    def derive_seg_offsets(records: DirectedRecords, n_ops: int) -> np.ndarray:
+        """Ordered run-segment boundaries from (possibly sorted) records.
+
+        Record segments are contiguous and disjoint in the arena, so the
+        sorted op_off values plus the arena length are exactly the
+        segment boundaries the lazy stats builder needs."""
+        return np.concatenate(
+            [np.sort(records.op_off.astype(np.int64)),
+             np.array([n_ops], np.int64)]
+        )
 
     # ── stabbing ─────────────────────────────────────────────────────
     def stab(self, target_id: int, start: int, end: int) -> np.ndarray:
@@ -195,6 +221,12 @@ class ImpgIndex:
 
     # ── serialization ────────────────────────────────────────────────
     def save(self, path: str) -> None:
+        """Write the v3 artifact: only the eager arena arrays.
+
+        The identity-statistics block (24 B/run) is never persisted —
+        it derives lazily from the runs after load, which keeps the
+        artifact and the resident footprint at 20 B/run for the dominant
+        interval-only query paths."""
         names, lengths = self.seq_index.to_arrays()
         np.savez(
             path if path.endswith(".npz") else path + ".npz",
@@ -204,7 +236,7 @@ class ImpgIndex:
             files=np.array(self.alignment_files, dtype=str),
             tgt_offsets=self.tgt_offsets,
             **{f"rec_{k}": getattr(self.records, k) for k in self.records.__dataclass_fields__},
-            **{f"arena_{k}": getattr(self.arena, k) for k in self.arena.__dataclass_fields__},
+            **{f"arena_{k}": getattr(self.arena, k) for k in CigarArena.EAGER_FIELDS},
         )
         # numpy appends .npz; normalize to the requested path.
         if not path.endswith(".npz") and os.path.exists(path + ".npz"):
@@ -214,7 +246,7 @@ class ImpgIndex:
     def load(cls, path: str) -> "ImpgIndex":
         with np.load(path, allow_pickle=False) as z:
             version = int(z["version"])
-            if version != INDEX_VERSION:
+            if version not in (2, INDEX_VERSION):
                 raise ValueError(
                     f"Index {path} has version {version}, expected {INDEX_VERSION}"
                 )
@@ -222,9 +254,14 @@ class ImpgIndex:
             records = DirectedRecords(
                 **{k: z[f"rec_{k}"] for k in DirectedRecords.__dataclass_fields__}
             )
-            arena = CigarArena(
-                **{k: z[f"arena_{k}"] for k in CigarArena.__dataclass_fields__}
+            fields = CigarArena.EAGER_FIELDS + (
+                CigarArena.STATS_FIELDS if version == 2 else ()
             )
+            arena = CigarArena(**{k: z[f"arena_{k}"] for k in fields})
+            if not arena.stats_materialized:
+                arena.attach_seg_offsets(
+                    cls.derive_seg_offsets(records, arena.n_ops)
+                )
             return cls(
                 seq_index=seq_index,
                 records=records,

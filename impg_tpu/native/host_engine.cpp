@@ -554,6 +554,19 @@ void* he_create(int64_t n_records, const int32_t* tgt, const int32_t* qid,
 
 void he_destroy(void* h) { delete (HostEngine*)h; }
 
+// Attach the identity-statistics prefix arrays after creation.  The
+// engine only dereferences them under a min-identity gate, so callers
+// with lazily-derived stats (arena v3) bind them on first use instead
+// of paying the 24 B/run materialization for interval-only walks.
+void he_set_stats(void* h, const int32_t* cum_match, const int32_t* cum_mm,
+                  const int32_t* cum_icnt, const int32_t* cum_dcnt) {
+    auto* E = (HostEngine*)h;
+    E->cm = cum_match;
+    E->cmm = cum_mm;
+    E->cic = cum_icnt;
+    E->cdc = cum_dcnt;
+}
+
 // Materialize the resident ASCII CIGAR blob for mode 2 "paf" from the
 // run arena (decimal length + op char per run — the cg:Z: bytes the
 // reference re-parses per projection).  Idempotent; returns blob bytes.

@@ -95,8 +95,7 @@ class DeviceIndex:
 
         arena = {
             k: jnp.asarray(v)
-            for k, v in index.arena.projection_kwargs().items()
-            if stats or k in cls.PROJECTION_CORE
+            for k, v in index.arena.projection_kwargs(with_stats=stats).items()
         }
         tp_arrays = None
         tp_spacing = 0

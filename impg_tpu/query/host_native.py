@@ -70,6 +70,8 @@ def _lib():
         ]
         lib.he_build_cigar_text.restype = ctypes.c_int64
         lib.he_build_cigar_text.argtypes = [ctypes.c_void_p]
+        lib.he_set_stats.restype = None
+        lib.he_set_stats.argtypes = [ctypes.c_void_p, i32p, i32p, i32p, i32p]
         lib.he_set_tracepoints.restype = None
         lib.he_set_tracepoints.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, i64p, i32p, i32p, i64p, i64p,
@@ -121,7 +123,9 @@ class NativeHostEngine:
         r = index.records
         a = index.arena
         c = np.ascontiguousarray
-        # Keep every borrowed buffer alive on self.
+        # Keep every borrowed buffer alive on self.  The identity-stat
+        # prefix arrays are attached lazily (he_set_stats) only when a
+        # min-identity run needs them — never for interval-only walks.
         self._keep = dict(
             tgt=c(r.target_id, np.int32),
             qid=c(r.query_id, np.int32),
@@ -137,19 +141,37 @@ class NativeHostEngine:
             cum_q=c(a.cum_q, np.int32),
             irb=c(a.irun_before, np.int32),
             ira=c(a.irun_after, np.int32),
+        )
+        self._stats_set = False
+        k = self._keep
+        dummy = np.zeros(0, np.int32)
+        self._keep["stats_dummy"] = dummy
+        self._h = lib.he_create(
+            len(r), k["tgt"], k["qid"], k["ts"], k["te"], k["strand"],
+            k["op_off"], k["op_cnt"], len(index.seq_index), k["tgt_off"],
+            k["seq_lens"], a.n_ops, k["runs"], k["cum_t"], k["cum_q"],
+            k["irb"], k["ira"], dummy, dummy, dummy, dummy,
+        )
+
+    def _ensure_stats(self) -> None:
+        """Attach the identity-stat prefix arrays (materializing the
+        arena's lazy stats block on first min-identity use)."""
+        if self._stats_set:
+            return
+        a = self._index.arena
+        c = np.ascontiguousarray
+        self._keep.update(
             cum_match=c(a.cum_match, np.int32),
             cum_mm=c(a.cum_mm, np.int32),
             cum_icnt=c(a.cum_icnt, np.int32),
             cum_dcnt=c(a.cum_dcnt, np.int32),
         )
         k = self._keep
-        self._h = lib.he_create(
-            len(r), k["tgt"], k["qid"], k["ts"], k["te"], k["strand"],
-            k["op_off"], k["op_cnt"], len(index.seq_index), k["tgt_off"],
-            k["seq_lens"], a.n_ops, k["runs"], k["cum_t"], k["cum_q"],
-            k["irb"], k["ira"], k["cum_match"], k["cum_mm"],
-            k["cum_icnt"], k["cum_dcnt"],
+        self._lib.he_set_stats(
+            self._h, k["cum_match"], k["cum_mm"], k["cum_icnt"],
+            k["cum_dcnt"],
         )
+        self._stats_set = True
 
     def close(self):
         if self._h is not None:
@@ -187,6 +209,8 @@ class NativeHostEngine:
         threads = threads or self.threads
         if approximate and not self._tp_set:
             self._attach_tracepoints()
+        if min_identity is not None:
+            self._ensure_stats()
         if mode == "paf":
             self.ensure_paf_baseline()
         q_tid = np.ascontiguousarray([t[0] for t in targets], np.int32)

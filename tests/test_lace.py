@@ -365,11 +365,11 @@ def test_cli_lace_vcf_auto(tmp_path):
     assert "##contig=<ID=chrX,length=80>" in body
 
 
-def test_cli_partition_rejects_paf_like_reference(tmp_path):
+def test_cli_partition_accepts_paf_extension(tmp_path):
     """The reference validates partition output to bed/gfa/vcf/maf/fasta
-    ONLY (main.rs Args::Partition arm: validate_output_format(&output_format,
-    &["bed","gfa","vcf","maf","fasta"])) — there is no partition PAF writer
-    in partition.rs.  Pin that we mirror the rejection."""
+    ONLY (partition.rs:1428-1505 has no PAF arm).  Since round 5 we accept
+    `-o paf` as a documented extension (interval-level PAF rows); pin that
+    the CLI takes it and writes partitions.paf."""
     import random
 
     from tests import datagen
@@ -381,5 +381,5 @@ def test_cli_partition_rejects_paf_like_reference(tmp_path):
     paf.write_text(text)
     r = run_cli("partition", "-a", str(paf), "-w", "1000", "-d", "100",
                 "-o", "paf", cwd=str(tmp_path))
-    assert r.returncode == 2
-    assert "invalid choice" in r.stderr
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "partitions.paf").exists()
