@@ -444,6 +444,20 @@ def _device_wanted(args) -> bool:
     return spec in ("device", "mesh")
 
 
+def _device_tristate(args) -> bool | None:
+    """True for explicit device/mesh, None for auto (the callee applies
+    the measured crossover — genotype/core.auto_device_for_dense), False
+    for host/native.  This is how `auto` gets to pick the TPU for the
+    MXU-shaped commands now that the crossover is measured (round-5
+    bench genotype_e2e row), replacing the old blanket host default."""
+    spec = getattr(args, "compute_engine", "auto") or "auto"
+    if spec in ("device", "mesh"):
+        return True
+    if spec == "auto":
+        return None
+    return False
+
+
 def _is_output_process() -> bool:
     """False on non-primary processes of a multi-process mesh run."""
     try:
@@ -1631,6 +1645,8 @@ def cmd_genotype(args) -> int:
             ploidy=args.ploidy,
             contribution_model=args.contribution_model,
             sample_counts=sample_counts,
+            device=_device_tristate(args),
+            top_n=args.top_n,
         )
         if not results:
             print("error: no graph candidates found", file=sys.stderr)
@@ -1671,7 +1687,7 @@ def cmd_genotype(args) -> int:
         top_n=args.top_n,
         max_combinations=args.max_combinations,
         mode=args.candidate_mode,
-        device=_device_wanted(args),
+        device=_device_tristate(args),
     )
     if not results:
         print("error: no candidates found for region", file=sys.stderr)

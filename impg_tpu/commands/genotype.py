@@ -94,24 +94,35 @@ def genotype_cos(
     top_n: int = 10,
     max_combinations: int = 1_000_000,
     mode: str = "overlapping",
-    device: bool = False,
+    device: bool | None = False,
 ):
     """Rank ploidy combinations of candidate haplotypes against the pack.
 
-    `device=True` (--compute-engine device/mesh/auto with an accelerator)
-    scores ploidy-2 combinations as one jitted Gram matmul over densified
-    candidate vectors (genotype/core.run_diploid_search_dense) — the MXU
-    path of SURVEY §7 step 11; other ploidies stay on the sparse host
-    search (reference genotyping.rs:334 run_cosine_combination_search).
-    """
+    `device=True` (--compute-engine device/mesh) scores ploidy-2
+    combinations as one jitted Gram matmul + on-device top-k over
+    densified candidate vectors (genotype/core.run_diploid_topk) — the
+    MXU path of SURVEY §7 step 11.  `device=None` (--compute-engine
+    auto) routes to the accelerator exactly when the measured crossover
+    says it wins end-to-end (core.auto_device_for_dense).  Other
+    ploidies stay on the sparse host search (reference
+    genotyping.rs:334 run_cosine_combination_search)."""
     candidates = find_candidates(index, target_name, start, end, mode=mode)
     if not candidates:
         return [], []
     universe = gt_core.feature_universe([c.features for c in candidates])
     uni_arr = np.asarray(universe, np.uint64)
     sample_counts_arr = pack.counts_for(uni_arr)
-    if device and ploidy == 2:
-        n = len(candidates)
+    n = len(candidates)
+    if device is None:  # --compute-engine auto: measured-crossover routing
+        device = ploidy == 2 and gt_core.auto_device_for_dense(
+            n, len(universe)
+        )
+    # Dense ploidy-2 scoring (host BLAS or MXU): one Gram matmul + top-k
+    # instead of the per-combination sparse walk.  The sparse search
+    # stays for small candidate sets (object cost negligible, exact
+    # integer arithmetic) and for ploidy != 2.
+    use_dense = ploidy == 2 and (device or n >= 64)
+    if use_dense:
         if n * (n + 1) // 2 > max_combinations:
             raise ValueError(
                 f"genotype combination search exceeded --max-combinations "
@@ -122,10 +133,11 @@ def genotype_cos(
         for ci, cand in enumerate(candidates):
             for fid, count in cand.features:
                 dense[ci, feat_pos[int(fid)]] += float(count)
-        results = gt_core.run_diploid_search_dense(
-            dense, sample_counts_arr.astype(np.float64), device=True
+        results = gt_core.run_diploid_topk(
+            dense, sample_counts_arr.astype(np.float64), top_n,
+            device=device,
         )
-        return candidates, results[:top_n]
+        return candidates, results
     sample_counts = {
         int(f): int(c) for f, c in zip(universe, sample_counts_arr)
     }

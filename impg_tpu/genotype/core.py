@@ -220,6 +220,140 @@ def diploid_cosine_matrix_device(candidates: np.ndarray, sample: np.ndarray):
     return np.asarray(sim), np.asarray(dot), np.asarray(comb_norm)
 
 
+def auto_device_for_dense(n: int, d: int) -> bool:
+    """Route dense diploid scoring to the accelerator when it wins e2e.
+
+    Measured on the v5e relay (round 5, bench detail.genotype_e2e): the
+    host f64 BLAS Gram runs at ~2e11 FLOP/s on this 4-core host, while
+    the device path costs one f32 candidate upload (~1.4 GiB/s measured
+    in <=48 MiB chunks) plus an MXU Gram that is effectively free.  The
+    2*C^2*D Gram FLOPs cross the upload+dispatch overhead at roughly
+    100 GFLOP (C=1024 x D=48k); below it a one-shot CLI run loses to
+    backend init.  Threshold override: IMPG_GT_DEVICE_GFLOP.  Returns
+    False when no non-CPU backend is reachable."""
+    import os
+
+    gflop = 2.0 * float(n) * n * d / 1e9
+    thresh = float(os.environ.get("IMPG_GT_DEVICE_GFLOP", "100"))
+    if gflop < thresh:
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
+_DIPLOID_TOPK = None
+
+
+def _diploid_topk_step(c, s, kk: int):
+    """Jitted Gram + upper-triangle top-k, everything on device.
+
+    Only `kk` (sim, dot, comb_norm, flat_index) rows return to the host —
+    the n^2 score matrix never leaves the chip.  kk is static (one
+    compile per (n, d, kk) bucket)."""
+    global _DIPLOID_TOPK
+    import jax
+    import jax.numpy as jnp
+
+    if _DIPLOID_TOPK is None:
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("kk",))
+        def step(c, s, kk):
+            proj = c @ s
+            gram = c @ c.T
+            norms_sq = jnp.diagonal(gram)
+            dot = proj[:, None] + proj[None, :]
+            comb_norm = jnp.sqrt(
+                norms_sq[:, None] + norms_sq[None, :] + 2.0 * gram
+            )
+            denom = jnp.sqrt(s @ s) * comb_norm
+            sim = jnp.where(denom > 0, dot / denom, 0.0)
+            n = c.shape[0]
+            upper = jnp.arange(n)[:, None] <= jnp.arange(n)[None, :]
+            flat = jnp.where(upper, sim, -jnp.inf).reshape(-1)
+            vals, idxs = jax.lax.top_k(flat, kk)
+            return (
+                vals,
+                idxs,
+                dot.reshape(-1)[idxs],
+                comb_norm.reshape(-1)[idxs],
+            )
+
+        _DIPLOID_TOPK = step
+    return _DIPLOID_TOPK(c, s, kk=kk)
+
+
+def run_diploid_topk(
+    candidates: np.ndarray,
+    sample: np.ndarray,
+    top_n: int,
+    device: bool = False,
+) -> list[CombinationScore]:
+    """Top-`top_n` ploidy-2 combinations WITHOUT materializing n^2 Python
+    scores (run_diploid_search_dense builds all of them — fine for tens
+    of candidates, ruinous for thousands).
+
+    device=False: float64 BLAS Gram on host + argpartition.
+    device=True:  float32 MXU Gram + on-device top-k; only ~4*top_n rows
+    cross the link.  Ordering is the exact reference comparator
+    (-similarity, -dot, combination asc) applied to the fetched head; the
+    head is oversized (4x + 64) so boundary ties cannot truncate the
+    reported top_n in practice."""
+    n = candidates.shape[0]
+    total = n * n
+    kk = int(min(total, max(4 * top_n, top_n + 64)))
+    sample_norm = math.sqrt(float(sample @ sample))
+    if device:
+        import jax.numpy as jnp
+
+        from impg_tpu.ops.xfer import device_put_chunked, enable_persistent_cache
+
+        enable_persistent_cache()
+        vals, idxs, dots, norms = _diploid_topk_step(
+            device_put_chunked(candidates, dtype=np.float32),
+            jnp.asarray(sample, jnp.float32),
+            kk,
+        )
+        vals = np.asarray(vals, np.float64)
+        idxs = np.asarray(idxs)
+        dots = np.asarray(dots, np.float64)
+        norms = np.asarray(norms, np.float64)
+        keep = np.isfinite(vals)
+        vals, idxs, dots, norms = (
+            vals[keep], idxs[keep], dots[keep], norms[keep]
+        )
+    else:
+        sim, dot, comb_norm = diploid_cosine_matrix(candidates, sample)
+        iu = np.triu_indices(n)
+        flat_idx = iu[0] * n + iu[1]
+        flat_sim = sim[iu]
+        if kk < flat_sim.size:
+            part = np.argpartition(-flat_sim, kk - 1)[:kk]
+        else:
+            part = np.arange(flat_sim.size)
+        vals = flat_sim[part]
+        idxs = flat_idx[part]
+        dots = dot.reshape(-1)[idxs]
+        norms = comb_norm.reshape(-1)[idxs]
+    results = [
+        CombinationScore(
+            combination=[int(fi // n), int(fi % n)],
+            similarity=float(v),
+            qv=qv_from_similarity(float(v)),
+            dot=float(d),
+            sample_norm=sample_norm,
+            genotype_norm=float(gn),
+        )
+        for v, fi, d, gn in zip(vals, idxs, dots, norms)
+    ]
+    results.sort(key=lambda c: (-c.similarity, -c.dot, c.combination))
+    return results[:top_n]
+
+
 def run_diploid_search_dense(
     candidates: np.ndarray, sample: np.ndarray, device: bool = False
 ) -> list[CombinationScore]:

@@ -205,8 +205,14 @@ def genotype_graph(
     ploidy: int = 2,
     contribution_model: str = "length-normalized",
     sample_counts: dict[int, float] | None = None,
+    device: bool | None = False,
+    top_n: int | None = None,
 ) -> tuple[list[GraphCandidate], list, str]:
-    """(candidates, ranked combination scores, region label)."""
+    """(candidates, ranked combination scores, region label).
+
+    `device` follows the genotype_cos tri-state: True = MXU Gram +
+    on-device top-k, None = auto (measured crossover,
+    core.auto_device_for_dense), False = sparse host search."""
     gfa = Gfa.parse(gfa_text)
     candidates, region = collect_graph_candidates(
         gfa, target_path, contribution_model
@@ -221,6 +227,24 @@ def genotype_graph(
         }
     feats = [c.features for c in candidates]
     universe = core.feature_universe(feats)
+    if device is None:
+        device = ploidy == 2 and core.auto_device_for_dense(
+            len(feats), len(universe)
+        )
+    if device and ploidy == 2 and feats:
+        feat_pos = {int(f): i for i, f in enumerate(universe)}
+        dense = np.zeros((len(feats), len(universe)), np.float64)
+        for ci, fl in enumerate(feats):
+            for fid, cnt in fl:
+                dense[ci, feat_pos[int(fid)]] += float(cnt)
+        sample_vec = np.zeros(len(universe), np.float64)
+        for f, c in sample_counts.items():
+            i = feat_pos.get(int(f))
+            if i is not None:
+                sample_vec[i] = float(c)
+        k = top_n if top_n is not None else len(feats) * (len(feats) + 1) // 2
+        results = core.run_diploid_topk(dense, sample_vec, k, device=True)
+        return candidates, results, region
     norm_sq = core.sample_norm_sq_for_features(sample_counts, universe)
     results = core.run_cosine_combination_search(
         feats, sample_counts, norm_sq, ploidy

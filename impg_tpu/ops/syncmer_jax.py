@@ -211,8 +211,10 @@ def map_reads_batched(
     """Device map_reads: same contract as syng/pack.map_reads (pack over
     the index universe, n_reads, n_matched), computed in fused device
     batches.  Bit-identical to the host path."""
+    from impg_tpu.ops.xfer import enable_persistent_cache
     from impg_tpu.syng.pack import Pack, read_sequences, universe_from_index
 
+    enable_persistent_cache()
     universe = universe_from_index(index)
     uh, ul = split_universe(universe)
     d_uh, d_ul = jnp.asarray(uh), jnp.asarray(ul)

@@ -1,0 +1,78 @@
+"""Host→device transfer helpers tuned for the axon relay.
+
+Measured (round 5, one v5e chip through the relay): single `device_put`
+calls sustain ~1.3-1.5 GiB/s for payloads up to ~48 MiB, but large
+single transfers can fall off a cliff (observed 10-13 MiB/s at 64 MiB
+under load).  Chunking a large array into ≤32 MiB pieces and
+concatenating on device holds the fast path (256 MiB measured at
+~1.46 GiB/s warm).  On a co-located runtime (PCIe/DMA) the chunking is
+harmless — one extra on-device concat.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+DEFAULT_CHUNK_BYTES = 32 << 20
+
+
+def enable_persistent_cache() -> None:
+    """Point jax at an on-disk compilation cache (idempotent).
+
+    The relay has no ambient persistent cache (jax_compilation_cache_dir
+    unset), so every fresh CLI process would pay the full ~30-70 s
+    remote compile per program.  With the cache on, a warm one-shot
+    `genotype cos --compute-engine auto` loads its executable in
+    seconds (measured round 5: 72 s cold -> ~5-20 s warm first call).
+    Override dir: IMPG_JAX_CACHE; respects an already-configured cache."""
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir:
+            return
+        d = os.path.expanduser(
+            os.environ.get("IMPG_JAX_CACHE", "~/.cache/impg_tpu/jax")
+        )
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def device_put_chunked(
+    x: np.ndarray,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    dtype=None,
+):
+    """jax.device_put in ≤chunk_bytes pieces along axis 0 (device concat).
+
+    Returns a device array equal to `jnp.asarray(x, dtype)`.  `dtype`
+    converts PER CHUNK, fusing the host-side cast into the upload loop —
+    a whole-matrix astype of a multi-GiB f64 array would cost seconds of
+    page faults before the first byte moves.  Falls back to one put for
+    small arrays."""
+    import jax
+    import jax.numpy as jnp
+
+    x = np.ascontiguousarray(x)
+    out_item = np.dtype(dtype).itemsize if dtype is not None else x.itemsize
+    out_bytes = x.size * out_item
+
+    def conv(a):
+        return a if dtype is None else np.asarray(a, dtype)
+
+    if out_bytes <= chunk_bytes or x.ndim == 0:
+        return jax.device_put(conv(x))
+    rows = x.shape[0]
+    row_bytes = max(1, out_bytes // max(1, rows))
+    rows_per = max(1, chunk_bytes // row_bytes)
+    if rows_per >= rows:
+        return jax.device_put(conv(x))
+    parts = [
+        jax.device_put(conv(x[off:off + rows_per]))
+        for off in range(0, rows, rows_per)
+    ]
+    return jnp.concatenate(parts, axis=0)

@@ -656,6 +656,9 @@ class DeviceEngine:
         k_slot: int = 128,
         slot_chunk: int = 2048,
     ):
+        from impg_tpu.ops.xfer import enable_persistent_cache
+
+        enable_persistent_cache()
         self.index = index
         self.dindex = DeviceIndex.build(index, with_tracepoints, stats=False)
         self.chunk = chunk

@@ -74,3 +74,27 @@ def test_dense_matches_sparse():
         assert a.combination == b.combination
         assert a.similarity == pytest.approx(b.similarity, rel=1e-9)
         assert a.dot == pytest.approx(b.dot, rel=1e-9)
+
+
+def test_diploid_topk_matches_dense_search():
+    """run_diploid_topk (host and device paths) returns exactly the head
+    of the full dense search under the reference comparator."""
+    rng = np.random.default_rng(9)
+    n, d = 40, 120
+    counts = rng.integers(0, 8, size=(n, d)).astype(np.float64)
+    # Duplicate rows to force score ties at the boundary.
+    counts[7] = counts[3]
+    counts[19] = counts[3]
+    sample_vec = rng.integers(0, 16, size=d).astype(np.float64)
+    full = core.run_diploid_search_dense(counts, sample_vec)
+    for device in (False, True):
+        for k in (1, 5, 25):
+            topk = core.run_diploid_topk(
+                counts, sample_vec, k, device=device
+            )
+            assert len(topk) == k
+            for a, b in zip(full[:k], topk):
+                assert a.combination == b.combination, (device, k)
+                rel = 1e-9 if not device else 5e-5
+                assert b.similarity == pytest.approx(a.similarity, rel=rel)
+                assert b.dot == pytest.approx(a.dot, rel=rel)
