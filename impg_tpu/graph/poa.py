@@ -8,6 +8,7 @@ GFA with per-sequence paths.
 from __future__ import annotations
 
 import ctypes
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -64,7 +65,46 @@ class PoaResult:
 
 
 def poa_align(sequences: list[bytes], scoring=DEFAULT_SCORING) -> PoaResult:
-    """Build a POA graph over `sequences` and return MSA + graph structure."""
+    """Build a POA graph over `sequences` and return MSA + graph structure.
+
+    Duplicate input sequences are aligned ONCE and their result rows
+    fanned back out (kill switch: IMPG_POA_DEDUP=0).  This is exact, not
+    approximate: a sequence identical to an already-threaded path aligns
+    onto that path's nodes (all-match is the optimum and the DP
+    tie-breaks deterministically), adding no nodes or edges and changing
+    only edge weights, which nothing downstream reads — so node ids,
+    edges, every later sequence's alignment, and all MSA rows are
+    byte-identical to the no-dedup run (fuzz-pinned in
+    tests/test_poa_similarity.py).  Pangenome smoothing blocks are
+    depth-heavy with few distinct haplotypes, so this cuts POA cell work
+    by the duplication factor."""
+    if len(sequences) > 1 and os.environ.get("IMPG_POA_DEDUP", "1") != "0":
+        first_of: dict[bytes, int] = {}
+        backref = []
+        order: list[bytes] = []
+        for s in sequences:
+            i = first_of.get(s)
+            if i is None:
+                i = len(order)
+                first_of[s] = i
+                order.append(s)
+            backref.append(i)
+        if len(order) < len(sequences):
+            r = _poa_align_raw(order, scoring)
+            return PoaResult(
+                msa=[r.msa[i] for i in backref],
+                node_bases=r.node_bases,
+                edges=r.edges,
+                # Weights reflect the deduped run (unused downstream).
+                edge_weights=r.edge_weights,
+                paths=[r.paths[i] for i in backref],
+            )
+    return _poa_align_raw(sequences, scoring)
+
+
+def _poa_align_raw(
+    sequences: list[bytes], scoring=DEFAULT_SCORING
+) -> PoaResult:
     lib = native.load()
     if lib is None:
         raise RuntimeError("native POA library unavailable (g++ build failed)")

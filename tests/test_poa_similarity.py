@@ -353,3 +353,48 @@ def test_group_intersection_matches_scalar_oracle():
             n_rows - 1
         ]
         assert group_intersection(msa, ia, ib) == oracle(msa, ia, ib)
+
+
+def test_poa_dedup_is_exact():
+    """poa_align's duplicate-sequence fan-out must be byte-identical to
+    the raw no-dedup run: same MSA rows, node bases, edges, paths."""
+    import os
+    import random as _random
+
+    import numpy as np
+
+    from impg_tpu.graph import poa as poa_mod
+
+    rng = _random.Random(21)
+    for trial in range(6):
+        base = "".join(rng.choice("ACGT") for _ in range(rng.randint(60, 200)))
+        variants = [base]
+        for _ in range(3):
+            v = list(base)
+            for _ in range(rng.randint(1, 6)):
+                p = rng.randrange(len(v))
+                op = rng.random()
+                if op < 0.5:
+                    v[p] = rng.choice("ACGT")
+                elif op < 0.75:
+                    v.insert(p, rng.choice("ACGT"))
+                else:
+                    del v[p]
+            variants.append("".join(v))
+        # Heavy duplication in arbitrary order.
+        seqs = [
+            variants[rng.randrange(len(variants))].encode()
+            for _ in range(rng.randint(6, 14))
+        ]
+        dedup = poa_mod.poa_align(seqs)
+        os.environ["IMPG_POA_DEDUP"] = "0"
+        try:
+            raw = poa_mod.poa_align(seqs)
+        finally:
+            del os.environ["IMPG_POA_DEDUP"]
+        assert dedup.msa == raw.msa, trial
+        assert dedup.node_bases == raw.node_bases, trial
+        assert np.array_equal(dedup.edges, raw.edges), trial
+        assert len(dedup.paths) == len(raw.paths)
+        for a, b in zip(dedup.paths, raw.paths):
+            assert np.array_equal(a, b), trial
