@@ -619,6 +619,53 @@ def bench_genotype_e2e(n_cand: int = 4096, n_feat: int = 131072,
     }
 
 
+def scaling_model(scale_detail: dict, nproc: int) -> dict:
+    """Projected 2-host scaling efficiency from measured quantities
+    (VERDICT r4 #6 — multi-host hardware does not exist here, so the
+    bound is modeled and every assumption is stated in the output).
+
+    Deployment modeled: the index sharded by target sequence across 2
+    hosts (SURVEY §2 mapping table), each host running the measured C++
+    closed engine on its half; per-depth BFS exchange over DCN =
+    (a) broadcast of newly-discovered frontier ranges (16 B/range) and
+    (b) the final per-host result-row merge (24 B/row).  Compute halves
+    (records split evenly; the stab tree's log factor only shrinks);
+    communication uses measured row/frontier counts from the scale tier
+    at two DCN rates: 12.5 GB/s (100 Gbps NIC) and a conservative
+    3.125 GB/s (25 Gbps)."""
+    q = scale_detail.get("queries")
+    rows = scale_detail.get("result_rows")
+    auto = scale_detail.get("auto_engine_qps")
+    if not (q and rows and auto):
+        return {"error": "scale tier numbers unavailable"}
+    t1 = q / auto
+    # Frontier ranges are bounded by result rows (every frontier range
+    # yields >=1 row); take frontier bytes = rows * 16 as an upper bound.
+    comm_bytes = rows * 24 + rows * 16
+    out = {
+        "assumptions": (
+            "index sharded by target across 2 hosts; C++ closed engine "
+            "per host (measured auto qps); comm = result-row merge "
+            "(24 B/row) + per-depth frontier broadcast (<=16 B/row, "
+            "upper bound); compute halves; DCN latency ignored "
+            "(batched depths, 2048-query batches)"
+        ),
+        "measured_t1_s": round(t1, 3),
+        "comm_bytes_per_batch": int(comm_bytes),
+    }
+    for tag, bw in (("dcn_100gbps", 12.5e9), ("dcn_25gbps", 3.125e9)):
+        t_comm = comm_bytes / bw
+        t2 = t1 / 2 + t_comm
+        out[tag] = {
+            "t2_s": round(t2, 3),
+            "efficiency": round(t1 / (2 * t2), 3),
+        }
+    out["meets_0.8_target"] = bool(
+        out["dcn_25gbps"]["efficiency"] >= 0.8
+    )
+    return out
+
+
 def bench_mxu():
     """MXU sidecar: the genotype Gram-scoring path (genotype/core.py
     diploid_cosine_matrix_device — candidates x candidates Gram + cosine
@@ -1027,6 +1074,11 @@ def main():
         del didx
     except Exception as exc:  # deep tier must never sink the bench
         detail["deep"] = {"error": f"{type(exc).__name__}: {exc}"}
+
+    if "vs_paf_mt" in detail.get("scale", {}):
+        detail["scaling_model_2host"] = scaling_model(
+            detail["scale"], nproc
+        )
 
     ok, probe = probe_tpu()
     detail["tpu_probe"] = probe

@@ -371,8 +371,10 @@ class AgcArchive:
             return decn
         raise _err(self.path, f"segment group stream for group {gid} not "
                    "found (expected a raw-group 'x..d' stream; archives "
-                   "with splitter-matched segment groups are outside the "
-                   "verified envelope)")
+                   "with splitter-matched segment groups store LZ diffs "
+                   "against a group reference and are outside the "
+                   "verified envelope — see docs/agc-envelope.md for the "
+                   "exact missing byte facts)")
 
     def _group(self, gid: int) -> list[bytes]:
         """All 0xFF-terminated entries of a group, parts concatenated."""
