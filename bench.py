@@ -666,6 +666,53 @@ def scaling_model(scale_detail: dict, nproc: int) -> dict:
     return out
 
 
+def bench_map_e2e(n_reads: int = 100_000, read_len: int = 150):
+    """Host-vs-device e2e for `map -o pack` (the second MXU/VPU-shaped
+    command of VERDICT r4 #2).  Same product code both ways:
+    syng/pack.map_reads (native thread-batched extraction) vs
+    ops/syncmer_jax.map_reads_batched (fused device read->pack).
+    `auto` routes wherever this measures faster."""
+    import tempfile
+
+    from impg_tpu.ops.syncmer_jax import map_reads_batched
+    from impg_tpu.syng.index import SyngIndex
+    from impg_tpu.syng.pack import map_reads
+
+    rng = np.random.default_rng(13)
+    table = np.frombuffer(b"ACGT", np.uint8)
+    genome = table[rng.integers(0, 4, 2_000_000)].tobytes()
+    idx = SyngIndex.build([("g1", genome)])
+    starts = rng.integers(0, len(genome) - read_len, n_reads)
+    with tempfile.TemporaryDirectory() as td:
+        fq = os.path.join(td, "reads.fasta")
+        with open(fq, "w") as fh:
+            for i, s in enumerate(starts):
+                fh.write(
+                    f">r{i}\n{genome[s:s + read_len].decode()}\n"
+                )
+        t0 = time.perf_counter()
+        hp, hn, hm = map_reads(idx, [fq])
+        host_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        dp, dn, dm = map_reads_batched(idx, [fq])
+        device_first_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        dp, dn, dm = map_reads_batched(idx, [fq])
+        device_steady_s = time.perf_counter() - t0
+    agree = bool(
+        np.array_equal(hp.counts, dp.counts) and hm == dm
+    )
+    return {
+        "n_reads": n_reads,
+        "read_len": read_len,
+        "host_s": round(host_s, 3),
+        "device_first_s": round(device_first_s, 3),
+        "device_steady_s": round(device_steady_s, 3),
+        "packs_identical": agree,
+        "auto_routes": "host" if host_s <= device_steady_s else "device",
+    }
+
+
 def bench_mxu():
     """MXU sidecar: the genotype Gram-scoring path (genotype/core.py
     diploid_cosine_matrix_device — candidates x candidates Gram + cosine
@@ -1159,6 +1206,11 @@ def main():
         detail["genotype_e2e"] = bench_genotype_e2e()
     except Exception as exc:
         detail["genotype_e2e"] = {"error": f"{type(exc).__name__}: {exc}"}
+
+    try:
+        detail["map_e2e"] = bench_map_e2e()
+    except Exception as exc:
+        detail["map_e2e"] = {"error": f"{type(exc).__name__}: {exc}"}
 
     ds = detail.get("device_scale", {})
     sc = detail.get("scale", {})

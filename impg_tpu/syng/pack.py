@@ -115,25 +115,59 @@ def universe_from_index(index: SyngIndex) -> np.ndarray:
 
 
 def map_reads(
-    index: SyngIndex, read_files: list[str]
+    index: SyngIndex, read_files: list[str], batch: int = 8192
 ) -> tuple[Pack, int, int]:
     """Accumulate read syncmer matches into a pack over the index universe.
 
-    Returns (pack, n_reads, n_matched_syncmers).
-    """
+    Returns (pack, n_reads, n_matched_syncmers).  Reads are extracted in
+    native thread-parallel batches (syncmer.cpp sx_extract_batch —
+    bit-exact vs per-read extraction) with one vectorized universe match
+    per batch; per-read numpy calls cost ~100 us of dispatch each, which
+    dominated million-read runs.  Falls back to the per-read numpy
+    pipeline when the native library is unavailable."""
+    from impg_tpu.io.native import extract_syncmers_batch_native
+
     universe = universe_from_index(index)
     counts = np.zeros(universe.size, np.int64)
     n_reads = 0
     n_matched = 0
+
+    native_probe = extract_syncmers_batch_native(
+        [b"ACGT" * 8], index.k, index.w, index.seed
+    )
+    use_native = native_probe is not None
+
+    def flush(seqs: list[bytes]) -> None:
+        nonlocal n_matched
+        if not seqs:
+            return
+        if use_native:
+            _pos, ids, _fwd, _cnt = extract_syncmers_batch_native(
+                seqs, index.k, index.w, index.seed
+            )
+        else:
+            parts = [
+                syncmer_mod.extract_syncmers(
+                    s, index.k, index.w, index.seed
+                )[1]
+                for s in seqs
+            ]
+            ids = (
+                np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+            )
+        if ids.size == 0:
+            return
+        hit, idx_c = match_universe(universe, ids)
+        np.add.at(counts, idx_c[hit], 1)
+        n_matched += int(hit.sum())
+
+    pending: list[bytes] = []
     for path in read_files:
         for _name, seq in read_sequences(path):
             n_reads += 1
-            _pos, ids, _fwd = syncmer_mod.extract_syncmers(
-                seq, index.k, index.w, index.seed
-            )
-            if ids.size == 0:
-                continue
-            hit, idx_c = match_universe(universe, ids)
-            np.add.at(counts, idx_c[hit], 1)
-            n_matched += int(hit.sum())
+            pending.append(seq)
+            if len(pending) >= batch:
+                flush(pending)
+                pending = []
+    flush(pending)
     return Pack(feature_ids=universe, counts=counts), n_reads, n_matched
