@@ -115,7 +115,6 @@ SCALE_N_SEQS = 2000
 SCALE_SEQ_LEN = 150_000
 SCALE_N_ALN = 2_500_000   # -> 5.0M directed records, ~2.6B arena runs
 SCALE_QUERIES = 2048      # gene-ish 10-50 kb ranges (VERDICT r4: >=2048)
-SCALE_QUERIES_1T = 256    # iid subset for the single-thread survey cells
 SCALE_DEVICE_QUERIES = 256
 
 # ── scale-short diagnostic (rounds 3-4 "scale" tier): 5M records with
@@ -391,9 +390,14 @@ def bench_native(index, targets, reps: int = 3,
     return out, rows, ne
 
 
-def bench_auto(index, targets, reps: int = 3):
+def bench_auto(index, targets, reps: int = 3, chunk: int = 0):
     """The framework's default executor, through the product dispatch
-    (engine.query_transitive_bfs_many with the auto-resolved engine)."""
+    (engine.query_transitive_bfs_many with the auto-resolved engine).
+
+    `chunk` > 0 runs the batch in independent chunks and frees each
+    chunk's rows before the next — the realistic scale tier emits
+    ~650k rows/query, so a monolithic 2048-query materialization would
+    hold ~60 GiB of row buffers next to the 52 GiB arena."""
     from impg_tpu.query import engine
 
     try:
@@ -403,14 +407,19 @@ def bench_auto(index, targets, reps: int = 3):
     except Exception:
         eng = None  # native lib missing: auto falls back to python host
     best, rows = None, 0
+    step = chunk if chunk > 0 else len(targets)
     for _ in range(reps):
         t0 = time.perf_counter()
-        res = engine.query_transitive_bfs_many(
-            index, targets, max_depth=MAX_DEPTH, device_engine=eng,
-            columnar=True,
-        )
+        total_rows = 0
+        for off in range(0, len(targets), step):
+            res = engine.query_transitive_bfs_many(
+                index, targets[off:off + step], max_depth=MAX_DEPTH,
+                device_engine=eng, columnar=True,
+            )
+            total_rows += sum(len(r) for r in res)
+            del res
         dt = time.perf_counter() - t0
-        rows = sum(len(r) for r in res)
+        rows = total_rows
         best = dt if best is None else min(best, dt)
     return len(targets) / best, rows, best
 
@@ -1001,13 +1010,45 @@ def main():
 
         sidx = load_scale_index()
         stargets = scale_queries(sidx, SCALE_QUERIES)
-        stargets_1t = stargets[:SCALE_QUERIES_1T]
-        native_scale, scale_rows, _ne_s = bench_native(
-            sidx, stargets, reps=2, targets_1t=stargets_1t
-        )
+        # Per-mode iid query subsets: at ~650k result rows/query the
+        # C++ engine retains chunk rows natively, and the paf cost model
+        # runs ~8x slower than the framework — full-2048 cells would
+        # cost ~45 min and ~60 GiB.  qps extrapolates (iid draws); the
+        # headline auto number runs the FULL 2048 queries, chunked.
+        from impg_tpu.query.host_native import NativeHostEngine
+
+        ne_s = NativeHostEngine(sidx)
+        native_scale = {}
+        survey = [
+            ("closed_1t", "closed", 1, 64, 2),
+            (f"closed_{nproc}t", "closed", nproc, 512, 2),
+            ("walk_1t", "walk", 1, 64, 1),
+            (f"walk_{nproc}t", "walk", nproc, 256, 2),
+            ("paf_1t", "paf", 1, 32, 1),
+            (f"paf_{nproc}t", "paf", nproc, 128, 2),
+        ]
+        ne_s.ensure_paf_baseline()
+        survey_queries = {}
+        for tag, mode, th, nq, reps in survey:
+            tset = stargets[:nq]
+            best = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                ne_s.run_counts(
+                    tset, max_depth=MAX_DEPTH, mode=mode, threads=th
+                )
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                if dt > 180.0:
+                    break
+            native_scale[tag] = round(nq / best, 2)
+            survey_queries[tag] = nq
+        del ne_s
+        gc.collect()
         auto_s_qps, auto_s_rows, auto_s_dt = bench_auto(
-            sidx, stargets, reps=2
+            sidx, stargets, reps=2, chunk=512
         )
+        scale_rows = auto_s_rows
         rpr = np.diff(np.sort(sidx.records.op_off.astype(np.int64)))
         detail["scale"] = {
             "directed_records": len(sidx.records),
@@ -1025,7 +1066,7 @@ def main():
                 "(tests/datagen.realistic_directed_index)"
             ),
             "queries": len(stargets),
-            "queries_1t_subset": len(stargets_1t),
+            "survey_query_subsets": survey_queries,
             "result_rows": int(scale_rows),
             "native_qps": native_scale,
             "auto_engine_qps": round(auto_s_qps, 2),
@@ -1042,7 +1083,7 @@ def main():
             ),
         }
         scale_auto_qps = auto_s_qps
-        del _ne_s, rpr
+        del rpr
         del sidx
         gc.collect()
     except Exception as exc:  # scale tier must never sink the bench
