@@ -93,8 +93,13 @@ class DeviceIndex:
             index.records.t_end, index.tgt_offsets
         )
 
+        # Chunked puts: the relay holds ~1.4 GiB/s for <=32 MiB pieces
+        # but can collapse on large single transfers (ops/xfer.py) — the
+        # arena arrays are the multi-hundred-MiB payloads here.
+        from impg_tpu.ops.xfer import device_put_chunked
+
         arena = {
-            k: jnp.asarray(v)
+            k: device_put_chunked(np.ascontiguousarray(v))
             for k, v in index.arena.projection_kwargs(with_stats=stats).items()
         }
         tp_arrays = None
@@ -118,7 +123,7 @@ class DeviceIndex:
                 q_start=jnp.asarray(index.records.q_start.astype(np.int32)),
                 q_end=jnp.asarray(index.records.q_end.astype(np.int32)),
             )
-        as_i32 = lambda a: jnp.asarray(a.astype(np.int32))
+        as_i32 = lambda a: device_put_chunked(a, dtype=np.int32)
         return cls(
             target_id=as_i32(index.records.target_id),
             t_start=as_i32(index.records.t_start),
@@ -731,9 +736,13 @@ class DeviceEngine:
         lean BFS path never touches them)."""
         if "cum_match" in self.dindex.arena:
             return
+        from impg_tpu.ops.xfer import device_put_chunked
+
         full = self.index.arena.projection_kwargs()
         for key in DeviceIndex.STATS_KEYS:
-            self.dindex.arena[key] = jnp.asarray(full[key])
+            self.dindex.arena[key] = device_put_chunked(
+                np.ascontiguousarray(full[key])
+            )
 
     @staticmethod
     def _fields_need_stats(fields) -> bool:
