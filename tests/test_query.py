@@ -163,3 +163,43 @@ def test_load_or_build_staleness(tmp_path):
     os.utime(paf_path, (mtime1 + 100, mtime1 + 100))
     load_or_build([paf_path])
     assert os.path.getmtime(art) > mtime1
+
+
+def test_load_v2_artifact_with_eager_stats(tmp_path):
+    """A v2 .impgt (stats arrays persisted, version=2) still loads and
+    answers min-identity queries identically to the v3 lazy-stats form."""
+    from impg_tpu.core.arena import CigarArena
+    from impg_tpu.core.seqidx import SequenceIndex
+
+    rng = random.Random(31)
+    text, seqs, alns = datagen.random_paf(rng, n_seqs=4, n_alns=30, n_ops=10)
+    paf_path = str(tmp_path / "v2.paf")
+    with open(paf_path, "w") as fh:
+        fh.write(text)
+    idx = ImpgIndex.from_paf_files([paf_path])
+    # Write a v2-layout artifact by hand: eager fields + stats + version 2.
+    names, lengths = idx.seq_index.to_arrays()
+    v2_path = str(tmp_path / "v2.impgt.npz")
+    np.savez(
+        v2_path,
+        version=np.int64(2),
+        names=names.astype(str),
+        lengths=lengths,
+        files=np.array(idx.alignment_files, dtype=str),
+        tgt_offsets=idx.tgt_offsets,
+        **{f"rec_{k}": getattr(idx.records, k)
+           for k in idx.records.__dataclass_fields__},
+        **{f"arena_{k}": getattr(idx.arena, k)
+           for k in CigarArena.EAGER_FIELDS + CigarArena.STATS_FIELDS},
+    )
+    idx2 = ImpgIndex.load(v2_path)
+    assert idx2.arena.stats_materialized
+    tid = idx.seq_index.get_id(alns[0]["tname"])
+    s, e = alns[0]["tstart"], alns[0]["tend"]
+    r1 = engine.query_transitive_bfs(idx, tid, s, e, min_identity=0.5)
+    r2 = engine.query_transitive_bfs(idx2, tid, s, e, min_identity=0.5)
+    assert [
+        (r.q_id, r.q_first, r.q_last, r.t_first, r.t_last) for r in r1
+    ] == [
+        (r.q_id, r.q_first, r.q_last, r.t_first, r.t_last) for r in r2
+    ]
