@@ -233,6 +233,11 @@ class PagedDeviceEngine:
         off32[: hi - lo] = page_off[:-1].astype(np.int32)
         page["op_off"] = jnp.asarray(off32)
         if self.with_stats:
+            # NOTE: with arena v3 this materializes the WHOLE lazy stats
+            # block host-side on first touch (24 B/run).  The paged
+            # engine exists for indexes whose lean arena exceeds HBM, so
+            # stats pages on such indexes are a deliberate host-RAM
+            # trade; the default (with_stats=False) never pays it.
             for key in (
                 "cum_match", "cum_mm", "cum_icnt", "cum_dcnt", "cum_ibp",
                 "cum_dbp",
