@@ -23,6 +23,45 @@ _SO_PATH = os.path.join(_NATIVE_DIR, "libimpg_native.so")
 
 _lib = None
 _load_attempted = False
+_malloc_tuned = False
+
+# glibc mallopt parameter numbers (malloc.h).
+_M_TRIM_THRESHOLD = -1
+_M_MMAP_THRESHOLD = -3
+
+
+def tune_malloc_for_reuse(threshold_bytes: int = 256 << 20) -> bool:
+    """Keep big freed buffers on the heap for reuse (glibc mallopt).
+
+    This environment faults fresh pages at ~3-6 ms/MB (cold-page
+    demotion; see graph/columnar_ops.py), and glibc serves any
+    allocation above M_MMAP_THRESHOLD (dynamic, <=32 MiB) with a private
+    mmap that is munmap'd on free — so a loop that materializes a large
+    result buffer per chunk pays the full first-touch fault cost on
+    every iteration even though it frees the previous buffer.  Raising
+    M_MMAP_THRESHOLD and M_TRIM_THRESHOLD keeps those buffers on the
+    main heap, where free()+malloc() hands back the same hot pages.
+
+    Called once from load(), so every native-engine process (CLI, bench,
+    tests) gets it.  Kill switch: IMPG_MALLOC_TUNE=0.  Returns False
+    (no-op) on non-glibc platforms.
+    """
+    global _malloc_tuned
+    if _malloc_tuned:
+        return True
+    if os.environ.get("IMPG_MALLOC_TUNE", "1") == "0":
+        return False
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        mallopt = libc.mallopt
+    except (OSError, AttributeError):
+        return False
+    mallopt.restype = ctypes.c_int
+    mallopt.argtypes = [ctypes.c_int, ctypes.c_int]
+    ok = mallopt(_M_MMAP_THRESHOLD, threshold_bytes)
+    ok = mallopt(_M_TRIM_THRESHOLD, threshold_bytes) and ok
+    _malloc_tuned = bool(ok)
+    return _malloc_tuned
 
 
 def _host_supports_avx2() -> bool:
@@ -76,6 +115,7 @@ def load():
     if _load_attempted:
         return _lib
     _load_attempted = True
+    tune_malloc_for_reuse()
     if not os.path.exists(_SO_PATH) or (
         os.path.exists(os.path.join(_NATIVE_DIR, "paf_parser.cpp"))
         and os.path.getmtime(_SO_PATH)

@@ -98,3 +98,22 @@ def test_index_build_uses_native_and_matches(tmp_path, native_lib):
 
     idx = ImpgIndex.from_paf_files([str(p)])
     assert len(idx.records) == 2 * len(alns)
+
+
+def test_tune_malloc_for_reuse():
+    """glibc heap-reuse tuning (ROADMAP r5 #8): on glibc it applies and
+    sticks; the kill switch is honored.  The perf effect (fresh 100 MB
+    alloc+touch ~254 ms -> ~1.3 ms on this image) is a measured doc
+    claim, not asserted here (depends on kernel page-demotion policy)."""
+    from impg_tpu.io import native as nat
+
+    applied = nat.tune_malloc_for_reuse()
+    if applied:
+        assert nat._malloc_tuned
+        assert nat.tune_malloc_for_reuse()  # idempotent
+    else:
+        # Only acceptable on non-glibc or when explicitly disabled.
+        import os
+        assert os.environ.get("IMPG_MALLOC_TUNE") == "0" or not hasattr(
+            __import__("ctypes").CDLL(None), "mallopt"
+        )
