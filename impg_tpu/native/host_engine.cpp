@@ -234,7 +234,10 @@ inline Proj finish(const HostEngine& E, int64_t k, int32_t rs, int32_t re,
 
 // Closed-form projection: two binary searches over the record's cum_t
 // prefix (ops/projection.py _bisect), then the shared boundary math.
-Proj project_closed(const HostEngine& E, int64_t k, int32_t rs, int32_t re) {
+// Kept as the single-candidate SPEC for project_closed_batch below
+// (which must stay bit-identical); run_walk dispatches to the batch.
+Proj project_closed(const HostEngine& E, int64_t k,
+                    int32_t rs, int32_t re) {
     const int64_t off = E.op_off[k];
     const int32_t n = E.op_cnt[k];
     // (te_rec unused: the stab invariant te > rs folds it out of both searches)
@@ -272,6 +275,91 @@ Proj project_closed(const HostEngine& E, int64_t k, int32_t rs, int32_t re) {
     int32_t i0 = (int32_t)(bi - (ct + 1)) + (m >= 1 && bi[0] <= rs ? 1 : 0);
     int32_t j1 = (int32_t)(bj - (ct + 1)) + (m >= 1 && bj[0] < re ? 1 : 0);
     return finish(E, k, rs, re, i0, j1);
+}
+
+// Scratch for the batched closed projection (reused across frontiers).
+struct BatchScratch {
+    std::vector<int32_t> i0, j1, ovs, ove;
+    std::vector<uint8_t> skip;
+    struct BState {
+        const int32_t* bi;
+        const int32_t* bj;
+        const int32_t* base;  // ct + 1
+        size_t m;
+        int32_t rs, re, idx;
+    };
+    std::vector<BState> states;
+};
+
+// Batched closed-form projection over one frontier's candidate list.
+// Per-candidate results are bit-identical to project_closed; the
+// long-record binary searches advance in lockstep WAVES across
+// candidates so their dependent cache-miss chains overlap.  A single
+// candidate's search is ~log2(runs) serialized cold loads (the
+// scale-tier bottleneck: ~580 ns/row measured at ~520 runs/record,
+// memory-latency-bound); a wave issues one level for EVERY active
+// candidate per pass, giving the core cand-count-wide memory-level
+// parallelism instead of 2 chains.
+void project_closed_batch(const HostEngine& E,
+                          const std::vector<int64_t>& cand, int64_t fr_s,
+                          int64_t fr_e, BatchScratch& S) {
+    const size_t nc = cand.size();
+    S.i0.resize(nc);
+    S.j1.resize(nc);
+    S.ovs.resize(nc);
+    S.ove.resize(nc);
+    S.skip.resize(nc);
+    S.states.clear();
+    for (size_t c = 0; c < nc; ++c) {
+        const int64_t k = cand[c];
+        const int32_t ov_s = std::max((int32_t)fr_s, E.ts[k]);
+        const int32_t ov_e = std::min((int32_t)fr_e, E.te[k]);
+        S.ovs[c] = ov_s;
+        S.ove[c] = ov_e;
+        if (ov_s >= ov_e) {
+            S.skip[c] = 1;
+            continue;
+        }
+        S.skip[c] = 0;
+        const int32_t n = E.op_cnt[k];
+        const int32_t* ct = E.cum_t + E.op_off[k];
+        if (n <= 64) {
+            // Short records: count-based linear scans over the 1-2
+            // cache lines the runs occupy (same as project_closed);
+            // loop iterations are independent across candidates, so
+            // out-of-order execution already overlaps their misses.
+            int32_t i0 = 0, j1 = 0;
+            for (int32_t i = 1; i < n; ++i) i0 += (ct[i] <= ov_s);
+            for (int32_t i = 1; i < n; ++i) j1 += (ct[i] < ov_e);
+            S.i0[c] = i0;
+            S.j1[c] = j1;
+        } else {
+            S.states.push_back({ct + 1, ct + 1, ct + 1, (size_t)n - 1,
+                                ov_s, ov_e, (int32_t)c});
+        }
+    }
+    // Wave passes: each pass advances every active search by one
+    // branchless level (cmov base-advance, as in project_closed).
+    size_t na = S.states.size();
+    while (na) {
+        size_t w = 0;
+        for (size_t t = 0; t < na; ++t) {
+            BatchScratch::BState st = S.states[t];
+            const size_t half = st.m / 2;
+            st.bi = (st.bi[half - 1] <= st.rs) ? st.bi + half : st.bi;
+            st.bj = (st.bj[half - 1] < st.re) ? st.bj + half : st.bj;
+            st.m -= half;
+            if (st.m > 1) {
+                S.states[w++] = st;
+            } else {
+                S.i0[st.idx] = (int32_t)(st.bi - st.base) +
+                               (st.m >= 1 && st.bi[0] <= st.rs ? 1 : 0);
+                S.j1[st.idx] = (int32_t)(st.bj - st.base) +
+                               (st.m >= 1 && st.bj[0] < st.re ? 1 : 0);
+            }
+        }
+        na = w;
+    }
 }
 
 // Walk projection: the reference's cost model — scan runs linearly from
@@ -413,6 +501,7 @@ void run_walk(const HostEngine& E, void* vb, int32_t tid0, int32_t s0,
     std::vector<int64_t> cand;
     std::vector<int64_t> h_w, h_q, h_s, h_e;
     std::vector<uint8_t> h_b;
+    BatchScratch bs;
     int32_t depth = 0;
     while (!current.empty() && (max_depth == 0 || depth < max_depth)) {
         h_w.clear();
@@ -433,19 +522,11 @@ void run_walk(const HostEngine& E, void* vb, int32_t tid0, int32_t s0,
                     std::chrono::nanoseconds>(t1 - t0).count();
                 t0 = t1;
             }
-            for (int64_t k : cand) {
-                const int32_t ov_s = std::max((int32_t)fr.s, E.ts[k]);
-                const int32_t ov_e = std::min((int32_t)fr.e, E.te[k]);
-                if (ov_s >= ov_e) continue;
-                const Proj p =
-                    E.approx ? project_approx(E, k, ov_s, ov_e)
-                    : (mode == 1) ? project_walk(E, k, ov_s, ov_e)
-                    : (mode == 2) ? project_paf(E, k, ov_s, ov_e)
-                                  : project_closed(E, k, ov_s, ov_e);
-                if (!p.valid) continue;
+            auto emit = [&](int64_t k, const Proj& p) {
+                if (!p.valid) return;
                 const int32_t q = E.qid[k];
                 if (E.seq_ok != nullptr && q != tid0 && !E.seq_ok[q])
-                    continue;  // subset: drops result AND frontier
+                    return;  // subset: drops result AND frontier
                 if (E.min_out_len < 0 ||
                     std::llabs((int64_t)p.pq_e - p.pq_s) >= E.min_out_len)
                     out.insert(out.end(), {q, p.pq_s, p.pq_e,
@@ -455,6 +536,34 @@ void run_walk(const HostEngine& E, void* vb, int32_t tid0, int32_t s0,
                 h_s.push_back(p.pq_s);
                 h_e.push_back(p.pq_e);
                 h_b.push_back(q != (int32_t)fr.q ? 1 : 0);
+            };
+            static const bool use_batch = [] {
+                const char* e = getenv("IMPG_HE_BATCH");
+                return !(e && *e == '0');
+            }();
+            if (!E.approx && mode == 0 && use_batch) {
+                // Closed mode: lockstep-batched searches, then an
+                // in-order finish+emit pass (iterations independent —
+                // OOO overlaps their arena misses).
+                project_closed_batch(E, cand, fr.s, fr.e, bs);
+                for (size_t c = 0; c < cand.size(); ++c) {
+                    if (bs.skip[c]) continue;
+                    const int64_t k = cand[c];
+                    emit(k, finish(E, k, bs.ovs[c], bs.ove[c], bs.i0[c],
+                                   bs.j1[c]));
+                }
+            } else {
+                for (int64_t k : cand) {
+                    const int32_t ov_s = std::max((int32_t)fr.s, E.ts[k]);
+                    const int32_t ov_e = std::min((int32_t)fr.e, E.te[k]);
+                    if (ov_s >= ov_e) continue;
+                    const Proj p =
+                        E.approx ? project_approx(E, k, ov_s, ov_e)
+                        : (mode == 1) ? project_walk(E, k, ov_s, ov_e)
+                        : (mode == 2) ? project_paf(E, k, ov_s, ov_e)
+                                      : project_closed(E, k, ov_s, ov_e);
+                    emit(k, p);
+                }
             }
             if (E.prof)
                 E.ns_proj += std::chrono::duration_cast<
