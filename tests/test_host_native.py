@@ -253,3 +253,32 @@ def test_native_approximate_matches_python(setup):
             tup_w = [(r.q_id, r.q_first, r.q_last, r.t_id, r.t_first,
                       r.t_last) for r in rows]
             assert tup_g == tup_w, (thr, w)
+
+
+def test_native_batched_closed_long_records():
+    """The lockstep-batched closed projection (project_closed_batch,
+    host_engine.cpp) must stay bit-identical to the scalar spec on
+    records well past the n<=64 linear-scan cutoff — i.e. the wave
+    binary searches themselves.  realistic_directed_index gives
+    ~520-run-mean records; walk mode (independent linear-scan spec,
+    same finish math) and the Python engine are the oracles."""
+    idx = datagen.realistic_directed_index(
+        seed=5, n_seqs=12, seq_len=60_000, n_aln=600, chunks=2
+    )
+    n = int(np.max(np.diff(np.sort(idx.records.op_off))))
+    assert n > 64, "fixture must exercise the wave path"
+    qrng = np.random.default_rng(9)
+    targets = []
+    for _ in range(40):
+        tid = int(qrng.integers(0, 12))
+        span = int(qrng.integers(2_000, 30_000))
+        s = int(qrng.integers(0, 60_000 - span))
+        targets.append((tid, s, s + span))
+    ne = NativeHostEngine(idx)
+    closed = ne.run(targets, max_depth=2, mode="closed")
+    walk = ne.run(targets, max_depth=2, mode="walk")
+    _assert_blocks_equal(closed, walk, "closed-vs-walk long records")
+    py = engine.query_transitive_bfs_many(
+        idx, targets, max_depth=2, columnar=True
+    )
+    _assert_blocks_equal(closed, py, "closed-vs-python long records")
