@@ -1598,25 +1598,35 @@ def cmd_genotype(args) -> int:
                 file=sys.stderr,
             )
             return 2
-        import os
 
         reads = [x for e in (args.reads or []) for x in e.split(",") if x]
+        gpacks = [
+            x for e in (args.pack or []) for x in e.split(",") if x
+        ]
+        if len(gpacks) > 1:
+            print(
+                "error: --graph genotyping takes one pack; cohort "
+                "packs are supported on the syng backend",
+                file=sys.stderr,
+            )
+            return 2
+        pack_path = gpacks[0] if gpacks else None
         sample_counts = None
-        if args.pack:
+        if pack_path:
             # Precomputed per-segment evidence: the reference's binary
             # pack (pack.rs IMPGPKB1, node i = i-th S line 1-based) or
             # its '#node_id\tcount' TSV (pack.rs write_tsv/read_tsv).
             from impg_tpu.io import packbin
 
-            if packbin.is_packbin(args.pack):
-                node_ids, cvals, _meta = packbin.read_packbin(args.pack)
+            if packbin.is_packbin(pack_path):
+                node_ids, cvals, _meta = packbin.read_packbin(pack_path)
                 sample_counts = {
                     int(n) - 1: float(c)
                     for n, c in zip(node_ids.tolist(), cvals.tolist())
                 }
             else:
                 sample_counts = {}
-                with open(args.pack) as fh:
+                with open(pack_path) as fh:
                     for line in fh:
                         line = line.strip()
                         if not line or line.startswith("#"):
@@ -1666,20 +1676,33 @@ def cmd_genotype(args) -> int:
             )
         return 0
 
-    if not (args.alignment and args.pack and args.target_range):
+    pack_paths = [x for e in (args.pack or []) for x in e.split(",") if x]
+    if not (args.alignment and pack_paths and args.target_range):
         print(
             "error: genotype needs -a, -p and -r (or --graph with -q)",
             file=sys.stderr,
         )
         return 2
     index = SyngIndex.load(args.alignment)
-    pack = Pack.load(args.pack)
     target_name, (start, end), region = bed_mod.parse_target_range(
         args.target_range
     )
-    candidates, results = gt_mod.genotype_cos(
+
+    def _stem(p: str) -> str:
+        base = os.path.basename(p)
+        return base.split(".")[0] or base
+
+    names = (
+        [args.sample_name]
+        if len(pack_paths) == 1
+        else [_stem(p) for p in pack_paths]
+    )
+    packs = [
+        (nm, Pack.load(p)) for nm, p in zip(names, pack_paths)
+    ]
+    candidates, multi = gt_mod.genotype_cos_multi(
         index,
-        pack,
+        packs,
         target_name,
         start,
         end,
@@ -1689,12 +1712,14 @@ def cmd_genotype(args) -> int:
         mode=args.candidate_mode,
         device=_device_tristate(args),
     )
-    if not results:
+    if not multi or not any(r for _, r in multi):
         print("error: no candidates found for region", file=sys.stderr)
         return 1
-    gt_mod.write_genotype_report(
-        sys.stdout, region, candidates, results, args.sample_name
-    )
+    for i, (nm, results) in enumerate(multi):
+        gt_mod.write_genotype_report(
+            sys.stdout, region, candidates, results, nm,
+            header=(i == 0),
+        )
     return 0
 
 
@@ -2935,7 +2960,13 @@ def build_parser() -> argparse.ArgumentParser:
                       help="Scoring method")
     p_gt.add_argument("-a", "--alignment",
                       help="syng index prefix (or .syngt path)")
-    p_gt.add_argument("-p", "--pack")
+    p_gt.add_argument(
+        "-p", "--pack", action="append",
+        help="sample pack(s); repeat or comma-separate for a cohort — "
+        "the candidate panel builds (and uploads) once and every "
+        "sample scores against it (extension; the reference scores "
+        "one sample per run)",
+    )
     p_gt.add_argument("-r", "--target-range")
     p_gt.add_argument(
         "--graph",

@@ -106,16 +106,45 @@ def genotype_cos(
     says it wins end-to-end (core.auto_device_for_dense).  Other
     ploidies stay on the sparse host search (reference
     genotyping.rs:334 run_cosine_combination_search)."""
+    candidates, multi = genotype_cos_multi(
+        index, [("sample", pack)], target_name, start, end,
+        ploidy=ploidy, top_n=top_n, max_combinations=max_combinations,
+        mode=mode, device=device,
+    )
+    return candidates, (multi[0][1] if multi else [])
+
+
+def genotype_cos_multi(
+    index: SyngIndex,
+    packs: list,
+    target_name: str,
+    start: int,
+    end: int,
+    ploidy: int = 2,
+    top_n: int = 10,
+    max_combinations: int = 1_000_000,
+    mode: str = "overlapping",
+    device: bool | None = False,
+):
+    """Cohort scoring: one candidate panel, many (name, Pack) samples.
+
+    Extension beyond the reference (genotype.rs scores one sample per
+    run): the candidate set, feature universe, and dense matrix build
+    once; with the device active the panel uploads ONCE
+    (genotype/core.DiploidPanel) and each sample costs a single jitted
+    Gram/top-k step (~0.15 s at 4096 x 131k vs ~10 s host BLAS — bench
+    detail.genotype_e2e.device_win_panel).  `device=None` (auto) routes
+    using the cohort's total FLOPs so the upload amortization is priced
+    in.  Returns (candidates, [(name, results), ...])."""
     candidates = find_candidates(index, target_name, start, end, mode=mode)
     if not candidates:
         return [], []
     universe = gt_core.feature_universe([c.features for c in candidates])
     uni_arr = np.asarray(universe, np.uint64)
-    sample_counts_arr = pack.counts_for(uni_arr)
     n = len(candidates)
     if device is None:  # --compute-engine auto: measured-crossover routing
         device = ploidy == 2 and gt_core.auto_device_for_dense(
-            n, len(universe)
+            n, len(universe), n_samples=len(packs)
         )
     # Dense ploidy-2 scoring (host BLAS or MXU): one Gram matmul + top-k
     # instead of the per-combination sparse walk.  The sparse search
@@ -133,33 +162,50 @@ def genotype_cos(
         for ci, cand in enumerate(candidates):
             for fid, count in cand.features:
                 dense[ci, feat_pos[int(fid)]] += float(count)
-        results = gt_core.run_diploid_topk(
-            dense, sample_counts_arr.astype(np.float64), top_n,
-            device=device,
+        panel = gt_core.DiploidPanel(dense) if device else None
+        multi = []
+        for name, pack in packs:
+            vec = pack.counts_for(uni_arr).astype(np.float64)
+            if panel is not None:
+                multi.append((name, panel.top_k(vec, top_n)))
+            else:
+                multi.append((
+                    name,
+                    gt_core.run_diploid_topk(
+                        dense, vec, top_n, device=False
+                    ),
+                ))
+        return candidates, multi
+    feats = [c.features for c in candidates]
+    multi = []
+    for name, pack in packs:
+        sample_counts_arr = pack.counts_for(uni_arr)
+        sample_counts = {
+            int(f): int(c) for f, c in zip(universe, sample_counts_arr)
+        }
+        norm_sq = gt_core.sample_norm_sq_for_features(
+            sample_counts, universe
         )
-        return candidates, results
-    sample_counts = {
-        int(f): int(c) for f, c in zip(universe, sample_counts_arr)
-    }
-    norm_sq = gt_core.sample_norm_sq_for_features(sample_counts, universe)
-    results = gt_core.run_cosine_combination_search(
-        [c.features for c in candidates],
-        sample_counts,
-        norm_sq,
-        ploidy,
-        max_combinations,
-    )
-    return candidates, results[:top_n]
+        results = gt_core.run_cosine_combination_search(
+            feats, sample_counts, norm_sq, ploidy, max_combinations
+        )
+        multi.append((name, results[:top_n]))
+    return candidates, multi
 
 
 def write_genotype_report(
-    out, region: str, candidates, results, sample_name: str = "sample"
+    out, region: str, candidates, results, sample_name: str = "sample",
+    header: bool = True,
 ) -> None:
-    """TSV report: rank, haplotype combination, cosine, qv (genotype.rs:550)."""
-    out.write(
-        "#sample\tregion\trank\tgenotype\tcosine.similarity\tqv\tdot"
-        "\tsample.norm\tgenotype.norm\n"
-    )
+    """TSV report: rank, haplotype combination, cosine, qv (genotype.rs:550).
+
+    `header=False` suppresses the column header so cohort reports
+    (genotype_cos_multi) concatenate into one valid TSV."""
+    if header:
+        out.write(
+            "#sample\tregion\trank\tgenotype\tcosine.similarity\tqv\tdot"
+            "\tsample.norm\tgenotype.norm\n"
+        )
     for rank, score in enumerate(results, 1):
         combo_names = "|".join(
             candidates[i].name for i in score.combination

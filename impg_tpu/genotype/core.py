@@ -220,21 +220,37 @@ def diploid_cosine_matrix_device(candidates: np.ndarray, sample: np.ndarray):
     return np.asarray(sim), np.asarray(dot), np.asarray(comb_norm)
 
 
-def auto_device_for_dense(n: int, d: int) -> bool:
+def auto_device_for_dense(n: int, d: int, n_samples: int = 1) -> bool:
     """Route dense diploid scoring to the accelerator when it wins e2e.
 
-    Measured on the v5e relay (round 5, bench detail.genotype_e2e): the
-    host f64 BLAS Gram runs at ~2e11 FLOP/s on this 4-core host, while
-    the device path costs one f32 candidate upload (~1.4 GiB/s measured
-    in <=48 MiB chunks) plus an MXU Gram that is effectively free.  The
-    2*C^2*D Gram FLOPs cross the upload+dispatch overhead at roughly
-    100 GFLOP (C=1024 x D=48k); below it a one-shot CLI run loses to
-    backend init.  Threshold override: IMPG_GT_DEVICE_GFLOP.  Returns
-    False when no non-CPU backend is reachable."""
+    Measured (round 5, bench detail.genotype_e2e; all numbers from the
+    product path run_diploid_topk with narrow-dtype chunked uploads):
+
+    * IN-PROCESS (steady) the device wins big: upload 0.5 GB uint8
+      ~0.6-1.7 s + jitted Gram/top-k ~0.2 s vs host f64 BLAS ~9-11 s at
+      4096 x 131k (4.4 TFLOP; host sustains ~5e11 FLOP/s on 4 cores).
+    * ONE-SHOT through THIS IMAGE'S TPU relay, the fixed tax (backend
+      init + compile-cache load + transfer setup) measured 24-190 s
+      across runs — too variable to beat the host reliably below tens
+      of TFLOP, so on the relay `auto` stays host until ~30 TFLOP.
+    * On a CO-LOCATED runtime (PCIe/DMA, ~1-2 s init, multi-GB/s link)
+      the modeled one-shot overhead is ~2.5 s, crossing host BLAS at
+      ~1.2 TFLOP — the default there.
+
+    The relay is detected via PALLAS_AXON_POOL_IPS (this image's tunnel
+    harness).  Override both defaults with IMPG_GT_DEVICE_GFLOP;
+    in-process/steady callers (many scorings per process) should lower
+    it since the fixed tax amortizes.  Returns False when no non-CPU
+    backend is reachable."""
     import os
 
-    gflop = 2.0 * float(n) * n * d / 1e9
-    thresh = float(os.environ.get("IMPG_GT_DEVICE_GFLOP", "100"))
+    # n_samples: scorings that share one uploaded panel (DiploidPanel,
+    # genotype_cos_multi).  The fixed init/upload tax amortizes across
+    # them, so the threshold compares against the cohort's total FLOPs.
+    gflop = 2.0 * float(n) * n * d / 1e9 * max(1, n_samples)
+    on_relay = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+    default = "30000" if on_relay else "1200"
+    thresh = float(os.environ.get("IMPG_GT_DEVICE_GFLOP", default))
     if gflop < thresh:
         return False
     try:
@@ -243,6 +259,39 @@ def auto_device_for_dense(n: int, d: int) -> bool:
         return jax.default_backend() != "cpu"
     except Exception:
         return False
+
+
+def _narrowest_upload_dtype(candidates: np.ndarray):
+    """Smallest dtype that holds `candidates` exactly for device upload.
+
+    Candidate vectors are traversal COUNTS (small non-negative
+    integers); uploading uint8/uint16 instead of float32 cuts link
+    bytes 4x/2x and the on-device cast to f32 is fused into the jitted
+    step.  The integrality check streams in bounded slices so the
+    temporaries stay cache-sized."""
+    if candidates.size == 0:
+        return np.float32
+    if candidates.dtype.kind in "iu":
+        lo, hi = int(candidates.min()), int(candidates.max())
+        frac = False
+    else:
+        lo = float(candidates.min())
+        hi = float(candidates.max())
+        frac = False
+        flat = candidates.reshape(-1)
+        step = max(1, (8 << 20) // max(1, candidates.itemsize))
+        for off in range(0, flat.size, step):
+            part = flat[off:off + step]
+            if np.any(part != np.floor(part)):
+                frac = True
+                break
+    if frac or lo < 0:
+        return np.float32
+    if hi <= 255:
+        return np.uint8
+    if hi <= 65535:
+        return np.uint16
+    return np.float32
 
 
 _DIPLOID_TOPK = None
@@ -263,6 +312,10 @@ def _diploid_topk_step(c, s, kk: int):
 
         @functools.partial(jax.jit, static_argnames=("kk",))
         def step(c, s, kk):
+            # Accept narrow integer uploads (uint8/uint16 count vectors)
+            # and widen on device — the cast fuses into the matmul's
+            # operand load, so the link carries 4x fewer bytes for free.
+            c = c.astype(jnp.float32)
             proj = c @ s
             gram = c @ c.T
             norms_sq = jnp.diagonal(gram)
@@ -287,58 +340,58 @@ def _diploid_topk_step(c, s, kk: int):
     return _DIPLOID_TOPK(c, s, kk=kk)
 
 
-def run_diploid_topk(
-    candidates: np.ndarray,
-    sample: np.ndarray,
-    top_n: int,
-    device: bool = False,
-) -> list[CombinationScore]:
-    """Top-`top_n` ploidy-2 combinations WITHOUT materializing n^2 Python
-    scores (run_diploid_search_dense builds all of them — fine for tens
-    of candidates, ruinous for thousands).
+class DiploidPanel:
+    """Device-resident candidate panel for repeated diploid scoring.
 
-    device=False: float64 BLAS Gram on host + argpartition.
-    device=True:  float32 MXU Gram + on-device top-k; only ~4*top_n rows
-    cross the link.  Ordering is the exact reference comparator
-    (-similarity, -dot, combination asc) applied to the fetched head; the
-    head is oversized (4x + 64) so boundary ties cannot truncate the
-    reported top_n in practice."""
-    n = candidates.shape[0]
-    total = n * n
-    kk = int(min(total, max(4 * top_n, top_n + 64)))
-    sample_norm = math.sqrt(float(sample @ sample))
-    if device:
-        import jax.numpy as jnp
+    The serving/cohort pattern (cosigt role, genotyping.rs:334 run many
+    times): ONE narrow-dtype chunked upload of the candidate matrix,
+    then each sample scores with a single jitted Gram/top-k step whose
+    ~4*top_n-row head is the only device->host traffic.  Measured
+    (round 5, one v5e): upload 0.5 GB uint8 ~1-2 s once, then ~0.2 s
+    per sample at 4096 candidates x 131k features vs ~9-14 s per sample
+    for host f64 BLAS — the e2e device win for any workload scoring
+    more than one sample against a panel."""
+
+    def __init__(self, candidates: np.ndarray):
+        import jax.numpy as jnp  # noqa: F401 — backend init up front
 
         from impg_tpu.ops.xfer import device_put_chunked, enable_persistent_cache
 
         enable_persistent_cache()
+        self.n = int(candidates.shape[0])
+        self._c = device_put_chunked(
+            candidates, dtype=_narrowest_upload_dtype(candidates)
+        )
+
+    def top_k_head(self, sample: np.ndarray, kk: int):
+        """(vals, flat_idx, dots, comb_norms) float64 head arrays."""
+        import jax.numpy as jnp
+
         vals, idxs, dots, norms = _diploid_topk_step(
-            device_put_chunked(candidates, dtype=np.float32),
-            jnp.asarray(sample, jnp.float32),
-            kk,
+            self._c, jnp.asarray(sample, jnp.float32), kk
         )
         vals = np.asarray(vals, np.float64)
         idxs = np.asarray(idxs)
         dots = np.asarray(dots, np.float64)
         norms = np.asarray(norms, np.float64)
         keep = np.isfinite(vals)
-        vals, idxs, dots, norms = (
-            vals[keep], idxs[keep], dots[keep], norms[keep]
+        return vals[keep], idxs[keep], dots[keep], norms[keep]
+
+    def top_k(self, sample: np.ndarray, top_n: int) -> list[CombinationScore]:
+        """Reference-ordered top combinations for one sample."""
+        kk = int(min(self.n * self.n, max(4 * top_n, top_n + 64)))
+        vals, idxs, dots, norms = self.top_k_head(sample, kk)
+        return _assemble_head(
+            self.n, vals, idxs, dots, norms,
+            math.sqrt(float(sample @ sample)), top_n,
         )
-    else:
-        sim, dot, comb_norm = diploid_cosine_matrix(candidates, sample)
-        iu = np.triu_indices(n)
-        flat_idx = iu[0] * n + iu[1]
-        flat_sim = sim[iu]
-        if kk < flat_sim.size:
-            part = np.argpartition(-flat_sim, kk - 1)[:kk]
-        else:
-            part = np.arange(flat_sim.size)
-        vals = flat_sim[part]
-        idxs = flat_idx[part]
-        dots = dot.reshape(-1)[idxs]
-        norms = comb_norm.reshape(-1)[idxs]
+
+
+def _assemble_head(
+    n, vals, idxs, dots, norms, sample_norm, top_n
+) -> list[CombinationScore]:
+    """Exact reference comparator (-similarity, -dot, combination asc)
+    applied to a fetched score head."""
     results = [
         CombinationScore(
             combination=[int(fi // n), int(fi % n)],
@@ -352,6 +405,44 @@ def run_diploid_topk(
     ]
     results.sort(key=lambda c: (-c.similarity, -c.dot, c.combination))
     return results[:top_n]
+
+
+def run_diploid_topk(
+    candidates: np.ndarray,
+    sample: np.ndarray,
+    top_n: int,
+    device: bool = False,
+) -> list[CombinationScore]:
+    """Top-`top_n` ploidy-2 combinations WITHOUT materializing n^2 Python
+    scores (run_diploid_search_dense builds all of them — fine for tens
+    of candidates, ruinous for thousands).
+
+    device=False: float64 BLAS Gram on host + argpartition.
+    device=True:  one-shot DiploidPanel (float32 MXU Gram + on-device
+    top-k); only ~4*top_n rows cross the link.  Ordering is the exact
+    reference comparator (-similarity, -dot, combination asc) applied to
+    the fetched head; the head is oversized (4x + 64) so boundary ties
+    cannot truncate the reported top_n in practice."""
+    n = candidates.shape[0]
+    total = n * n
+    kk = int(min(total, max(4 * top_n, top_n + 64)))
+    sample_norm = math.sqrt(float(sample @ sample))
+    if device:
+        return DiploidPanel(candidates).top_k(sample, top_n)
+    else:
+        sim, dot, comb_norm = diploid_cosine_matrix(candidates, sample)
+        iu = np.triu_indices(n)
+        flat_idx = iu[0] * n + iu[1]
+        flat_sim = sim[iu]
+        if kk < flat_sim.size:
+            part = np.argpartition(-flat_sim, kk - 1)[:kk]
+        else:
+            part = np.arange(flat_sim.size)
+        vals = flat_sim[part]
+        idxs = flat_idx[part]
+        dots = dot.reshape(-1)[idxs]
+        norms = comb_norm.reshape(-1)[idxs]
+    return _assemble_head(n, vals, idxs, dots, norms, sample_norm, top_n)
 
 
 def run_diploid_search_dense(

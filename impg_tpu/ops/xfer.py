@@ -57,6 +57,9 @@ def device_put_chunked(
     import jax
     import jax.numpy as jnp
 
+    from impg_tpu.io.native import tune_malloc_for_reuse
+
+    tune_malloc_for_reuse()  # per-chunk converts reuse hot heap pages
     x = np.ascontiguousarray(x)
     out_item = np.dtype(dtype).itemsize if dtype is not None else x.itemsize
     out_bytes = x.size * out_item

@@ -759,3 +759,47 @@ def test_infer_gaf_evidence_cache_matches_path(panel, tmp_path):
         assert [(w.start, w.end) for w in w_a] == [
             (w.start, w.end) for w in w_b
         ]
+
+
+def test_cli_genotype_cohort_packs(panel):
+    """`-p a,b` cohort mode: one candidate panel, one report per sample,
+    each sample's rows identical to its single-pack run (the panel is an
+    extension — the reference scores one sample per run)."""
+    tmp, fa, idx, seq_data, fastq = panel
+    prefix = str(tmp / "cohort_pan")
+    r = run_cli("syng", "-f", fa, "-o", prefix)
+    assert r.returncode == 0, r.stderr
+    pa = str(tmp / "cohort_a.packt")
+    pb = str(tmp / "cohort_b.packt")
+    r = run_cli("map", "-a", prefix + ".syngt", "-q", fastq, "-O", pa)
+    assert r.returncode == 0, r.stderr
+    # Second sample: reads from s2 only (different truth).
+    rng = random.Random(7)
+    fq2 = str(tmp / "reads2.fastq")
+    with open(fq2, "w") as fh:
+        for name, seq in simulate_reads(rng, seq_data["s2"], 400):
+            fh.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
+    r = run_cli("map", "-a", prefix + ".syngt", "-q", fq2, "-O", pb)
+    assert r.returncode == 0, r.stderr
+    L = len(seq_data["ref"])
+    coh = run_cli(
+        "genotype", "cos", "-a", prefix + ".syngt", "-p", f"{pa},{pb}",
+        "-r", f"ref:0-{L}",
+    )
+    assert coh.returncode == 0, coh.stderr
+    lines = coh.stdout.splitlines()
+    assert lines[0].startswith("#sample")
+    samples = {ln.split("\t")[0] for ln in lines[1:] if ln}
+    assert samples == {"cohort_a", "cohort_b"}
+    # Parity with single-pack runs, per sample.
+    for path, name in ((pa, "cohort_a"), (pb, "cohort_b")):
+        single = run_cli(
+            "genotype", "cos", "-a", prefix + ".syngt", "-p", path,
+            "-r", f"ref:0-{L}", "--sample-name", name,
+        )
+        assert single.returncode == 0, single.stderr
+        want = [ln for ln in single.stdout.splitlines()[1:] if ln]
+        got = [
+            ln for ln in lines[1:] if ln.split("\t")[0] == name
+        ]
+        assert got == want
