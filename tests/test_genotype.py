@@ -98,3 +98,36 @@ def test_diploid_topk_matches_dense_search():
                 rel = 1e-9 if not device else 5e-5
                 assert b.similarity == pytest.approx(a.similarity, rel=rel)
                 assert b.dot == pytest.approx(a.dot, rel=rel)
+
+
+def test_diploid_panel_multi_sample_parity():
+    """DiploidPanel: one upload, many samples — each sample's top-k must
+    equal its independent host run; the narrow-dtype upload (uint8 here)
+    must not change results."""
+    rng = np.random.default_rng(12)
+    n, d = 48, 160
+    counts = rng.integers(0, 4, size=(n, d)).astype(np.float64)
+    panel = core.DiploidPanel(counts)
+    for seed in (1, 2, 3):
+        r2 = np.random.default_rng(seed)
+        sample_vec = (
+            counts[seed] + counts[2 * seed]
+            + r2.integers(0, 2, size=d)
+        ).astype(np.float64)
+        host = core.run_diploid_topk(counts, sample_vec, 7, device=False)
+        dev = panel.top_k(sample_vec, 7)
+        assert [c.combination for c in dev] == [
+            c.combination for c in host
+        ]
+        for a, b in zip(host, dev):
+            assert b.similarity == pytest.approx(a.similarity, rel=5e-5)
+
+
+def test_narrowest_upload_dtype():
+    f = core._narrowest_upload_dtype
+    assert f(np.zeros((2, 3))) is np.uint8
+    assert f(np.full((2, 3), 300.0)) is np.uint16
+    assert f(np.full((2, 3), 70000.0)) is np.float32
+    assert f(np.array([[1.5]])) is np.float32
+    assert f(np.array([[-1.0]])) is np.float32
+    assert f(np.array([[5]], np.int64)) is np.uint8
