@@ -946,6 +946,9 @@ def emit(result):
         "mid_device_qps": mid.get("device_qps"),
         "deep_vs_paf_mt": deep.get("vs_paf_mt"),
         "device_scale_e2e_qps": ds.get("e2e_qps"),
+        "genotype_device_win_panel": detail.get(
+            "genotype_e2e", {}
+        ).get("device_win_panel"),
         "genotype_device_win_one_shot": detail.get(
             "genotype_e2e", {}
         ).get("device_win_one_shot"),
